@@ -1,38 +1,892 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator from SURVEY.md §2 (reference
+file:line cited in the implementing module's docstrings), expressed
+Spark-first via ``real_estate_project1_etl_spark``; ``oracle_sql()`` holds
+the DuckDB-runnable ANSI equivalent. Timestamps are formatted to strings at
+the output boundary so engine timestamp dtypes never enter the compare.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.functions.numeric import guarded_ratio_int
+from real_estate_project1_etl_spark.functions.text import (
+    _DIACRITICS_DST,
+    _DIACRITICS_SRC,
+    digits_only,
+    last_two_words,
+    nbsp_to_space,
+    strip_diacritics,
+)
+from real_estate_project1_etl_spark.operators import relational as R
+from real_estate_project1_etl_spark.operators import textstats as T
+from real_estate_project1_etl_spark.operators.cleaning import (
+    address_without_region_expr,
+    dedup_first,
+    region_expr,
+)
+from real_estate_project1_etl_spark.operators.dedup import (
+    content_fingerprint,
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from real_estate_project1_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from real_estate_project1_etl_spark.sources.parquet import load_table
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # deterministic timestamp semantics regardless of the driver's JVM tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # lenient-cast semantics (NULL on failure) — Spark 4 defaults ANSI on,
+    # and a driver-provided session would otherwise throw on digits_extract
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation / flagship (SURVEY §2 "explicit absences" -> Looker-implied)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS double)      AS sum_qty,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))) AS double)
+                                                                       AS sum_disc_price,
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*)      AS avg_qty,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS avg_price,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    return R.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "star_join_revenue",
+    """
+    SELECT r_name,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_star_join_revenue(spark, sf_dir):
+    return R.star_join_revenue(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "nation_customer_stats",
+    """
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) / count(*) AS avg_acctbal,
+           min(c_acctbal) AS min_acctbal,
+           max(c_acctbal) AS max_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_nation_customer_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters F1-F6 (reference: transform.py:66-103)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "filter_not_contains",
+    """
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE NOT contains(p_type, 'ECON')
+    """,
+)
+def q_filter_not_contains(spark, sf_dir):
+    # F1 — negated substring filter (transform.py:66)
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(~F.col("p_type").contains("ECON"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@_q(
+    "filter_threshold",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_extendedprice >= 500
+    """,
+)
+def q_filter_threshold(spark, sf_dir):
+    # F2 — numeric threshold (transform.py:71)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") >= 500)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@_q(
+    "compound_filter",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    WHERE NOT (regexp_matches(o_orderpriority, '1-URGENT|2-HIGH')
+               AND o_totalprice <= 100000)
+    """,
+)
+def q_compound_filter(spark, sf_dir):
+    # F3/F4 — regex-OR keyword list AND numeric bound (transform.py:69-73)
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            ~(
+                F.col("o_orderpriority").rlike("1-URGENT|2-HIGH")
+                & (F.col("o_totalprice") <= 100000)
+            )
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@_q(
+    "in_list_whitelist",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7','NATION_19')
+    """,
+)
+def q_in_list_whitelist(spark, sf_dir):
+    # F5 — IN-list whitelist (transform.py:92)
+    return (
+        _t(spark, sf_dir, "nation")
+        .filter(
+            F.col("n_name").isin(
+                ["NATION_1", "NATION_3", "NATION_5", "NATION_7", "NATION_19"]
+            )
+        )
+        .select("n_nationkey", "n_name")
+    )
+
+
+@_q(
+    "region_semi_join",
+    """
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+    """,
+)
+def q_region_semi_join(spark, sf_dir):
+    # F5 as a broadcast left-semi join against the dim table
+    dim = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 1)
+    fact = _t(spark, sf_dir, "customer")
+    return R.semi_join(
+        fact, dim, fact["c_nationkey"] == dim["n_nationkey"]
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@_q(
+    "filter_outlier_guarded",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+    WHERE NOT (l_returnflag = 'A'
+               AND CASE WHEN l_quantity <> 0
+                        THEN cast(ceil(l_extendedprice / l_quantity) AS int)
+                   END > 3000)
+       OR (CASE WHEN l_quantity <> 0
+                THEN cast(ceil(l_extendedprice / l_quantity) AS int) END) IS NULL
+    """,
+)
+def q_filter_outlier_guarded(spark, sf_dir):
+    # F6 — derived-metric outlier filter incl. NULL-keep semantics
+    # (transform.py:103)
+    ppu = guarded_ratio_int("l_extendedprice", "l_quantity")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            ~((F.col("l_returnflag") == "A") & (ppu > 3000)) | ppu.isNull()
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup D1 (transform.py:62)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_first_wins",
+    """
+    SELECT event_id, user_id, event_type, value FROM (
+        SELECT event_id, user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_first_wins(spark, sf_dir):
+    return dedup_first(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], ["event_id"]
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Scalar chain C1-C15 (extract.py:45; transform.py:63-112)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "digits_extract",
+    """
+    SELECT o_orderkey,
+           try_cast(regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS int)
+               AS priority_num
+    FROM orders
+    """,
+)
+def q_digits_extract(spark, sf_dir):
+    # C4 — digits-only extract + cast (transform.py:68)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", digits_only("o_orderpriority").alias("priority_num")
+    )
+
+
+@_q(
+    "price_per_unit",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity <> 0
+                THEN cast(ceil(l_extendedprice / l_quantity) AS int)
+           END AS price_per_unit
+    FROM lineitem
+    """,
+)
+def q_price_per_unit(spark, sf_dir):
+    # C7-C9 — guarded division + ceil + nullif (transform.py:96-102)
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        guarded_ratio_int("l_extendedprice", "l_quantity").alias("price_per_unit"),
+    )
+
+
+@_q(
+    "last_two_words",
+    r"""
+    SELECT p_partkey,
+           CASE WHEN len(w) >= 2
+                THEN regexp_replace(array_to_string(w[-2:], ' '), ',$', '')
+                ELSE '' END AS last_two
+    FROM (
+        SELECT p_partkey,
+               string_split_regex(trim(CASE WHEN p_partkey % 7 = 0 THEN 'single'
+                    ELSE p_name || ', ' || p_type END), '\s+') AS w
+        FROM part
+    )
+    """,
+)
+def q_last_two_words(spark, sf_dir):
+    # C10 — last-two-words extract (transform.py:81-87)
+    s = F.when(F.col("p_partkey") % 7 == 0, F.lit("single")).otherwise(
+        F.concat(F.col("p_name"), F.lit(", "), F.col("p_type"))
+    )
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", last_two_words(s).alias("last_two")
+    )
+
+
+@_q(
+    "region_derive",
+    r"""
+    WITH addr AS (
+        SELECT p_partkey,
+               p_name || CASE WHEN p_partkey % 3 = 0 THEN ', Jihomoravsky kraj'
+                              WHEN p_partkey % 3 = 1 THEN ', Ustecky kraj'
+                              ELSE '' END AS address
+        FROM part
+    ), words AS (
+        SELECT p_partkey, address,
+               string_split_regex(trim(address), '\s+') AS w
+        FROM addr
+    )
+    SELECT p_partkey, address,
+           CASE WHEN contains(lower(address), 'kraj')
+                THEN CASE WHEN len(w) >= 2
+                          THEN regexp_replace(array_to_string(w[-2:], ' '), ',$', '')
+                          ELSE '' END
+                ELSE 'Praha' END AS region,
+           CASE WHEN contains(lower(address), 'kraj')
+                THEN CASE WHEN len(w) > 2
+                          THEN regexp_replace(
+                                 array_to_string(list_slice(w, 1, len(w) - 2), ' '),
+                                 ',$', '')
+                          ELSE '' END
+                ELSE address END AS address_clean
+    FROM words
+    """,
+)
+def q_region_derive(spark, sf_dir):
+    # C11+C12 — conditional region derivation and address rewrite
+    # (transform.py:90-91) over a synthesized address column
+    addr = F.concat(
+        F.col("p_name"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(", Jihomoravsky kraj"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit(", Ustecky kraj"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .withColumn("address", addr)
+        .select(
+            "p_partkey",
+            "address",
+            region_expr("address").alias("region"),
+            address_without_region_expr("address").alias("address_clean"),
+        )
+    )
+
+
+@_q(
+    "unidecode_translate",
+    f"""
+    SELECT c_custkey,
+           translate(c_name || ' Ústí nad Labem čěžýáíé m²',
+                     '{_DIACRITICS_SRC}', '{_DIACRITICS_DST}') AS ascii_name
+    FROM customer
+    """,
+)
+def q_unidecode_translate(spark, sf_dir):
+    # C1 — transliteration via finite translate map (extract.py:45)
+    s = F.concat(
+        F.col("c_name"), F.lit(" Ústí nad Labem čěžýáíé m²")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", strip_diacritics(s).alias("ascii_name")
+    )
+
+
+@_q(
+    "nbsp_clean",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name || ' 5 500', ' ', ' ', 'g') AS cleaned
+    FROM customer
+    """,
+)
+def q_nbsp_clean(spark, sf_dir):
+    # C2 — NBSP normalization (transform.py:63)
+    s = F.concat(F.col("c_name"), F.lit(" 5 500"))
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", nbsp_to_space(s).alias("cleaned")
+    )
+
+
+@_q(
+    "date_format_ts",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y_%m_%d_%H%M%S') AS od
+    FROM orders
+    """,
+)
+def q_date_format_ts(spark, sf_dir):
+    # C14 — timestamp formatting at the sink boundary (transform.py:107-111)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy_MM_dd_HHmmss").alias("od"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordering / top-k / windows / set ops (SURVEY §2 "explicit absences")
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "top3_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_top3_orders_per_priority(spark, sf_dir):
+    return R.top_k_per_group(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        select=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+
+
+@_q(
+    "global_top10_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def q_global_top10_lineitems(spark, sf_dir):
+    return R.global_top_k(
+        _t(spark, sf_dir, "lineitem"),
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        10,
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@_q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return R.anti_join(
+        cust, orders, cust["c_custkey"] == orders["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "nations_in_both",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey FROM supplier
+    """,
+)
+def q_nations_in_both(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.intersect(s)
+
+
+@_q(
+    "nations_customers_only",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey FROM supplier
+    """,
+)
+def q_nations_customers_only(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.subtract(s)
+
+
+@_q(
+    "running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double)
+               AS running_spend
+    FROM orders
+    """,
+)
+def q_running_total(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: JSON props, event-time windows, sessionization (SURVEY §2b)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "json_extract_events",
+    """
+    SELECT event_id,
+           try_cast(json_extract_string(props, '$.k') AS int) AS k_value
+    FROM events
+    """,
+)
+def q_json_extract_events(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@_q(
+    "event_hourly_windows",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS event_hour,
+           event_type,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_event_hourly_windows(spark, sf_dir):
+    # tumbling event-time window — batch equivalent of the streaming agg
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("event_hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "event_sessionization",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS session_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_event_sessionization(spark, sf_dir):
+    # 30-min-gap sessionization — batch twin of the streaming session_window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ems = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap_ms = ems - F.lag(ems).over(w)
+    return (
+        ev.withColumn(
+            "new_session", F.when(gap_ms > 1800000, 1).otherwise(0)
+        )
+        .withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Documents: dedup, fingerprints, token/quality/language stats (§2b)
+# --------------------------------------------------------------------------
+
+_NORM_SQL = r"lower(trim(regexp_replace({c}, '\s+', ' ', 'g')))"
+
+
+@_q(
+    "exact_dedup_docs",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents
+        GROUP BY sha256({_NORM_SQL.format(c="text")})
+    )
+    """,
+)
+def q_exact_dedup_docs(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, sha256({_NORM_SQL.format(c="text")}) AS fp FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", content_fingerprint("text").alias("fp")
+    )
+
+
+@_q(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           cast(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0
+                THEN 0
+                ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                END AS bigint) AS ws_tokens,
+           cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                + coalesce(list_sum(list_transform(
+                      string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                      w -> cast(floor(length(w) / 7) AS int))), 0)
+                AS bigint) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.whitespace_token_count("text").cast("bigint").alias("ws_tokens"),
+        T.bpe_ish_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+@_q(
+    "quality_features",
+    r"""
+    SELECT doc_id,
+           cast(length(text) AS bigint) AS q_n_chars,
+           cast(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0
+                THEN 0
+                ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                END AS bigint) AS q_n_tokens,
+           CASE WHEN (CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+                      ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END) > 0
+                 THEN length(regexp_replace(text, '\s+', '', 'g'))
+                      / (CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+                         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END)
+                 ELSE 0.0 END AS q_mean_word_len,
+           CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^\w\s]')) / length(text)
+                 ELSE 0.0 END AS q_punct_ratio,
+           CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[0-9]')) / length(text)
+                 ELSE 0.0 END AS q_digit_ratio,
+           CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[A-Z]')) / length(text)
+                 ELSE 0.0 END AS q_upper_ratio
+    FROM documents
+    """,
+)
+def q_quality_features(spark, sf_dir):
+    out = T.quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("q_n_chars").cast("bigint").alias("q_n_chars"),
+        F.col("q_n_tokens").cast("bigint").alias("q_n_tokens"),
+        "q_mean_word_len",
+        "q_punct_ratio",
+        "q_digit_ratio",
+        "q_upper_ratio",
+    )
+
+
+@_q(
+    "stopword_ratio_en",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(w) > 0
+                THEN len(list_filter(w,
+                         x -> list_contains(['the','and','of','is','in'], x))) / len(w)
+                ELSE 0.0 END AS stopword_ratio_en
+    FROM toks
+    """,
+)
+def q_stopword_ratio_en(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.stopword_ratio("text", "en").alias("stopword_ratio_en")
+    )
+
+
+@_q(
+    "langid_heuristic",
+    r"""
+    WITH scored AS (
+        SELECT doc_id,
+               cast(len(regexp_extract_all(lower(text), '\b(je|se|na|to|v)\b')) AS int) AS score_cs,
+               cast(len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|ist)\b')) AS int) AS score_de,
+               cast(len(regexp_extract_all(lower(text), '\b(the|and|of|is|in)\b')) AS int) AS score_en,
+               cast(len(regexp_extract_all(lower(text), '\b(el|los|que|de|y)\b')) AS int) AS score_es,
+               cast(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS int) AS score_fr
+        FROM documents
+    )
+    SELECT doc_id, score_cs, score_de, score_en, score_es, score_fr,
+           CASE WHEN score_cs >= greatest(score_de, score_en, score_es, score_fr) THEN 'cs'
+                WHEN score_de >= greatest(score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en >= greatest(score_es, score_fr) THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q_langid_heuristic(spark, sf_dir):
+    out = T.langid_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("score_cs").cast("int").alias("score_cs"),
+        F.col("score_de").cast("int").alias("score_de"),
+        F.col("score_en").cast("int").alias("score_en"),
+        F.col("score_es").cast("int").alias("score_es"),
+        F.col("score_fr").cast("int").alias("score_fr"),
+        "predicted_lang",
+    )
+
+
+# --------------------------------------------------------------------------
+# Embeddings: similarity search (§2b)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "cosine_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, cast(embedding AS double[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     4) AS sim
+        FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, round_to=4
+    )
+
+
+# ---- rows-only checks (non-SQL-expressible / approximate operators) ------
+
+
+@_q("minhash_near_dup")
+def q_minhash_near_dup(spark, sf_dir):
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.4
+    )
+
+
+@_q("simhash_near_dup")
+def q_simhash_near_dup(spark, sf_dir):
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+    )
+
+
+@_q("lsh_ann_topk")
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

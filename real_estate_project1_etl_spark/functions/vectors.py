@@ -1,0 +1,40 @@
+"""Vector math over ``ArrayType(FloatType())`` columns — all native
+higher-order functions (``zip_with``/``aggregate``), JVM-side, codegen'd.
+
+Used by the similarity-search operators (north-star §2b). At 100 TB the dot
+product must not cross into Python per row; these expressions keep the hot
+loop in the JVM. A Pandas-UDF variant exists in operators/similarity.py for
+when numpy BLAS batching wins (wide vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalize once upstream so similarity joins reduce to dot
+    products (normalize-then-dot beats cosine-per-pair at scale)."""
+    a = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x / n)

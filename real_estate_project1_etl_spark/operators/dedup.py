@@ -1,0 +1,222 @@
+"""Deduplication operators — exact and near-duplicate (north-star §2b).
+
+Scales the reference's single in-batch key dedup (reference: transform.py:62)
+to corpus-level content dedup, the first stage of any LLM-training-data
+pipeline:
+
+- exact:   hash the normalized content server-side (sha2, JVM) and keep one
+           row per digest — one shuffle on a 64-hex key, no text movement
+           beyond the winning rows.
+- minhash: shingle -> k independent min-hashes -> band buckets -> self-join
+           on (band, signature-slice). Candidate pairs only ever meet inside
+           a bucket, so the join is equi (shuffle on bucket key), never a
+           cross product. Classic MinHash/LSH construction (Broder '97) on
+           native expressions: xxhash64 with per-seed salts.
+- simhash: 64-bit weighted-bit fingerprint; near-dups differ in few bits.
+           Banded into 4x16-bit chunks for candidate generation (any
+           Hamming-distance<=3 pair shares at least one chunk).
+- ngram-jaccard: exact character-n-gram Jaccard on candidate pairs —
+           the verifier stage after LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import collapse_whitespace
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Normalized-content digest: lowercase, collapse whitespace, sha256.
+    This is the document fingerprint used for exact dedup."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.sha2(F.lower(collapse_whitespace(t)), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: keep the lowest-id row per normalized-content
+    digest. One hash exchange on the digest; text columns of losing rows
+    never leave their executor (agg carries only digest+id)."""
+    digests = (
+        df.select(F.col(id_col), content_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(digests, id_col, "left_semi")
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams as an array — native higher-order fns."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.lower(collapse_whitespace(t))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash input unit)."""
+    t = F.col(text) if isinstance(text, str) else text
+    w = F.split(F.lower(collapse_whitespace(t)), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two token/shingle arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """k independent min-hashes via salted xxhash64 — one array column,
+    no UDF. Permutation i is xxhash64(shingle, salt=i).
+
+    NB: the per-seed lambda must close over ``i`` via a factory — a 2-arg
+    lambda would receive the array *index* from ``transform`` as its second
+    argument.
+    """
+
+    def _salted(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _salted(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: returns (id_a, id_b, jaccard) with
+    id_a < id_b and exact-shingle Jaccard >= threshold.
+
+    Plan shape at scale: narrow shingle+signature projection -> explode to
+    (band, slice) keys -> self equi-join on the bucket key (shuffle on
+    bucket, never cross) -> exact Jaccard verify on the candidate pairs
+    only. rows*bands is the exploded size; bands is small (8).
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_n).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text: Column | str, ngram: int = 2, bits: int = 64) -> Column:
+    """64-bit SimHash over word n-grams, native expressions only: for each
+    bit b, sum +/-1 over token hashes' bit b; bit set iff sum > 0.
+
+    The per-bit vote is one array fold; the 64 folds run inside a single
+    projection (whole-stage codegen), no Python per row.
+    """
+    sh = word_shingles(text, ngram)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    def _vote_fn(b: int):
+        return lambda a, h: a + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), _vote_fn(b))
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via 4x16-bit band blocking: any pair within
+    Hamming distance 3 shares at least one of 4 bands (pigeonhole), so the
+    candidate join is equi on (band, 16-bit chunk)."""
+    sim = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    banded = sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "chunk")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "chunk")
+    return (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

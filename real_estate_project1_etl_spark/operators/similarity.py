@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (north-star §2b).
+
+Two tiers:
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  set against the corpus; per-row JVM dot product via higher-order
+  functions, then per-query top-k window. Correct baseline at any corpus
+  size as long as the *query* side is broadcastable.
+- ``lsh_topk``: approximate — random-hyperplane LSH buckets (sign of dot
+  with r random vectors); candidates only meet within a bucket, so the join
+  is equi on the bucket key. The scale path when both sides are large.
+- ``brute_force_topk_pandas``: Arrow-batched numpy matmul variant — the
+  BLAS-batched alternative when vectors are wide; same results.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, sim); excludes self-matches.
+    Similarity is rounded before ranking so ordering is reproducible across
+    engines; ties break on neighbor id (total order -> deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_to),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG; no
+    driver numpy dependency, reproducible across runs)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            # Box-Muller-free symmetric uniform is fine for sign hashing
+            v.append(state / 0x40000000 - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-of-dot-product bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: both sides bucketed by random-hyperplane signature,
+    equi-join on bucket, exact cosine within bucket. Recall rises with fewer
+    planes (bigger buckets) or multi-probe; at 100 TB this replaces the
+    O(|Q|x|C|) broadcast join with an O(collisions) shuffle join."""
+    planes = _random_hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy variant: the query matrix ships to every task
+    once (closure broadcast); each Arrow batch of corpus vectors does one
+    BLAS matmul. Wins over per-row expressions for wide vectors."""
+    import numpy as np
+    import pandas as pd
+
+    qids = queries_pdf[id_col].to_numpy()
+    qmat = np.stack(queries_pdf[vec_col].to_numpy())
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cmat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ qmat.T  # (batch, nq)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(ids)),
+                    "neighbor_id": np.tile(ids, len(qids)),
+                    "sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

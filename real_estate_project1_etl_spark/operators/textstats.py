@@ -1,0 +1,116 @@
+"""Text-analysis operators over the ``documents`` table (north-star §2b):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All native expressions — at 100 TB these run inside whole-stage codegen on
+the scan projection; no Python in the loop. The BPE-ish token estimate uses
+a regex segmentation (word pieces / digits / punctuation runs), the standard
+cheap proxy for subword token counts.
+
+Determinism note: ratio outputs are raw int/int double divisions (identical
+bits in any IEEE engine) — deliberately NOT rounded, because round(double)
+implementations differ across engines on knife-edge values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import collapse_whitespace
+
+#: tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+#: Deterministic and explainable — a real pipeline would swap in fastText;
+#: the Spark-side shape (score-per-language, argmax) is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "in"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+    "cs": ["je", "se", "na", "to", "v"],
+}
+
+
+def _rc(col: Column, pattern: str) -> Column:
+    """regexp_count with a literal pattern (a bare str would be resolved as
+    a column name)."""
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    t = collapse_whitespace(t)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Subword-ish token estimate: count word/digit/punct segments, then
+    charge one extra token per 7 chars of long words (BPE splits long
+    words); cheap, deterministic, regex-only."""
+    t = F.col(text) if isinstance(text, str) else text
+    segs = _rc(t, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    long_extra = F.aggregate(
+        F.split(F.lower(collapse_whitespace(t)), " "),
+        F.lit(0),
+        lambda acc, w: acc + F.floor(F.length(w) / 7).cast("int"),
+    )
+    return segs + long_extra
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token stats, punct/digit/upper
+    ratios, mean word length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = whitespace_token_count(t)
+    return df.withColumns(
+        {
+            "q_n_chars": n_chars,
+            "q_n_tokens": toks,
+            "q_mean_word_len": F.when(
+                toks > 0, F.length(F.regexp_replace(t, r"\s+", "")) / toks
+            ).otherwise(F.lit(0.0)),
+            "q_punct_ratio": F.when(
+                n_chars > 0, _rc(t, r"[^\w\s]") / n_chars
+            ).otherwise(F.lit(0.0)),
+            "q_digit_ratio": F.when(
+                n_chars > 0, _rc(t, r"[0-9]") / n_chars
+            ).otherwise(F.lit(0.0)),
+            "q_upper_ratio": F.when(
+                n_chars > 0, _rc(t, r"[A-Z]") / n_chars
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are language-marker stopwords."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(collapse_whitespace(t)), " ")
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-hit score per language + argmax prediction (deterministic
+    tie-break: language name asc)."""
+    t = F.lower(F.col(text_col))
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        out = out.withColumn(f"score_{lang}", _rc(t, pat))
+    scores = F.array(
+        *[
+            F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("l"))
+            for lang in LANG_MARKERS
+        ]
+    )
+    best = F.array_sort(
+        scores,
+        lambda a, b: F.when(a["s"] > b["s"], -1)
+        .when(a["s"] < b["s"], 1)
+        .when(a["l"] < b["l"], -1)
+        .when(a["l"] > b["l"], 1)
+        .otherwise(0),
+    )[0]["l"]
+    return out.withColumn("predicted_lang", best)

@@ -1,0 +1,73 @@
+"""Local twin of the driver's DuckDB-oracle correctness gate
+(CORRECTNESS_r{N}.json): run every ``queries()`` entry and its
+``oracle_sql()`` side-by-side, compare row count, schema (column names),
+and order-insensitive values — exactly, NaN-equal.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+QUERIES = entry_mod.queries()
+ORACLE = entry_mod.oracle_sql()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df):
+    """pandas DataFrame -> (sorted column names, multiset of row tuples)."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NULL"
+            if v == int(v) and abs(v) < 2**53:
+                return str(int(v))
+            return repr(v)
+        return str(v)
+
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
+    return cols, rows
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_match(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    ddf = _duck(SF_DIR).execute(ORACLE[name]).df()
+    scols, srows = _canon(sdf)
+    dcols, drows = _canon(ddf)
+    assert scols == dcols, f"schema mismatch: spark={scols} duck={dcols}"
+    assert len(srows) == len(drows), f"rowcount: spark={len(srows)} duck={len(drows)}"
+    if srows != drows:
+        diffs = [
+            (a, b) for a, b in zip(srows, drows) if a != b
+        ][:5]
+        raise AssertionError(f"value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_runs(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
