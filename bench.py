@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the engine's flagship queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to a terminal action (count of the materialized
+result) so the full scan->shuffle->agg pipeline executes; results are not
+collected to the driver beyond the count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from real_estate_project1_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline set — aggregation, star join, window/top-k, dedup, sessionize,
+#: JSON, text stats, embeddings. A representative slice of SURVEY §2 + §2b.
+HEADLINE = [
+    "pricing_summary",
+    "star_join_revenue",
+    "top3_orders_per_priority",
+    "running_total",
+    "dedup_first_wins",
+    "price_per_unit",
+    "event_hourly_windows",
+    "event_sessionization",
+    "json_extract_events",
+    "exact_dedup_docs",
+    "quality_features",
+    "langid_heuristic",
+    "cosine_topk",
+    "minhash_near_dup",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = queries[name](spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

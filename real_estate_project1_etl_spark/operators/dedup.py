@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import collapse_whitespace
+from .util import ensure_parallelism
 
 
 def content_fingerprint(text: Column | str) -> Column:
@@ -39,7 +40,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     digest. One hash exchange on the digest; text columns of losing rows
     never leave their executor (agg carries only digest+id)."""
     digests = (
-        df.select(F.col(id_col), content_fingerprint(text_col).alias("fp"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), content_fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
@@ -78,23 +80,22 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """k independent min-hashes via salted xxhash64 — one array column,
-    no UDF. Permutation i is xxhash64(shingle, salt=i).
+    """k independent min-hashes via salted xxhash64 — one array column, no
+    UDF. Permutation i is xxhash64(shingle, salt=i).
 
-    NB: the per-seed lambda must close over ``i`` via a factory — a 2-arg
-    lambda would receive the array *index* from ``transform`` as its second
-    argument.
+    Built as a SINGLE fold over the shingle array (one aggregate whose
+    accumulator is the k-vector of running minima, merged via
+    zip_with/least) so the shingle expression is referenced exactly once —
+    k separate ``array_min(transform(...))`` calls would inline and
+    re-evaluate the shingling k times after projection collapse.
     """
+    init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
 
-    def _salted(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
+    def merge(acc: Column, s: Column) -> Column:
+        hs = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
+        return F.zip_with(acc, hs, lambda a, h: F.least(a, h))
 
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _salted(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    return F.aggregate(shingles, init, merge)
 
 
 def minhash_near_duplicates(
@@ -116,10 +117,8 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_hashes // bands
     sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(text_col, shingle_n).alias("sh"),
-        )
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", word_shingles(text_col, shingle_n).alias("sh"))
         .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     )
     banded = sig.select(
@@ -184,6 +183,45 @@ def simhash64(text: Column | str, ngram: int = 2, bits: int = 64) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, ngram: int = 2
+) -> DataFrame:
+    """(id, simhash) via the hybrid fast path: shingle hashing stays in the
+    JVM (xxhash64, deterministic), the 64-bit vote tally runs as an
+    Arrow-batched numpy kernel. Equivalent to ``simhash64`` but ~2 orders
+    of magnitude cheaper than 64 codegen'd array folds per row."""
+    import numpy as np
+    import pandas as pd
+
+    hashed = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ).select(
+        "id",
+        F.transform(word_shingles(F.col("t"), ngram), lambda s: F.xxhash64(s)).alias(
+            "hs"
+        ),
+    )
+
+    def tally(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            sigs = np.zeros(len(pdf), dtype=np.uint64)
+            for i, hs in enumerate(pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if len(h) == 0:
+                    continue
+                bits = (h[:, None] >> shifts) & np.uint64(1)
+                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+                sigs[i] = np.sum(
+                    (votes > 0).astype(np.uint64) << shifts, dtype=np.uint64
+                )
+            yield pd.DataFrame(
+                {"id": pdf["id"], "sh": sigs.astype(np.int64)}
+            )
+
+    return hashed.mapInPandas(tally, schema="id long, sh long")
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -194,7 +232,7 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs via 4x16-bit band blocking: any pair within
     Hamming distance 3 shares at least one of 4 bands (pigeonhole), so the
     candidate join is equi on (band, 16-bit chunk)."""
-    sim = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    sim = simhash_signatures(df, text_col, id_col)
     banded = sim.select(
         "id",
         "sh",
