@@ -32,10 +32,15 @@ from real_estate_project1_etl_spark.functions.text import (
 from real_estate_project1_etl_spark.operators import relational as R
 from real_estate_project1_etl_spark.operators import textstats as T
 from real_estate_project1_etl_spark.operators.cleaning import (
+    RENT_KEYWORDS,
+    SALE_KEYWORDS,
     address_without_region_expr,
+    clean_properties,
     dedup_first,
     region_expr,
+    scraped_rows_to_bronze,
 )
+from real_estate_project1_etl_spark.schemas import CZECH_REGIONS
 from real_estate_project1_etl_spark.operators.dedup import (
     content_fingerprint,
     exact_dedup,
@@ -847,6 +852,177 @@ def q_cosine_topk(spark, sf_dir):
     return brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, round_to=4
     )
+
+
+
+# --------------------------------------------------------------------------
+# Full reference pipeline (transform.py:62-116) as a differential query:
+# bronze rows synthesized deterministically from `part`, cleaned by the
+# engine, mirrored step-for-step in DuckDB SQL.
+# --------------------------------------------------------------------------
+
+_P_PURPOSE = [
+    "Prodej bytu 2+kk",
+    "  Pron\u00e1jem kancel\u00e1\u0159e",  # leading spaces + diacritics (C13+C1)
+    "Prodej pozemku",
+    "Prodej domu",
+    "Byt k pron\u00e1jmu",
+    "Prodej gar\u00e1\u017ee",
+]
+_P_PRICE = [
+    "450 EUR",                                  # F1
+    "1\u00a0200\u00a0000 K\u010d",               # NBSP thousands + K\u010d (C1,C3,C4)
+    "300 Kc",                                   # F2 (< 500)
+    "900 Kc",                                   # F3 (rent keyword, <= 1000)
+    "15 000 Kc",                                # F4 (sale keyword, <= 20000)
+    "5 500 000 Kc",
+    "25 000 Kc",
+]
+
+def _bronze_spark(part_df):
+    k = F.col("p_partkey")
+
+    def pick(mod, branches):
+        c = F.when(k % mod == 0, F.lit(branches[0]))
+        for i, b in enumerate(branches[1:], 1):
+            c = c.when(k % mod == i, F.lit(b) if isinstance(b, str) else b)
+        return c
+
+    return part_df.select(
+        pick(6, _P_PURPOSE).alias("purpose"),
+        pick(5, [
+            F.concat(F.col("p_name"), F.lit(", Praha "), (k % 10).cast("string")),
+            F.concat(F.col("p_name"), F.lit(", Jihomoravsk\u00fd kraj")),
+            F.concat(F.col("p_name"), F.lit(", \u00dasteck\u00fd kraj")),
+            F.concat(F.col("p_name"), F.lit(", Doln\u00fd kraj")),  # non-whitelist (F5)
+            F.col("p_name"),                                     # no kraj -> Praha
+        ]).alias("address"),
+        pick(4, [
+            F.concat(((k % 200) + 20).cast("string"), F.lit(" m\u00b2")),  # superscript
+            F.lit(""),                                                  # -> 0 (C6)
+            F.concat(((k % 120) + 10).cast("string"), F.lit(" m2")),
+            F.lit("xx"),                                                # junk (C5)
+        ]).alias("size_m2"),
+        F.concat(F.lit("2+kk-"), k.cast("string")).alias("design"),  # unique tiebreak
+        pick(7, _P_PRICE).alias("price_czk"),
+        F.concat(F.lit("/nemovitost/"), (k % 150).cast("string")).alias("link"),  # dups (D1)
+    )
+
+
+def _pipeline_sql() -> str:
+    def _sql_branches(col_expr, mod, branches):
+        whens = "".join(
+            f" WHEN {i} THEN {b}" for i, b in enumerate(branches)
+        )
+        return f"CASE {col_expr} % {mod}{whens} END"
+
+    def q(s: str) -> str:
+        return "'" + s + "'"
+
+    purpose = _sql_branches("k", 6, [q(s) for s in _P_PURPOSE])
+    price = _sql_branches("k", 7, [q(s) for s in _P_PRICE])
+    address = _sql_branches("k", 5, [
+        "p_name || ', Praha ' || cast(k % 10 AS varchar)",
+        "p_name || ', Jihomoravsk\u00fd kraj'",
+        "p_name || ', \u00dasteck\u00fd kraj'",
+        "p_name || ', Doln\u00fd kraj'",
+        "p_name",
+    ])
+    size = _sql_branches("k", 4, [
+        "cast((k % 200) + 20 AS varchar) || ' m\u00b2'",
+        "''",
+        "cast((k % 120) + 10 AS varchar) || ' m2'",
+        "'xx'",
+    ])
+    rent_rx = "|".join(RENT_KEYWORDS)
+    sale_rx = "|".join(SALE_KEYWORDS)
+    regions = ",".join(q(r) for r in CZECH_REGIONS)
+    tr = f"'{_DIACRITICS_SRC}', '{_DIACRITICS_DST}'"
+    return f"""
+    WITH raw AS (
+        SELECT p_partkey AS k, p_name FROM part
+    ), bronze0 AS (
+        SELECT k,
+               {purpose} AS purpose,
+               {address} AS address,
+               {size} AS size_m2,
+               '2+kk-' || cast(k AS varchar) AS design,
+               {price} AS price_czk,
+               '/nemovitost/' || cast(k % 150 AS varchar) AS link
+        FROM raw
+    ), bronze AS (
+        SELECT trim(translate(purpose, {tr})) AS purpose,
+               trim(translate(address, {tr})) AS address,
+               trim(translate(size_m2, {tr})) AS size_m2,
+               trim(translate(design, {tr})) AS design,
+               trim(translate(price_czk, {tr})) AS price_czk,
+               trim(translate(link, {tr})) AS link
+        FROM bronze0
+    ), dedup AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY link ORDER BY design) AS rn
+            FROM bronze
+        ) WHERE rn = 1
+    ), priced AS (
+        SELECT *, try_cast(regexp_replace(regexp_replace(price_czk, 'Kc', '', 'g'),
+                                          '[^0-9]', '', 'g') AS int) AS price_int
+        FROM dedup WHERE NOT contains(price_czk, 'EUR')
+    ), filtered AS (
+        SELECT * FROM priced
+        WHERE price_int >= 500
+          AND NOT (regexp_matches(purpose, '{rent_rx}') AND price_int <= 1000)
+          AND NOT (regexp_matches(purpose, '{sale_rx}') AND price_int <= 20000)
+    ), sized AS (
+        SELECT *, coalesce(cast(try_cast(regexp_replace(size_m2, 'm2', '', 'g')
+                                         AS double) AS int), 0) AS size_int
+        FROM filtered
+    ), words AS (
+        SELECT *, string_split_regex(trim(address), '\\s+') AS w FROM sized
+    ), regioned AS (
+        SELECT *,
+            CASE WHEN contains(lower(address), 'kraj')
+                 THEN CASE WHEN len(w) >= 2
+                           THEN regexp_replace(array_to_string(w[-2:], ' '), ',$', '')
+                           ELSE '' END
+                 ELSE 'Praha' END AS region,
+            CASE WHEN contains(lower(address), 'kraj')
+                 THEN CASE WHEN len(w) > 2
+                           THEN regexp_replace(
+                                  array_to_string(list_slice(w, 1, len(w) - 2), ' '),
+                                  ',$', '')
+                           ELSE '' END
+                 ELSE address END AS address_clean
+        FROM words
+    ), ppm AS (
+        SELECT *, CASE WHEN size_int <> 0
+                       THEN cast(ceil(price_int / size_int) AS int) END AS ppm2
+        FROM regioned WHERE region IN ({regions})
+    )
+    SELECT purpose, address_clean AS address, region, size_int AS size_m2,
+           design, price_int AS price_czk, ppm2 AS price_per_m2, link,
+           '2026_01_01_000000' AS dump_date,
+           'raw_properties_test.csv' AS file_name
+    FROM ppm
+    WHERE NOT (contains(purpose, 'Prodej pozemku') AND ppm2 > 80000)
+       OR ppm2 IS NULL
+    """
+
+
+@_q("properties_pipeline")
+def q_properties_pipeline(spark, sf_dir):
+    bronze = scraped_rows_to_bronze(_bronze_spark(_t(spark, sf_dir, "part")))
+    silver = clean_properties(
+        bronze,
+        dedup_order=["design"],
+        file_name_col=F.lit("raw_properties_test.csv"),
+        dump_ts=F.to_timestamp(F.lit("2026-01-01 00:00:00")),
+    )
+    return silver.withColumn(
+        "dump_date", F.date_format("dump_date", "yyyy_MM_dd_HHmmss")
+    )
+
+
+_ORACLE["properties_pipeline"] = _pipeline_sql()
 
 
 # ---- rows-only checks (non-SQL-expressible / approximate operators) ------

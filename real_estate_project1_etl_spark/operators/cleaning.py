@@ -91,6 +91,7 @@ def clean_properties(
     dedup_order: list[str] | None = None,
     file_name_col: Column | None = None,
     dump_ts: Column | None = None,
+    streaming: bool = False,
 ) -> DataFrame:
     """Full bronze -> silver clean (transform.py:62-116), same operator
     order, one logical plan.
@@ -103,7 +104,22 @@ def clean_properties(
     rent_rx = "|".join(RENT_KEYWORDS)
     sale_rx = "|".join(SALE_KEYWORDS)
 
-    out = dedup_first(df, ["link"], dedup_order)  # D1
+    # P3/C15 — capture scan-time lineage BEFORE any shuffle:
+    # input_file_name() is only defined on the scan partition, and the
+    # dedup window below introduces an exchange.
+    out = df.withColumn(
+        "file_name",
+        file_name_col if file_name_col is not None else basename(F.input_file_name()),
+    )
+    if streaming:
+        # D1, streaming form: stateful dedup keyed (link, file_name) —
+        # row_number windows aren't supported on streams. Scoping the key
+        # to the source file reproduces the reference's *within-batch*
+        # dedup exactly: the same listing may legitimately reappear in the
+        # next day's file (transform.py:62 dedups one file at a time).
+        out = out.dropDuplicates(["link", "file_name"])
+    else:
+        out = dedup_first(out, ["link"], dedup_order)  # D1
 
     # C2 global NBSP fix across all string columns (transform.py:63)
     for c in ("purpose", "address", "size_m2", "design", "price_czk", "link"):
@@ -133,10 +149,6 @@ def clean_properties(
             | F.col("price_per_m2").isNull()
         )
         .withColumn("dump_date", dump_ts if dump_ts is not None else F.current_timestamp())  # P3/C14
-        .withColumn(
-            "file_name",
-            file_name_col if file_name_col is not None else basename(F.input_file_name()),  # P3/C15
-        )
         .select(  # P2 final projection, exact silver order (transform.py:115-116)
             "purpose", "address", "region", "size_m2", "design", "price_czk",
             "price_per_m2", "link", "dump_date", "file_name",

@@ -1,0 +1,129 @@
+"""Multimodal columns (north-star §2b): image/audio/video as opaque
+``binary`` payloads + typed metadata, processed by Arrow-batched Pandas
+UDFs over ``mapInPandas``.
+
+The Spark-side plumbing — schema, batch shape, partition sizing — is real
+and tested; the codec step is STUBBED (this container has no image/audio
+libraries) behind ``_decode_stub``, which produces a deterministic fake
+feature vector from the payload bytes. Swapping in a real decoder (PIL /
+torchaudio / pyav) changes only the inside of the UDF; the distributed
+plan is unchanged.
+
+Scale notes: binary payloads dominate row width, so operators here
+(a) never shuffle payloads — feature extraction happens on the scan
+partition, only features move; (b) cap Arrow batch memory via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are large.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+#: columns produced by extract_features
+FEATURE_SCHEMA = (
+    "asset_id long, modality string, payload_bytes long, payload_sha256 string, "
+    f"feature array<float>"
+)
+
+
+def _decode_stub(payload: bytes, modality: str) -> list[float]:
+    """Deterministic fake 'decode + embed': FEATURE_DIM floats derived from
+    a sha256 of the payload. Replace with a real codec; raises on
+    unsupported modality exactly as a real decoder would.
+    """
+    if modality not in {"image", "audio", "video"}:
+        raise NotImplementedError(f"unsupported modality: {modality}")
+    digest = hashlib.sha256(payload or b"").digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """payload binary -> fixed-dim feature vector, Arrow-batched.
+
+    Output carries only id/metadata/features — payloads stay behind (no
+    payload shuffle; join features back by asset_id if needed).
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(p if p is not None else b"", m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "payload_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "payload_sha256": [
+                        hashlib.sha256(p if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def sample_video_frames(
+    assets: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled frame (asset_id, frame_idx, ts_ms, frame_feature). The decoder
+    is the same stub; a real implementation decodes only the sampled
+    timestamps (pyav seek), never the full stream."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "ts_ms": [], "frame_feature": []}
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = min(max_frames, max(1, int((dur or 0) // every_ms)))
+                for i in range(n):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    seed = (payload or b"") + i.to_bytes(4, "little")
+                    out["frame_feature"].append(_decode_stub(seed, "video"))
+            yield pd.DataFrame(out)
+
+    return assets.filter(F.col("modality") == "video").select(
+        "asset_id", "payload", "duration_ms"
+    ).mapInPandas(
+        run,
+        schema="asset_id long, frame_idx int, ts_ms long, frame_feature array<float>",
+    )
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fixture generator for tests (no external media)."""
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        payload = bytes([(i * 7 + j) % 256 for j in range(64 + i)])
+        rows.append(
+            (
+                i,
+                modality,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
+                64 if modality == "image" else None,
+                48 if modality == "image" else None,
+                5000 if modality != "image" else None,
+            )
+        )
+    from ..schemas import MEDIA_ASSETS
+
+    return spark.createDataFrame(rows, MEDIA_ASSETS)

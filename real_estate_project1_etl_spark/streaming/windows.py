@@ -1,0 +1,84 @@
+"""Event-time streaming operators over the ``events`` stream (north-star
+§2 "streaming-only semantics" — absent in the reference, which knows only
+wall-clock daily batches, dag.py:28).
+
+All three accept a *streaming or batch* DataFrame with (ts, user_id,
+event_type, value) — the logical plan is identical; only the sink differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling 1-hour windows with late-data watermark. State for a window
+    is dropped once the watermark passes its end — bounded memory on an
+    unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_rate(
+    events: DataFrame,
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event rate (each event lands in window/slide panes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionized_events(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows keyed by user — the streaming twin of the batch
+    ``event_sessionization`` query (gap-based, state closes when the
+    watermark passes last_event + gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stateful_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup with bounded state: a key's fingerprint is kept only
+    within the watermark horizon (``dropDuplicatesWithinWatermark``), so
+    state can't grow without bound — the streaming analogue of D1
+    (transform.py:62)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

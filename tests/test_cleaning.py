@@ -1,0 +1,98 @@
+"""Golden pipeline test (SURVEY.md §5.2): a handcrafted bronze fixture with
+every quirk the reference transform handles — duplicate links, EUR rows,
+NBSP, Kc/m² suffixes, kraj addresses, junk/zero sizes, outlier prices —
+must produce exactly the expected silver rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.functions.text import (
+    digits_only,
+    last_two_words,
+    strip_diacritics,
+)
+from real_estate_project1_etl_spark.operators.cleaning import (
+    clean_properties,
+    scraped_rows_to_bronze,
+)
+from real_estate_project1_etl_spark.schemas import PROPERTIES_RAW
+
+RAW_ROWS = [
+    # kept: Praha default region, ceil division
+    ("Prodej bytu 2+kk", "Sokolovská, Praha 8", "43 m²", "2+kk", "5 500 000 Kč", "/n/1"),
+    # exact duplicate link of the row above -> deduped (D1)
+    ("Prodej bytu 2+kk", "Sokolovská, Praha 8", "43 m²", "2+kk", "5 500 000 Kč", "/n/1"),
+    # kept: kraj address stripped, NBSP thousands (C2 via C1 map)
+    ("Prodej domu", "Brno, Jihomoravský kraj", "120 m2", "4+1", "9 000 000 Kc", "/n/2"),
+    # dropped: EUR listing (F1)
+    ("Prodej bytu 1+kk", "Bratislava", "30 m2", "1+kk", "450 EUR", "/n/3"),
+    # dropped: price < 500 (F2)
+    ("Prodej bytu 3+1", "Olomouc, Olomoucký kraj", "80 m2", "3+1", "300 Kč", "/n/4"),
+    # dropped: rent keyword and price <= 1000 (F3)
+    ("Pronájem kanceláře", "Praha 1", "25 m2", "", "900 Kc", "/n/5"),
+    # dropped: sale keyword and price <= 20000 (F4)
+    ("Prodej garáže", "Plzeň, Plzeňský kraj", "18 m2", "", "15 000 Kc", "/n/6"),
+    # dropped: non-whitelist region (F5)
+    ("Prodej domu", "Kdesi, Dolný kraj", "90 m2", "5+1", "4 000 000 Kc", "/n/7"),
+    # kept: junk size -> 0 -> price_per_m2 NULL (C5/C6/C7/C9)
+    ("Prodej domu", "Ostrava, Moravskoslezský kraj", "xx", "3+1", "2 500 000 Kc", "/n/8"),
+    # dropped: pozemek with price_per_m2 > 80000 (F6)
+    ("Prodej pozemku", "Liberec, Liberecký kraj", "10 m2", "", "5 000 000 Kc", "/n/9"),
+    # kept: pozemek under the outlier bound
+    ("Prodej pozemku", "Zlín, Zlínský kraj", "1000 m2", "", "3 000 000 Kc", "/n/10"),
+]
+
+EXPECTED = {
+    # link -> (purpose, address, region, size, price, ppm2)
+    "/n/1": ("Prodej bytu 2+kk", "Sokolovska, Praha 8", "Praha", 43, 5500000, 127907),
+    "/n/2": ("Prodej domu", "Brno", "Jihomoravsky kraj", 120, 9000000, 75000),
+    "/n/8": ("Prodej domu", "Ostrava", "Moravskoslezsky kraj", 0, 2500000, None),
+    "/n/10": ("Prodej pozemku", "Zlin", "Zlinsky kraj", 1000, 3000000, 3000),
+}
+
+
+def test_golden_pipeline(spark):
+    bronze = scraped_rows_to_bronze(
+        spark.createDataFrame(RAW_ROWS, PROPERTIES_RAW)
+    )
+    silver = clean_properties(
+        bronze,
+        dedup_order=["purpose"],
+        file_name_col=F.lit("raw_properties_x.csv"),
+        dump_ts=F.to_timestamp(F.lit("2026-01-01 00:00:00")),
+    )
+    rows = {r["link"]: r for r in silver.collect()}
+    assert set(rows) == set(EXPECTED), f"kept links: {sorted(rows)}"
+    for link, (purpose, address, region, size, price, ppm2) in EXPECTED.items():
+        r = rows[link]
+        assert (
+            r["purpose"], r["address"], r["region"], r["size_m2"],
+            r["price_czk"], r["price_per_m2"],
+        ) == (purpose, address, region, size, price, ppm2), r
+        assert r["file_name"] == "raw_properties_x.csv"
+    # silver column order is the reference's exact projection (transform.py:115-116)
+    assert silver.columns == [
+        "purpose", "address", "region", "size_m2", "design", "price_czk",
+        "price_per_m2", "link", "dump_date", "file_name",
+    ]
+
+
+def test_scalar_edges(spark):
+    df = spark.createDataFrame(
+        [("abc", "one", "Pět set 5 0 0"), ("", "two words", "9x9")],
+        "a string, b string, c string",
+    )
+    out = df.select(
+        digits_only("a").alias("no_digits"),
+        last_two_words("b").alias("l2w"),
+        digits_only("c").alias("digits"),
+        strip_diacritics(F.lit("Příliš žluťoučký kůň ²")).alias("uni"),
+    ).collect()
+    assert out[0]["no_digits"] is None  # documented divergence: NULL, not throw
+    assert out[0]["l2w"] == ""  # fewer than two words
+    assert out[0]["digits"] == 500
+    assert out[0]["uni"] == "Prilis zlutoucky kun 2"
+    assert out[1]["l2w"] == "two words"
+    assert out[1]["digits"] == 99

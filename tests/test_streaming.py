@@ -1,0 +1,82 @@
+"""Event-time streaming operators: watermark windows, session windows,
+stateful dedup — run against a rate-limited file stream of the events
+table so real micro-batches execute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.sources.parquet import load_table
+from real_estate_project1_etl_spark.streaming.windows import (
+    hourly_event_counts,
+    sessionized_events,
+    sliding_event_rate,
+    stateful_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _run_stream(spark, events_batch, op, tmp_path, name, output_mode="append"):
+    """Feed the events through a real file stream (parquet source) and run
+    the streaming op with an AvailableNow trigger into a memory sink."""
+    src = str(tmp_path / f"src_{name}")
+    events_batch.write.parquet(src)
+    stream = spark.readStream.schema(events_batch.schema).parquet(src)
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(f"mem_{name}")
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(f"mem_{name}")
+
+
+def test_hourly_counts_stream_matches_batch(spark, events_batch, tmp_path):
+    out = _run_stream(spark, events_batch, hourly_event_counts, tmp_path, "hourly")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in out.collect()
+    }
+    exp = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in hourly_event_counts(events_batch).collect()
+    }
+    # watermark may hold back the tail window(s) in append mode; everything
+    # emitted must match batch exactly
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_sessionization_stream(spark, events_batch, tmp_path):
+    out = _run_stream(spark, events_batch, sessionized_events, tmp_path, "sess")
+    rows = out.collect()
+    assert rows
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionized_events(events_batch).collect()
+    }
+    for r in rows:
+        assert batch[(r.user_id, r.session_start)] == r.n_events
+
+
+def test_sliding_rate_stream(spark, events_batch, tmp_path):
+    out = _run_stream(spark, events_batch, sliding_event_rate, tmp_path, "slide")
+    assert out.count() > 0
+
+
+def test_stateful_dedup_stream(spark, events_batch, tmp_path):
+    out = _run_stream(spark, events_batch, stateful_dedup, tmp_path, "dedup")
+    n = out.count()
+    distinct_keys = events_batch.select("user_id", "event_type").distinct().count()
+    # within-watermark dedup can keep more than global distinct (keys recur
+    # beyond the horizon) but never fewer, and never more than the input
+    assert distinct_keys <= n <= events_batch.count()
