@@ -1025,6 +1025,263 @@ def q_properties_pipeline(spark, sf_dir):
 _ORACLE["properties_pipeline"] = _pipeline_sql()
 
 
+
+# --------------------------------------------------------------------------
+# Additional relational coverage (rollup, having, lag, month rollup,
+# conditional pivot, union append, vocab stats, Q3-style priority)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 20
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
+    # customer broadcasts; order of joins leaves the big fact last.
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(R.revenue_expr()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "returnflag_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_returnflag_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "orders_with_min_lineitems",
+    """
+    SELECT l_orderkey, count(*) AS n_items FROM lineitem
+    GROUP BY l_orderkey HAVING count(*) >= 5
+    """,
+)
+def q_orders_with_min_lineitems(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") >= 5)
+    )
+
+
+@_q(
+    "order_gap_days",
+    """
+    SELECT o_orderkey, o_custkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+    """,
+)
+def q_order_gap_days(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+
+
+@_q(
+    "orders_per_month",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           count(*) AS n_orders,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS month_value
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orders_per_month(spark, sf_dir):
+    # the dashboard's time-series rollup (README.md:127-132 implied query)
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("month_value"),
+        )
+    )
+
+
+@_q(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_event_type_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@_q(
+    "union_append",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_union_append(spark, sf_dir):
+    # the reference's page-batch accumulation (extract.py:59-63) == unionAll
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .unionAll(li.filter(F.col("l_returnflag") == "A"))
+        .drop("l_returnflag")
+    )
+
+
+@_q(
+    "vocab_stats",
+    r"""
+    SELECT lang, count(DISTINCT w) AS vocab
+    FROM (
+        SELECT lang, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        FROM documents
+    ) GROUP BY lang
+    """,
+)
+def q_vocab_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from real_estate_project1_etl_spark.functions.text import collapse_whitespace
+
+    return (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(collapse_whitespace(F.col("text"))), " ")).alias("w"),
+        )
+        .groupBy("lang")
+        .agg(F.count_distinct("w").alias("vocab"))
+    )
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(t) - 2, 1) + 1),
+                   i -> substring(t, i, 3))) AS g
+        FROM (
+            SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+            FROM documents WHERE doc_id < 30
+        )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(len(list_intersect(a.g, b.g)) AS double)
+             / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    # exact char-trigram Jaccard over all pairs of a bounded doc subset —
+    # the verify stage of near-dup detection, here standalone.
+    from real_estate_project1_etl_spark.operators.dedup import char_ngrams, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    g = docs.select(F.col("doc_id"), char_ngrams("text", 3).alias("g"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.size(F.array_intersect("ga", "gb")).cast("double")
+             / F.size(F.array_union("ga", "gb"))).alias("jaccard"),
+        )
+    )
+
+
+@_q(
+    "embedding_neardup",
+    """
+    WITH v AS (
+        SELECT vec_id, cast(embedding AS double[]) AS e
+        FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 4) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                4) >= 0.2
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs (bounded subset, exact)
+    from real_estate_project1_etl_spark.functions.vectors import cosine_similarity
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    sim = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.2)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # ---- rows-only checks (non-SQL-expressible / approximate operators) ------
 
 
