@@ -1024,6 +1024,13 @@ def q_properties_pipeline(spark, sf_dir):
 
 _ORACLE["properties_pipeline"] = _pipeline_sql()
 
+_ORACLE["running_user_stats"] = """
+    SELECT user_id, count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY user_id
+"""
+
 
 
 # --------------------------------------------------------------------------
@@ -1305,6 +1312,39 @@ def q_lsh_ann_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+@_q("ivf_ann_topk")
+def q_ivf_ann_topk(spark, sf_dir):
+    from real_estate_project1_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_q("multimodal_features")
+def q_multimodal_features(spark, sf_dir):
+    # media payloads are synthesized (no media tables in the testdata);
+    # the Spark plumbing — binary schema, Arrow batching, feature shape —
+    # is the operator under test (rows-only check).
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        extract_features,
+        synthetic_assets,
+    )
+
+    return extract_features(synthetic_assets(spark, 64))
+
+
+@_q("running_user_stats")
+def q_running_user_stats(spark, sf_dir):
+    # batch twin of the applyInPandasWithState streaming operator
+    from real_estate_project1_etl_spark.streaming.stateful import running_user_stats
+
+    return running_user_stats(_t(spark, sf_dir, "events")).withColumn(
+        "last_seen", F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -123,6 +123,67 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer partitions the
+    corpus into ``n_lists`` cells; each query probes its ``n_probe``
+    nearest cells and scores exact cosine only within them.
+
+    Scale shape: the corpus is scanned once for assignment (model
+    broadcast), then the candidate join is equi on ``list_id`` — the probe
+    factor (n_probe/n_lists) is the fraction of the corpus each query
+    touches. Centroids live on the driver (n_lists x dim — tiny) and ship
+    as a broadcast literal table.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    corp = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
+
+    model = KMeans(k=n_lists, seed=seed, maxIter=5, predictionCol="list_id").fit(corp)
+    assigned = model.transform(corp).select("neighbor_id", "c_vec", "list_id")
+
+    centroid_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(centroid_rows, "list_id int, centroid array<double>")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("cd", cosine_similarity(F.col("q_vec"), F.col("centroid")))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cd").desc(), F.col("list_id"))
+    probed = (
+        probes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_vec", "list_id")
+    )
+
+    scored = (
+        assigned.join(probed, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries_pdf,

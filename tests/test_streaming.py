@@ -80,3 +80,30 @@ def test_stateful_dedup_stream(spark, events_batch, tmp_path):
     # within-watermark dedup can keep more than global distinct (keys recur
     # beyond the horizon) but never fewer, and never more than the input
     assert distinct_keys <= n <= events_batch.count()
+
+
+def test_stateful_running_user_stats(spark, events_batch, tmp_path):
+    from real_estate_project1_etl_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "src_state")
+    events_batch.write.parquet(src)
+    stream = spark.readStream.schema(events_batch.schema).parquet(src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("mem_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last update per user must equal the batch aggregate
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.table("mem_state").collect()
+    }
+    exp = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in running_user_stats(events_batch).collect()
+    }
+    assert got == exp
