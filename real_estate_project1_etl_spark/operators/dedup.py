@@ -121,9 +121,18 @@ def minhash_near_duplicates(
         .select("id", word_shingles(text_col, shingle_n).alias("sh"))
         .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     )
+    # signatures are reused by banding and by both candidate-fetch joins;
+    # persist spill-safe (at production scale this would be an explicit
+    # materialized signature table instead)
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # banding carries ONLY (id, band, bucket) — shingle arrays must not be
+    # replicated bands-times through the explode+shuffle (at 100 TB the
+    # shingle payload dwarfs the 16-byte bucket key)
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -137,22 +146,21 @@ def minhash_near_duplicates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
-    )
     cand = (
-        left.join(right, ["band", "bucket"])
+        banded.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(banded.select(F.col("id").alias("id_b"), "band", "bucket"), ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # fetch shingles for the (few) candidate pairs only, then verify exact
+    sh = sig.select("id", "sh")
     return (
-        cand.withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
