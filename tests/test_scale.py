@@ -1,0 +1,64 @@
+"""Scale-technique tests: salting preserves semantics; bucketed joins
+eliminate the exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.operators.skew import (
+    salted_count_sum,
+    salted_join,
+)
+from real_estate_project1_etl_spark.sinks.bucketed import bucketed_join, write_bucketed
+from real_estate_project1_etl_spark.sources.parquet import load_table
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.col("l_quantity").cast("decimal(18,2)")
+    salted = {
+        (r.l_returnflag,): (r.n, float(r.total))
+        for r in salted_count_sum(li, ["l_returnflag"], val, buckets=16).collect()
+    }
+    plain = {
+        (r.l_returnflag,): (r.n, float(r.total))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(val).alias("total"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    salted = salted_join(orders, cust, "o_custkey", buckets=4)
+    plain = orders.join(cust, "o_custkey")
+    assert salted.count() == plain.count()
+    s = {tuple(r) for r in salted.select("o_orderkey", "c_nationkey").collect()}
+    p = {tuple(r) for r in plain.select("o_orderkey", "c_nationkey").collect()}
+    assert s == p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # warehouse.dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=8, sort_col="l_orderkey")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", "l_orderkey", num_buckets=8, sort_col="l_orderkey",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
