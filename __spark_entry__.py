@@ -1348,6 +1348,213 @@ def q_running_user_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-1b additions: cube / grouping sets, percentiles, correlated
+# subquery, edit distance, document chunking, per-group applyInPandas
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "cube_counts",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_counts(spark, sf_dir):
+    # CUBE — all 4 grouping combinations in one pass (partial aggs expand
+    # per grouping set; still a single shuffle)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        )
+    )
+
+
+@_q(
+    "grouping_sets_sales",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets_sales(spark, sf_dir):
+    # explicit GROUPING SETS (neither rollup nor cube): per-flag and
+    # per-status marginals in one shuffle
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM li_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@_q(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           max(l_quantity) AS p_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantity_percentiles(spark, sf_dir):
+    # exact linear-interpolated percentiles. Deterministic cross-engine
+    # because l_quantity is integer-valued and 0.25/0.5/0.75 are binary
+    # fractions -> interpolation is exact in IEEE double on both engines.
+    # (At 100 TB swap percentile -> approx_percentile: one pass, mergeable
+    # sketch, no full sort.)
+    pct = F.percentile(F.col("l_quantity"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            pct.alias("p"),
+            F.max("l_quantity").alias("p_max"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+            "p_max",
+        )
+    )
+
+
+@_q(
+    "small_quantity_revenue",
+    """
+    SELECT l_partkey,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / 7.0
+               AS avg_yearly
+    FROM lineitem
+    JOIN (SELECT l_partkey AS pk, 0.2 * (sum(l_quantity) / count(*)) AS threshold
+          FROM lineitem GROUP BY l_partkey) t
+      ON l_partkey = pk
+    WHERE l_quantity < threshold
+    GROUP BY l_partkey
+    """,
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    # TPC-H Q17 shape — correlated scalar subquery decorrelated into a
+    # self-join on the grouped aggregate. The per-part threshold side is
+    # small after aggregation -> broadcast; the fact side never shuffles.
+    # (sum(int-valued double)/count is exact, so 0.2*avg compares
+    # identically across engines.)
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+             / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "edit_distance_names",
+    """
+    SELECT n_nationkey, n_name,
+           levenshtein(n_name, 'NATION_12') AS dist
+    FROM nation
+    """,
+)
+def q_edit_distance_names(spark, sf_dir):
+    # string-similarity scalar (PAPERS.md string-similarity-join family):
+    # JVM-side Levenshtein, usable as a fuzzy-match join predicate
+    return _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.levenshtein(F.col("n_name"), F.lit("NATION_12")).alias("dist"),
+    )
+
+
+@_q(
+    "doc_chunks",
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) > 0
+                    THEN cast(ceil(greatest(length(text) - 50, 1) / 150.0) AS int)
+                    ELSE 0 END AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           cast(unnest(range(0, k)) AS int) AS chunk_id,
+           substring(text, cast(unnest(range(0, k)) AS int) * 150 + 1, 200)
+               AS chunk_text,
+           length(substring(text, cast(unnest(range(0, k)) AS int) * 150 + 1, 200))
+               AS chunk_len
+    FROM n
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    # pre-embedding chunking: 200-char windows, 50 overlap (stride 150)
+    return T.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=200, overlap=50
+    ).withColumn("chunk_len", F.col("chunk_len").cast("bigint"))
+
+
+@_q(
+    "minmax_norm_quantity",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CASE WHEN max(l_quantity) OVER w <> min(l_quantity) OVER w
+                THEN (l_quantity - min(l_quantity) OVER w)
+                     / (max(l_quantity) OVER w - min(l_quantity) OVER w)
+           END AS value_norm
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def q_minmax_norm_quantity(spark, sf_dir):
+    # grouped-map applyInPandas (Arrow-batched python kernel per key),
+    # differentially checked against the SQL window form
+    from real_estate_project1_etl_spark.operators.groups import minmax_normalize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return minmax_normalize(li, ["l_returnflag"], "l_quantity")
+
+
+@_q("lsh_multiprobe_topk")
+def q_lsh_multiprobe_topk(spark, sf_dir):
+    from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return lsh_topk_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=4, n_flip=2
+    )
+
+
+@_q("linear_trend_per_user")
+def q_linear_trend_per_user(spark, sf_dir):
+    # per-key model fit (one OLS line per user) — grouped-map pattern;
+    # float-sum order makes it non-oracle-able, pinned by a property test
+    from real_estate_project1_etl_spark.operators.groups import group_linear_fit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").cast("double").alias("x"), F.col("value").alias("y")
+    )
+    return group_linear_fit(ev, ["user_id"], "x", "y")
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 

@@ -123,6 +123,71 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_flip: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS every
+    bucket within Hamming distance ``n_flip`` of its signature (bit flips).
+
+    Recall recovery without bigger buckets: a near-neighbor that lands one
+    sign-bit away (the common LSH miss) is found by probing the flipped
+    bucket. Cost model at scale: corpus is hashed once (unchanged); only the
+    tiny query side explodes x(1 + n_planes choose n_flip) rows before the
+    equi-join on ``bucket``, so the shuffle stays O(collisions) — the
+    candidate set grows linearly with probes, not with corpus size.
+    """
+    planes = _random_hyperplanes(dim, n_planes, seed)
+    base = lsh_bucket_expr(vec_col, planes)
+    # bucket ^ (1<<i) for each flipped plane, plus the exact bucket (probe 0)
+    probe_masks = [0] + [1 << i for i in range(n_planes)]
+    if n_flip >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe_masks.append((1 << i) | (1 << j))
+    probes_arr = F.array(*[F.lit(m).cast("long") for m in probe_masks])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            base.alias("bucket0"),
+        )
+        .withColumn("mask", F.explode(probes_arr))
+        .select(
+            "query_id",
+            "q_vec",
+            F.col("bucket0").bitwiseXOR(F.col("mask")).alias("bucket"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a (query, neighbor) pair can meet through several probes — dedup
+        # before ranking so row_number sees each candidate once
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
+        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -91,6 +91,51 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap —
+    the standard pre-embedding step of an LLM data pipeline.
+
+    Chunk i covers [i*stride, i*stride + chunk_size); stride =
+    chunk_size - overlap. Implemented as sequence -> transform -> posexplode,
+    all JVM-side: at 100 TB this is a narrow per-row flatMap inside
+    whole-stage codegen — no shuffle, no Python, and output rows stay
+    co-partitioned with their source document (chunk->doc joins are local).
+
+    Returns (id, chunk_id, chunk_text, chunk_len); empty documents yield no
+    rows.
+    """
+    t = F.col(text_col)
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    n_chunks = F.when(
+        F.length(t) > 0,
+        F.ceil((F.greatest(F.length(t) - F.lit(overlap), F.lit(1)))
+               / F.lit(stride)).cast("int"),
+    ).otherwise(F.lit(0))
+    # sequence(0, -1) counts DOWN ([0,-1]) — slice to n so n_chunks=0
+    # yields an empty array, not two phantom chunks
+    starts = F.slice(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))), 1, n_chunks
+    )
+    chunks = F.transform(
+        starts, lambda i: F.substring(t, i * stride + 1, chunk_size)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
 def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-hit score per language + argmax prediction (deterministic
     tie-break: language name asc)."""

@@ -60,3 +60,58 @@ def start_file_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_foreach_batch_load(
+    spark: SparkSession,
+    inbox_path: str,
+    checkpoint_path: str,
+    batch_sink,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream -> ``foreachBatch`` gold load — the streaming form of the
+    reference's EP3 DB append (load_db.py:60-73).
+
+    ``batch_sink(df, batch_id)`` receives each micro-batch as a plain
+    DataFrame, so any batch writer works — ``write_jdbc`` for the Postgres
+    sink, parquet for the lakehouse path. Exactly-once contract: the
+    checkpoint replays an unacknowledged batch with the SAME batch_id after
+    a crash, so a sink keyed on batch_id (idempotent overwrite / upsert /
+    staging-table swap) never double-loads — the principled version of the
+    reference's archive-then-delete protocol.
+    """
+    reader = (
+        spark.readStream.schema(PROPERTIES_RAW)
+        .option("sep", "\t")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 100)
+    )
+    bronze = reader.csv(inbox_path)
+    silver = clean_properties(bronze, streaming=True)
+
+    writer = (
+        silver.writeStream.foreachBatch(batch_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def idempotent_parquet_batch_sink(base_path: str):
+    """A ``batch_sink`` for ``start_foreach_batch_load`` that writes each
+    micro-batch to ``base_path/batch_id=N`` with dynamic-overwrite, making
+    replays of the same batch_id harmless (JDBC equivalent: DELETE WHERE
+    batch_id = N in the same transaction as the INSERT)."""
+
+    def sink(df, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(base_path)
+        )
+
+    return sink

@@ -1,0 +1,68 @@
+"""Grouped-map (applyInPandas) operators and document chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.operators.groups import (
+    group_linear_fit,
+    minmax_normalize,
+)
+from real_estate_project1_etl_spark.operators.textstats import chunk_documents
+
+
+def test_linear_fit_recovers_exact_line(spark):
+    # property: an exactly-linear group is recovered (slope 3, intercept -2)
+    rows = [(g, float(x), 3.0 * x - 2.0 + g) for g in (1, 2) for x in range(10)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    out = {r.g: r for r in group_linear_fit(df, ["g"], "x", "y").collect()}
+    for g in (1, 2):
+        assert abs(out[g].slope - 3.0) < 1e-9
+        assert abs(out[g].intercept - (-2.0 + g)) < 1e-9
+        assert out[g].n_points == 10
+
+
+def test_linear_fit_degenerate_group_is_nan(spark):
+    df = spark.createDataFrame([(1, 5.0, 2.0)], "g int, x double, y double")
+    row = group_linear_fit(df, ["g"], "x", "y").collect()[0]
+    assert row.slope is None  # NaN -> null across the Arrow boundary
+
+
+def test_minmax_constant_group_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, 7.0), (1, 7.0), (2, 1.0), (2, 3.0)], "g int, v double"
+    )
+    out = {(r.g, r.v): r.value_norm for r in minmax_normalize(df, ["g"], "v").collect()}
+    assert out[(1, 7.0)] is None
+    assert out[(2, 1.0)] == 0.0
+    assert out[(2, 3.0)] == 1.0
+
+
+def test_chunking_covers_text_and_skips_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 400), (2, ""), (3, "short")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_size=200, overlap=50)
+    rows = {r.doc_id: sorted((c.chunk_id, c.chunk_text) for c in out.collect() if c.doc_id == r.doc_id)
+            for r in out.select("doc_id").distinct().collect()}
+    assert 2 not in rows  # empty doc -> no chunks
+    assert rows[3] == [(0, "short")]
+    # 400 chars, stride 150 -> starts 0,150,300 -> 3 chunks; stitch check:
+    chunks = rows[1]
+    assert len(chunks) == 3
+    rebuilt = chunks[0][1] + "".join(c[1][50:] for c in chunks[1:])
+    assert rebuilt == "a" * 400
+
+
+def test_chunk_ids_are_contiguous(spark, sf_dir):
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_size=200, overlap=50)
+    agg = (
+        out.groupBy("doc_id")
+        .agg(F.min("chunk_id").alias("lo"), F.max("chunk_id").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+    )
+    assert agg.count() == 0

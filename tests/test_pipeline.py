@@ -6,7 +6,11 @@ import csv
 import os
 
 from real_estate_project1_etl_spark.plans.pipeline import run_batch_pipeline
-from real_estate_project1_etl_spark.streaming.file_pipeline import start_file_pipeline
+from real_estate_project1_etl_spark.streaming.file_pipeline import (
+    idempotent_parquet_batch_sink,
+    start_file_pipeline,
+    start_foreach_batch_load,
+)
 
 HEADER = ["purpose", "address", "size_m2", "design", "price_czk", "link"]
 ROWS = [
@@ -59,3 +63,26 @@ def test_streaming_file_pipeline_exactly_once(spark, tmp_path):
     q = start_file_pipeline(spark, inbox, silver, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(silver).count() == 4
+
+
+def test_foreach_batch_load_idempotent(spark, tmp_path):
+    # streaming EP3: foreachBatch gold load keyed on batch_id — replaying
+    # the same inbox (fresh checkpoint, same data) overwrites, not appends
+    inbox = _write_inbox(tmp_path)
+    gold = str(tmp_path / "gold")
+    sink = idempotent_parquet_batch_sink(gold)
+
+    q = start_foreach_batch_load(spark, inbox, str(tmp_path / "fb_ckpt"), sink)
+    q.awaitTermination(120)
+    assert spark.read.parquet(gold).count() == 2  # EUR row dropped
+
+    # restart with same checkpoint -> no new batches, nothing double-loaded
+    q = start_foreach_batch_load(spark, inbox, str(tmp_path / "fb_ckpt"), sink)
+    q.awaitTermination(120)
+    assert spark.read.parquet(gold).count() == 2
+
+    # simulate a replay of batch 0 (crash before commit): same batch_id
+    # re-delivered -> dynamic overwrite keeps the load exactly-once
+    replay = spark.read.parquet(gold).drop("batch_id")
+    sink(replay, 0)
+    assert spark.read.parquet(gold).count() == 2

@@ -41,6 +41,21 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below sanity floor"
 
 
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(brute_force_topk(emb, q, k=5, round_to=6))
+    single = _pairs(lsh_topk(emb, q, dim=64, k=5, n_planes=4))
+    multi = _pairs(lsh_topk_multiprobe(emb, q, dim=64, k=5, n_planes=4, n_flip=2))
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    # measured on sf0.001: single ~0.02, flip1 ~0.44, flip2 ~0.92
+    assert r_multi >= r_single, f"multiprobe recall {r_multi:.2f} < single {r_single:.2f}"
+    assert r_multi >= 0.6, f"multiprobe recall {r_multi:.2f} below sanity floor"
+
+
 def test_lsh_returns_subset_quality(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
