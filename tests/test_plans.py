@@ -80,3 +80,34 @@ def test_whole_stage_codegen_covers_clean_chain(spark, sf_dir):
         assert "*(" in _plan(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q17_threshold_side_broadcasts(spark, sf_dir):
+    # small_quantity_revenue: the per-part aggregate side must arrive via
+    # broadcast so the fact side joins without a shuffle of lineitem rows
+    df = entry_mod.queries()["small_quantity_revenue"](spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_chunking_is_narrow_and_jvm_side(spark, sf_dir):
+    # doc_chunks: pure flatMap — no shuffle (Exchange), no Python
+    df = entry_mod.queries()["doc_chunks"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # posexplode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minmax_uses_grouped_map_arrow(spark, sf_dir):
+    # applyInPandas compiles to FlatMapGroupsInPandas over ONE exchange
+    df = entry_mod.queries()["minmax_norm_quantity"](spark, sf_dir)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_cube_expands_grouping_sets_single_shuffle(spark, sf_dir):
+    df = entry_mod.queries()["cube_counts"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1, plan
