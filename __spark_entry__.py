@@ -1530,6 +1530,84 @@ def q_minmax_norm_quantity(spark, sf_dir):
     return minmax_normalize(li, ["l_returnflag"], "l_quantity")
 
 
+@_q(
+    "events_enriched",
+    """
+    SELECT event_id, user_id, event_type, value, c_name, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def q_events_enriched(spark, sf_dir):
+    # stream-static enrichment join (batch twin of
+    # streaming/windows.enrich_with_dim; dim side broadcasts)
+    from real_estate_project1_etl_spark.streaming.windows import enrich_with_dim
+
+    return enrich_with_dim(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    ).select("event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment")
+
+
+@_q(
+    "normalized_embeddings",
+    """
+    SELECT vec_id, cast(u.i AS int) AS dim_idx, u.v AS unit_val
+    FROM (
+        SELECT vec_id,
+               unnest(list_transform(
+                   range(1, len(e) + 1),
+                   i -> {'i': i - 1, 'v': e[i] / sqrt(list_dot_product(e, e))}))
+                   AS u
+        FROM (SELECT vec_id, cast(embedding AS double[]) AS e
+              FROM embeddings WHERE vec_id < 100)
+    )
+    """,
+)
+def q_normalized_embeddings(spark, sf_dir):
+    # unit-normalization of the embedding column — the prep step that lets
+    # cosine top-k degrade to a plain dot product at scale. Output exploded
+    # to scalars (vec_id, dim_idx, unit_val) so the compare never
+    # stringifies arrays. Deterministic cross-engine: both engines fold the
+    # array left-to-right, so the norm is bit-identical.
+    from real_estate_project1_etl_spark.functions.vectors import normalize
+
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.posexplode(
+                normalize(F.col("embedding").cast("array<double>"))
+            ).alias("dim_idx", "unit_val"),
+        )
+    )
+
+
+@_q("approx_distinct_and_percentile")
+def q_approx_distinct_and_percentile(spark, sf_dir):
+    # sketch aggregates (HLL++ / KLL-style): mergeable, single-pass, the
+    # 100 TB substitutes for exact COUNT(DISTINCT) and percentile. Approx
+    # by design -> rows-only check; accuracy pinned by a tolerance test.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("nd_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
+        )
+    )
+
+
+@_q("stratified_sample")
+def q_stratified_sample(spark, sf_dir):
+    # per-stratum Bernoulli sampling with a fixed seed (sampleBy) — the
+    # class-balancing primitive for training-data curation. Engine-specific
+    # RNG -> rows-only check; proportions pinned by a tolerance test.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.2}, seed=42
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe

@@ -82,3 +82,18 @@ def stateful_dedup(
     (transform.py:62)."""
     keys = keys or ["user_id", "event_type"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    left_key: str = "user_id",
+    right_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension with a broadcast hash join — no streaming state at
+    all, and the dim is re-resolved per micro-batch so slowly-changing
+    dims pick up updates. The streaming analogue of the reference's
+    region-whitelist semi-join (transform.py:92), upgraded to attach
+    attributes instead of merely filtering."""
+    return events.join(F.broadcast(dim), F.col(left_key) == F.col(right_key), "inner")

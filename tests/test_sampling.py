@@ -1,0 +1,50 @@
+"""Sketch aggregates and stratified sampling — accuracy/proportion pins
+for the rows-only queries (engine RNG / sketch internals aren't
+oracle-comparable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from real_estate_project1_etl_spark.sources.parquet import load_table
+
+
+def test_sketches_within_tolerance(spark, sf_dir):
+    got = {
+        r.l_returnflag: r
+        for r in entry_mod.queries()["approx_distinct_and_percentile"](
+            spark, sf_dir
+        ).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("nd"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, row in got.items():
+        assert abs(row.nd_parts - exact[flag].nd) / exact[flag].nd < 0.05
+        # KLL-ish sketch with accuracy 1000 on ~thousands of rows: within 5%
+        assert abs(row.p50_price - exact[flag].p50) / exact[flag].p50 < 0.05
+
+
+def test_stratified_sample_proportions_and_determinism(spark, sf_dir):
+    q = entry_mod.queries()["stratified_sample"]
+    s1 = q(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = {r.l_returnflag: r.n for r in
+              li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {r.l_returnflag: r.n for r in
+              s1.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for flag, frac in {"A": 0.2, "N": 0.05, "R": 0.2}.items():
+        got = counts.get(flag, 0) / totals[flag]
+        assert abs(got - frac) < 0.06, f"{flag}: {got} vs {frac}"
+    # fixed seed -> same sample on re-run
+    a = sorted((r.l_orderkey, r.l_linenumber) for r in s1.collect())
+    b = sorted((r.l_orderkey, r.l_linenumber) for r in q(spark, sf_dir).collect())
+    assert a == b

@@ -107,3 +107,22 @@ def test_stateful_running_user_stats(spark, events_batch, tmp_path):
         for r in running_user_stats(events_batch).collect()
     }
     assert got == exp
+
+
+def test_stream_static_enrichment(spark, events_batch, tmp_path):
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+    from real_estate_project1_etl_spark.streaming.windows import enrich_with_dim
+
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer")
+    out = _run_stream(
+        spark,
+        events_batch,
+        lambda s: enrich_with_dim(s, dim),
+        tmp_path,
+        "enrich",
+    )
+    batch = enrich_with_dim(events_batch, dim)
+    assert out.count() == batch.count()
+    got = {(r.event_id, r.c_name) for r in out.select("event_id", "c_name").collect()}
+    exp = {(r.event_id, r.c_name) for r in batch.select("event_id", "c_name").collect()}
+    assert got == exp
