@@ -1608,6 +1608,73 @@ def q_stratified_sample(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
+@_q(
+    "asof_last_view_before_click",
+    """
+    SELECT c.event_id AS click_id, c.user_id AS click_user,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+           (SELECT max(v.event_id) FROM events v
+             WHERE v.user_id = c.user_id AND v.event_type = 'view'
+               AND v.ts <= c.ts
+               AND v.ts = (SELECT max(v2.ts) FROM events v2
+                            WHERE v2.user_id = c.user_id
+                              AND v2.event_type = 'view' AND v2.ts <= c.ts))
+               AS last_view_id
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def q_asof_last_view_before_click(spark, sf_dir):
+    # as-of join (operator Spark lacks natively): latest 'view' of the same
+    # user at or before each 'click'. Union+window construction — one
+    # shuffle, no range explosion; oracle is the correlated-subquery form.
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("last_view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    return (
+        R.asof_join(
+            clicks, views,
+            left_key="click_user", right_key="view_user",
+            left_ts="click_ts", right_ts="view_ts",
+            tiebreak="last_view_id",
+        )
+        .select(
+            "click_id",
+            "click_user",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+            "last_view_id",
+        )
+    )
+
+
+@_q(
+    "click_purchase_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_click_purchase_attribution(spark, sf_dir):
+    # interval range join — batch twin of the stream-stream attribution
+    # join (streaming/windows.click_purchase_attribution)
+    from real_estate_project1_etl_spark.streaming.windows import (
+        click_purchase_attribution,
+    )
+
+    return click_purchase_attribution(_t(spark, sf_dir, "events"))
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe

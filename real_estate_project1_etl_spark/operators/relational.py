@@ -104,3 +104,78 @@ def semi_join(fact: DataFrame, dim: DataFrame, on) -> DataFrame:
 
 def anti_join(fact: DataFrame, dim: DataFrame, on) -> DataFrame:
     return fact.join(F.broadcast(dim), on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """As-of join: for every left row, attach the most recent right row of
+    the same ``key`` with ``right_ts <= left_ts`` (NULLs if none). Ties on
+    the timestamp resolve to the highest ``tiebreak`` (a unique right-side
+    column), giving a total order -> deterministic output.
+
+    Spark has no ASOF JOIN operator; the scalable construction is
+    union-the-sides + one window: tag rows, sort (key, ts, side, tiebreak)
+    within each key partition, and carry the running ``last`` right payload
+    (ignorenulls) onto the left rows. ONE shuffle on the key, state O(1)
+    per row — never the range-explosion of a theta join, so it survives
+    100 TB with skew handled by AQE. Right rows sort before left rows at
+    equal ts, so an exactly-simultaneous right row is matched.
+
+    Column names of left and right must be disjoint (pre-rename the right
+    side); both ts columns must be comparable types.
+    """
+    lcols, rcols = left.columns, right.columns
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+    l_schema = left.schema.simpleString()
+    r_schema = right.schema.simpleString()
+    l2 = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(r_schema).alias("_r"),
+    )
+    r2 = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        F.lit(None).cast(l_schema).alias("_l"),
+        F.struct(*rcols).alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l2.unionByName(r2)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select("_l.*", "_match.*")
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cond,
+    lower,
+    upper,
+) -> DataFrame:
+    """Interval/range join: pairs where ``key_cond`` matches and the right
+    timestamp falls in (lower, upper]. Expressed as an equi-join with a
+    residual range predicate, so Catalyst hash-joins on the equality and
+    filters the range — never a cross product. Per-key fan-out is bounded
+    by the interval width; salt the key if one key dominates."""
+    return left.join(right, key_cond & lower & upper)

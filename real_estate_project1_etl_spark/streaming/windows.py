@@ -97,3 +97,45 @@ def enrich_with_dim(
     region-whitelist semi-join (transform.py:92), upgraded to attach
     attributes instead of merely filtering."""
     return events.join(F.broadcast(dim), F.col(left_key) == F.col(right_key), "inner")
+
+
+def click_purchase_attribution(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the clicks
+    of the same user in the preceding ``horizon``. Both sides carry a
+    watermark and the join condition time-bounds the buffered state, so
+    Spark can evict matched/expired rows — the canonical bounded-state
+    stream-stream join. Works identically on a batch DataFrame (the batch
+    twin is the ``click_purchase_attribution`` oracle query)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_millis(F.col("purchase_ts")) - F.unix_millis(F.col("click_ts")))
+        .alias("gap_ms"),
+    )

@@ -66,3 +66,35 @@ def test_chunk_ids_are_contiguous(spark, sf_dir):
         .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
     )
     assert agg.count() == 0
+
+
+def test_asof_join_semantics(spark):
+    from real_estate_project1_etl_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 20), (2, 200, 10)],
+        "lk int, lid int, lts int",
+    )
+    right = spark.createDataFrame(
+        [(1, 900, 10), (1, 901, 10), (1, 902, 15), (2, 903, 11)],
+        "rk int, rid int, rts int",
+    )
+    out = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, "lk", "rk", "lts", "rts", tiebreak="rid"
+        ).collect()
+    }
+    assert out[100] == 901  # tie at ts=10 -> max tiebreak wins
+    assert out[101] == 902  # most recent at-or-before 20
+    assert out[200] is None  # right row at ts=11 is AFTER the left row
+
+
+def test_asof_join_rejects_column_overlap(spark):
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.relational import asof_join
+
+    df = spark.createDataFrame([(1, 2)], "k int, ts int")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, "k", "k", "ts", "ts", tiebreak="k")

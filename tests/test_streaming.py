@@ -126,3 +126,22 @@ def test_stream_static_enrichment(spark, events_batch, tmp_path):
     got = {(r.event_id, r.c_name) for r in out.select("event_id", "c_name").collect()}
     exp = {(r.event_id, r.c_name) for r in batch.select("event_id", "c_name").collect()}
     assert got == exp
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_batch, tmp_path):
+    from real_estate_project1_etl_spark.streaming.windows import (
+        click_purchase_attribution,
+    )
+
+    out = _run_stream(
+        spark, events_batch, click_purchase_attribution, tmp_path, "attr"
+    )
+    got = {(r.click_id, r.purchase_id, r.gap_ms) for r in out.collect()}
+    exp = {
+        (r.click_id, r.purchase_id, r.gap_ms)
+        for r in click_purchase_attribution(events_batch).collect()
+    }
+    # stream-stream inner join emits matches as both sides arrive; with
+    # AvailableNow over a finite source every in-horizon pair must appear
+    assert got == exp
+    assert exp, "fixture produced no attributable pairs"
