@@ -1675,6 +1675,139 @@ def q_click_purchase_attribution(spark, sf_dir):
     return click_purchase_attribution(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark, sf_dir):
+    # TPC-H Q13 shape — LEFT OUTER join preserving order-less customers,
+    # then a two-level aggregation (per-customer count -> histogram).
+    # Two shuffles total; the second input is already tiny.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@_q(
+    "nation_presence_full_outer",
+    """
+    SELECT coalesce(cn, sn) AS nationkey, n_customers, n_suppliers
+    FROM (SELECT c_nationkey AS cn, count(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS sn, count(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) s
+      ON cn = sn
+    """,
+)
+def q_nation_presence_full_outer(spark, sf_dir):
+    # FULL OUTER join — nations present on either side survive with NULL
+    # counts on the missing side
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cn"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sn"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, F.col("cn") == F.col("sn"), "full_outer").select(
+        F.coalesce("cn", "sn").alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@_q(
+    "orders_above_global_avg",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+        SELECT cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) / count(*)
+        FROM orders)
+    """,
+)
+def q_orders_above_global_avg(spark, sf_dir):
+    # uncorrelated scalar subquery — the single aggregate value broadcasts
+    # as a literal-like 1-row side (no per-row recomputation)
+    orders = _t(spark, sf_dir, "orders")
+    avg_df = orders.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("gavg")
+    )
+    return (
+        orders.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("gavg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "ranking_functions",
+    """
+    SELECT o_orderkey,
+           dense_rank()   OVER w AS drk,
+           percent_rank() OVER w AS prk,
+           cume_dist()    OVER w AS cd,
+           ntile(4)       OVER w AS quartile,
+           lead(o_orderkey) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_ranking_functions(spark, sf_dir):
+    # the remaining SQL ranking-function family in one window (int/int
+    # divisions in percent_rank/cume_dist are engine-deterministic)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+@_q(
+    "orders_status_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_orders_status_pivot(spark, sf_dir):
+    # native pivot API (values pinned -> single pass, no distinct-scan)
+    p = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in "FOP"],
+    )
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe

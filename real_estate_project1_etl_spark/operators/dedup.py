@@ -185,15 +185,21 @@ def minhash_near_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # fetch shingles for the (few) candidate pairs only, then verify exact
+    # fetch shingles for the (few) candidate pairs only, then verify exact.
+    # localCheckpoint materializes the verified pairs so the persisted
+    # signature table can be released eagerly instead of pinning executor
+    # memory for the caller's lifetime.
     sh = sig.select("id", "sh")
-    return (
+    out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    sig.unpersist()
+    return out
 
 
 def simhash64(text: Column | str, ngram: int = 2, bits: int = 64) -> Column:
