@@ -1,0 +1,49 @@
+"""Data-quality gate: split a batch into valid rows and quarantined rows.
+
+The reference silently drops or corrupts bad rows inside its filter chain
+(e.g. the zero-digit price crash, transform.py:68); here validation is an
+explicit operator so bad rows are *routed*, not lost — the
+split-and-quarantine pattern every production load needs.
+
+Scale shape: one pass, no shuffle — each rule is a Column predicate
+evaluated in the same codegen stage as the scan; the two outputs are two
+filters over the same cached/scanned plan. Rule violations are collected
+per-row into an array column so the quarantine sink records WHY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def validate(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` by the conjunction of named rules.
+
+    Returns ``(valid, quarantined)``; quarantined rows carry a
+    ``_violations`` array naming every failed rule. A NULL rule result
+    counts as a violation (NULL-safe: rules must evaluate true to pass).
+    """
+    flags = [
+        F.when(expr, F.lit(None).cast("string")).otherwise(F.lit(name))
+        for name, expr in rules.items()
+    ]
+    tagged = df.withColumn(
+        "_violations",
+        F.filter(F.array(*flags), lambda x: x.isNotNull()),
+    )
+    valid = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    quarantined = tagged.filter(F.size("_violations") > 0)
+    return valid, quarantined
+
+
+#: silver-contract rules for the properties table (FIXTURES.md A2)
+def properties_rules() -> dict[str, Column]:
+    return {
+        "price_positive": F.col("price_czk") > 0,
+        "size_nonnegative": F.col("size_m2") >= 0,
+        "region_known": F.col("region").isNotNull() & (F.col("region") != ""),
+        "link_present": F.col("link").isNotNull() & (F.col("link") != ""),
+    }

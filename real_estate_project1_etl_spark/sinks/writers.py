@@ -72,3 +72,40 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files and atomically swap it in.
+
+    Streaming appends (one file per micro-batch per partition) accumulate
+    small files that tax the scan planner and the object store at 100 TB;
+    periodic compaction restores the ~128 MB file size the splitter
+    expects. File count = ceil(input_bytes / target); the rewrite is one
+    job (coalesce, no shuffle), the swap is a directory rename. Returns
+    the new file count. (On a table format — Delta/Iceberg — this is
+    OPTIMIZE; this is the plain-parquet equivalent.)
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
