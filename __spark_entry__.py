@@ -1808,6 +1808,26 @@ def q_orders_status_pivot(spark, sf_dir):
     )
 
 
+@_q(
+    "record_high_events",
+    """
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pm
+        FROM events
+    ) WHERE pm IS NULL OR value > pm
+    """,
+)
+def q_record_high_events(spark, sf_dir):
+    # batch twin of the transformWithStateInPandas change-detection
+    # operator (streaming/stateful.record_high_events)
+    from real_estate_project1_etl_spark.streaming.stateful import record_high_events
+
+    return record_high_events(_t(spark, sf_dir, "events"))
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe

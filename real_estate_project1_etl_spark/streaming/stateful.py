@@ -62,3 +62,133 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# --------------------------------------------------------------------------
+
+RECORD_HIGH_SCHEMA = "user_id long, event_id long, value double"
+
+
+def _record_high_processor():
+    """Build the StatefulProcessor lazily so importing this module never
+    requires the streaming-state runtime."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RecordHigh(StatefulProcessor):
+        """Emit an event only when it sets a new per-user maximum value.
+
+        ValueState holds one double per user — O(1) state per key forever,
+        the cheapest possible stateful operator. Emission is data-dependent
+        (quiet keys emit nothing), which windowed aggregations cannot
+        express; this is the change-detection shape (alerts, record
+        tracking, threshold crossings).
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState("max_value", "m double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._max.get()[0] if self._max.exists() else None
+            out_e, out_v = [], []
+            for pdf in rows:
+                # deterministic within-batch order: event time, then id
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for eid, v in zip(pdf["event_id"], pdf["value"]):
+                    if cur is None or v > cur:
+                        cur = v
+                        out_e.append(eid)
+                        out_v.append(v)
+            if cur is not None:
+                self._max.update((float(cur),))
+            if out_e:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(out_e),
+                        "event_id": out_e,
+                        "value": out_v,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return RecordHigh()
+
+
+def _rh_update(key, pdfs, state: GroupState):
+    """applyInPandasWithState twin of the RecordHigh processor."""
+    import pandas as pd
+
+    cur = state.get[0] if state.exists else None
+    out_e, out_v = [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            if cur is None or v > cur:
+                cur = v
+                out_e.append(int(eid))
+                out_v.append(float(v))
+    if cur is not None:
+        state.update((float(cur),))
+    if out_e:
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(out_e), "event_id": out_e, "value": out_v}
+        )
+
+
+def _tws_runtime_available() -> bool:
+    """transformWithStateInPandas needs the protobuf state protocol; gate
+    on it so environments without protobuf fall back gracefully."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def record_high_events(events: DataFrame) -> DataFrame:
+    """Per-user record-high detection (an event emits iff its value
+    exceeds every earlier value of that user; order = (ts, event_id)).
+
+    Streaming prefers ``transformWithStateInPandas`` (Spark 4
+    arbitrary-state API, ValueState per key); where its protobuf runtime
+    is unavailable it runs the semantically identical
+    ``applyInPandasWithState`` form. Batch DataFrames take the window
+    fallback."""
+    if not events.isStreaming:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_max = F.max("value").over(w)
+        return (
+            events.withColumn("_pm", prev_max)
+            .filter(F.col("_pm").isNull() | (F.col("value") > F.col("_pm")))
+            .select("user_id", "event_id", "value")
+        )
+    keyed = events.select("user_id", "event_id", "ts", "value").groupBy("user_id")
+    if _tws_runtime_available():
+        return keyed.transformWithStateInPandas(
+            statefulProcessor=_record_high_processor(),
+            outputStructType=RECORD_HIGH_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return keyed.applyInPandasWithState(
+        _rh_update,
+        outputStructType=RECORD_HIGH_SCHEMA,
+        stateStructType="m double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -145,3 +145,19 @@ def test_stream_stream_attribution_matches_batch(spark, events_batch, tmp_path):
     # AvailableNow over a finite source every in-horizon pair must appear
     assert got == exp
     assert exp, "fixture produced no attributable pairs"
+
+
+def test_transform_with_state_record_highs(spark, events_batch, tmp_path):
+    from real_estate_project1_etl_spark.streaming.stateful import record_high_events
+
+    out = _run_stream(
+        spark, events_batch, record_high_events, tmp_path, "rhigh",
+        output_mode="append",
+    )
+    got = {(r.user_id, r.event_id, r.value) for r in out.collect()}
+    exp = {
+        (r.user_id, r.event_id, r.value)
+        for r in record_high_events(events_batch).collect()
+    }
+    assert got == exp
+    assert exp  # fixture produces record highs
