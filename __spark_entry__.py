@@ -1828,6 +1828,107 @@ def q_record_high_events(spark, sf_dir):
     return record_high_events(_t(spark, sf_dir, "events"))
 
 
+_PII_SUFFIX = " Contact: john.doe@example.com or https://example.com/x?q=1 or +420 123 456 789"
+
+
+@_q(
+    "pii_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text || '{_PII_SUFFIX}',
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9 \\-()]{{7,}}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    # pre-training PII scrub (emails/URLs/phones -> typed placeholders)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.scrub_pii(F.concat(F.col("text"), F.lit(_PII_SUFFIX))).alias("scrubbed"),
+    )
+
+
+@_q(
+    "markup_strip",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               replace(regexp_replace('<p class="x">' || text || ' &amp; more</p>',
+                                      '<[^>]+>', ' ', 'g'),
+                       '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+)
+def q_markup_strip(spark, sf_dir):
+    # boilerplate/markup removal for scraped corpora
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.strip_markup(
+            F.concat(F.lit('<p class="x">'), F.col("text"), F.lit(" &amp; more</p>"))
+        ).alias("clean"),
+    )
+
+
+@_q(
+    "repetition_ratio",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(len(w) - 2, 0) > 0
+                THEN 1.0 - len(list_distinct(list_transform(
+                         range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> array_to_string(list_slice(w, i, i + 2), ' '))))
+                     / greatest(len(w) - 2, 0)
+                ELSE 0.0 END AS rep_ratio
+    FROM w
+    """,
+)
+def q_repetition_ratio(spark, sf_dir):
+    # Gopher-style repeated-ngram quality signal
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.repetition_ratio("text", 3).alias("rep_ratio")
+    )
+
+
+@_q(
+    "decontaminate_docs",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 7, 1) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g
+        FROM w
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id < 5
+    ), bad AS (
+        SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate_docs(spark, sf_dir):
+    # benchmark decontamination: docs 0-4 play the eval set; any doc
+    # sharing an 8-gram with them (incl. themselves) is dropped
+    docs = _t(spark, sf_dir, "documents")
+    return T.decontaminate(
+        docs, docs.filter(F.col("doc_id") < 5), ngram=8
+    ).select("doc_id", "lang", "n_chars")
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe

@@ -159,3 +159,88 @@ def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(0),
     )[0]["l"]
     return out.withColumn("predicted_lang", best)
+
+
+# --------------------------------------------------------------------------
+# Training-data curation: scrubbing, markup stripping, repetition,
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RX = r"https?://[^\s]+"
+_PHONE_RX = r"\+?[0-9][0-9 \-()]{7,}[0-9]"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace emails / URLs / phone-shaped runs with typed placeholders —
+    the standard pre-training scrub. Pure regexp_replace chain: stays in
+    codegen, no Python, order fixed (URLs first so their paths can't be
+    re-matched as phones)."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, _URL_RX, "<URL>")
+    t = F.regexp_replace(t, _EMAIL_RX, "<EMAIL>")
+    t = F.regexp_replace(t, _PHONE_RX, "<PHONE>")
+    return t
+
+
+def strip_markup(text: Column | str) -> Column:
+    """Drop HTML/XML tags and decode the common entities — the boilerplate
+    half of web-scrape cleaning (the DOM-walking half is the scrape
+    source's job, sources/scrape.py)."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Gopher-style repetition signal: 1 - distinct/total word n-grams.
+    High values flag boilerplate/spam for quality filtering. All
+    higher-order array functions — no shuffle, no Python."""
+    t = F.col(text) if isinstance(text, str) else text
+    w = F.split(F.lower(collapse_whitespace(t)), " ")
+    total = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+    ).otherwise(F.lit(0.0))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any word
+    ``ngram``-gram with a benchmark/eval set (the n-gram-collision rule
+    used before LLM training runs).
+
+    Scale shape: both sides explode to 8-byte xxhash64 n-gram keys — the
+    benchmark side is small (eval sets), so the semi-join of corpus-gram
+    keys against it broadcasts; contaminated ids come back as one distinct
+    set and anti-join the corpus. Corpus text shuffles zero times.
+    """
+    from .dedup import word_shingles
+
+    def gram_keys(df, out):
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(word_shingles(F.col(text_col), ngram)).alias("g"),
+        ).select(out, F.xxhash64("g").alias("gk"))
+
+    corpus_grams = gram_keys(corpus, "cid")
+    bench_grams = gram_keys(benchmark, "bid").select("gk").distinct()
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_grams), "gk")
+        .select(F.col("cid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
