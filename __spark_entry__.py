@@ -1929,6 +1929,94 @@ def q_decontaminate_docs(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+@_q(
+    "sql_surface_revenue",
+    """
+    SELECT n_name,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sql_surface_revenue(spark, sf_dir):
+    # the SQL-text surface: identical query text runs on the registered
+    # views through the same Catalyst planner as the DataFrame API
+    from real_estate_project1_etl_spark.plans.catalog import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name,
+               cast(sum(cast(l_extendedprice AS decimal(18,2))
+                        * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+    )
+
+
+@_q(
+    "trailing_hour_user_value",
+    """
+    SELECT event_id, user_id,
+           cast(sum(cast(value AS decimal(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS double)
+               AS trailing_value
+    FROM events
+    """,
+)
+def q_trailing_hour_user_value(spark, sf_dir):
+    # RANGE window frame over event time (trailing 1h per user) — the
+    # sliding-metric shape; one exchange on user_id, sequential frame scan
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3600000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("trailing_value"),
+    )
+
+
+@_q(
+    "union_schema_evolution",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS priority
+    FROM orders
+    UNION ALL
+    SELECT l_orderkey AS k, l_extendedprice AS price, NULL AS priority
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_union_schema_evolution(spark, sf_dir):
+    # unionByName(allowMissingColumns): append a source missing a column —
+    # schema evolution the reference's fixed CSV layout cannot express
+    a = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(F.col("l_orderkey").alias("k"), F.col("l_extendedprice").alias("price"))
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe
