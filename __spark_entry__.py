@@ -2017,6 +2017,37 @@ def q_union_schema_evolution(spark, sf_dir):
     return a.unionByName(b, allowMissingColumns=True)
 
 
+@_q(
+    "sentiment_polarity",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               len(list_filter(w, x -> list_contains(
+                   ['good','great','excellent','love','best','happy'], x))) AS n_pos,
+               len(list_filter(w, x -> list_contains(
+                   ['bad','terrible','awful','hate','worst','sad'], x))) AS n_neg
+        FROM toks
+    )
+    SELECT doc_id, n_pos, n_neg,
+           CASE WHEN n_pos + n_neg > 0
+                THEN (n_pos - n_neg) / (n_pos + n_neg) END AS polarity
+    FROM c
+    """,
+)
+def q_sentiment_polarity(spark, sf_dir):
+    # lexicon sentiment (PAPERS.md EDBT'16 baseline shape)
+    return T.sentiment_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        "polarity",
+    )
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe

@@ -244,3 +244,32 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+#: minimal polarity lexicons (PAPERS.md: "Large Scale Sentiment Analysis on
+#: Twitter with Spark", EDBT 2016 — lexicon-based scoring is its baseline;
+#: the Spark shape (per-doc token-lexicon intersection counts, no shuffle)
+#: is identical with a real lexicon like AFINN swapped in).
+POSITIVE_WORDS = ["good", "great", "excellent", "love", "best", "happy"]
+NEGATIVE_WORDS = ["bad", "terrible", "awful", "hate", "worst", "sad"]
+
+
+def sentiment_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexicon polarity: counts of positive/negative tokens and the
+    normalized polarity (pos-neg)/(pos+neg), NULL when no hits. Pure
+    higher-order array expressions; int/int division is deterministic."""
+    t = F.col(text_col)
+    toks = F.split(F.lower(collapse_whitespace(t)), " ")
+    pos_arr = F.array(*[F.lit(wd) for wd in POSITIVE_WORDS])
+    neg_arr = F.array(*[F.lit(wd) for wd in NEGATIVE_WORDS])
+    n_pos = F.size(F.filter(toks, lambda w: F.array_contains(pos_arr, w)))
+    n_neg = F.size(F.filter(toks, lambda w: F.array_contains(neg_arr, w)))
+    return df.withColumns(
+        {
+            "n_pos": n_pos,
+            "n_neg": n_neg,
+            "polarity": F.when(
+                (n_pos + n_neg) > 0, (n_pos - n_neg) / (n_pos + n_neg)
+            ),
+        }
+    )
