@@ -111,3 +111,40 @@ def test_cube_expands_grouping_sets_single_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert "Expand" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    # a selective dim filter injects a bloom-filter semi-filter on the fact
+    # scan side of a shuffle join — the runtime row-pruning that matters
+    # when the dim is too big to broadcast at 100 TB
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = _optimized(j)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
