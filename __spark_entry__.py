@@ -2048,6 +2048,41 @@ def q_sentiment_polarity(spark, sf_dir):
     )
 
 
+@_q(
+    "quality_quarantine",
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat_ws(',',
+               CASE WHEN l_quantity >= 2 THEN NULL ELSE 'qty_min' END,
+               CASE WHEN l_extendedprice <= 50000 THEN NULL ELSE 'price_max' END)
+               AS violations
+    FROM lineitem
+    WHERE NOT coalesce(l_quantity >= 2, false)
+       OR NOT coalesce(l_extendedprice <= 50000, false)
+    """,
+)
+def q_quality_quarantine(spark, sf_dir):
+    # quarantine side of the data-quality split: rows with named rule
+    # violations (NULL rule result counts as a violation)
+    from real_estate_project1_etl_spark.operators.quality import validate
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    _, quarantined = validate(
+        li,
+        {
+            "qty_min": F.col("l_quantity") >= 2,
+            "price_max": F.col("l_extendedprice") <= 50000,
+        },
+    )
+    return quarantined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join("_violations", ",").alias("violations"),
+    )
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe
