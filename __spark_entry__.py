@@ -2083,6 +2083,61 @@ def q_quality_quarantine(spark, sf_dir):
     )
 
 
+@_q(
+    "cosine_topk_prenorm",
+    """
+    WITH nv AS (
+        SELECT vec_id,
+               list_transform(cast(embedding AS double[]),
+                              x -> x / sqrt(list_dot_product(
+                                  cast(embedding AS double[]),
+                                  cast(embedding AS double[])))) AS u
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, u AS qu FROM nv WHERE vec_id < 10
+    ), scored AS (
+        SELECT query_id, nv.vec_id AS neighbor_id,
+               round(list_dot_product(qu, u), 4) AS sim
+        FROM q JOIN nv ON query_id <> nv.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_cosine_topk_prenorm(spark, sf_dir):
+    # the scale path for similarity: normalize ONCE upstream, then top-k is
+    # a plain dot product per pair (strictly less arithmetic than
+    # cosine-per-pair; at 100 TB the normalized column is written to the
+    # table and amortized across every query). Oracle mirrors the same
+    # normalize-then-dot float order, so values are bit-identical.
+    from real_estate_project1_etl_spark.functions.vectors import dot, normalize
+    from real_estate_project1_etl_spark.operators.util import ensure_parallelism
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", normalize(F.col("embedding").cast("array<double>")).alias("u")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    c = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(dot(F.col("qu"), F.col("cu")), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 @_q("lsh_multiprobe_topk")
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe
