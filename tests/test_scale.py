@@ -62,3 +62,27 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salting_splits_hot_key_evenly(spark):
+    # 90% of rows share one key — the straggler shape. Salting must spread
+    # the hot key across all buckets with no dominant bucket.
+    from real_estate_project1_etl_spark.operators.skew import with_salt
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    buckets = 16
+    sizes = [
+        r.n
+        for r in with_salt(df, buckets)
+        .filter(F.col("k") == "hot")
+        .groupBy("__salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == buckets  # every bucket used
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) < 2 * mean, sizes  # no bucket dominates
