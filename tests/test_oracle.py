@@ -71,3 +71,14 @@ def test_oracle_match(spark, name):
 def test_rows_only_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_queries_survive_ansi_on_session(spark):
+    # the driver may hand over a session with Spark 4's default ANSI mode
+    # still ON; _t must flip it so lenient casts return NULL, not throw
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = QUERIES["digits_extract"](spark, SF_DIR).collect()
+        assert out  # contains try-cast results, no exception raised
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -161,3 +161,40 @@ def test_transform_with_state_record_highs(spark, events_batch, tmp_path):
     }
     assert got == exp
     assert exp  # fixture produces record highs
+
+
+def test_state_carries_across_micro_batches(spark, events_batch, tmp_path):
+    # 3 files x maxFilesPerTrigger=1 -> 3 micro-batches; per-user counts in
+    # the FINAL update row must equal the batch aggregate regardless of the
+    # order files were consumed (count/sum/max are order-insensitive)
+    from real_estate_project1_etl_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "src_multi")
+    events_batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("mem_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # several update rows per user (one per batch that touched the key);
+    # the final state is the row with the highest n_events
+    rows = spark.table("mem_multi").collect()
+    assert len({r.user_id for r in rows}) < len(rows), "expected multiple batches"
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    exp = {r.user_id: r for r in running_user_stats(events_batch).collect()}
+    assert set(final) == set(exp)
+    for uid, r in final.items():
+        assert r.n_events == exp[uid].n_events
+        assert abs(r.total_value - round(exp[uid].total_value, 2)) < 1e-9
