@@ -127,3 +127,50 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     from ..schemas import MEDIA_ASSETS
 
     return spark.createDataFrame(rows, MEDIA_ASSETS)
+
+
+def resize_images(assets: DataFrame, max_side: int = 32) -> DataFrame:
+    """Thumbnail/resize plumbing for image payloads: aspect-preserving
+    target dimensions (real logic, tested) + a stubbed pixel stage (a real
+    implementation calls PIL's ``thumbnail`` inside the same UDF).
+
+    Emits (asset_id, orig_w, orig_h, new_w, new_h, thumb) where ``thumb``
+    is a deterministic fake payload sized new_w*new_h bytes — the Arrow
+    batch shape and binary-output schema are exactly what the real codec
+    produces.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "asset_id": [], "orig_w": [], "orig_h": [],
+                "new_w": [], "new_h": [], "thumb": [],
+            }
+            for aid, payload, w, h in zip(
+                pdf["asset_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                if w is None or h is None or w <= 0 or h <= 0:
+                    continue
+                scale = min(1.0, max_side / max(int(w), int(h)))
+                new_w = max(1, round(int(w) * scale))
+                new_h = max(1, round(int(h) * scale))
+                seed = hashlib.sha256(payload or b"").digest()
+                thumb = (seed * (new_w * new_h // len(seed) + 1))[: new_w * new_h]
+                out["asset_id"].append(aid)
+                out["orig_w"].append(int(w))
+                out["orig_h"].append(int(h))
+                out["new_w"].append(new_w)
+                out["new_h"].append(new_h)
+                out["thumb"].append(thumb)
+            yield pd.DataFrame(out)
+
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id", "payload", "width", "height"
+    ).mapInPandas(
+        run,
+        schema=(
+            "asset_id long, orig_w int, orig_h int, "
+            "new_w int, new_h int, thumb binary"
+        ),
+    )

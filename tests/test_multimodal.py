@@ -46,3 +46,20 @@ def test_frame_sampling(spark):
     assert pdf.groupby("asset_id").size().max() <= 4
     assert (pdf.ts_ms == pdf.frame_idx * 1000).all()
     assert n_videos > 0
+
+
+def test_resize_preserves_aspect_and_sizes_thumb(spark):
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        resize_images,
+        synthetic_assets,
+    )
+
+    out = resize_images(synthetic_assets(spark, 12), max_side=32).collect()
+    assert out  # 1/3 of fixtures are images
+    for r in out:
+        assert (r.orig_w, r.orig_h) == (64, 48)
+        assert (r.new_w, r.new_h) == (32, 24)  # aspect preserved, capped
+        assert len(r.thumb) == r.new_w * r.new_h
+    # never upscale: a small image keeps its dims
+    small = resize_images(synthetic_assets(spark, 12), max_side=1024).collect()
+    assert all((r.new_w, r.new_h) == (64, 48) for r in small)
