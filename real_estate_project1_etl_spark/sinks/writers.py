@@ -109,3 +109,51 @@ def compact_parquet(
     shutil.move(tmp, path)
     shutil.rmtree(old)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def upsert_parquet(
+    spark,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str | None = None,
+) -> None:
+    """SCD1 upsert into a plain-parquet table: new rows win over existing
+    rows with the same key; the rewritten table swaps in atomically.
+
+    The reference can only append (load_db.py:47) and leaves dedup to the
+    dashboard; this gives the lakehouse-side merge. Mechanics: union the
+    existing table with the updates (updates ranked first via a source
+    tag, or by ``order_col`` when given), keep row_number()==1 per key,
+    rewrite to a temp dir, swap. On a table format (Delta/Iceberg) this is
+    MERGE INTO; the one-shuffle window shape is identical.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    if os.path.isdir(path):
+        current = spark.read.parquet(path).withColumn("_src", F.lit(0))
+    else:
+        current = None
+    tagged = updates.withColumn("_src", F.lit(1))
+    merged = tagged if current is None else tagged.unionByName(current)
+    order = [F.col("_src").desc()]
+    if order_col:
+        order.insert(0, F.col(order_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    tmp = path.rstrip("/") + "._upsert_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        old = path.rstrip("/") + "._upsert_old"
+        shutil.move(path, old)
+        shutil.move(tmp, path)
+        shutil.rmtree(old)
+    else:
+        shutil.move(tmp, path)

@@ -44,3 +44,27 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 40_000
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(40_000))
+
+
+def test_upsert_parquet_scd1(spark, tmp_path):
+    from real_estate_project1_etl_spark.sinks.writers import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, name string, v int"
+    )
+    upsert_parquet(spark, v1, path, ["k"])
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == {
+        (1, "a", 10), (2, "b", 20)
+    }
+    # update key 2, insert key 3 -> key 1 untouched, key 2 replaced
+    v2 = spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], "k int, name string, v int"
+    )
+    upsert_parquet(spark, v2, path, ["k"])
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == {
+        (1, "a", 10), (2, "b2", 21), (3, "c", 30)
+    }
+    # idempotent re-apply
+    upsert_parquet(spark, v2, path, ["k"])
+    assert spark.read.parquet(path).count() == 3
