@@ -1609,6 +1609,30 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @_q(
+    "hash_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE substr(md5(cast(l_orderkey AS VARCHAR) || '#'
+                     || cast(l_linenumber AS VARCHAR)), 1, 1)
+          IN ('0', '1', '2')
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    # deterministic 3/16 content-hash sample — the retry-stable,
+    # shuffle-free alternative to RNG sampling (stratified_sample), and the
+    # only sampling flavor an oracle can verify bit-for-bit.
+    from real_estate_project1_etl_spark.operators.quality import (
+        deterministic_sample,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return deterministic_sample(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@_q(
     "asof_last_view_before_click",
     """
     SELECT c.event_id AS click_id, c.user_id AS click_user,

@@ -47,3 +47,21 @@ def properties_rules() -> dict[str, Column]:
         "region_known": F.col("region").isNotNull() & (F.col("region") != ""),
         "link_present": F.col("link").isNotNull() & (F.col("link") != ""),
     }
+
+
+def deterministic_sample(
+    df: DataFrame, key_cols: list[str], keep_nibbles: tuple[str, ...] = ("0", "1", "2")
+) -> DataFrame:
+    """Keep rows whose md5(key) hex digest starts with one of
+    ``keep_nibbles`` — each nibble selects ~1/16 of the corpus.
+
+    The sampling primitive that actually holds at 100 TB: unlike
+    ``df.sample()`` / ``sampleBy()`` (whose Bernoulli draw depends on seed,
+    partition layout, and row order, so a retry or repartition yields a
+    different sample), a content-hash filter is a pure row-local predicate —
+    stable under retries, re-partitioning, and engine changes, needs no RNG
+    state, runs inside the scan's codegen stage with zero shuffle, and is
+    expressible in any engine for differential checks.
+    """
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols])
+    return df.filter(F.substring(F.md5(key), 1, 1).isin(*keep_nibbles))

@@ -48,3 +48,28 @@ def test_stratified_sample_proportions_and_determinism(spark, sf_dir):
     a = sorted((r.l_orderkey, r.l_linenumber) for r in s1.collect())
     b = sorted((r.l_orderkey, r.l_linenumber) for r in q(spark, sf_dir).collect())
     assert a == b
+
+
+def test_hash_sample_deterministic_and_shuffle_free(spark, sf_dir):
+    q = entry_mod.queries()["hash_sample"]
+    s1 = q(spark, sf_dir)
+    # pure row-local predicate: no Exchange in the physical plan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    a = sorted((r.l_orderkey, r.l_linenumber) for r in s1.collect())
+    # stable under re-partitioning (where seed-based sample() would diverge)
+    li = load_table(spark, sf_dir, "lineitem").repartition(13)
+    from real_estate_project1_etl_spark.operators.quality import (
+        deterministic_sample,
+    )
+
+    b = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in deterministic_sample(
+            li, ["l_orderkey", "l_linenumber"]
+        ).collect()
+    )
+    assert a == b
+    # 3/16 of the corpus within sampling tolerance
+    frac = len(a) / li.count()
+    assert abs(frac - 3 / 16) < 0.02, frac

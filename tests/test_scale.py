@@ -86,3 +86,45 @@ def test_salting_splits_hot_key_evenly(spark):
     assert len(sizes) == buckets  # every bucket used
     mean = sum(sizes) / len(sizes)
     assert max(sizes) < 2 * mean, sizes  # no bucket dominates
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # The no-code-change skew path (SCALE.md): AQE detects the oversized
+    # shuffle partition at runtime and splits it, marking the join
+    # skew=true. Thresholds shrunk so the local fixture qualifies.
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of left rows share key 0 -> one hot shuffle partition
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k")
+        # act on `joined` itself (count() would spawn a separate query
+        # execution and leave this one's adaptive plan non-final)
+        assert len(joined.collect()) == 60_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
