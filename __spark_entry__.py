@@ -127,6 +127,76 @@ def q_star_join_revenue(spark, sf_dir):
 
 
 @_q(
+    "volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    # TPC-H Q7 shape: six-way join, one fact-fact shuffle, four broadcasts,
+    # date filter pushed to the lineitem scan
+    return R.volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "market_share",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           cast(sum(CASE WHEN n1.n_name = 'NATION_3'
+                         THEN cast(l_extendedprice AS decimal(18,2))
+                              * (1 - cast(l_discount AS decimal(18,2)))
+                         ELSE cast(0 AS decimal(18,2))
+                              * (1 - cast(0 AS decimal(18,2))) END) AS double)
+           / cast(sum(cast(l_extendedprice AS decimal(18,2))
+                      * (1 - cast(l_discount AS decimal(18,2)))) AS double)
+               AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region   ON n2.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY 1
+    """,
+)
+def q_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: conditional-share aggregate as a ratio of two exact
+    # decimal sums, cast double only at the boundary
+    return R.market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_q(
     "nation_customer_stats",
     """
     SELECT c_nationkey,
