@@ -47,6 +47,25 @@ HEADLINE = [
     "minhash_near_dup",
 ]
 
+#: dominant cost per headline query (what the time is spent on, and what
+#: scales it) — printed with the timing so regressions are attributable.
+COST = {
+    "pricing_summary": "scan-bound; 1 partial+final agg exchange (rows/CPU)",
+    "star_join_revenue": "fact scan + 1 fact-fact shuffle; dims broadcast",
+    "top3_orders_per_priority": "1 exchange on group key + per-group heap (window)",
+    "running_total": "1 range exchange + sort (window over full history)",
+    "dedup_first_wins": "1 exchange on link key (shuffle-bound)",
+    "price_per_unit": "pure narrow projection; scan-bound",
+    "event_hourly_windows": "1 exchange on (window,type); partial agg first",
+    "event_sessionization": "1 exchange on user + session-window sort",
+    "json_extract_events": "scan + JVM json path eval; no shuffle",
+    "exact_dedup_docs": "sha256 over text (CPU) + 1 digest exchange",
+    "quality_features": "regex counting over text; scan/CPU-bound, no shuffle",
+    "langid_heuristic": "token-set intersects per row; CPU-bound, no shuffle",
+    "cosine_topk": "dot products rows*queries (CPU) + global top-k",
+    "minhash_near_dup": "shingle+32-hash fold (CPU), band explode, bucket self-join",
+}
+
 
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
@@ -71,7 +90,9 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s ({n} rows) — {COST[name]}", file=sys.stderr
+        )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

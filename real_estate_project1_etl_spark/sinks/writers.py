@@ -111,6 +111,40 @@ def compact_parquet(
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    partitions: int = 8,
+    date_from: str | None = None,
+) -> None:
+    """Range-partitioned, sorted parquet layout — the data-skipping write.
+
+    ``repartitionByRange`` gives each output file a disjoint ``sort_col``
+    range; ``sortWithinPartitions`` tightens every row group's min/max
+    stats inside the file. Any later scan with a range predicate on
+    ``sort_col`` then skips whole row groups from the footer stats —
+    the poor man's clustered index, and at 100 TB the difference between
+    scanning a day and scanning the table.
+
+    CAVEAT (measured on this Spark build, see test_scale): the parquet
+    reader applies row-group stats filtering for numeric and DATE columns
+    but NOT for TIMESTAMP (NTZ or LTZ) — a pushed timestamp range
+    predicate reads every row group. For time-organized data pass
+    ``date_from=<timestamp col>``: a DATE layout key ``sort_col`` is
+    derived from it, and readers should filter on that column (mirror of
+    the daily-partitioned silver layout in ``write_silver``).
+    """
+    if date_from is not None:
+        df = df.withColumn(sort_col, F.to_date(F.col(date_from)))
+    (
+        df.repartitionByRange(partitions, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def upsert_parquet(
     spark,
     updates: DataFrame,

@@ -128,3 +128,48 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _scan_rows(df) -> tuple[int, int]:
+    """(rows returned, rows the parquet scan actually emitted) — the gap
+    is row-group skipping from footer min/max stats."""
+    returned = len(df.collect())
+    leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    it = leaf.metrics().iterator()
+    scanned = None
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == "numOutputRows":
+            scanned = kv._2().value()
+    return returned, scanned
+
+
+def test_range_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
+    from real_estate_project1_etl_spark.sinks.writers import write_range_sorted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()
+
+    # int layout key: a narrow key-range scan reads ~1 of 8 row groups
+    p_int = str(tmp_path / "li_by_orderkey")
+    write_range_sorted(li, p_int, "l_orderkey", partitions=8)
+    returned, scanned = _scan_rows(
+        spark.read.parquet(p_int).filter(F.col("l_orderkey") < 100)
+    )
+    assert returned > 0
+    assert scanned < total / 4, (scanned, total)
+
+    # time-organized data: DATE layout key skips; the raw TIMESTAMP column
+    # does NOT (this build's reader applies stats filtering to numeric and
+    # DATE, not TIMESTAMP) — the reason write_range_sorted derives a date
+    p_date = str(tmp_path / "li_by_shipdate")
+    write_range_sorted(li, p_date, "ship_date", partitions=8, date_from="l_shipdate")
+    returned_d, scanned_d = _scan_rows(
+        spark.read.parquet(p_date).filter(F.col("ship_date") < "1996-03-01")
+    )
+    assert returned_d > 0
+    assert scanned_d < total / 2, (scanned_d, total)
+    _, scanned_ts = _scan_rows(
+        spark.read.parquet(p_date).filter(F.col("l_shipdate") < "1996-03-01")
+    )
+    assert scanned_ts == total, (scanned_ts, total)  # documents the caveat
