@@ -45,6 +45,8 @@ HEADLINE = [
     "langid_heuristic",
     "cosine_topk",
     "minhash_near_dup",
+    "volume_shipping",
+    "hash_sample",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -64,6 +66,8 @@ COST = {
     "langid_heuristic": "token-set intersects per row; CPU-bound, no shuffle",
     "cosine_topk": "dot products rows*queries (CPU) + global top-k",
     "minhash_near_dup": "shingle+32-hash fold (CPU), band explode, bucket self-join",
+    "volume_shipping": "6-way join: pushed date scan + 1 shuffle, 4 broadcasts",
+    "hash_sample": "md5-nibble predicate in the scan stage; no shuffle",
 }
 
 
