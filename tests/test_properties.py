@@ -166,3 +166,32 @@ def test_minhash_signature_matches_python_model(spark):
             for i in range(k)
         ]
         assert got[doc_id] == expected, doc_id
+
+
+def test_simhash_numpy_path_matches_expression_path(spark):
+    # Two independent implementations of the same signature — the pure
+    # Column-expression fold (simhash64) and the Arrow-batched numpy tally
+    # (simhash_signatures) — must agree bit-for-bit on every document.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.dedup import (
+        simhash64,
+        simhash_signatures,
+    )
+
+    rng = random.Random(11)
+    words = [f"tok{j}" for j in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(2, 40))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    expr = {
+        r.id: r.sh
+        for r in df.select("id", simhash64("text").alias("sh")).collect()
+    }
+    fast = {r.id: r.sh for r in simhash_signatures(df, "text", "id").collect()}
+    assert expr == fast
