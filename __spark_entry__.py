@@ -2257,6 +2257,255 @@ def q_linear_trend_per_user(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# TPC-H subquery shapes (round 1c) — EXISTS / NOT EXISTS / scalar-max /
+# HAVING-IN / argmin, each decorrelated into the Spark-native join form
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_check(spark, sf_dir):
+    # TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join. The date
+    # filter lands in the orders scan (pushed); the semi join ships only
+    # l_orderkey from the filtered lineitem side, and duplicate matches
+    # never materialize (semi join short-circuits per probe row).
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(cast(l_extendedprice AS decimal(18,2))
+                   * (1 - cast(l_discount AS decimal(18,2)))) AS total
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, cast(total AS double) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total = (SELECT max(total) FROM rev)
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape — revenue view + scalar-max equality. The 1-row max
+    # broadcasts (nested-loop on a single row, bounded); supplier dim
+    # broadcasts into the aggregated side. Exact decimal sums make the
+    # max-equality tie set identical cross-engine.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("total")
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@_q(
+    "large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           cast(sq AS double) AS total_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300) b
+      ON o_orderkey = b.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_large_orders(spark, sf_dir):
+    # TPC-H Q18 shape — HAVING-qualified IN-subquery carried as the
+    # aggregate itself (no second lineitem pass, unlike the literal Q18
+    # text). The filtered aggregate is tiny -> broadcasts into orders;
+    # customer is a broadcast dim. sum(int-valued double) is exact.
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("sq").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@_q(
+    "wealthy_idle_customers",
+    """
+    WITH bal AS (SELECT sum(cast(c_acctbal AS decimal(18,2))) AS s,
+                        count(*) AS n
+                 FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS totacctbal
+    FROM customer, bal
+    WHERE cast(c_acctbal AS decimal(18,2)) * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_wealthy_idle_customers(spark, sf_dir):
+    # TPC-H Q22 shape — above-average balance ∧ never ordered. The avg
+    # threshold is compared multiplied-through (bal*n > sum) so no
+    # decimal division enters the cross-engine compare; the 1-row
+    # aggregate broadcasts, NOT EXISTS decorrelates to LEFT ANTI.
+    customer = _t(spark, sf_dir, "customer")
+    bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(F.broadcast(bal))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n") > F.col("s"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@_q(
+    "cheapest_supplier_per_part",
+    """
+    SELECT l_partkey, min(l_suppkey) AS cheapest_suppkey,
+           cast(min(p) AS double) AS min_price
+    FROM (SELECT l_partkey, l_suppkey,
+                 cast(l_extendedprice AS decimal(18,2)) AS p,
+                 min(cast(l_extendedprice AS decimal(18,2)))
+                     OVER (PARTITION BY l_partkey) AS minp
+          FROM lineitem)
+    WHERE p = minp
+    GROUP BY l_partkey
+    """,
+)
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    # TPC-H Q2 shape (argmin join) adapted to the star schema at hand: per
+    # part, the supplier quoting the minimum price. Window-min instead of
+    # agg+self-join: ONE exchange on l_partkey, which the follow-up
+    # groupBy reuses (same key -> no second shuffle).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("minp", F.min("p").over(w))
+        .filter(F.col("p") == F.col("minp"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("cheapest_suppkey"),
+            F.min("p").cast("double").alias("min_price"),
+        )
+    )
+
+
+@_q(
+    "tfidf_distinctive_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, tf, df, rnk
+    FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, dfreq.df ASC,
+                                             tf.term ASC) AS rnk
+          FROM tf JOIN dfreq USING (term)) sub
+    WHERE rnk <= 3
+    """,
+)
+def q_tfidf_distinctive_terms(spark, sf_dir):
+    # TF-IDF-style distinctive terms, rank-only so no float idf enters the
+    # compare: per doc, top-3 terms by (tf desc, df asc, term). The
+    # doc-frequency table is vocabulary-sized -> broadcast; ordering is
+    # all-integer so the ranking is total and cross-engine stable.
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+@_q("semantic_dedup")
+def q_semantic_dedup(spark, sf_dir):
+    # SemDeDup (embedding-space near-dup pruning) — KMeans is iterative,
+    # not SQL-expressible -> rows-only; geometry pinned by
+    # tests/test_similarity.py::test_semantic_dedup_drops_planted_dups
+    from real_estate_project1_etl_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.95).select(
+        "vec_id", "label"
+    )
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 

@@ -302,3 +302,54 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style embedding-space dedup (Abbas et al., arXiv:2303.09540):
+    KMeans-cluster the unit-normalized embeddings, then inside each cluster
+    drop every row whose cosine to a LOWER-id cluster member exceeds
+    ``threshold`` — the lowest id in each near-dup group survives as the
+    representative. Extends reference transform.py:62 (key dedup) to
+    semantic content identity, past what exact/minhash text dedup can see.
+
+    Scale shape: clustering bounds the candidate set — the pair join is
+    equi on ``cluster_id`` (shuffle on a small int key), so cost is
+    sum(|cluster|^2) rather than corpus^2, and the KMeans model
+    (n_clusters x dim) ships as a broadcast. At 100 TB raise ``n_clusters``
+    so clusters stay ~1e4-1e5 rows; memory per task is one cluster's
+    vectors, never the corpus.
+
+    Returns the kept rows of ``emb`` with original columns.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import dot, normalize
+
+    base = emb.select(id_col, vec_col).withColumn(
+        "u", normalize(F.col(vec_col).cast("array<double>"))
+    )
+    feat = ensure_parallelism(base).withColumn("features", array_to_vector("u"))
+    model = (
+        KMeans(k=n_clusters, seed=seed, maxIter=5, predictionCol="cluster_id")
+        .fit(feat)
+    )
+    assigned = model.transform(feat).select(id_col, "u", "cluster_id")
+
+    a = assigned.select(F.col(id_col).alias("i"), F.col("u").alias("ui"), "cluster_id")
+    b = assigned.select(F.col(id_col).alias("j"), F.col("u").alias("uj"), "cluster_id")
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col("i") < F.col("j"))
+        .filter(dot(F.col("ui"), F.col("uj")) > threshold)
+        .select(F.col("j").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dups, id_col, "left_anti")

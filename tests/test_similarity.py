@@ -63,3 +63,43 @@ def test_lsh_returns_subset_quality(spark, sf_dir):
     rows = out.collect()
     assert rows, "LSH returned nothing"
     assert all(r["rank"] <= 5 for r in rows)
+
+
+def test_semantic_dedup_drops_planted_dups(spark):
+    from real_estate_project1_etl_spark.operators.dedup import semantic_dedup
+
+    # two tight groups of 3 near-identical vectors + 4 well-separated
+    # singletons; only the lowest id of each group must survive
+    rows = []
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        100: [0.0, 1.0, 0.0, 0.0],
+    }
+    for gid, (lead, v) in enumerate(base.items()):
+        for k in range(3):
+            perturbed = [x + 0.001 * k * (i + 1) for i, x in enumerate(v)]
+            rows.append((lead + k, perturbed, gid))
+    rows += [
+        (200, [0.0, 0.0, 1.0, 0.0], 2),
+        (201, [0.0, 0.0, 0.0, 1.0], 3),
+        (202, [0.7, 0.0, -0.7, 0.1], 4),
+        (203, [0.0, 0.7, 0.0, -0.7], 5),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, n_clusters=4, threshold=0.98).collect()
+    )
+    assert kept == [0, 100, 200, 201, 202, 203]
+
+
+def test_semantic_dedup_keeps_all_when_threshold_high(spark):
+    from real_estate_project1_etl_spark.operators.dedup import semantic_dedup
+
+    rows = [(i, [float(i == j) for j in range(4)], i) for i in range(4)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    assert semantic_dedup(emb, n_clusters=2, threshold=0.999).count() == 4
