@@ -2492,6 +2492,53 @@ def q_tfidf_distinctive_terms(spark, sf_dir):
     )
 
 
+@_q(
+    "totalprice_histogram",
+    """
+    SELECT cast(floor(o_totalprice / 50000) AS bigint) AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q_totalprice_histogram(spark, sf_dir):
+    # fixed-width histogram (width_bucket shape) — the profiling primitive
+    # behind skew detection and range-partition boundary picking. One
+    # partial+final agg on a derived int key; constant-divide-then-floor is
+    # bit-identical IEEE so buckets agree cross-engine; min/max pass raw
+    # values through untouched.
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@_q("near_dup_components")
+def q_near_dup_components(spark, sf_dir):
+    # transitive dup groups: minhash candidate pairs -> connected
+    # components -> group sizes. Iterative (min-label propagation), not
+    # SQL-expressible -> rows-only; chain/island geometry pinned by
+    # tests/test_similarity.py::test_connected_components_chain_and_islands
+    from real_estate_project1_etl_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, "text", "doc_id")
+    labels = connected_components(pairs, "id_a", "id_b", max_iter=10)
+    return component_sizes(labels)
+
+
 @_q("semantic_dedup")
 def q_semantic_dedup(spark, sf_dir):
     # SemDeDup (embedding-space near-dup pruning) — KMeans is iterative,

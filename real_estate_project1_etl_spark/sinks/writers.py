@@ -191,3 +191,95 @@ def upsert_parquet(
         shutil.rmtree(old)
     else:
         shutil.move(tmp, path)
+
+
+def scd2_upsert(
+    spark,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    effective_col: str,
+) -> None:
+    """SCD2 (history-keeping) upsert into a plain-parquet table: instead of
+    overwriting a key's row (SCD1, ``upsert_parquet``), the previous
+    version is CLOSED (``_valid_to`` set to the update's effective time)
+    and the new version appended OPEN (``_valid_to`` NULL) — every past
+    state stays queryable with an as-of predicate
+    (``_valid_from <= t AND (_valid_to IS NULL OR _valid_to > t)``).
+
+    ``updates`` must hold one row per key (latest wins upstream) and carry
+    ``effective_col``; attribute change is detected on every non-key,
+    non-effective column (NULLs compared via a sentinel). Unchanged keys
+    are a no-op — re-delivering the same batch is idempotent.
+
+    Scale shape: one key-equi join of the open slice against the update
+    batch (update side broadcastable when small), closed history passes
+    through untouched; rewrite + atomic swap like the SCD1 path. On a
+    table format (Delta/Iceberg) the same plan runs as MERGE INTO without
+    the rewrite.
+    """
+    import os
+    import shutil
+
+    attr_cols = [
+        c for c in updates.columns if c not in (*key_cols, effective_col)
+    ]
+
+    def with_hash(df: DataFrame) -> DataFrame:
+        marked = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attr_cols
+        ]
+        return df.withColumn("_ah", F.sha2(F.concat_ws("\x1f", *marked), 256))
+
+    fresh = with_hash(updates).withColumn(
+        "_valid_from", F.col(effective_col)
+    ).withColumn("_valid_to", F.lit(None).cast(updates.schema[effective_col].dataType))
+
+    if os.path.isdir(path):
+        current = with_hash(spark.read.parquet(path))
+        closed = current.filter(F.col("_valid_to").isNotNull()).drop("_ah")
+        open_ = current.filter(F.col("_valid_to").isNull())
+
+        upd_key = fresh.select(
+            *[F.col(k).alias(f"_u_{k}") for k in key_cols],
+            F.col("_ah").alias("_u_ah"),
+            F.col("_valid_from").alias("_u_from"),
+        )
+        cond = [F.col(k) == F.col(f"_u_{k}") for k in key_cols]
+        joined = open_.join(F.broadcast(upd_key), cond, "left")
+
+        # open rows: unmatched or same attributes stay open; changed close
+        still_open = joined.filter(
+            F.col("_u_ah").isNull() | (F.col("_ah") == F.col("_u_ah"))
+        ).select(*open_.columns).drop("_ah")
+        newly_closed = joined.filter(
+            F.col("_u_ah").isNotNull() & (F.col("_ah") != F.col("_u_ah"))
+        ).withColumn("_valid_to", F.col("_u_from")).select(*open_.columns).drop("_ah")
+
+        # incoming rows: new key, or key whose open row had different attrs
+        open_key = open_.select(
+            *[F.col(k).alias(f"_o_{k}") for k in key_cols],
+            F.col("_ah").alias("_o_ah"),
+        )
+        cond2 = [F.col(k) == F.col(f"_o_{k}") for k in key_cols]
+        incoming = (
+            fresh.join(F.broadcast(open_key), cond2, "left")
+            .filter(F.col("_o_ah").isNull() | (F.col("_ah") != F.col("_o_ah")))
+            .select(*fresh.columns)
+            .drop("_ah")
+        )
+        out = closed.unionByName(still_open).unionByName(newly_closed).unionByName(
+            incoming
+        )
+    else:
+        out = fresh.drop("_ah")
+
+    tmp = path.rstrip("/") + "._scd2_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        old = path.rstrip("/") + "._scd2_old"
+        shutil.move(path, old)
+        shutil.move(tmp, path)
+        shutil.rmtree(old)
+    else:
+        shutil.move(tmp, path)

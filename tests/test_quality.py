@@ -68,3 +68,45 @@ def test_upsert_parquet_scd1(spark, tmp_path):
     # idempotent re-apply
     upsert_parquet(spark, v2, path, ["k"])
     assert spark.read.parquet(path).count() == 3
+
+
+def test_scd2_upsert_keeps_history(spark, tmp_path):
+    from real_estate_project1_etl_spark.sinks.writers import scd2_upsert
+
+    path = str(tmp_path / "dim")
+    v1 = spark.createDataFrame(
+        [(1, "praha", 100), (2, "brno", 200)], "k bigint, city string, v int"
+    ).withColumn("eff", F.lit("2026-01-01"))
+    scd2_upsert(spark, v1, path, ["k"], "eff")
+
+    t1 = spark.read.parquet(path)
+    assert t1.count() == 2
+    assert t1.filter(F.col("_valid_to").isNull()).count() == 2
+
+    # k=1 changes, k=2 unchanged, k=3 new
+    v2 = spark.createDataFrame(
+        [(1, "praha", 150), (2, "brno", 200), (3, "plzen", 300)],
+        "k bigint, city string, v int",
+    ).withColumn("eff", F.lit("2026-02-01"))
+    scd2_upsert(spark, v2, path, ["k"], "eff")
+
+    t2 = spark.read.parquet(path)
+    rows = {(r["k"], r["_valid_from"], r["_valid_to"], r["v"]) for r in t2.collect()}
+    assert rows == {
+        (1, "2026-01-01", "2026-02-01", 100),  # closed old version
+        (1, "2026-02-01", None, 150),          # new open version
+        (2, "2026-01-01", None, 200),          # untouched (no phantom close)
+        (3, "2026-02-01", None, 300),          # brand-new key
+    }
+
+    # idempotent: same batch again changes nothing
+    scd2_upsert(spark, v2, path, ["k"], "eff")
+    t3 = spark.read.parquet(path)
+    assert t3.count() == 4
+
+    # as-of query surfaces exactly one version per key
+    asof = t3.filter(
+        (F.col("_valid_from") <= "2026-01-15")
+        & (F.col("_valid_to").isNull() | (F.col("_valid_to") > "2026-01-15"))
+    )
+    assert {(r["k"], r["v"]) for r in asof.collect()} == {(1, 100), (2, 200)}

@@ -103,3 +103,25 @@ def test_semantic_dedup_keeps_all_when_threshold_high(spark):
         rows, "vec_id bigint, embedding array<double>, label int"
     )
     assert semantic_dedup(emb, n_clusters=2, threshold=0.999).count() == 4
+
+
+def test_connected_components_chain_and_islands(spark):
+    from real_estate_project1_etl_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    # a 5-chain (needs multiple propagation rounds), a triangle, a pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    labels = connected_components(edges, max_iter=10)
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+    sizes = {r["comp"]: r["size"] for r in component_sizes(labels).collect()}
+    assert sizes == {1: 5, 10: 3, 20: 2}
