@@ -2522,6 +2522,33 @@ def q_totalprice_histogram(spark, sf_dir):
     )
 
 
+@_q(
+    "token_chunks",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+    e AS (
+        SELECT doc_id, toks,
+               unnest(range(cast(ceil(len(toks) / 100.0) AS int))) AS i
+        FROM t)
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(toks[i*100+1 : (i+1)*100], ' ') AS chunk,
+           len(toks[i*100+1 : (i+1)*100]) AS n_tokens
+    FROM e
+    """,
+)
+def q_token_chunks(spark, sf_dir):
+    # context-length-aware chunking: fixed 100-token windows, boundaries
+    # never split a token. Narrow JVM flatMap (sequence->transform->
+    # posexplode), no shuffle — see textstats.token_chunk_documents
+    return T.token_chunk_documents(
+        _t(spark, sf_dir, "documents"), tokens_per_chunk=100
+    )
+
+
 @_q("near_dup_components")
 def q_near_dup_components(spark, sf_dir):
     # transitive dup groups: minhash candidate pairs -> connected

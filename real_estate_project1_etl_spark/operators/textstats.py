@@ -273,3 +273,44 @@ def sentiment_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def token_chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_chunk: int = 100,
+) -> DataFrame:
+    """Split each document into fixed-size TOKEN windows (whitespace
+    tokens, no overlap) — the context-length-aware variant of
+    ``chunk_documents``: chunk boundaries never split a token, and chunk
+    size is denominated in the unit the downstream model consumes.
+
+    Same scale shape as the char chunker: sequence -> transform ->
+    posexplode entirely JVM-side, a narrow flatMap with no shuffle and no
+    Python; chunks stay co-partitioned with their document.
+
+    Returns (id, chunk_id, chunk, n_tokens); empty documents yield no rows.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(tokens_per_chunk)).cast("int")
+    # sequence(0, -1) counts DOWN — slice to n_chunks so empty docs yield
+    # an empty array, not phantom chunks
+    starts = F.slice(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))), 1, n_chunks
+    )
+    tpc = tokens_per_chunk
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.array_join(F.slice(toks, i * tpc + 1, tpc), " ").alias("chunk"),
+            F.size(F.slice(toks, i * tpc + 1, tpc)).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(id_col, "chunk_id", F.col("_c.chunk").alias("chunk"),
+             F.col("_c.n_tokens").alias("n_tokens"))

@@ -148,3 +148,35 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    df = entry_mod.queries()["order_priority_check"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    # the date predicate reaches the orders parquet scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:400], plan
+
+
+def test_top_supplier_scalar_max_broadcasts(spark, sf_dir):
+    df = entry_mod.queries()["top_supplier"](spark, sf_dir)
+    plan = _plan(df)
+    # the 1-row max and the supplier dim both arrive via broadcast — the
+    # aggregated revenue side never reshuffles
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_argmin_window_single_exchange(spark, sf_dir):
+    df = entry_mod.queries()["cheapest_supplier_per_part"](spark, sf_dir)
+    plan = _plan(df)
+    # window-min + groupBy share the l_partkey partitioning: exactly ONE
+    # shuffle of the fact (plus AQE readers), never two
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"{n_exchange} exchanges:\n{plan}"
+
+
+def test_token_chunks_narrow_jvm(spark, sf_dir):
+    df = entry_mod.queries()["token_chunks"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

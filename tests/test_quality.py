@@ -110,3 +110,25 @@ def test_scd2_upsert_keeps_history(spark, tmp_path):
         & (F.col("_valid_to").isNull() | (F.col("_valid_to") > "2026-01-15"))
     )
     assert {(r["k"], r["v"]) for r in asof.collect()} == {(1, 100), (2, 200)}
+
+
+def test_observe_metrics_single_pass_write(spark, tmp_path):
+    from real_estate_project1_etl_spark.operators.quality import (
+        observe_metrics,
+        standard_write_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, 20.0)], "k bigint, v double"
+    )
+    rules = {"v_present": F.col("v").isNotNull(), "v_nonneg": F.col("v") >= 0}
+    observed, obs = observe_metrics(df, standard_write_metrics(rules))
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["violations_v_present"] == 1
+    # NULL v fails the >= predicate too (coalesced to a violation)
+    assert got["violations_v_nonneg"] == 2
+    # the write itself saw every row (metrics didn't fork the plan)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
