@@ -2549,6 +2549,14 @@ def q_token_chunks(spark, sf_dir):
     )
 
 
+@_q("unigram_quality_scores")
+def q_unigram_quality_scores(spark, sf_dir):
+    # LM-style quality score (mean unigram logprob, add-one smoothed) —
+    # float summation order -> rows-only; exact model pinned by
+    # tests/test_cleaning.py::test_unigram_logprob_matches_numpy_model
+    return T.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 @_q("near_dup_components")
 def q_near_dup_components(spark, sf_dir):
     # transitive dup groups: minhash candidate pairs -> connected
@@ -2564,6 +2572,66 @@ def q_near_dup_components(spark, sf_dir):
     pairs = minhash_near_duplicates(docs, "text", "doc_id")
     labels = connected_components(pairs, "id_a", "id_b", max_iter=10)
     return component_sizes(labels)
+
+
+@_q(
+    "documents_curation_pipeline",
+    r"""
+    WITH cleaned AS (
+        SELECT doc_id, lang,
+               regexp_replace(regexp_replace(regexp_replace(
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                       '\s+', ' ', 'g')),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9 \-()]{7,}[0-9]', '<PHONE>', 'g') AS t
+        FROM documents),
+    feat AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(regexp_replace(t, '\s+', ' ', 'g'))) = 0
+                    THEN 0
+                    ELSE len(string_split(
+                             trim(regexp_replace(t, '\s+', ' ', 'g')), ' '))
+               END AS n_tokens,
+               sha256(lower(trim(regexp_replace(t, '\s+', ' ', 'g')))) AS fp
+        FROM cleaned),
+    gated AS (SELECT * FROM feat WHERE n_tokens >= 20)
+    SELECT doc_id, lang, n_tokens, fp
+    FROM (SELECT doc_id, lang, n_tokens, fp,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM gated) sub
+    WHERE rn = 1
+    """,
+)
+def q_documents_curation_pipeline(spark, sf_dir):
+    # end-to-end training-data curation chain, the documents-side twin of
+    # properties_pipeline: markup strip -> PII scrub -> token-count
+    # quality gate -> exact content dedup (lowest doc_id wins). Every
+    # step is a native expression on the scan projection until the single
+    # fingerprint shuffle at the end — at 100 TB the whole chain is one
+    # map stage + one exchange.
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", "lang", T.scrub_pii(T.strip_markup(F.col("text"))).alias("t")
+    )
+    feat = cleaned.select(
+        "doc_id",
+        "lang",
+        T.whitespace_token_count(F.col("t")).alias("n_tokens"),
+        content_fingerprint(F.col("t")).alias("fp"),
+    )
+    gated = feat.filter(F.col("n_tokens") >= 20)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens", "fp")
+    )
 
 
 @_q("semantic_dedup")

@@ -314,3 +314,43 @@ def token_chunk_documents(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
     ).select(id_col, "chunk_id", F.col("_c.chunk").alias("chunk"),
              F.col("_c.n_tokens").alias("n_tokens"))
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-model quality score: mean log-probability of each
+    document's tokens under the corpus's own unigram distribution
+    (add-one smoothed). Gibberish and vocabulary-outlier documents score
+    low; the standard cheap stand-in for a perplexity filter when no
+    external LM is available.
+
+    Scale shape: one shuffle to build the vocabulary count table (small —
+    vocabulary-sized), broadcast back onto the exploded token stream, one
+    shuffle to re-aggregate per document. All arithmetic JVM-side
+    (``F.ln``); float summation order makes it rows-only for the oracle,
+    pinned instead by a numpy cross-check test.
+
+    Returns (id, n_tokens, mean_logprob).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.log((F.col("cnt") + 1) / (F.col("total") + F.col("v_size"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("lp") / F.count(F.lit(1))).alias("mean_logprob"),
+    )

@@ -96,3 +96,40 @@ def test_scalar_edges(spark):
     assert out[0]["uni"] == "Prilis zlutoucky kun 2"
     assert out[1]["l2w"] == "two words"
     assert out[1]["digits"] == 99
+
+
+def test_unigram_logprob_matches_numpy_model(spark):
+    import math
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        unigram_logprob_scores,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, "zyx qwv"),  # rare tokens -> lowest score
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in unigram_logprob_scores(df).collect()
+    }
+
+    # reference model in plain python
+    toks = {i: [w for w in t.split() if w] for i, t in docs}
+    from collections import Counter
+
+    vocab = Counter(w for ws in toks.values() for w in ws)
+    total, v = sum(vocab.values()), len(vocab)
+    for i, ws in toks.items():
+        if not ws:
+            assert i not in got  # empty docs yield no row
+            continue
+        expect = sum(math.log((vocab[w] + 1) / (total + v)) for w in ws) / len(ws)
+        n, lp = got[i]
+        assert n == len(ws)
+        assert abs(lp - expect) < 1e-9, (i, lp, expect)
+    # the gibberish doc scores strictly lowest
+    assert got[2][1] == min(lp for _, lp in got.values())
