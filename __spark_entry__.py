@@ -2493,6 +2493,39 @@ def q_tfidf_distinctive_terms(spark, sf_dir):
 
 
 @_q(
+    "orders_month_growth",
+    """
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+               count(*) AS n
+        FROM orders GROUP BY 1)
+    SELECT order_month, n,
+           n - lag(n) OVER (ORDER BY order_month) AS mom_delta
+    FROM m
+    """,
+)
+def q_orders_month_growth(spark, sf_dir):
+    # time-series delta on an aggregate (dashboard MoM shape): monthly
+    # counts then a lag window. The window input is months-sized (tiny
+    # post-agg), so the global ORDER BY window is a single-partition sort
+    # over a handful of rows, not the fact table. Integer delta keeps the
+    # compare exact.
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("order_month")
+    return monthly.select(
+        "order_month", "n", (F.col("n") - F.lag("n").over(w)).alias("mom_delta")
+    )
+
+
+@_q(
     "totalprice_histogram",
     """
     SELECT cast(floor(o_totalprice / 50000) AS bigint) AS bucket,
