@@ -2493,6 +2493,25 @@ def q_tfidf_distinctive_terms(spark, sf_dir):
 
 
 @_q(
+    "global_ids_documents",
+    """
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY doc_id) - 1 AS global_id
+    FROM documents
+    """,
+)
+def q_global_ids_documents(spark, sf_dir):
+    # global contiguous sample ids WITHOUT the single-task global-window
+    # bottleneck: range partitions + per-partition offsets (see
+    # operators/util.assign_global_ids). Oracle = the window form it
+    # replaces — proves value-identity while staying parallel.
+    from real_estate_project1_etl_spark.operators.util import assign_global_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_global_ids(docs, "doc_id")
+
+
+@_q(
     "orders_month_growth",
     """
     WITH m AS (
@@ -2579,6 +2598,25 @@ def q_token_chunks(spark, sf_dir):
     # posexplode), no shuffle — see textstats.token_chunk_documents
     return T.token_chunk_documents(
         _t(spark, sf_dir, "documents"), tokens_per_chunk=100
+    )
+
+
+@_q("dispersion_stats")
+def q_dispersion_stats(spark, sf_dir):
+    # second/third-moment profiling per group (variance, stddev, skewness,
+    # kurtosis) — float summation order is engine/partitioning-dependent,
+    # so rows-only; the exact math is pinned against numpy in
+    # tests/test_groups.py::test_dispersion_stats_match_numpy
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.var_samp("l_quantity").alias("var_qty"),
+            F.stddev_samp("l_quantity").alias("std_qty"),
+            F.skewness("l_quantity").alias("skew_qty"),
+            F.kurtosis("l_quantity").alias("kurt_qty"),
+        )
     )
 
 

@@ -98,3 +98,33 @@ def test_asof_join_rejects_column_overlap(spark):
     df = spark.createDataFrame([(1, 2)], "k int, ts int")
     with _pytest.raises(ValueError):
         asof_join(df, df, "k", "k", "ts", "ts", tiebreak="k")
+
+
+def test_dispersion_stats_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+
+    got = {
+        r["l_returnflag"]: r
+        for r in entry_mod.queries()["dispersion_stats"](spark, sf_dir).collect()
+    }
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT l_returnflag, l_quantity FROM '{sf_dir}/lineitem.parquet'"
+    ).df()
+    for flag, grp in raw.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy(dtype=float)
+        n, mean = len(x), x.mean()
+        m2 = ((x - mean) ** 2).mean()
+        m3 = ((x - mean) ** 3).mean()
+        m4 = ((x - mean) ** 4).mean()
+        r = got[flag]
+        assert r["n"] == n
+        assert abs(r["var_qty"] - x.var(ddof=1)) < 1e-6 * max(1, x.var(ddof=1))
+        assert abs(r["std_qty"] - x.std(ddof=1)) < 1e-6 * max(1, x.std(ddof=1))
+        # Spark skewness/kurtosis are population moments (m3/m2^1.5,
+        # m4/m2^2 - 3)
+        assert abs(r["skew_qty"] - m3 / m2**1.5) < 1e-6
+        assert abs(r["kurt_qty"] - (m4 / m2**2 - 3)) < 1e-6

@@ -173,3 +173,17 @@ def test_range_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
         spark.read.parquet(p_date).filter(F.col("l_shipdate") < "1996-03-01")
     )
     assert scanned_ts == total, (scanned_ts, total)  # documents the caveat
+
+
+def test_assign_global_ids_matches_window_and_stays_parallel(spark):
+    from real_estate_project1_etl_spark.operators.util import assign_global_ids
+
+    df = spark.range(0, 10_000).repartition(8).withColumnRenamed("id", "k")
+    out = assign_global_ids(df, "k")
+    rows = {(r["k"], r["global_id"]) for r in out.collect()}
+    assert rows == {(i, i) for i in range(10_000)}
+    # no global funnel: the naive window form would show an
+    # "Exchange SinglePartition" (all rows through one task); this plan
+    # must not (AQE may still coalesce TINY test data post-shuffle)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
