@@ -2601,6 +2601,92 @@ def q_token_chunks(spark, sf_dir):
     )
 
 
+@_q(
+    "cap_per_source",
+    """
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents) sub
+    WHERE rn <= 50
+    """,
+)
+def q_cap_per_source(spark, sf_dir):
+    # domain/source capping — the curation rule "at most N documents per
+    # source" (anti-overrepresentation). One exchange on source; the
+    # per-group ranked scan short-circuits at the cap via the window
+    # group-limit optimization.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "source")
+    )
+
+
+@_q(
+    "pack_chunks_per_lang",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+    e AS (
+        SELECT doc_id, lang, toks,
+               unnest(range(cast(ceil(len(toks) / 100.0) AS int))) AS i
+        FROM t),
+    chunks AS (
+        SELECT doc_id, lang, i AS chunk_id,
+               len(toks[i*100+1 : (i+1)*100]) AS n_tokens
+        FROM e)
+    SELECT doc_id, chunk_id, lang, n_tokens,
+           cast(floor((sum(n_tokens) OVER (PARTITION BY lang
+                                           ORDER BY doc_id, chunk_id)
+                       - n_tokens) / 1024.0) AS bigint) AS pack_id
+    FROM chunks
+    """,
+)
+def q_pack_chunks_per_lang(spark, sf_dir):
+    # sequence packing (GPT-style contiguous fill): chunks are laid out in
+    # a deterministic order and cut into 1024-token packs via a running
+    # cumulative sum — pack_id = floor(tokens_before / budget). Packing is
+    # per-lang so the cumsum window partitions (parallel, no global
+    # funnel); at 100 TB partition by (lang, shard) to bound group size.
+    docs = _t(spark, sf_dir, "documents")
+    chunks = T.token_chunk_documents(docs, tokens_per_chunk=100).join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 1024.0)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+@_q("mixture_sample_docs")
+def q_mixture_sample_docs(spark, sf_dir):
+    # data-mixing weights (pretraining corpus recipe): down-sample sources
+    # to target proportions. Seeded Bernoulli -> rows-only; proportions +
+    # determinism pinned by tests/test_sampling.py
+    from real_estate_project1_etl_spark.operators.quality import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=42
+    ).select("doc_id", "source")
+
+
 @_q("dispersion_stats")
 def q_dispersion_stats(spark, sf_dir):
     # second/third-moment profiling per group (variance, stddev, skewness,

@@ -100,3 +100,37 @@ def standard_write_metrics(rules: dict[str, Column]) -> dict[str, Column]:
             F.when(~F.coalesce(ok, F.lit(False)), 1).otherwise(0)
         )
     return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Down-sample sources to target mixture proportions — data-mixing
+    weights, the knob every pretraining corpus recipe turns (e.g. "wiki
+    20%, web 70%, code 10%").
+
+    Solves for the largest feasible total: K = min_s(count_s / w_s) (the
+    scarcest source relative to its target binds), then draws each source
+    Bernoulli with fraction w_s·K / count_s — the binding source keeps
+    everything, the rest thin down. Expected output proportions equal the
+    targets; nothing is up-sampled (no duplication).
+
+    Scale shape: one count aggregate (sources-sized result to the
+    driver), then one seeded ``sampleBy`` pass — a scan-stage filter, no
+    shuffle. Deterministic under retries for a fixed seed and layout.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    present = {s: w for s, w in weights.items() if s in counts and w > 0}
+    if not present:
+        return df.limit(0)
+    k = min(counts[s] / w for s, w in present.items())
+    fractions = {s: min(1.0, w * k / counts[s]) for s, w in present.items()}
+    return df.filter(F.col(source_col).isin(list(present))).sampleBy(
+        source_col, fractions, seed
+    )

@@ -73,3 +73,28 @@ def test_hash_sample_deterministic_and_shuffle_free(spark, sf_dir):
     # 3/16 of the corpus within sampling tolerance
     frac = len(a) / li.count()
     assert abs(frac - 3 / 16) < 0.02, frac
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    from real_estate_project1_etl_spark.operators.quality import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # heavily skewed target over three sources (equal-sized in the data)
+    weights = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    out = mixture_sample(docs, "source", weights, seed=7)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # src0 binds (scarcest relative to target): kept in full
+    n0 = got["src0"]
+    total = sum(got.values())
+    assert set(got) == set(weights)
+    # expected shares within Bernoulli noise of the targets
+    assert abs(got["src0"] / total - 0.6) < 0.15
+    assert abs(got["src1"] / total - 0.3) < 0.12
+    assert abs(got["src2"] / total - 0.1) < 0.08
+    # binding source keeps everything (fraction 1.0)
+    per_source = docs.filter(F.col("source") == "src0").count()
+    assert n0 == per_source
+    # deterministic for a fixed seed
+    again = mixture_sample(docs, "source", weights, seed=7)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
