@@ -2674,6 +2674,70 @@ def q_pack_chunks_per_lang(spark, sf_dir):
     )
 
 
+@_q(
+    "conversion_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def q_conversion_funnel(spark, sf_dir):
+    # ordered-sequence funnel (view -> click -> purchase, strictly later
+    # steps): each stage is first-event-after-previous-stage, so the
+    # per-user table SHRINKS stage over stage — joins get cheaper down the
+    # funnel. Timestamps stay engine-internal (only stage counts leave).
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@_q("quantized_embeddings")
+def q_quantized_embeddings(spark, sf_dir):
+    # int8 embedding quantization (4x storage/shuffle cut; ANN memory
+    # ladder) — round() grid is engine-specific -> rows-only; roundtrip
+    # cosine + error bound pinned in tests/test_similarity.py
+    from real_estate_project1_etl_spark.functions.vectors import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        quantize_int8(F.col("embedding").cast("array<double>")).alias("qvec"),
+    ).select("vec_id", F.col("qvec.scale").alias("scale"), F.col("qvec.q").alias("q"))
+
+
 @_q("mixture_sample_docs")
 def q_mixture_sample_docs(spark, sf_dir):
     # data-mixing weights (pretraining corpus recipe): down-sample sources

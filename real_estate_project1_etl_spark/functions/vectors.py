@@ -38,3 +38,30 @@ def normalize(a: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     n = l2_norm(a)
     return F.transform(a, lambda x: x / n)
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127, cells
+    round to [-127, 127] — struct(scale, q). Cuts embedding storage and
+    shuffle bytes 4x (float32) / 8x (float64); candidate generation over
+    quantized vectors + exact re-rank over originals is the standard ANN
+    memory ladder. All JVM expressions (transform/aggregate); zero vectors
+    quantize to scale 0 with all-zero cells.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    amax = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        a,
+        lambda x: F.when(scale > 0, F.round(x / scale).cast("tinyint"))
+        .otherwise(F.lit(0).cast("tinyint")),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qs: Column | str) -> Column:
+    """Inverse of ``quantize_int8``: x ≈ q * scale."""
+    qs = F.col(qs) if isinstance(qs, str) else qs
+    return F.transform(qs["q"], lambda v: v.cast("double") * qs["scale"])

@@ -125,3 +125,40 @@ def test_connected_components_chain_and_islands(spark):
     }
     sizes = {r["comp"]: r["size"] for r in component_sizes(labels).collect()}
     assert sizes == {1: 5, 10: 3, 20: 2}
+
+
+def test_int8_quantization_roundtrip_preserves_cosine(spark, sf_dir):
+    import numpy as np
+
+    from real_estate_project1_etl_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = _emb(spark, sf_dir).limit(50)
+    rt = emb.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("back"),
+    ).withColumn("cos", cosine_similarity(F.col("orig"), F.col("back")))
+    rows = rt.collect()
+    assert rows
+    for r in rows:
+        # int8 grid keeps direction: cosine to the original stays ~1
+        assert r["cos"] > 0.995, (r["vec_id"], r["cos"])
+        back = np.array(r["back"])
+        orig = np.array(r["orig"])
+        scale = np.abs(orig).max() / 127.0
+        assert np.all(np.abs(back - orig) <= scale * 0.5 + 1e-12)
+
+
+def test_int8_quantization_zero_vector(spark):
+    from real_estate_project1_etl_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "id bigint, v array<double>")
+    r = df.select(dequantize_int8(quantize_int8("v")).alias("back")).collect()[0]
+    assert r["back"] == [0.0, 0.0, 0.0]
