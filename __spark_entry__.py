@@ -2724,6 +2724,23 @@ def q_conversion_funnel(spark, sf_dir):
     )
 
 
+@_q("quantized_rerank_topk")
+def q_quantized_rerank_topk(spark, sf_dir):
+    # two-stage ANN: int8 coarse search + exact re-rank on survivors —
+    # rows-only (round grid); recall >= 0.9 vs exact pinned in
+    # tests/test_similarity.py::test_quantized_rerank_recall_near_exact
+    from real_estate_project1_etl_spark.operators.similarity import (
+        quantized_rerank_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return quantized_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, candidate_factor=4
+    )
+
+
 @_q("quantized_embeddings")
 def q_quantized_embeddings(spark, sf_dir):
     # int8 embedding quantization (4x storage/shuffle cut; ANN memory

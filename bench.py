@@ -47,6 +47,7 @@ HEADLINE = [
     "minhash_near_dup",
     "volume_shipping",
     "hash_sample",
+    "documents_curation_pipeline",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -68,6 +69,7 @@ COST = {
     "minhash_near_dup": "shingle+32-hash fold (CPU), band explode, bucket self-join",
     "volume_shipping": "6-way join: pushed date scan + 1 shuffle, 4 broadcasts",
     "hash_sample": "md5-nibble predicate in the scan stage; no shuffle",
+    "documents_curation_pipeline": "regex chain + sha256 over text (CPU) + 1 fingerprint exchange",
 }
 
 

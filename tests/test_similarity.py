@@ -162,3 +162,17 @@ def test_int8_quantization_zero_vector(spark):
     df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "id bigint, v array<double>")
     r = df.select(dequantize_int8(quantize_int8("v")).alias("back")).collect()[0]
     assert r["back"] == [0.0, 0.0, 0.0]
+
+
+def test_quantized_rerank_recall_near_exact(spark, sf_dir):
+    from real_estate_project1_etl_spark.operators.similarity import (
+        quantized_rerank_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(brute_force_topk(emb, q, k=5, round_to=6))
+    approx = _pairs(quantized_rerank_topk(emb, q, k=5, candidate_factor=4))
+    recall = len(exact & approx) / len(exact)
+    # int8 coarse + 4x candidates recovers nearly all exact neighbors
+    assert recall >= 0.9, f"quantized-rerank recall {recall:.2f}"
