@@ -2724,6 +2724,30 @@ def q_conversion_funnel(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_skew_report",
+    """
+    WITH counts AS (
+        SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts)
+    SELECT row_number() OVER (ORDER BY n DESC, key ASC) AS rank,
+           key, n,
+           n / cast(total AS double) AS share,
+           n * n_keys / cast(total AS double) AS uniform_ratio
+    FROM (SELECT key, n FROM counts ORDER BY n DESC, key ASC LIMIT 10) top,
+         tot
+    """,
+)
+def q_orders_skew_report(spark, sf_dir):
+    # key-skew diagnosis (decides salting / AQE skew config before a big
+    # join runs): top-10 heaviest keys with share and hot-key ratio.
+    # TakeOrderedAndProject partial top-k — the distinct-key table never
+    # funnels through one task. int/int double divisions stay exact.
+    from real_estate_project1_etl_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=10)
+
+
 @_q("quantized_rerank_topk")
 def q_quantized_rerank_topk(spark, sf_dir):
     # two-stage ANN: int8 coarse search + exact re-rank on survivors —

@@ -10,7 +10,7 @@ value so every (key, salt) partition joins locally.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,39 @@ def salted_join(
     )
     out = big_s.join(small_s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Key-distribution diagnosis — the measurement that decides whether a
+    join/agg needs salting or AQE skew handling BEFORE it runs at scale.
+
+    Returns the ``top_n`` heaviest keys with their share of all rows and
+    the ratio to a perfectly uniform key (>> 1 means a hot key: e.g.
+    ratio 50 on a 32-way shuffle means one task does ~50/32 of the
+    average work). One count aggregate + a tiny top-k; run it on a
+    sample for a quick look, the full table for the real decision.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # partial top-k, no single-partition sort of the (possibly huge)
+    # distinct-key table; the rank window then runs on top_n rows only
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    return (
+        top.join(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            F.col(key_col).alias("key"),
+            "n",
+            (F.col("n") / F.col("total")).alias("share"),
+            (F.col("n") * F.col("n_keys") / F.col("total")).alias(
+                "uniform_ratio"
+            ),
+        )
+    )
