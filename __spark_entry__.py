@@ -2779,6 +2779,22 @@ def q_quantized_embeddings(spark, sf_dir):
     ).select("vec_id", F.col("qvec.scale").alias("scale"), F.col("qvec.q").alias("q"))
 
 
+@_q("user_value_anomalies")
+def q_user_value_anomalies(spark, sf_dir):
+    # per-entity z-score anomaly flagging (telemetry/quality monitoring):
+    # one exchange on user_id computes the per-user mean/std analytic and
+    # the z-score in the same window pass. Float std -> rows-only; math
+    # pinned by tests/test_groups.py::test_user_value_anomalies_match_numpy
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.mean("value").over(w)) / F.stddev_pop("value").over(w)
+    return (
+        ev.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2)
+        .select("event_id", "user_id", "value", "z")
+    )
+
+
 @_q("mixture_sample_docs")
 def q_mixture_sample_docs(spark, sf_dir):
     # data-mixing weights (pretraining corpus recipe): down-sample sources

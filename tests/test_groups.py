@@ -128,3 +128,31 @@ def test_dispersion_stats_match_numpy(spark, sf_dir):
         # m4/m2^2 - 3)
         assert abs(r["skew_qty"] - m3 / m2**1.5) < 1e-6
         assert abs(r["kurt_qty"] - (m4 / m2**2 - 3)) < 1e-6
+
+
+def test_user_value_anomalies_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    import duckdb
+
+    got = {
+        r["event_id"]: r["z"]
+        for r in entry_mod.queries()["user_value_anomalies"](spark, sf_dir).collect()
+    }
+    raw = duckdb.sql(
+        f"SELECT event_id, user_id, value FROM '{sf_dir}/events.parquet'"
+    ).df()
+    expected = {}
+    for _, grp in raw.groupby("user_id"):
+        x = grp["value"].to_numpy(dtype=float)
+        mean, std = x.mean(), x.std()  # population std, matching stddev_pop
+        if std == 0:
+            continue
+        for eid, v in zip(grp["event_id"], x):
+            z = (v - mean) / std
+            if abs(z) > 2:
+                expected[eid] = z
+    assert set(got) == set(expected)
+    for eid, z in expected.items():
+        assert abs(got[eid] - z) < 1e-6, (eid, got[eid], z)

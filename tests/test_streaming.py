@@ -198,3 +198,50 @@ def test_state_carries_across_micro_batches(spark, events_batch, tmp_path):
     for uid, r in final.items():
         assert r.n_events == exp[uid].n_events
         assert abs(r.total_value - round(exp[uid].total_value, 2)) < 1e-9
+
+
+def test_curation_chain_is_streaming_safe(spark, sf_dir, tmp_path):
+    """The documents curation chain (markup strip -> PII scrub -> quality
+    gate -> exact dedup) runs unchanged as a streaming query: every step
+    is a stateless Column expression except the dedup, which swaps the
+    batch row_number window for streaming dropDuplicates state."""
+    from real_estate_project1_etl_spark.operators import textstats as T
+    from real_estate_project1_etl_spark.operators.dedup import content_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def curate_stateless(df):
+        cleaned = df.select(
+            "doc_id", T.scrub_pii(T.strip_markup(F.col("text"))).alias("t")
+        )
+        return cleaned.select(
+            "doc_id",
+            T.whitespace_token_count(F.col("t")).alias("n_tokens"),
+            content_fingerprint(F.col("t")).alias("fp"),
+        ).filter(F.col("n_tokens") >= 20)
+
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        curate_stateless(stream)
+        .dropDuplicates(["fp"])
+        .writeStream.format("memory")
+        .queryName("mem_curation")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("mem_curation")
+
+    batch = curate_stateless(docs)
+    # same surviving content set (streaming keeps first-seen per digest,
+    # batch keeps lowest doc_id — ids may differ, content may not)
+    got_fps = sorted(r["fp"] for r in out.select("fp").collect())
+    exp_fps = sorted(
+        r["fp"] for r in batch.select("fp").distinct().collect()
+    )
+    assert got_fps == exp_fps
+    # exactly one survivor per digest
+    assert out.count() == len(exp_fps)
