@@ -2779,6 +2779,42 @@ def q_quantized_embeddings(spark, sf_dir):
     ).select("vec_id", F.col("qvec.scale").alias("scale"), F.col("qvec.q").alias("q"))
 
 
+@_q(
+    "nationkey_bag_set_ops",
+    """
+    SELECT 'except_all' AS op, nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier) GROUP BY nationkey
+    UNION ALL
+    SELECT 'intersect_all' AS op, nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier) GROUP BY nationkey
+    """,
+)
+def q_nationkey_bag_set_ops(spark, sf_dir):
+    # bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity-
+    # aware difference and intersection — one partial-count exchange per
+    # side, result compared as (key, multiplicity) so row identity never
+    # matters. Completes the set-op family next to the DISTINCT forms.
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    return ea.unionByName(ia)
+
+
 @_q("user_value_anomalies")
 def q_user_value_anomalies(spark, sf_dir):
     # per-entity z-score anomaly flagging (telemetry/quality monitoring):
