@@ -2815,6 +2815,40 @@ def q_nationkey_bag_set_ops(spark, sf_dir):
     return ea.unionByName(ia)
 
 
+@_q(
+    "conditional_aggregates",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           cast(sum(cast(l_extendedprice AS decimal(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS double) AS discounted_base
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_conditional_aggregates(spark, sf_dir):
+    # FILTER-clause conditional aggregation — many conditioned metrics in
+    # ONE partial+final agg pass (the alternative, one scan per metric, is
+    # the classic dashboard anti-pattern). when()-wrapped aggregates
+    # compile to the same single-exchange plan.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("discounted_base"),
+    )
+
+
 @_q("user_value_anomalies")
 def q_user_value_anomalies(spark, sf_dir):
     # per-entity z-score anomaly flagging (telemetry/quality monitoring):
