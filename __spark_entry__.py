@@ -699,8 +699,11 @@ def q_event_hourly_windows(spark, sf_dir):
         FROM events
     ), sessions AS (
         SELECT user_id, event_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               -- cast: DuckDB sum(int) is HUGEINT -> pandas float64; Spark's
+               -- window sum is bigint.  Pin both sides to bigint so the
+               -- driver's format-sensitive value hash agrees (r01 red row).
+               cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id,

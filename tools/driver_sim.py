@@ -31,13 +31,17 @@ def canon(df):
     df = df[cols]
 
     def cell(v):
+        # STRICT stringification: floats keep their float form ("5.0", not
+        # "5") so int-vs-float dtype drift between Spark and DuckDB is caught
+        # here before the (format-sensitive) grading driver sees it.  DuckDB
+        # sum(integer) returns HUGEINT -> pandas float64, while Spark's sum
+        # of ints is bigint -> int64; without strict mode that divergence is
+        # invisible (bit us: event_sessionization, CORRECTNESS_r01).
         if v is None:
             return "NULL"
         if isinstance(v, float):
             if math.isnan(v):
                 return "NULL"
-            if v == int(v) and abs(v) < 2**53:
-                return str(int(v))
             return repr(v)
         return str(v)
 
