@@ -95,6 +95,22 @@ def _to_i64(v: int) -> int:
     return v - 2**64 if v >= 2**63 else v
 
 
+def _require_ansi_off(spark=None) -> None:
+    """The minhash universal-hash fold relies on Java long wrap-around, which
+    ANSI mode turns into ARITHMETIC_OVERFLOW. Fail fast with guidance instead
+    of blowing up mid-job on a vanilla Spark 4 session (ANSI on by default)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is not None and spark.conf.get("spark.sql.ansi.enabled", "false") == "true":
+        raise ValueError(
+            "minhash_signature requires spark.sql.ansi.enabled=false "
+            "(its universal-hash fold uses 64-bit wrap-around arithmetic); "
+            "set the conf before building the plan"
+        )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """k independent min-hashes — one array column, no UDF. One strong
     content hash per shingle (xxhash64), then k universal-hash permutations
@@ -109,8 +125,10 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     re-evaluate the shingling k times after projection collapse.
 
     Note: relies on Java long overflow wrap-around, i.e. ANSI mode OFF
-    (the session factory sets this).
+    (the session factory sets this; asserted here so a vanilla Spark 4
+    session fails at plan time with guidance, not mid-job).
     """
+    _require_ansi_off()
     av, bv = _perm_constants(num_hashes)
     init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
 
@@ -136,6 +154,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.6,
+    round_digits: int | None = 4,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: returns (id_a, id_b, jaccard) with
     id_a < id_b and exact-shingle Jaccard >= threshold.
@@ -144,7 +163,17 @@ def minhash_near_duplicates(
     (band, slice) keys -> self equi-join on the bucket key (shuffle on
     bucket, never cross) -> exact Jaccard verify on the candidate pairs
     only. rows*bands is the exploded size; bands is small (8).
+
+    Recall knob: P(candidate) = 1-(1-J^r)^b with r = num_hashes//bands.
+    With bands == num_hashes (r=1), P = 1-(1-J)^b — e.g. >= 1-0.6^32 ~
+    1-8e-9 at J=0.6 — so the verified output equals the exact all-pairs
+    Jaccard>=threshold set with near-certainty; the default (r=4) trades
+    recall near the threshold for smaller buckets.
+
+    ``round_digits=None`` emits the raw int/int division (bit-identical
+    across engines; preferred for differential testing).
     """
+    _require_ansi_off(df.sparkSession)
     rows_per_band = num_hashes // bands
     sig = (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
@@ -190,16 +219,35 @@ def minhash_near_duplicates(
     # signature table can be released eagerly instead of pinning executor
     # memory for the caller's lifetime.
     sh = sig.select("id", "sh")
+    jac = ngram_jaccard(F.col("sh_a"), F.col("sh_b"))
+    if round_digits is not None:
+        jac = F.round(jac, round_digits)
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=True)
     )
     sig.unpersist()
     return out
+
+
+def shingle_hash_expr(s: Column, hash_fn: str = "xxhash64") -> Column:
+    """64-bit shingle hash, selectable for engine parity.
+
+    - ``xxhash64``: fastest (JVM native); not reproducible outside Spark.
+    - ``md5_60``: first 15 hex chars of md5 as a 60-bit non-negative long —
+      bit-identical in any engine with md5 (DuckDB:
+      ``('0x' || substr(md5(s),1,15))::BIGINT``), which makes simhash
+      fingerprints differentially testable end-to-end.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown shingle hash_fn: {hash_fn!r}")
 
 
 def simhash64(text: Column | str, ngram: int = 2, bits: int = 64) -> Column:
@@ -228,7 +276,8 @@ def simhash64(text: Column | str, ngram: int = 2, bits: int = 64) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, ngram: int = 2
+    df: DataFrame, text_col: str, id_col: str, ngram: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) via the hybrid fast path: shingle hashing stays in the
     JVM (xxhash64, deterministic), the 64-bit vote tally runs as an
@@ -241,9 +290,10 @@ def simhash_signatures(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     ).select(
         "id",
-        F.transform(word_shingles(F.col("t"), ngram), lambda s: F.xxhash64(s)).alias(
-            "hs"
-        ),
+        F.transform(
+            word_shingles(F.col("t"), ngram),
+            lambda s: shingle_hash_expr(s, hash_fn),
+        ).alias("hs"),
     )
 
     def tally(batches):
@@ -271,12 +321,17 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs via 4x16-bit band blocking: any pair within
     Hamming distance 3 shares at least one of 4 bands (pigeonhole), so the
-    candidate join is equi on (band, 16-bit chunk)."""
-    sim = simhash_signatures(df, text_col, id_col)
+    candidate join is equi on (band, 16-bit chunk).
+
+    With ``max_hamming <= 3`` recall is exactly 1 (pigeonhole guarantee),
+    so the output IS the set of pairs with hamming(simhash) <= max_hamming
+    — with ``hash_fn='md5_60'`` that set is reproducible in any engine."""
+    sim = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     banded = sim.select(
         "id",
         "sh",
