@@ -1362,39 +1362,268 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
-# ---- rows-only checks (non-SQL-expressible / approximate operators) ------
+# ---- approximate operators, made oracle-exact -----------------------------
+#
+# Each of these runs the REAL approximate operator (LSH banding, simhash
+# blocking, IVF probing) under parameters that make it fully deterministic
+# AND mirror the construction itself in DuckDB SQL — inlined hyperplane
+# constants, md5-based shingle hashes, deterministic centroid tables — so
+# the oracle checks the whole candidate-generation pipeline bit-for-bit,
+# not just a recall bound.  (Round-1 these were `no_oracle` rows.)
+
+_DOC_WORDS_SQL = r"string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"
 
 
-@_q("minhash_near_dup")
+def _shingles_sql(n: int) -> str:
+    # DuckDB mirror of operators/dedup.word_shingles (distinct word n-grams)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(w)-{n-1}, 1)+1), "
+        f"i -> array_to_string(list_slice(w, i, i+{n-1}), ' ')))"
+    )
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _planes_bucket_sql(vcol: str, planes) -> str:
+    # DuckDB mirror of operators/similarity.lsh_bucket_expr with the
+    # seeded-LCG hyperplanes inlined as float literals (repr round-trips)
+    terms = [
+        "(CASE WHEN list_dot_product({v}, [{p}]) > 0 THEN {w} ELSE 0 END)".format(
+            v=vcol, p=", ".join(repr(float(x)) for x in plane), w=1 << i
+        )
+        for i, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _minhash_oracle_sql() -> str:
+    # DuckDB mirror of the PRODUCTION minhash pipeline (r=4 banding):
+    # md5_60 shingle hashes, the mod-2^64 universal-hash fold emulated with
+    # HUGEINT arithmetic + signed remap, string-agg band buckets, candidate
+    # equi-join on (band, bucket), exact-Jaccard verify — checked
+    # bit-for-bit, including which pairs banding surfaces.
+    from real_estate_project1_etl_spark.operators.dedup import _perm_constants
+
+    av, bv = _perm_constants(32)
+    perms = ",\n            ".join(
+        f"({i}, {av[i]}::HUGEINT, {bv[i]}::HUGEINT)" for i in range(32)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    shl AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM w),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+    ),
+    perms(p, a, b) AS (VALUES
+            {perms}
+    ),
+    mins AS (
+        SELECT doc_id, p,
+               min(CASE WHEN m >= 9223372036854775808::HUGEINT
+                        THEN m - 18446744073709551616::HUGEINT
+                        ELSE m END)::BIGINT AS mh
+        FROM (
+            SELECT doc_id, p,
+                   (a * h + b) % 18446744073709551616::HUGEINT AS m
+            FROM h, perms
+        )
+        GROUP BY doc_id, p
+    ),
+    bands AS (
+        SELECT doc_id, p // 4 AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY p) AS bucket
+        FROM mins GROUP BY doc_id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(x.sh, y.sh))
+             / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+    FROM cand
+    JOIN shl x ON x.doc_id = id_a
+    JOIN shl y ON y.doc_id = id_b
+    WHERE len(list_intersect(x.sh, y.sh))
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.4
+    """
+
+
+@_q("minhash_near_dup", _minhash_oracle_sql())
 def q_minhash_near_dup(spark, sf_dir):
+    # PRODUCTION banding (num_hashes=32, bands=8, r=4) — the oracle mirrors
+    # the entire LSH construction, so this checks candidate generation too,
+    # not just the verified pair set.  hash_fn='md5_60' makes the shingle
+    # hash engine-reproducible; round_digits=None emits the raw int/int
+    # Jaccard division (bit-identical across engines).
     return minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.4
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        jaccard_threshold=0.4,
+        round_digits=None,
+        hash_fn="md5_60",
     )
 
 
-@_q("simhash_near_dup")
+@_q(
+    "simhash_near_dup",
+    f"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, unnest({_shingles_sql(2)}) AS s FROM w),
+    h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+    bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM h, (SELECT unnest(range(60)) AS b)
+        GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN 1::BIGINT << b
+                        ELSE 0::BIGINT END)::BIGINT AS sh
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh))::INT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def q_simhash_near_dup(spark, sf_dir):
+    # hash_fn='md5_60' makes the shingle hash engine-reproducible (the
+    # oracle recomputes the same 60-bit simhash via per-bit votes), and
+    # max_hamming=3 is the 4x16-bit pigeonhole bound — recall is exactly 1,
+    # so output == exact all-pairs hamming<=3 set.
     return simhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=3, hash_fn="md5_60",
     )
 
 
-@_q("lsh_ann_topk")
+_LSH_PLANES_8 = None
+
+
+def _lsh_planes_8():
+    global _LSH_PLANES_8
+    if _LSH_PLANES_8 is None:
+        from real_estate_project1_etl_spark.operators.similarity import (
+            _random_hyperplanes,
+        )
+
+        _LSH_PLANES_8 = _random_hyperplanes(64, 8, 42)
+    return _LSH_PLANES_8
+
+
+def _lsh_topk_sql() -> str:
+    planes = _lsh_planes_8()
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, cast(embedding AS double[]) AS cv
+        FROM embeddings
+    ), qb AS (SELECT query_id, qv, {_planes_bucket_sql('qv', planes)} AS bucket FROM q),
+    cb AS (SELECT neighbor_id, cv, {_planes_bucket_sql('cv', planes)} AS bucket FROM c),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({_COS_SQL.format(a='qv', b='cv')}, 6) AS sim
+        FROM cb JOIN qb USING (bucket)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@_q("lsh_ann_topk", _lsh_topk_sql())
 def q_lsh_ann_topk(spark, sf_dir):
+    # the oracle inlines the same seeded-LCG hyperplanes as SQL literals,
+    # so bucketing + within-bucket exact rerank are differentially checked
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
-@_q("ivf_ann_topk")
+_IVF_N_LISTS, _IVF_N_PROBE = 16, 4
+
+
+@_q(
+    "ivf_ann_topk",
+    f"""
+    WITH cents AS (
+        SELECT vec_id::INT AS list_id, cast(embedding AS double[]) AS centroid
+        FROM embeddings WHERE vec_id < {_IVF_N_LISTS}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, cast(embedding AS double[]) AS cv
+        FROM embeddings
+    ), assigned AS (
+        SELECT neighbor_id, cv, list_id FROM (
+            SELECT neighbor_id, cv, list_id,
+                   row_number() OVER (
+                       PARTITION BY neighbor_id
+                       ORDER BY {_COS_SQL.format(a='cv', b='centroid')} DESC,
+                                list_id) AS rn
+            FROM c, cents
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), probed AS (
+        SELECT query_id, qv, list_id FROM (
+            SELECT query_id, qv, list_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_COS_SQL.format(a='qv', b='centroid')} DESC,
+                                list_id) AS pr
+            FROM q, cents
+        ) WHERE pr <= {_IVF_N_PROBE}
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round({_COS_SQL.format(a='qv', b='cv')}, 6) AS sim
+        FROM assigned JOIN probed USING (list_id)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def q_ivf_ann_topk(spark, sf_dir):
+    # fit-once path: a deterministic centroid table (first n_lists vectors)
+    # stands in for the saved KMeans quantizer, which makes IVF assignment,
+    # probing, and rerank all engine-reproducible (mirrored in the oracle).
     from real_estate_project1_etl_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    cents = emb.filter(F.col("vec_id") < _IVF_N_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_probe=_IVF_N_PROBE,
+        centroids=cents,
+    )
 
 
 @_q("multimodal_features")

@@ -111,7 +111,9 @@ def _require_ansi_off(spark=None) -> None:
         )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, hash_fn: str = "xxhash64"
+) -> Column:
     """k independent min-hashes — one array column, no UDF. One strong
     content hash per shingle (xxhash64), then k universal-hash permutations
     ``h_i = a_i*h + b_i mod 2^64`` (odd ``a_i`` makes each a bijection, so
@@ -122,18 +124,26 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     accumulator is the k-vector of running minima, merged via
     zip_with/least) so the shingle expression is referenced exactly once —
     k separate ``array_min(transform(...))`` calls would inline and
-    re-evaluate the shingling k times after projection collapse.
+    re-evaluate the shingling k times after projection collapse.  The
+    content hash is materialized per shingle by a ``transform`` BEFORE the
+    fold, so each shingle is hashed exactly once (codegen CSE is not
+    guaranteed across the k fold branches; measured 5x on the md5 path).
 
     Note: relies on Java long overflow wrap-around, i.e. ANSI mode OFF
     (the session factory sets this; asserted here so a vanilla Spark 4
     session fails at plan time with guidance, not mid-job).
+
+    ``hash_fn``: shingle hash selector (see :func:`shingle_hash_expr`) —
+    ``md5_60`` makes the whole signature reproducible outside Spark (the
+    wrap-around fold is emulable with 128-bit ints), enabling an exact
+    DuckDB oracle of the production banding pipeline.
     """
     _require_ansi_off()
     av, bv = _perm_constants(num_hashes)
     init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
+    hashed = F.transform(shingles, lambda s: shingle_hash_expr(s, hash_fn))
 
-    def merge(acc: Column, s: Column) -> Column:
-        base = F.xxhash64(s)
+    def merge(acc: Column, base: Column) -> Column:
         hs = F.array(
             *[
                 base * F.lit(_to_i64(av[i])).cast("long")
@@ -143,7 +153,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
         )
         return F.zip_with(acc, hs, lambda a, h: F.least(a, h))
 
-    return F.aggregate(shingles, init, merge)
+    return F.aggregate(hashed, init, merge)
 
 
 def minhash_near_duplicates(
@@ -155,6 +165,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.6,
     round_digits: int | None = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: returns (id_a, id_b, jaccard) with
     id_a < id_b and exact-shingle Jaccard >= threshold.
@@ -178,7 +189,7 @@ def minhash_near_duplicates(
     sig = (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
         .select("id", word_shingles(text_col, shingle_n).alias("sh"))
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, hash_fn))
     )
     # signatures are reused by banding and by both candidate-fetch joins;
     # persist spill-safe (at production scale this would be an explicit
@@ -366,6 +377,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.97,
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-space dedup (Abbas et al., arXiv:2303.09540):
     KMeans-cluster the unit-normalized embeddings, then inside each cluster
@@ -381,22 +393,39 @@ def semantic_dedup(
     so clusters stay ~1e4-1e5 rows; memory per task is one cluster's
     vectors, never the corpus.
 
+    ``centroids``: a pre-fitted (list_id, centroid array<double>) table
+    (see :func:`..similarity.fit_ivf_centroids` — fit once on a sample,
+    save, reuse). When given, no per-call KMeans fit happens: rows are
+    assigned to their nearest centroid by cosine, which on the normalized
+    vectors equals Euclidean argmin — deterministic and reproducible in
+    any engine, so the whole operator becomes differentially testable.
+
     Returns the kept rows of ``emb`` with original columns.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..functions.vectors import dot, normalize
 
     base = emb.select(id_col, vec_col).withColumn(
         "u", normalize(F.col(vec_col).cast("array<double>"))
     )
-    feat = ensure_parallelism(base).withColumn("features", array_to_vector("u"))
-    model = (
-        KMeans(k=n_clusters, seed=seed, maxIter=5, predictionCol="cluster_id")
-        .fit(feat)
-    )
-    assigned = model.transform(feat).select(id_col, "u", "cluster_id")
+    if centroids is not None:
+        from .similarity import assign_to_centroids
+
+        assigned = assign_to_centroids(
+            ensure_parallelism(base.select(id_col, "u")),
+            centroids,
+            "u",
+            "cluster_id",
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = ensure_parallelism(base).withColumn("features", array_to_vector("u"))
+        model = (
+            KMeans(k=n_clusters, seed=seed, maxIter=5, predictionCol="cluster_id")
+            .fit(feat)
+        )
+        assigned = model.transform(feat).select(id_col, "u", "cluster_id")
 
     a = assigned.select(F.col(id_col).alias("i"), F.col("u").alias("ui"), "cluster_id")
     b = assigned.select(F.col(id_col).alias("j"), F.col("u").alias("uj"), "cluster_id")

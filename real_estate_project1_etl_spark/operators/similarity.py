@@ -94,11 +94,17 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    round_to: int = 6,
 ) -> DataFrame:
     """Approximate top-k: both sides bucketed by random-hyperplane signature,
     equi-join on bucket, exact cosine within bucket. Recall rises with fewer
     planes (bigger buckets) or multi-probe; at 100 TB this replaces the
-    O(|Q|x|C|) broadcast join with an O(collisions) shuffle join."""
+    O(|Q|x|C|) broadcast join with an O(collisions) shuffle join.
+
+    Fully deterministic: the hyperplanes come from a seeded pure-python
+    LCG (``_random_hyperplanes``), so the bucketing — and therefore the
+    output — is reproducible in any engine that inlines the same plane
+    constants (the DuckDB oracle does exactly that)."""
     planes = _random_hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -113,7 +119,7 @@ def lsh_topk(
     scored = (
         c.join(q, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), 6))
+        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), round_to))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -188,6 +194,59 @@ def lsh_topk_multiprobe(
     )
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Fit-once coarse quantizer for :func:`ivf_topk`: KMeans over the
+    corpus, returned as a plain (list_id, centroid) DataFrame the caller
+    can persist (``.write.parquet``) and reuse across queries/sessions.
+
+    At 100 TB the quantizer is fitted ONCE on a sample and saved; every
+    subsequent ``ivf_topk(..., centroids=saved)`` call skips the fit — the
+    per-call KMeans in the default path is a small-scale convenience only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = ensure_parallelism(
+        corpus.select(F.col(vec_col).alias("c_vec"))
+    ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
+    model = KMeans(k=n_lists, seed=seed, maxIter=5).fit(feat)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        rows, "list_id int, centroid array<double>"
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame, cents: DataFrame, vec_col: str, out_col: str = "list_id"
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (ties -> lowest list_id):
+    broadcast the tiny centroid table, score every (row, centroid) pair,
+    keep the argmax per row. One broadcast join + one window — no shuffle
+    of the corpus beyond the window's per-row partition (keyed on the
+    row id columns already present).
+
+    Cosine argmax equals Euclidean argmin when vectors are unit-normalized
+    (spherical k-means assignment); deterministic for a given centroid
+    table, which makes IVF/SemDeDup reproducible across engines.
+    """
+    scored = df.join(F.broadcast(cents)).withColumn(
+        "_cd", cosine_similarity(F.col(vec_col), F.col("centroid"))
+    )
+    wa = Window.partitionBy(*df.columns).orderBy(
+        F.col("_cd").desc(), F.col("list_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select(*df.columns, F.col("list_id").alias(out_col))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -197,32 +256,47 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: DataFrame | None = None,
+    round_to: int = 6,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans coarse quantizer partitions the
-    corpus into ``n_lists`` cells; each query probes its ``n_probe``
-    nearest cells and scores exact cosine only within them.
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    into ``n_lists`` cells; each query probes its ``n_probe`` nearest
+    cells and scores exact cosine only within them.
 
     Scale shape: the corpus is scanned once for assignment (model
     broadcast), then the candidate join is equi on ``list_id`` — the probe
     factor (n_probe/n_lists) is the fraction of the corpus each query
     touches. Centroids live on the driver (n_lists x dim — tiny) and ship
     as a broadcast literal table.
+
+    ``centroids``: a pre-fitted (list_id, centroid array<double>) table —
+    the fit-once path (:func:`fit_ivf_centroids`, or any deterministic
+    choice of centroids). When given, no KMeans fit happens here and corpus
+    assignment is nearest-centroid by cosine (:func:`assign_to_centroids`),
+    so results are fully deterministic and engine-reproducible. When None,
+    a per-call KMeans fit (seeded) supplies the quantizer.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    corp0 = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    if centroids is not None:
+        cents = centroids
+        assigned = assign_to_centroids(
+            ensure_parallelism(corp0), cents, "c_vec", "list_id"
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    spark = corpus.sparkSession
-    corp = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
+        spark = corpus.sparkSession
+        corp = ensure_parallelism(corp0).withColumn(
+            "features", array_to_vector(F.col("c_vec").cast("array<double>"))
+        )
+        model = KMeans(k=n_lists, seed=seed, maxIter=5, predictionCol="list_id").fit(corp)
+        assigned = model.transform(corp).select("neighbor_id", "c_vec", "list_id")
 
-    model = KMeans(k=n_lists, seed=seed, maxIter=5, predictionCol="list_id").fit(corp)
-    assigned = model.transform(corp).select("neighbor_id", "c_vec", "list_id")
-
-    centroid_rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cents = spark.createDataFrame(centroid_rows, "list_id int, centroid array<double>")
+        centroid_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        cents = spark.createDataFrame(centroid_rows, "list_id int, centroid array<double>")
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probes = (
@@ -239,7 +313,7 @@ def ivf_topk(
     scored = (
         assigned.join(probed, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), 6))
+        .withColumn("sim", F.round(cosine_similarity("q_vec", "c_vec"), round_to))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
