@@ -1400,12 +1400,14 @@ def _planes_bucket_sql(vcol: str, planes) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_pairs_ctes(threshold: float) -> str:
     # DuckDB mirror of the PRODUCTION minhash pipeline (r=4 banding):
     # md5_60 shingle hashes, the mod-2^64 universal-hash fold emulated with
     # HUGEINT arithmetic + signed remap, string-agg band buckets, candidate
     # equi-join on (band, bucket), exact-Jaccard verify — checked
-    # bit-for-bit, including which pairs banding surfaces.
+    # bit-for-bit, including which pairs banding surfaces.  Returns the CTE
+    # chain ending in ``pairs(id_a, id_b, jaccard)`` so both the pair query
+    # and the connected-components query compose on it.
     from real_estate_project1_etl_spark.operators.dedup import _perm_constants
 
     av, bv = _perm_constants(32)
@@ -1413,7 +1415,7 @@ def _minhash_oracle_sql() -> str:
         f"({i}, {av[i]}::HUGEINT, {bv[i]}::HUGEINT)" for i in range(32)
     )
     return f"""
-    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
     shl AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM w),
     h AS (
         SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
@@ -1443,19 +1445,23 @@ def _minhash_oracle_sql() -> str:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b,
-           len(list_intersect(x.sh, y.sh))
-             / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-    FROM cand
-    JOIN shl x ON x.doc_id = id_a
-    JOIN shl y ON y.doc_id = id_b
-    WHERE len(list_intersect(x.sh, y.sh))
-            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.4
-    """
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               len(list_intersect(x.sh, y.sh))
+                 / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        FROM cand
+        JOIN shl x ON x.doc_id = id_a
+        JOIN shl y ON y.doc_id = id_b
+        WHERE len(list_intersect(x.sh, y.sh))
+                / len(list_distinct(list_concat(x.sh, y.sh))) >= {threshold}
+    )"""
 
 
-@_q("minhash_near_dup", _minhash_oracle_sql())
+@_q(
+    "minhash_near_dup",
+    f"WITH {_minhash_pairs_ctes(0.4)} SELECT id_a, id_b, jaccard FROM pairs",
+)
 def q_minhash_near_dup(spark, sf_dir):
     # PRODUCTION banding (num_hashes=32, bands=8, r=4) — the oracle mirrors
     # the entire LSH construction, so this checks candidate generation too,
@@ -2464,7 +2470,52 @@ def q_cosine_topk_prenorm(spark, sf_dir):
     )
 
 
-@_q("lsh_multiprobe_topk")
+def _multiprobe_oracle_sql() -> str:
+    # mirror of lsh_topk_multiprobe(n_planes=4, n_flip=2, seed=42): inlined
+    # hyperplanes, probe masks = identity + all 1- and 2-bit flips, xor'd
+    # onto the query bucket; candidates dedup'd then exact-cosine reranked.
+    from real_estate_project1_etl_spark.operators.similarity import (
+        _random_hyperplanes,
+    )
+
+    planes = _random_hyperplanes(64, 4, 42)
+    masks = [0] + [1 << i for i in range(4)] + [
+        (1 << i) | (1 << j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, cast(embedding AS double[]) AS cv
+        FROM embeddings
+    ), qb AS (
+        SELECT query_id, {_planes_bucket_sql('qv', planes)}::BIGINT AS b0 FROM q
+    ), qprobe AS (
+        SELECT query_id, xor(b0, m) AS bucket
+        FROM qb, (SELECT unnest({masks}::BIGINT[]) AS m)
+    ), cb AS (
+        SELECT neighbor_id, {_planes_bucket_sql('cv', planes)}::BIGINT AS bucket
+        FROM c
+    ), cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM cb JOIN qprobe USING (bucket)
+        WHERE query_id <> neighbor_id
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round({_COS_SQL.format(a='qv', b='cv')}, 6) AS sim
+        FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@_q("lsh_multiprobe_topk", _multiprobe_oracle_sql())
 def q_lsh_multiprobe_topk(spark, sf_dir):
     from real_estate_project1_etl_spark.operators.similarity import lsh_topk_multiprobe
 
@@ -3137,11 +3188,31 @@ def q_unigram_quality_scores(spark, sf_dir):
     return T.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
-@_q("near_dup_components")
+@_q(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(0.6)},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    )
+    SELECT comp, count(*)::BIGINT AS size FROM labels GROUP BY comp
+    """,
+)
 def q_near_dup_components(spark, sf_dir):
-    # transitive dup groups: minhash candidate pairs -> connected
-    # components -> group sizes. Iterative (min-label propagation), not
-    # SQL-expressible -> rows-only; chain/island geometry pinned by
+    # transitive dup groups: minhash pairs (md5_60 — engine-reproducible)
+    # -> min-label-propagation connected components -> group sizes.  The
+    # iterative Spark algorithm runs to convergence, so its fixpoint equals
+    # the oracle's recursive-CTE transitive closure; chain/island geometry
+    # is additionally pinned by
     # tests/test_similarity.py::test_connected_components_chain_and_islands
     from real_estate_project1_etl_spark.operators.graph import (
         component_sizes,
@@ -3149,7 +3220,9 @@ def q_near_dup_components(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, "text", "doc_id")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", round_digits=None, hash_fn="md5_60"
+    )
     labels = connected_components(pairs, "id_a", "id_b", max_iter=10)
     return component_sizes(labels)
 
@@ -3214,15 +3287,56 @@ def q_documents_curation_pipeline(spark, sf_dir):
     )
 
 
-@_q("semantic_dedup")
+_SEMDEDUP_CLUSTERS = 8
+_NORM_VEC_SQL = "list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))"
+
+
+@_q(
+    "semantic_dedup",
+    f"""
+    WITH base AS (
+        SELECT vec_id, label,
+               {_NORM_VEC_SQL.format(v='cast(embedding AS double[])')} AS u
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id::INT AS list_id, u AS centroid FROM base
+        WHERE vec_id < {_SEMDEDUP_CLUSTERS}
+    ), assigned AS (
+        SELECT vec_id, u, list_id FROM (
+            SELECT b.vec_id, b.u, c.list_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {_COS_SQL.format(a='b.u', b='c.centroid')} DESC,
+                                c.list_id) AS rn
+            FROM base b, cents c
+        ) WHERE rn = 1
+    ), dups AS (
+        SELECT DISTINCT b.vec_id AS j
+        FROM assigned a JOIN assigned b
+          ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.u, b.u) > 0.35
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT j FROM dups)
+    """,
+)
 def q_semantic_dedup(spark, sf_dir):
-    # SemDeDup (embedding-space near-dup pruning) — KMeans is iterative,
-    # not SQL-expressible -> rows-only; geometry pinned by
+    # SemDeDup (embedding-space near-dup pruning) on the fit-once path: a
+    # deterministic centroid table (normalized first-k vectors) stands in
+    # for the saved KMeans model, making assignment + within-cluster
+    # pruning engine-reproducible (mirrored in the oracle).  The KMeans
+    # path's geometry is pinned separately by
     # tests/test_similarity.py::test_semantic_dedup_drops_planted_dups
+    from real_estate_project1_etl_spark.functions.vectors import normalize
     from real_estate_project1_etl_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_clusters=8, threshold=0.95).select(
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = base.filter(F.col("vec_id") < _SEMDEDUP_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        normalize(F.col("e")).alias("centroid"),
+    )
+    return semantic_dedup(emb, threshold=0.35, centroids=cents).select(
         "vec_id", "label"
     )
 
