@@ -156,51 +156,70 @@ def minhash_signature(
     return F.aggregate(hashed, init, merge)
 
 
-def minhash_near_duplicates(
+def minhash_signature_table(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.6,
-    round_digits: int | None = 4,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs: returns (id_a, id_b, jaccard) with
-    id_a < id_b and exact-shingle Jaccard >= threshold.
+    """Phase 1 of two-phase minhash dedup: the ``(id, sh, sig)`` signature
+    table — shingles plus the k-vector minhash signature per document.
 
-    Plan shape at scale: narrow shingle+signature projection -> explode to
-    (band, slice) keys -> self equi-join on the bucket key (shuffle on
-    bucket, never cross) -> exact Jaccard verify on the candidate pairs
-    only. rows*bands is the exploded size; bands is small (8).
-
-    Recall knob: P(candidate) = 1-(1-J^r)^b with r = num_hashes//bands.
-    With bands == num_hashes (r=1), P = 1-(1-J)^b — e.g. >= 1-0.6^32 ~
-    1-8e-9 at J=0.6 — so the verified output equals the exact all-pairs
-    Jaccard>=threshold set with near-certainty; the default (r=4) trades
-    recall near the threshold for smaller buckets.
-
-    ``round_digits=None`` emits the raw int/int division (bit-identical
-    across engines; preferred for differential testing).
-    """
+    At 100 TB this is the thing you MATERIALIZE (see
+    :func:`save_minhash_signatures`): signatures are computed once per
+    corpus snapshot and written bucketed by ``id``, so every later
+    pair-mining run (different bands/thresholds, incremental batches)
+    reads them back without recomputing shingles or re-shuffling for the
+    candidate-verify joins."""
     _require_ansi_off(df.sparkSession)
-    rows_per_band = num_hashes // bands
-    sig = (
+    return (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
         .select("id", word_shingles(text_col, shingle_n).alias("sh"))
         .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, hash_fn))
     )
-    # signatures are reused by banding and by both candidate-fetch joins;
-    # persist spill-safe (at production scale this would be an explicit
-    # materialized signature table instead)
-    from pyspark import StorageLevel
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # banding carries ONLY (id, band, bucket) — shingle arrays must not be
-    # replicated bands-times through the explode+shuffle (at 100 TB the
-    # shingle payload dwarfs the 16-byte bucket key)
+def save_minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the minhash signature table bucketed by ``id`` (pay the
+    exchange once at write time): ``spark.table(table)`` then feeds
+    :func:`minhash_pairs_from_signatures`, whose two candidate-verify
+    joins on ``id`` read co-located buckets with no Exchange on the
+    signature side — the executor-pinned ``persist`` of the one-shot path
+    disappears entirely."""
+    from ..sinks.bucketed import write_bucketed
+
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
+    write_bucketed(sig, table, "id", num_buckets=num_buckets, sort_col="id")
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Phase 2: banding -> bucket equi-join -> exact-Jaccard verify, from a
+    ``(id, sh, sig)`` signature table (freshly computed, or read back from
+    the bucketed parquet written by :func:`save_minhash_signatures`).
+
+    Plan shape at scale: banding carries ONLY (id, band, bucket) — shingle
+    arrays must not be replicated bands-times through the explode+shuffle
+    (at 100 TB the shingle payload dwarfs the 16-byte bucket key); the
+    shingles rejoin per-candidate at the end.
+    """
+    rows_per_band = num_hashes // bands
     banded = sig.select(
         "id",
         F.explode(
@@ -225,22 +244,59 @@ def minhash_near_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # fetch shingles for the (few) candidate pairs only, then verify exact.
-    # localCheckpoint materializes the verified pairs so the persisted
-    # signature table can be released eagerly instead of pinning executor
-    # memory for the caller's lifetime.
     sh = sig.select("id", "sh")
     jac = ngram_jaccard(F.col("sh_a"), F.col("sh_b"))
     if round_digits is not None:
         jac = F.round(jac, round_digits)
-    out = (
+    return (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager=True)
     )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.6,
+    round_digits: int | None = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: returns (id_a, id_b, jaccard) with
+    id_a < id_b and exact-shingle Jaccard >= threshold.
+
+    One-shot convenience composition of :func:`minhash_signature_table` +
+    :func:`minhash_pairs_from_signatures` with a spill-safe persist in
+    between (signatures are reused by banding and both candidate-fetch
+    joins).  For repeated mining over the same corpus, materialize the
+    signature table instead (:func:`save_minhash_signatures`) — no
+    executor-pinned persist, no recompute across runs.
+
+    Recall knob: P(candidate) = 1-(1-J^r)^b with r = num_hashes//bands.
+    With bands == num_hashes (r=1), P = 1-(1-J)^b — e.g. >= 1-0.6^32 ~
+    1-8e-9 at J=0.6 — so the verified output equals the exact all-pairs
+    Jaccard>=threshold set with near-certainty; the default (r=4) trades
+    recall near the threshold for smaller buckets.
+
+    ``round_digits=None`` emits the raw int/int division (bit-identical
+    across engines; preferred for differential testing).
+    """
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint materializes the verified pairs so the persisted
+    # signature table can be released eagerly instead of pinning executor
+    # memory for the caller's lifetime.
+    out = minhash_pairs_from_signatures(
+        sig, num_hashes, bands, jaccard_threshold, round_digits
+    ).localCheckpoint(eager=True)
     sig.unpersist()
     return out
 

@@ -187,3 +187,84 @@ def test_assign_global_ids_matches_window_and_stays_parallel(spark):
     # must not (AQE may still coalesce TINY test data post-shuffle)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_two_phase_minhash_matches_one_shot_and_skips_exchange(spark, sf_dir):
+    # the 100 TB path: materialize the signature table bucketed by id, mine
+    # pairs from the read-back table — identical pairs to the one-shot
+    # composition, and the candidate-verify joins on id read the bucketed
+    # side with no Exchange above its scans.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_pairs_from_signatures,
+        save_minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    one_shot = {
+        tuple(r)
+        for r in minhash_near_duplicates(docs, "text", "doc_id").collect()
+    }
+
+    save_minhash_signatures(docs, "text", "doc_id", "b_minhash_sig", num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sig = spark.table("b_minhash_sig")
+        pairs = minhash_pairs_from_signatures(sig)
+        two_phase = {tuple(r) for r in pairs.collect()}
+        assert two_phase == one_shot and len(one_shot) > 0
+
+        # bucketed-by-id scans feed the id-equi-joins sort-merge side with
+        # no Exchange between FileScan and SortMergeJoin: every Exchange in
+        # the plan must hash on the banding keys, never on the id joins.
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert not exch.startswith("id#"), (exch, plan)
+        # strongest form: joining the signature table to itself on id plans
+        # with zero Exchange (both sides co-bucketed)
+        self_join = sig.select("id", "sig").join(sig.select("id", "sh"), "id")
+        sp = self_join._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in sp, sp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_minhash_sig")
+
+
+def test_fit_once_centroids_reproduce_assignments(spark, sf_dir):
+    # fit-once model reuse (SemDeDup / IVF): a saved centroid table must
+    # reproduce identical assignments and identical ANN results across
+    # independent calls — no per-call KMeans refit drift.
+    from real_estate_project1_etl_spark.operators.similarity import (
+        assign_to_centroids,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = fit_ivf_centroids(emb, n_lists=8)
+    cents.write.mode("overwrite").parquet("spark-warehouse/ivf_cents")
+    saved = spark.read.parquet("spark-warehouse/ivf_cents")
+
+    a1 = {
+        tuple(r)
+        for r in assign_to_centroids(emb, cents, "embedding").select(
+            "vec_id", "list_id"
+        ).collect()
+    }
+    a2 = {
+        tuple(r)
+        for r in assign_to_centroids(emb, saved, "embedding").select(
+            "vec_id", "list_id"
+        ).collect()
+    }
+    assert a1 == a2 and len(a1) > 0
+
+    q = emb.filter(F.col("vec_id") < 5)
+    r1 = {tuple(r) for r in ivf_topk(emb, q, k=3, n_probe=2, centroids=cents).collect()}
+    r2 = {tuple(r) for r in ivf_topk(emb, q, k=3, n_probe=2, centroids=saved).collect()}
+    assert r1 == r2 and len(r1) > 0
