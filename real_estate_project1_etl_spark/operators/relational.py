@@ -239,7 +239,10 @@ def asof_join(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_tb"),
+        # carry the tiebreak in its NATURAL type (a lossy cast to long
+        # would NULL out string ids and silently break determinism);
+        # any orderable type works for the window sort
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
         F.struct(*lcols).alias("_l"),
         F.lit(None).cast(r_schema).alias("_r"),
     )
@@ -247,7 +250,7 @@ def asof_join(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(tiebreak).cast("long").alias("_tb"),
+        F.col(tiebreak).alias("_tb"),
         F.lit(None).cast(l_schema).alias("_l"),
         F.struct(*rcols).alias("_r"),
     )

@@ -74,6 +74,47 @@ def write_jdbc(
     writer.save()
 
 
+def _recover_swap(path: str, tag: str) -> None:
+    """Heal a crash inside a previous :func:`_swap_dir` window: if the
+    table vanished but its ``._{tag}_old`` sibling survived, restore it;
+    drop any stale ``._{tag}_tmp`` so the rewrite starts clean."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + f"._{tag}_old"
+    tmp = path.rstrip("/") + f"._{tag}_tmp"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        shutil.move(old, path)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+
+def _swap_dir(path: str, tmp: str, tag: str) -> None:
+    """Swap the rewritten directory ``tmp`` into place at ``path``.
+
+    LOCAL FILESYSTEM ONLY (os.rename/shutil semantics): object stores
+    (``s3a://``) have no atomic directory rename — there, use a table
+    format (Delta/Iceberg) whose metadata commit provides the swap, or a
+    manifest/pointer indirection.  These plain-parquet sinks are the
+    single-node/POSIX tier.
+
+    Crash tolerance: the old directory is deleted LAST, so a crash at any
+    point leaves the data recoverable — before step 2 the table is briefly
+    absent but intact under ``._{tag}_old`` (and :func:`_recover_swap`
+    restores it on the next call); after step 2 the table is live.
+    """
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        old = path.rstrip("/") + f"._{tag}_old"
+        shutil.move(path, old)       # 1. park the current table
+        shutil.move(tmp, path)       # 2. new table live
+        shutil.rmtree(old)           # 3. cleanup last
+    else:
+        shutil.move(tmp, path)
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -92,8 +133,8 @@ def compact_parquet(
     """
     import math
     import os
-    import shutil
 
+    _recover_swap(path, "compact")
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -104,10 +145,7 @@ def compact_parquet(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    _swap_dir(path, tmp, "compact")
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
 
 
@@ -163,10 +201,10 @@ def upsert_parquet(
     MERGE INTO; the one-shuffle window shape is identical.
     """
     import os
-    import shutil
 
     from pyspark.sql import Window
 
+    _recover_swap(path, "upsert")
     if os.path.isdir(path):
         current = spark.read.parquet(path).withColumn("_src", F.lit(0))
     else:
@@ -184,13 +222,7 @@ def upsert_parquet(
     )
     tmp = path.rstrip("/") + "._upsert_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        old = path.rstrip("/") + "._upsert_old"
-        shutil.move(path, old)
-        shutil.move(tmp, path)
-        shutil.rmtree(old)
-    else:
-        shutil.move(tmp, path)
+    _swap_dir(path, tmp, "upsert")
 
 
 def scd2_upsert(
@@ -219,8 +251,8 @@ def scd2_upsert(
     the rewrite.
     """
     import os
-    import shutil
 
+    _recover_swap(path, "scd2")
     attr_cols = [
         c for c in updates.columns if c not in (*key_cols, effective_col)
     ]
@@ -276,10 +308,4 @@ def scd2_upsert(
 
     tmp = path.rstrip("/") + "._scd2_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        old = path.rstrip("/") + "._scd2_old"
-        shutil.move(path, old)
-        shutil.move(tmp, path)
-        shutil.rmtree(old)
-    else:
-        shutil.move(tmp, path)
+    _swap_dir(path, tmp, "scd2")

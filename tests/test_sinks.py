@@ -1,0 +1,99 @@
+"""Sink tests: live JDBC round-trip (embedded Derby, K4), crash-tolerant
+directory swap recovery, and as-of join tiebreak typing."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.sinks.writers import (
+    _recover_swap,
+    upsert_parquet,
+    write_jdbc,
+)
+
+_PROPS_SCHEMA = (
+    "purpose string, address string, region string, size_m2 int, "
+    "design string, price_czk int, price_per_m2 int, link string, "
+    "dump_date timestamp, file_name string"
+)
+
+
+def _props_df(spark):
+    return spark.createDataFrame(
+        [
+            ("sale", "addr1", "Praha", 50, "2+kk", 5_000_000, 100_000,
+             "http://x/1", datetime.datetime(2024, 1, 1), "a.csv"),
+            ("rent", "addr2", "Brno", 80, "3+1", 30_000, 375,
+             "http://x/2", datetime.datetime(2024, 1, 2), "b.csv"),
+        ],
+        _PROPS_SCHEMA,
+    )
+
+
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    # K4 exercised against a REAL database (embedded Derby ships on
+    # Spark's classpath): write via createTableColumnTypes, read back via
+    # spark.read.jdbc, assert rows and the price_per_m2 dtype the
+    # reference's load_db.py silently got wrong (load_db.py:42).
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    df = _props_df(spark)
+    write_jdbc(df, url, "properties_data", mode="overwrite")
+    write_jdbc(df.limit(1), url, "properties_data", mode="append")
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "properties_data")
+        .load()
+    )
+    assert back.count() == 3
+    assert dict(back.dtypes)["price_per_m2"] == "int"
+    assert dict(back.dtypes)["dump_date"] == "timestamp"
+    got = {tuple(r) for r in back.collect()}
+    want = {tuple(r) for r in df.unionAll(df.limit(1)).collect()}
+    assert got == want
+
+
+def test_swap_recovers_from_crash_window(spark, tmp_path):
+    # simulate a crash between "park old" and "new live": table dir gone,
+    # data stranded in ._upsert_old — the next sink call must restore it
+    path = str(tmp_path / "t")
+    base = spark.range(5).withColumnRenamed("id", "k").withColumn("v", F.lit("a"))
+    base.write.parquet(path)
+
+    shutil.move(path, path + "._upsert_old")          # crash window state
+    os.makedirs(path + "._upsert_tmp")                # stale tmp leftover
+    _recover_swap(path, "upsert")
+    assert os.path.isdir(path) and not os.path.isdir(path + "._upsert_tmp")
+    assert spark.read.parquet(path).count() == 5
+
+    # and an end-to-end upsert through the crash-window state heals + merges
+    shutil.move(path, path + "._upsert_old")
+    upd = spark.range(3, 8).withColumnRenamed("id", "k").withColumn("v", F.lit("b"))
+    upsert_parquet(spark, upd, path, ["k"])
+    rows = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {(0, "a"), (1, "a"), (2, "a")} | {(k, "b") for k in range(3, 8)}
+    assert not os.path.isdir(path + "._upsert_old")
+
+
+def test_asof_join_string_tiebreak(spark):
+    # a non-numeric (string) tiebreak column must keep working — the
+    # lossy cast-to-long regression NULLed it out silently (ADVICE r1)
+    from real_estate_project1_etl_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "q1", 1.0), (1, 10, "q2", 2.0), (1, 15, "q0", 3.0)],
+        "rk int, rts int, quote_id string, px double",
+    )
+    out = asof_join(left, right, "k", "rk", "ts", "rts", "quote_id").collect()
+    by_ts = {r.ts: (r.quote_id, r.px) for r in out}
+    # equal-ts ties resolve to the HIGHEST tiebreak ("q2"), not NULL
+    assert by_ts[10] == ("q2", 2.0)
+    assert by_ts[20] == ("q0", 3.0)
