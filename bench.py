@@ -48,6 +48,13 @@ HEADLINE = [
     "volume_shipping",
     "hash_sample",
     "documents_curation_pipeline",
+    # expensive-tail additions (round 2): decorrelated-subquery join,
+    # transitive closure over minhash pairs, embedding clustering dedup,
+    # multi-probe ANN — regression tracking for the heavy operators
+    "cheapest_supplier_per_part",
+    "near_dup_components",
+    "semantic_dedup",
+    "lsh_multiprobe_topk",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -70,6 +77,10 @@ COST = {
     "volume_shipping": "6-way join: pushed date scan + 1 shuffle, 4 broadcasts",
     "hash_sample": "md5-nibble predicate in the scan stage; no shuffle",
     "documents_curation_pipeline": "regex chain + sha256 over text (CPU) + 1 fingerprint exchange",
+    "cheapest_supplier_per_part": "part/supplier joins + per-part min subquery (1 re-join)",
+    "near_dup_components": "minhash pairs + iterative min-label rounds (1 exchange each)",
+    "semantic_dedup": "normalize+assign (broadcast cents) + within-cluster pair join",
+    "lsh_multiprobe_topk": "bucket hash both sides; query explodes 11 probes; equi-join",
 }
 
 
