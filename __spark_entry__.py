@@ -1905,14 +1905,39 @@ def q_approx_distinct_and_percentile(spark, sf_dir):
     )
 
 
-@_q("stratified_sample")
+_STRAT_FRACTIONS = {"A": 0.2, "N": 0.05, "R": 0.2}
+
+
+def _stratified_oracle_sql() -> str:
+    from real_estate_project1_etl_spark.operators.quality import (
+        hash_threshold_fractions,
+    )
+
+    t = hash_threshold_fractions(_STRAT_FRACTIONS)
+    cases = " ".join(f"WHEN '{s}' THEN {v}" for s, v in t.items())
+    return f"""
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+    WHERE ('0x' || substr(md5(cast(l_orderkey AS VARCHAR) || '#'
+                 || cast(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+          < CASE l_returnflag {cases} ELSE -1 END
+    """
+
+
+@_q("stratified_sample", _stratified_oracle_sql())
 def q_stratified_sample(spark, sf_dir):
-    # per-stratum Bernoulli sampling with a fixed seed (sampleBy) — the
-    # class-balancing primitive for training-data curation. Engine-specific
-    # RNG -> rows-only check; proportions pinned by a tolerance test.
+    # per-stratum sampling, deterministic-hash flavor: each class keeps
+    # rows whose 60-bit content hash clears a floor(frac*2^60) threshold —
+    # class-balanced like sampleBy but retry/partition-stable and exactly
+    # SQL-mirrorable (integer thresholds inlined in the oracle).  The
+    # seeded-RNG sampleBy form remains available; proportions of this
+    # query are pinned by a tolerance test in tests/test_sampling.py.
+    from real_estate_project1_etl_spark.operators.quality import (
+        stratified_hash_sample,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.sampleBy(
-        "l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.2}, seed=42
+    return stratified_hash_sample(
+        li, "l_returnflag", _STRAT_FRACTIONS, ["l_orderkey", "l_linenumber"]
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
@@ -3031,10 +3056,57 @@ def q_orders_skew_report(spark, sf_dir):
     return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=10)
 
 
-@_q("quantized_rerank_topk")
+_QUANT_SQL_CTES = """
+    v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+    s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    )"""
+
+
+@_q(
+    "quantized_rerank_topk",
+    f"""
+    WITH {_QUANT_SQL_CTES}, cq AS (
+        SELECT vec_id AS neighbor_id, e AS cv, scale,
+               list_transform(e, x -> CASE WHEN scale > 0
+                    THEN round(x / scale)::TINYINT ELSE 0::TINYINT END) AS qv
+        FROM s
+    ), deq AS (
+        SELECT neighbor_id, cv,
+               list_transform(qv, x -> x::DOUBLE * scale) AS dv
+        FROM cq
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qvec FROM v WHERE vec_id < 10
+    ), coarse AS (
+        SELECT query_id, neighbor_id, qvec, cv,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_COS_SQL.format(a='qvec', b='dv')} DESC,
+                            neighbor_id) AS cr
+        FROM deq JOIN q ON query_id <> neighbor_id
+    ), cands AS (
+        SELECT query_id, neighbor_id, qvec, cv FROM coarse WHERE cr <= 20
+    ), rer AS (
+        SELECT query_id, neighbor_id,
+               round({_COS_SQL.format(a='qvec', b='cv')}, 6) AS sim
+        FROM cands
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM rer
+    ) WHERE rank <= 5
+    """,
+)
 def q_quantized_rerank_topk(spark, sf_dir):
-    # two-stage ANN: int8 coarse search + exact re-rank on survivors —
-    # rows-only (round grid); recall >= 0.9 vs exact pinned in
+    # two-stage ANN: int8 coarse search + exact re-rank on survivors.
+    # Spark round() and DuckDB round() agree on the half-away-from-zero
+    # grid, so the oracle mirrors quantize -> dequantize -> coarse top-20
+    # -> exact rerank end-to-end (verified sf0.001/0.01/0.1); recall >= 0.9
+    # vs exact additionally pinned in
     # tests/test_similarity.py::test_quantized_rerank_recall_near_exact
     from real_estate_project1_etl_spark.operators.similarity import (
         quantized_rerank_topk,
@@ -3048,18 +3120,34 @@ def q_quantized_rerank_topk(spark, sf_dir):
     )
 
 
-@_q("quantized_embeddings")
+@_q(
+    "quantized_embeddings",
+    f"""
+    WITH {_QUANT_SQL_CTES}
+    SELECT vec_id, scale,
+           array_to_string(list_transform(e,
+               x -> CASE WHEN scale > 0 THEN round(x / scale)::TINYINT
+                         ELSE 0::TINYINT END), ',') AS q
+    FROM s
+    """,
+)
 def q_quantized_embeddings(spark, sf_dir):
     # int8 embedding quantization (4x storage/shuffle cut; ANN memory
-    # ladder) — round() grid is engine-specific -> rows-only; roundtrip
-    # cosine + error bound pinned in tests/test_similarity.py
+    # ladder).  The int8 cells are emitted comma-joined so the compare is
+    # over strings, not engine-specific array renderings; Spark/DuckDB
+    # round() agree on the half-away-from-zero grid (verified at all sfs).
+    # Roundtrip cosine + error bound pinned in tests/test_similarity.py
     from real_estate_project1_etl_spark.functions.vectors import quantize_int8
 
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         quantize_int8(F.col("embedding").cast("array<double>")).alias("qvec"),
-    ).select("vec_id", F.col("qvec.scale").alias("scale"), F.col("qvec.q").alias("q"))
+    ).select(
+        "vec_id",
+        F.col("qvec.scale").alias("scale"),
+        F.array_join(F.col("qvec.q"), ",").alias("q"),
+    )
 
 
 @_q(
@@ -3132,58 +3220,171 @@ def q_conditional_aggregates(spark, sf_dir):
     )
 
 
-@_q("user_value_anomalies")
+@_q(
+    "user_value_anomalies",
+    """
+    SELECT event_id, user_id, value, z FROM (
+        SELECT event_id, user_id, value,
+               (vd::DOUBLE - s1::DOUBLE / n) /
+               sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) AS z
+        FROM (
+            SELECT event_id, user_id, value, vd,
+                   count(*) OVER w AS n,
+                   sum(vd) OVER w AS s1,
+                   sum(vd * vd) OVER w AS s2
+            FROM (SELECT event_id, user_id, value,
+                         cast(value AS DECIMAL(18,2)) AS vd FROM events)
+            WINDOW w AS (PARTITION BY user_id)
+        )
+    )
+    WHERE abs(z) > 2
+    """,
+)
 def q_user_value_anomalies(spark, sf_dir):
     # per-entity z-score anomaly flagging (telemetry/quality monitoring):
-    # one exchange on user_id computes the per-user mean/std analytic and
-    # the z-score in the same window pass. Float std -> rows-only; math
+    # one exchange on user_id computes per-user EXACT decimal power sums
+    # (values are 2-dp; the decimal cast is lossless) in a single window
+    # pass; mean/std/z then derive from the exact sums with identical
+    # double ops in any engine, so unrounded z compares bit-for-bit (the
+    # streaming stddev_pop builtin was partition-order-dependent).  Math
     # pinned by tests/test_groups.py::test_user_value_anomalies_match_numpy
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    vd = F.col("value").cast("decimal(18,2)")
     w = Window.partitionBy("user_id")
-    z = (F.col("value") - F.mean("value").over(w)) / F.stddev_pop("value").over(w)
+    base = ev.withColumn("vd", vd).select(
+        "event_id", "user_id", "value", "vd",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("vd").over(w).alias("s1"),
+        F.sum(F.col("vd") * F.col("vd")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    z = (F.col("vd").cast("double") - mean) / F.sqrt(
+        F.col("s2").cast("double") / F.col("n") - mean * mean
+    )
     return (
-        ev.withColumn("z", z)
+        base.withColumn("z", z)
         .filter(F.abs(F.col("z")) > 2)
         .select("event_id", "user_id", "value", "z")
     )
 
 
-@_q("mixture_sample_docs")
+@_q(
+    "mixture_sample_docs",
+    """
+    WITH wts(source, w) AS (VALUES
+        ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
+    cnt AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+    j AS (SELECT w.source, w.w, c.n FROM wts w JOIN cnt c USING (source)
+          WHERE w.w > 0),
+    kk AS (SELECT min(n / w) AS k FROM j),
+    fr AS (SELECT source,
+                  floor(least(1.0, w * (SELECT k FROM kk) / n)
+                        * 1152921504606846976.0)::BIGINT AS t
+           FROM j)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN fr ON d.source = fr.source
+    WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 15))::BIGINT < fr.t
+    """,
+)
 def q_mixture_sample_docs(spark, sf_dir):
     # data-mixing weights (pretraining corpus recipe): down-sample sources
-    # to target proportions. Seeded Bernoulli -> rows-only; proportions +
-    # determinism pinned by tests/test_sampling.py
-    from real_estate_project1_etl_spark.operators.quality import mixture_sample
+    # to target proportions, deterministic-hash flavor — the oracle
+    # recomputes the largest-feasible-total math (K = min_s count_s/w_s)
+    # and the floor(frac*2^60) thresholds from the same weight literals,
+    # so membership is checked bit-for-bit.  The seeded-Bernoulli
+    # mixture_sample remains available; proportions pinned by
+    # tests/test_sampling.py.
+    from real_estate_project1_etl_spark.operators.quality import mixture_hash_sample
 
     docs = _t(spark, sf_dir, "documents")
-    return mixture_sample(
-        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=42
+    return mixture_hash_sample(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, ["doc_id"]
     ).select("doc_id", "source")
 
 
-@_q("dispersion_stats")
+@_q(
+    "dispersion_stats",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*)::BIGINT AS n,
+               sum(q)::BIGINT AS s1, sum(q*q)::BIGINT AS s2,
+               sum(q*q*q)::BIGINT AS s3, sum(q*q*q*q)::BIGINT AS s4
+        FROM (SELECT l_returnflag, cast(l_quantity AS BIGINT) AS q
+              FROM lineitem)
+        GROUP BY l_returnflag
+    ), m AS (
+        SELECT l_returnflag, n, s1, s2, s3, s4, s1 / n AS mean FROM s
+    ), c AS (
+        SELECT l_returnflag, n, mean,
+               s2 / n - mean * mean AS m2,
+               s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean AS m3,
+               s4 / n - 4 * mean * (s3 / n) + 6 * mean * mean * (s2 / n)
+                      - 3 * mean * mean * mean * mean AS m4
+        FROM m
+    )
+    SELECT l_returnflag, n,
+           (m2 * n) / (n - 1) AS var_qty,
+           sqrt((m2 * n) / (n - 1)) AS std_qty,
+           m3 / (m2 * sqrt(m2)) AS skew_qty,
+           m4 / (m2 * m2) - 3 AS kurt_qty
+    FROM c
+    """,
+)
 def q_dispersion_stats(spark, sf_dir):
-    # second/third-moment profiling per group (variance, stddev, skewness,
-    # kurtosis) — float summation order is engine/partitioning-dependent,
-    # so rows-only; the exact math is pinned against numpy in
+    # second/third/fourth-moment profiling per group (variance, stddev,
+    # skewness, kurtosis) computed from EXACT integer power sums
+    # (l_quantity is integer-valued): the raw moments are order-independent
+    # bigints, every double op derives from them identically in any engine
+    # — so the unrounded doubles compare bit-for-bit (the streaming
+    # var_samp/skewness builtins are partition-order-dependent and were
+    # rows-only).  Same definitions as Spark's builtins (population m3/m2^1.5,
+    # excess kurtosis); cross-checked vs numpy in
     # tests/test_groups.py::test_dispersion_stats_match_numpy
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.var_samp("l_quantity").alias("var_qty"),
-            F.stddev_samp("l_quantity").alias("std_qty"),
-            F.skewness("l_quantity").alias("skew_qty"),
-            F.kurtosis("l_quantity").alias("kurt_qty"),
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    m = s.withColumn("mean", F.col("s1") / F.col("n"))
+    c = (
+        m.withColumn("m2", F.col("s2") / F.col("n") - F.col("mean") * F.col("mean"))
+        .withColumn(
+            "m3",
+            F.col("s3") / F.col("n")
+            - F.lit(3) * F.col("mean") * (F.col("s2") / F.col("n"))
+            + F.lit(2) * F.col("mean") * F.col("mean") * F.col("mean"),
         )
+        .withColumn(
+            "m4",
+            F.col("s4") / F.col("n")
+            - F.lit(4) * F.col("mean") * (F.col("s3") / F.col("n"))
+            + F.lit(6) * F.col("mean") * F.col("mean") * (F.col("s2") / F.col("n"))
+            - F.lit(3) * F.col("mean") * F.col("mean") * F.col("mean") * F.col("mean"),
+        )
+    )
+    var = (F.col("m2") * F.col("n")) / (F.col("n") - 1)
+    return c.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skew_qty"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - 3).alias("kurt_qty"),
     )
 
 
 @_q("unigram_quality_scores")
 def q_unigram_quality_scores(spark, sf_dir):
     # LM-style quality score (mean unigram logprob, add-one smoothed) —
-    # float summation order -> rows-only; exact model pinned by
+    # rows-only BY NECESSITY: JVM Math.log and DuckDB's libm ln disagree in
+    # the last ulp (measured 1.8e-16 relative on the probability grid), so
+    # no decimal-sum restructure can make the transcendental comparable
+    # bit-for-bit without knife-edge rounding.  Exact model pinned by
     # tests/test_cleaning.py::test_unigram_logprob_matches_numpy_model
     return T.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 

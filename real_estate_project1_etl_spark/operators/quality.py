@@ -67,6 +67,77 @@ def deterministic_sample(
     return df.filter(F.substring(F.md5(key), 1, 1).isin(*keep_nibbles))
 
 
+#: 2^60 — the hash space of the 60-bit md5 threshold samplers below
+_HASH_SPACE = 1 << 60
+
+
+def _hash60(key_cols: list[str]):
+    """60-bit non-negative content hash of the row key (first 15 hex chars
+    of md5) — engine-reproducible (DuckDB:
+    ``('0x' || substr(md5(k),1,15))::BIGINT``)."""
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols])
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hash_threshold_fractions(fractions: dict[str, float]) -> dict[str, int]:
+    """Per-stratum integer thresholds: keep a row iff hash60(key) <
+    floor(fraction * 2^60).  Integer thresholds make the predicate exact
+    and bit-reproducible in any engine (no RNG, no float compare)."""
+    return {s: int(f * _HASH_SPACE) for s, f in fractions.items()}
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+) -> DataFrame:
+    """Per-stratum deterministic sampling at arbitrary rates — the
+    retry-stable replacement for ``sampleBy`` (whose Bernoulli draw
+    depends on seed, partition layout, and row order).
+
+    Each stratum keeps rows whose 60-bit content hash falls below
+    ``floor(fraction * 2^60)`` — a pure row-local predicate: zero shuffle,
+    runs in the scan's codegen stage, stable under retries and
+    repartitioning, and exactly mirrorable in SQL for differential
+    checks.  Strata not listed are dropped (whitelist semantics, like
+    ``sampleBy``).
+    """
+    h = _hash60(key_cols)
+    thresholds = hash_threshold_fractions(fractions)
+    cond = None
+    for s, t in thresholds.items():
+        c = (F.col(strata_col) == s) & (h < F.lit(t))
+        cond = c if cond is None else cond | c
+    return df.filter(cond)
+
+
+def mixture_hash_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_cols: list[str],
+) -> DataFrame:
+    """Deterministic-hash variant of :func:`mixture_sample`: same
+    largest-feasible-total math (K = min_s count_s/w_s; fraction =
+    w_s*K/count_s), but the per-source draw is the 60-bit content-hash
+    threshold instead of a seeded Bernoulli — identical expected
+    proportions, bit-stable membership under retries/repartitioning, and
+    the whole operator (including the fraction computation) is
+    reproducible in SQL from the same weight literals.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    present = {s: w for s, w in weights.items() if s in counts and w > 0}
+    if not present:
+        return df.limit(0)
+    k = min(counts[s] / w for s, w in present.items())
+    fractions = {s: min(1.0, w * k / counts[s]) for s, w in present.items()}
+    return stratified_hash_sample(df, source_col, fractions, key_cols)
+
+
 def observe_metrics(
     df: DataFrame, metrics: dict[str, Column]
 ) -> tuple[DataFrame, "object"]:
