@@ -3542,6 +3542,182 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+@_q(
+    "near_dup_canonical_map",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(0.6)},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(l.comp, d.doc_id) AS canonical_id,
+           coalesce(l.comp, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    """,
+)
+def q_near_dup_canonical_map(spark, sf_dir):
+    # the corpus-level dedup DECISION table: every document mapped to its
+    # canonical representative (lowest id of its near-dup component; docs
+    # outside any component are their own canonical) plus the keep/drop
+    # bit — the artifact a curation pipeline joins against to prune.  One
+    # left join of the (tiny) component labels back onto the corpus.
+    from real_estate_project1_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", round_digits=None, hash_fn="md5_60"
+    )
+    labels = connected_components(pairs, "id_a", "id_b", max_iter=10).select(
+        F.col("id").alias("doc_id"), F.col("comp")
+    )
+    canonical = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            canonical.alias("canonical_id"),
+            (canonical == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+@_q(
+    "top_ngrams_corpus",
+    f"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    grams AS (SELECT doc_id, unnest({_shingles_sql(2)}) AS ngram FROM w),
+    counts AS (SELECT ngram, count(*)::BIGINT AS df FROM grams GROUP BY ngram)
+    SELECT ngram, df, rank FROM (
+        SELECT ngram, df,
+               row_number() OVER (ORDER BY df DESC, ngram) AS rank
+        FROM counts
+    ) WHERE rank <= 20
+    """,
+)
+def q_top_ngrams_corpus(spark, sf_dir):
+    # corpus vocabulary stat: top-20 word bigrams by DOCUMENT frequency
+    # (per-doc distinct shingles, so one spammy doc can't dominate) — the
+    # n-gram census behind vocabulary builds and boilerplate detection.
+    # Scale shape: partial+final count agg (vocabulary-sized shuffle),
+    # then TakeOrdered top-k — no global sort of the vocabulary; the
+    # ranking window runs over the 20 survivors only.
+    from real_estate_project1_etl_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(word_shingles("text", 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    top = counts.orderBy(F.col("df").desc(), F.col("ngram")).limit(20)
+    w = Window.orderBy(F.col("df").desc(), F.col("ngram"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "ngram", "df", "rank"
+    )
+
+
+_RETR_DIM = 16
+_HASHED_TOKS_SQL = (
+    "list_transform(string_split(chunk, ' '), "
+    f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {_RETR_DIM})"
+)
+
+
+@_q(
+    "retrieval_index_pipeline",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+    e AS (
+        SELECT doc_id, toks,
+               unnest(range(cast(ceil(len(toks) / 100.0) AS int))) AS i
+        FROM t),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(toks[i*100+1 : (i+1)*100], ' ') AS chunk
+        FROM e),
+    feats AS (
+        SELECT doc_id, chunk_id,
+               list_transform(range(0, {_RETR_DIM}),
+                   j -> len(list_filter({_HASHED_TOKS_SQL},
+                                        x -> x = j))::DOUBLE) AS v
+        FROM chunks),
+    q AS (SELECT doc_id AS q_doc, chunk_id AS q_chunk, v AS qv
+          FROM feats WHERE doc_id < 3),
+    c AS (SELECT doc_id AS n_doc, chunk_id AS n_chunk, v AS cv FROM feats),
+    scored AS (
+        SELECT q_doc, q_chunk, n_doc, n_chunk,
+               round({_COS_SQL.format(a='qv', b='cv')}, 4) AS sim
+        FROM c JOIN q ON q_doc <> n_doc
+    )
+    SELECT q_doc, q_chunk, n_doc, n_chunk, rank, sim FROM (
+        SELECT q_doc, q_chunk, n_doc, n_chunk, sim,
+               row_number() OVER (PARTITION BY q_doc, q_chunk
+                                  ORDER BY sim DESC, n_doc, n_chunk) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_retrieval_index_pipeline(spark, sf_dir):
+    # end-to-end retrieval-index build: token-chunk the corpus ->
+    # vocabulary-free hashing-trick embedding per chunk (md5 buckets,
+    # engine-reproducible) -> cosine top-3 chunks for each query chunk
+    # (other documents only).  The whole pipeline — chunker, featurizer,
+    # scorer, ranker — is mirrored in the oracle, so the index build is
+    # differentially checked end-to-end.  Scale shape: chunk+featurize is
+    # a narrow JVM flatMap (no shuffle, co-partitioned with the doc); the
+    # query side broadcasts; swap in lsh_topk for corpus-x-corpus linking.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        hashing_trick_features,
+        token_chunk_documents,
+    )
+    from real_estate_project1_etl_spark.functions.vectors import cosine_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = token_chunk_documents(docs, tokens_per_chunk=100)
+    feats = chunks.select(
+        "doc_id",
+        "chunk_id",
+        hashing_trick_features(F.split(F.col("chunk"), " "), _RETR_DIM).alias("v"),
+    )
+    q = feats.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        F.col("v").alias("qv"),
+    )
+    c = feats.select(
+        F.col("doc_id").alias("n_doc"),
+        F.col("chunk_id").alias("n_chunk"),
+        F.col("v").alias("cv"),
+    )
+    scored = c.join(F.broadcast(q), F.col("q_doc") != F.col("n_doc")).withColumn(
+        "sim", F.round(cosine_similarity("qv", "cv"), 4)
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.col("sim").desc(), F.col("n_doc"), F.col("n_chunk")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_doc", "q_chunk", "n_doc", "n_chunk", "rank", "sim")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -354,3 +354,25 @@ def unigram_logprob_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("lp") / F.count(F.lit(1))).alias("mean_logprob"),
     )
+
+
+def hashing_trick_features(tokens: Column, dim: int = 16) -> Column:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) bag-of-
+    tokens embedding: a ``dim``-bucket token-count vector, as
+    ``array<double>``.  The vocabulary-free featurizer for retrieval-index
+    builds: no vocabulary shuffle, no model to fit or ship — each row's
+    vector is a pure function of its tokens.
+
+    Deterministic md5-based bucket hash (see dedup.shingle_hash_expr
+    ``md5_60``), so the embedding is bit-reproducible in any engine —
+    the retrieval pipeline built on it is differentially testable
+    end-to-end.  All JVM higher-order functions; one pass over tokens
+    (hash hoisted out of the per-bucket counts).
+    """
+    from .dedup import shingle_hash_expr
+
+    hashed = F.transform(tokens, lambda t: F.pmod(shingle_hash_expr(t, "md5_60"), F.lit(dim)))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(hashed, lambda x: x == j)).cast("double"),
+    )
