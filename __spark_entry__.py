@@ -3718,6 +3718,413 @@ def q_retrieval_index_pipeline(spark, sf_dir):
     )
 
 
+@_q(
+    "profit_by_nation_year",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))
+                    - cast(p_retailprice AS decimal(18,2))
+                      * cast(l_quantity AS decimal(18,2))) AS double) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_profit_by_nation_year(spark, sf_dir):
+    # TPC-H Q9 shape (no partsupp table in this schema, so retail cost
+    # stands in for supplycost): profit per supplier nation per order
+    # year over one product family.  Scale shape: the p_name LIKE filter
+    # broadcasts a pre-filtered part dim (fact rows drop BEFORE the
+    # orders shuffle); supplier/nation broadcast; lineitem-orders is the
+    # only exchange.  All money math is exact decimal to the boundary.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = R.revenue_expr() - R.dec2("p_retailprice") * R.dec2("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "returned_item_top_customers",
+    """
+    WITH rev AS (
+        SELECT c_custkey, c_name, n_name,
+               sum(cast(l_extendedprice AS decimal(18,2))
+                   * (1 - cast(l_discount AS decimal(18,2)))) AS r
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name)
+    SELECT c_custkey, c_name, n_name, cast(r AS double) AS revenue
+    FROM rev ORDER BY r DESC, c_custkey LIMIT 20
+    """,
+)
+def q_returned_item_top_customers(spark, sf_dir):
+    # TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    # quarter.  The date filter is pushed into the orders scan; customer
+    # and nation broadcast; the only exchange is the custkey aggregation.
+    # Top-k executes as TakeOrderedAndProject (per-partition heap +
+    # driver merge), never a global sort.  Ordering on the exact decimal
+    # sum (custkey tiebreak) keeps the cut line identical cross-engine.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(R.revenue_expr()).alias("r"))
+        .orderBy(F.col("r").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name", F.col("r").cast("double").alias("revenue")
+        )
+    )
+
+
+@_q(
+    "important_part_values",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               sum(cast(l_extendedprice AS decimal(18,2))
+                   * (1 - cast(l_discount AS decimal(18,2)))) AS v
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey),
+    tot AS (SELECT sum(v) AS t FROM val)
+    SELECT l_partkey, cast(v AS double) AS value
+    FROM val, tot WHERE v * 1000 > t
+    """,
+)
+def q_important_part_values(spark, sf_dir):
+    # TPC-H Q11 shape (value per part for one nation's suppliers, kept
+    # only above a fraction of the global total).  The HAVING-vs-global
+    # scalar decorrelates to a 1-row broadcast nested loop; the fraction
+    # compare is multiplied through (v * 1000 > t) so no float division
+    # enters the cross-engine compare.  One exchange (partkey agg) —
+    # the total reuses the aggregated (tiny) side, not the fact table.
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    val = (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(R.revenue_expr()).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("v") * 1000 > F.col("t"))
+        .select("l_partkey", F.col("v").cast("double").alias("value"))
+    )
+
+
+@_q(
+    "late_shipment_priority_counts",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >  o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_late_shipment_priority_counts(spark, sf_dir):
+    # TPC-H Q12 shape (l_linestatus standing in for the absent
+    # l_shipmode, ship-after-order+60d for the absent receipt/commit
+    # dates): late lineitems classified by order priority.  The
+    # shipdate range is pushed to the lineitem scan; the late predicate
+    # is a post-join filter (references both sides); conditional counts
+    # are FILTER-style so both engines return exact int64.
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "promo_revenue_ratio",
+    """
+    SELECT cast(sum(CASE WHEN p_type = 'PROMO'
+                         THEN cast(l_extendedprice AS decimal(18,2))
+                              * (1 - cast(l_discount AS decimal(18,2)))
+                         ELSE cast(0 AS decimal(18,2)) END) AS double)
+               AS promo_revenue,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))) AS double)
+               AS total_revenue,
+           100 * cast(sum(CASE WHEN p_type = 'PROMO'
+                               THEN cast(l_extendedprice AS decimal(18,2))
+                                    * (1 - cast(l_discount AS decimal(18,2)))
+                               ELSE cast(0 AS decimal(18,2)) END) AS double)
+               / cast(sum(cast(l_extendedprice AS decimal(18,2))
+                          * (1 - cast(l_discount AS decimal(18,2)))) AS double)
+               AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q_promo_revenue_ratio(spark, sf_dir):
+    # TPC-H Q14 shape: promo-type revenue share for one ship month.
+    # Month filter pushed to the fact scan, part dim broadcast, ONE
+    # partial+final aggregate with a conditional numerator — no second
+    # pass.  The ratio is (exact decimal -> double) / (exact decimal ->
+    # double): both operands bit-identical cross-engine, so the IEEE
+    # division is too (same rule as operators/relational.market_share).
+    rev = R.revenue_expr()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            (
+                F.lit(100) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@_q(
+    "part_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_part_supplier_counts(spark, sf_dir):
+    # TPC-H Q16 shape (lineitem as the part-supplier relation; no
+    # partsupp table here): distinct supplier counts per part group,
+    # excluding blacklisted suppliers.  The NOT IN decorrelates to a
+    # broadcast LEFT ANTI (keys are non-null, so anti == NOT IN); part
+    # predicates prune the broadcast dim before the join; countDistinct
+    # is a two-stage exact distinct aggregate, shuffled on the group key.
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "disjunctive_predicate_revenue",
+    """
+    SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))) AS double)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_predicate_revenue(spark, sf_dir):
+    # TPC-H Q19 shape: revenue under a 3-arm disjunction mixing part and
+    # lineitem predicates.  Catalyst factors the common structure: the
+    # per-arm part predicates prune the broadcast dim scan, the quantity
+    # bounds (l_quantity BETWEEN 1 AND 30 across arms) push to the fact
+    # scan, and the full disjunction evaluates post-join in codegen —
+    # the join itself stays a plain broadcast equi-join on partkey
+    # (never a nested-loop over the OR).
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm("Brand#3", 15, 20, 30))
+        .agg(
+            F.sum(R.revenue_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "heavy_shippers_of_part",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_regionkey < 2
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'small%'
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(cast(l_quantity AS decimal(18,2))) > 60)
+    """,
+)
+def q_heavy_shippers_of_part(spark, sf_dir):
+    # TPC-H Q20 shape (availqty has no home without partsupp, so the
+    # shipped-quantity aggregate stands in): suppliers in two regions
+    # who shipped more than a threshold of any one 'small%' part.  The
+    # nested IN decorrelates to a LEFT SEMI against the HAVING-filtered
+    # aggregate; part pre-filters broadcast into lineitem BEFORE the
+    # (suppkey, partkey) aggregation, so only matching rows shuffle;
+    # the surviving supplier-key set is tiny and broadcasts.
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(R.dec2("l_quantity")).alias("q"))
+        .filter(F.col("q") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 2)
+    return (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@_q(
+    "waiting_orders_suppliers",
+    """
+    WITH l1 AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    SELECT s_name, count(*) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_orders_suppliers(spark, sf_dir):
+    # TPC-H Q21 shape (ship > order date + 60d stands in for receipt >
+    # commit): suppliers who were the SOLE late shipper on a finished
+    # multi-supplier order.  The EXISTS / NOT-EXISTS pair decorrelates
+    # to per-order aggregates computed ONCE each and joined back on
+    # orderkey — Spark reuses the orderkey partitioning across the hops
+    # instead of re-probing lineitem per row.  "≥2 distinct suppliers"
+    # is min(suppkey) != max(suppkey) and "exactly one distinct late
+    # supplier" is min == max over the late set: plain partial+final
+    # min/max aggregates, no countDistinct Expand + double exchange.
+    # Top-20 is TakeOrderedAndProject on (numwait desc, s_name).
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg((F.min("l_suppkey") != F.max("l_suppkey")).alias("multi"))
+        .filter(F.col("multi"))
+        .select("l_orderkey")
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("lo"), F.max("l_suppkey").alias("hi"))
+        .filter(F.col("lo") == F.col("hi"))
+        .select("l_orderkey")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        late.join(multi, "l_orderkey", "leftsemi")
+        .join(sole, "l_orderkey", "leftsemi")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
