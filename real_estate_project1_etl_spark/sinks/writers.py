@@ -94,9 +94,10 @@ def _swap_dir(path: str, tmp: str, tag: str) -> None:
 
     LOCAL FILESYSTEM ONLY (os.rename/shutil semantics): object stores
     (``s3a://``) have no atomic directory rename — there, use a table
-    format (Delta/Iceberg) whose metadata commit provides the swap, or a
-    manifest/pointer indirection.  These plain-parquet sinks are the
-    single-node/POSIX tier.
+    format whose metadata commit provides the swap: this repo ships one
+    (:mod:`real_estate_project1_etl_spark.sinks.versioned`, a
+    manifest-pointer format whose publish is a single-file replace).
+    These plain-parquet sinks are the single-node/POSIX tier.
 
     Crash tolerance: the old directory is deleted LAST, so a crash at any
     point leaves the data recoverable — before step 2 the table is briefly

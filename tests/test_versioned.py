@@ -1,0 +1,130 @@
+"""Versioned (manifest-pointer) table format: commit protocol, snapshot
+isolation, time travel, compaction, upsert, vacuum, crash/conflict cases."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.sinks import versioned as V
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, val string")
+
+
+def test_create_append_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = V.create_or_replace(_df(spark, [(1, "a"), (2, "b")]), path)
+    assert v1 == 1
+    v2 = V.append(_df(spark, [(3, "c")]), path)
+    assert v2 == 2
+    got = {tuple(r) for r in V.read_snapshot(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    assert [h["op"] for h in V.history(path)] == ["create_or_replace", "append"]
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_or_replace(_df(spark, [(1, "a")]), path)
+    V.create_or_replace(_df(spark, [(9, "z")]), path)
+    assert [tuple(r) for r in V.read_snapshot(spark, path, version=1).collect()] == [
+        (1, "a")
+    ]
+    assert [tuple(r) for r in V.read_snapshot(spark, path).collect()] == [(9, "z")]
+
+
+def test_reader_pinned_to_version_survives_commit(spark, tmp_path):
+    # snapshot isolation: resolve the pointer once, then commits (even a
+    # full replace) don't disturb the pinned file list until vacuum
+    path = str(tmp_path / "t")
+    V.create_or_replace(_df(spark, [(1, "a"), (2, "b")]), path)
+    pinned = V.read_snapshot(spark, path, version=V.current_version(path))
+    V.create_or_replace(_df(spark, [(3, "c")]), path)
+    assert {r.id for r in pinned.collect()} == {1, 2}
+
+
+def test_compact_reduces_files_same_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_or_replace(_df(spark, [(i, "x") for i in range(10)]).repartition(6), path)
+    before = V.history(path)[-1]["n_files"]
+    assert before > 1
+    V.compact(spark, path)
+    after = V.history(path)[-1]["n_files"]
+    assert after == 1
+    assert V.read_snapshot(spark, path).count() == 10
+    # old (pre-compaction) version still time-travel readable
+    assert V.read_snapshot(spark, path, version=1).count() == 10
+
+
+def test_upsert_updates_win_and_new_keys_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_or_replace(_df(spark, [(1, "old"), (2, "keep")]), path)
+    V.upsert(spark, _df(spark, [(1, "new"), (3, "ins")]), path, key_cols=["id"])
+    got = {tuple(r) for r in V.read_snapshot(spark, path).collect()}
+    assert got == {(1, "new"), (2, "keep"), (3, "ins")}
+
+
+def test_upsert_on_missing_table_creates_it(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.upsert(spark, _df(spark, [(1, "a")]), path, key_cols=["id"])
+    assert V.read_snapshot(spark, path).count() == 1
+
+
+def test_crashed_commit_is_invisible_and_version_number_burned(spark, tmp_path):
+    # simulate a crash AFTER the manifest create but BEFORE the pointer
+    # flip: readers stay on the old version; the next commit skips the
+    # burned version number instead of conflicting forever
+    path = str(tmp_path / "t")
+    V.create_or_replace(_df(spark, [(1, "a")]), path)
+    orphan = V._manifest_path(path, 2)
+    with open(orphan, "x") as fh:
+        json.dump({"version": 2, "files": ["data/nope.parquet"], "op": "x",
+                   "committed_at": "never"}, fh)
+    assert V.current_version(path) == 1
+    assert V.read_snapshot(spark, path).count() == 1
+    v = V.append(_df(spark, [(2, "b")]), path)
+    assert v == 3  # skipped the orphaned 2
+    assert V.read_snapshot(spark, path).count() == 2
+
+
+def test_commit_conflict_detected(spark, tmp_path, monkeypatch):
+    # two writers race for the same version number: exclusive manifest
+    # create makes exactly one win
+    path = str(tmp_path / "t")
+    V.create_or_replace(_df(spark, [(1, "a")]), path)
+    monkeypatch.setattr(V, "_next_free_version", lambda p, c: c)
+    with open(V._manifest_path(path, 2), "x") as fh:
+        fh.write("{}")
+    with pytest.raises(V.CommitConflict):
+        V.append(_df(spark, [(2, "b")]), path)
+
+
+def test_vacuum_drops_expired_files_keeps_recent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_or_replace(_df(spark, [(1, "a")]), path)   # v1
+    V.create_or_replace(_df(spark, [(2, "b")]), path)   # v2 (v1 files now unreferenced)
+    V.append(_df(spark, [(3, "c")]), path)              # v3 shares v2's files
+    removed = V.vacuum(path, keep_last=2)
+    assert removed >= 1  # v1's file(s) gone
+    with pytest.raises(FileNotFoundError):
+        V._read_manifest(path, 1)
+    # kept versions fully readable
+    assert V.read_snapshot(spark, path, version=2).count() == 1
+    assert {r.id for r in V.read_snapshot(spark, path, version=3).collect()} == {2, 3}
+
+
+def test_no_directory_listing_on_read_path(spark, tmp_path):
+    # a foreign file dropped in data/ is ignored because reads use the
+    # manifest's explicit file list, never a glob
+    path = str(tmp_path / "t")
+    V.create_or_replace(_df(spark, [(1, "a")]), path)
+    stray_dir = os.path.join(path, "data", "commit-stray")
+    os.makedirs(stray_dir)
+    _df(spark, [(99, "stray")]).write.mode("overwrite").parquet(
+        os.path.join(stray_dir, "x.parquet")
+    )
+    assert {r.id for r in V.read_snapshot(spark, path).collect()} == {1}
