@@ -1,0 +1,208 @@
+"""Differential fuzzing: randomized relational plans executed by BOTH the
+Spark engine and DuckDB from one generated spec, results compared exactly.
+
+The 117 hand-written oracles pin the operators we thought to test; the
+fuzzer covers the combinations we didn't.  Every case is generated from a
+seeded RNG (fully deterministic, no flaky reruns) over a small grammar:
+
+    base   := lineitem | lineitem JOIN orders ON orderkey
+    filter := 0-2 of {numeric cmp, string IN-list, date range}
+    shape  := GROUP BY subset + aggregates | project + total-order LIMIT
+
+Determinism rules match the production queries (NOTES.md): money sums are
+exact decimal cast double at the boundary, conditional counts are
+engine-exact int64, sorts carry a unique tiebreak, no float rounding.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tools.driver_sim import canon
+
+N_CASES = 40
+
+_NUM_COLS = {
+    "l_quantity": (1, 50),
+    "l_extendedprice": (900, 60000),
+    "l_discount": (0.0, 0.1),
+}
+_STR_COLS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+}
+_ORDERS_STR = {"o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]}
+_GROUP_KEYS = ["l_returnflag", "l_linestatus"]
+_DEC = "cast({c} AS decimal(18,2))"
+
+
+def _gen_filters(rng: random.Random, joined: bool):
+    """Returns (spark_condition_builder, sql_where_fragments)."""
+    conds, sqls = [], []
+    for _ in range(rng.randint(0, 2)):
+        kind = rng.choice(["num", "str", "date"] + (["onum"] if joined else []))
+        if kind == "num":
+            col, (lo, hi) = rng.choice(list(_NUM_COLS.items()))
+            op = rng.choice([">", "<", ">=", "<="])
+            val = round(rng.uniform(lo, hi), 2)
+            conds.append((col, op, val))
+            sqls.append(f"{col} {op} {val}")
+        elif kind == "onum":
+            val = round(rng.uniform(1000, 400000), 2)
+            op = rng.choice([">", "<"])
+            conds.append(("o_totalprice", op, val))
+            sqls.append(f"o_totalprice {op} {val}")
+        elif kind == "str":
+            col, domain = rng.choice(list(_STR_COLS.items()))
+            vals = rng.sample(domain, rng.randint(1, len(domain) - 1))
+            conds.append((col, "in", vals))
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            sqls.append(f"{col} IN ({quoted})")
+        else:
+            m = rng.randint(1, 12)
+            y = rng.choice([1995, 1996, 1997])
+            bound = f"{y}-{m:02d}-01"
+            op = rng.choice([">=", "<"])
+            conds.append(("l_shipdate", op, bound))
+            sqls.append(f"l_shipdate {op} TIMESTAMP '{bound}'")
+    return conds, sqls
+
+
+def _apply_filters(df, conds):
+    for col, op, val in conds:
+        c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(*val))
+        elif op == ">":
+            df = df.filter(c > val)
+        elif op == "<":
+            df = df.filter(c < val)
+        elif op == ">=":
+            df = df.filter(c >= val)
+        else:
+            df = df.filter(c <= val)
+    return df
+
+
+def _gen_aggs(rng: random.Random, joined: bool):
+    """Returns (spark_agg_exprs, sql_agg_fragments) — 1-3 aggregates."""
+    exprs, sqls = [], []
+    picks = rng.sample(
+        ["cnt", "sum_qty", "sum_rev", "min_q", "max_p", "cond_cnt", "avg_q"],
+        rng.randint(1, 3),
+    )
+    for i, p in enumerate(picks):
+        a = f"a{i}"
+        if p == "cnt":
+            exprs.append(F.count(F.lit(1)).alias(a))
+            sqls.append(f"count(*) AS {a}")
+        elif p == "sum_qty":
+            exprs.append(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(a))
+            sqls.append(f"cast(sum({_DEC.format(c='l_quantity')}) AS double) AS {a}")
+        elif p == "sum_rev":
+            exprs.append(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double").alias(a)
+            )
+            sqls.append(
+                f"cast(sum({_DEC.format(c='l_extendedprice')}"
+                f" * (1 - {_DEC.format(c='l_discount')})) AS double) AS {a}"
+            )
+        elif p == "min_q":
+            exprs.append(F.min("l_quantity").alias(a))
+            sqls.append(f"min(l_quantity) AS {a}")
+        elif p == "max_p":
+            exprs.append(F.max("l_extendedprice").alias(a))
+            sqls.append(f"max(l_extendedprice) AS {a}")
+        elif p == "cond_cnt":
+            col, domain = rng.choice(list(_STR_COLS.items()))
+            v = rng.choice(domain)
+            exprs.append(F.count(F.when(F.col(col) == v, 1)).alias(a))
+            sqls.append(f"count(*) FILTER (WHERE {col} = '{v}') AS {a}")
+        else:  # avg_q — exact-decimal sum over exact count, double at boundary
+            exprs.append(
+                (
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(a)
+            )
+            sqls.append(
+                f"cast(sum({_DEC.format(c='l_quantity')}) AS double)"
+                f" / count(*) AS {a}"
+            )
+    return exprs, sqls
+
+
+def _gen_case(seed: int):
+    """One random plan: (build_spark(spark, tables) -> DataFrame, sql)."""
+    rng = random.Random(seed)
+    joined = rng.random() < 0.4
+    conds, where_sql = _gen_filters(rng, joined)
+    grouped = rng.random() < 0.6
+
+    if grouped:
+        keys = rng.sample(_GROUP_KEYS, rng.randint(1, 2))
+        if joined and rng.random() < 0.5:
+            keys.append("o_orderpriority")
+        aggs, agg_sql = _gen_aggs(rng, joined)
+        select_sql = ", ".join(keys + agg_sql)
+        tail_sql = f" GROUP BY {', '.join(keys)}"
+    else:
+        # ORDER BY covers EVERY output column: the synthetic lineitem has
+        # duplicate (l_orderkey, l_linenumber) pairs (unlike real TPC-H —
+        # fuzzer-discovered), so no short prefix is a total order.  Sorting
+        # on the full projection makes the LIMIT cut deterministic as a
+        # multiset: rows tied at the cut line are output-identical.
+        cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+        k = rng.randint(5, 50)
+        select_sql = ", ".join(cols)
+        tail_sql = f" ORDER BY {', '.join(cols)} LIMIT {k}"
+
+    base_sql = (
+        "lineitem JOIN orders ON l_orderkey = o_orderkey" if joined else "lineitem"
+    )
+    where = f" WHERE {' AND '.join(where_sql)}" if where_sql else ""
+    sql = f"SELECT {select_sql} FROM {base_sql}{where}{tail_sql}"
+
+    def build(spark, li, orders):
+        df = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")) if joined else li
+        df = _apply_filters(df, conds)
+        if grouped:
+            return df.groupBy(*keys).agg(*aggs)
+        return df.select(*cols).orderBy(*cols).limit(k)
+
+    return build, sql
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_fuzz_case_matches_duckdb(seed, spark, duck, tables):
+    build, sql = _gen_case(seed)
+    sdf = build(spark, *tables).toPandas()
+    ddf = duck.execute(sql).df()
+    assert canon(sdf) == canon(ddf), f"divergence on seed={seed}\nSQL: {sql}"
