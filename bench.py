@@ -55,6 +55,11 @@ HEADLINE = [
     "near_dup_components",
     "semantic_dedup",
     "lsh_multiprobe_topk",
+    # TPC-H-shape additions (round 2b): 5-way profit join, sole-late-
+    # shipper triple self-aggregation, grouped distinct count
+    "profit_by_nation_year",
+    "waiting_orders_suppliers",
+    "part_supplier_counts",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -81,6 +86,9 @@ COST = {
     "near_dup_components": "minhash pairs + iterative min-label rounds (1 exchange each)",
     "semantic_dedup": "normalize+assign (broadcast cents) + within-cluster pair join",
     "lsh_multiprobe_topk": "bucket hash both sides; query explodes 11 probes; equi-join",
+    "profit_by_nation_year": "5-way join: 3 broadcasts + 1 fact-fact shuffle + year agg",
+    "waiting_orders_suppliers": "3 aggs/semijoins sharing the orderkey partitioning",
+    "part_supplier_counts": "broadcast anti+dim joins + distinct agg (Expand) on group key",
 }
 
 
