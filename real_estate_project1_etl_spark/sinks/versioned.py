@@ -55,7 +55,9 @@ __all__ = [
     "create_or_replace",
     "current_version",
     "history",
+    "idempotent_append",
     "read_snapshot",
+    "stream_sink",
     "upsert",
     "vacuum",
 ]
@@ -103,7 +105,13 @@ def _write_data_files(df: DataFrame, path: str, n_files: int | None) -> list[str
     )
 
 
-def _commit(path: str, base_version: int, files: list[str], op: str) -> int:
+def _commit(
+    path: str,
+    base_version: int,
+    files: list[str],
+    op: str,
+    txn: dict[str, int] | None = None,
+) -> int:
     """Publish ``files`` as version ``base_version + 1``.
 
     Exclusive-create of the manifest is the conflict gate; the pointer
@@ -119,6 +127,10 @@ def _commit(path: str, base_version: int, files: list[str], op: str) -> int:
         "files": files,
         "op": op,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # per-writer transaction watermarks (app_id -> highest committed
+        # batch), carried forward cumulatively — the Delta-paper "txn"
+        # action that makes streaming re-delivery idempotent
+        "txn": dict(txn or {}),
     }
     try:
         with open(_manifest_path(path, version), "x") as fh:
@@ -140,12 +152,19 @@ def _next_free_version(path: str, candidate: int) -> int:
     return candidate
 
 
+def _head_txn(path: str, base: int) -> dict[str, int]:
+    if not base:
+        return {}
+    return _read_manifest(path, base).get("txn", {})
+
+
 def create_or_replace(df: DataFrame, path: str, n_files: int | None = None) -> int:
     """Commit ``df`` as a full snapshot (version 1 for a new table).
     Returns the committed version."""
     os.makedirs(path, exist_ok=True)
+    base = current_version(path)
     files = _write_data_files(df, path, n_files)
-    return _commit(path, current_version(path), files, "create_or_replace")
+    return _commit(path, base, files, "create_or_replace", _head_txn(path, base))
 
 
 def append(df: DataFrame, path: str, n_files: int | None = None) -> int:
@@ -154,7 +173,44 @@ def append(df: DataFrame, path: str, n_files: int | None = None) -> int:
     base = current_version(path)
     prior = _read_manifest(path, base)["files"] if base else []
     files = _write_data_files(df, path, n_files)
-    return _commit(path, base, prior + files, "append")
+    return _commit(path, base, prior + files, "append", _head_txn(path, base))
+
+
+def idempotent_append(
+    df: DataFrame, path: str, app_id: str, batch_id: int, n_files: int | None = None
+) -> int | None:
+    """Exactly-once append for streaming: commit ``df`` tagged with
+    (``app_id``, ``batch_id``); a re-delivered batch (same or lower id for
+    this app) is a NO-OP, returning None.
+
+    This is the table-side half of exactly-once — the checkpoint replays
+    a batch after a crash, and the transaction watermark in the manifest
+    deduplicates the replay (Delta paper §3.2 "txn" action).  The check
+    and the commit race safely: the watermark is read from the same head
+    version the commit is built on, and a concurrent commit of the same
+    version loses on the exclusive manifest create.
+    """
+    base = current_version(path)
+    txn = _head_txn(path, base)
+    if app_id in txn and batch_id <= txn[app_id]:
+        return None
+    os.makedirs(path, exist_ok=True)
+    prior = _read_manifest(path, base)["files"] if base else []
+    files = _write_data_files(df, path, n_files)
+    txn = {**txn, app_id: batch_id}
+    return _commit(path, base, prior + files, f"stream_append[{batch_id}]", txn)
+
+
+def stream_sink(path: str, app_id: str, n_files: int | None = None):
+    """``foreachBatch`` adapter: ``writeStream.foreachBatch(stream_sink(
+    table, app_id))`` gives exactly-once versioned-table appends — the
+    checkpoint provides replay, :func:`idempotent_append` provides
+    dedup, the pointer flip provides atomic publish."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(batch_df, path, app_id, int(batch_id), n_files)
+
+    return write
 
 
 def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
@@ -198,7 +254,7 @@ def compact(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = read_snapshot(spark, path, base)
     new_files = _write_data_files(df, path, n_files)
-    return _commit(path, base, new_files, "compact")
+    return _commit(path, base, new_files, "compact", _head_txn(path, base))
 
 
 def upsert(
@@ -235,7 +291,7 @@ def upsert(
         .drop("_rn", "_src")
     )
     files = _write_data_files(out, path, n_files)
-    return _commit(path, base, files, "upsert")
+    return _commit(path, base, files, "upsert", _head_txn(path, base))
 
 
 def vacuum(path: str, keep_last: int = 1) -> int:

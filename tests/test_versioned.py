@@ -128,3 +128,48 @@ def test_no_directory_listing_on_read_path(spark, tmp_path):
         os.path.join(stray_dir, "x.parquet")
     )
     assert {r.id for r in V.read_snapshot(spark, path).collect()} == {1}
+
+
+def test_idempotent_append_dedups_replayed_batch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v = V.idempotent_append(_df(spark, [(1, "a")]), path, "app1", 0)
+    assert v == 1
+    # crash-replay of batch 0 -> no-op
+    assert V.idempotent_append(_df(spark, [(1, "a")]), path, "app1", 0) is None
+    assert V.read_snapshot(spark, path).count() == 1
+    # next batch commits; a different app's batch 0 also commits
+    assert V.idempotent_append(_df(spark, [(2, "b")]), path, "app1", 1) is not None
+    assert V.idempotent_append(_df(spark, [(3, "c")]), path, "app2", 0) is not None
+    assert V.read_snapshot(spark, path).count() == 3
+    # watermark survives unrelated commits (compact carries txn forward)
+    V.compact(spark, path)
+    assert V.idempotent_append(_df(spark, [(9, "x")]), path, "app1", 1) is None
+
+
+def test_stream_sink_exactly_once_through_foreachBatch(spark, tmp_path):
+    # real Structured Streaming run: file source -> foreachBatch -> the
+    # versioned table; restarting from the SAME checkpoint re-delivers
+    # nothing, restarting with a WIPED checkpoint replays the input and
+    # the txn watermark dedups the replay
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(src)
+
+    def run(checkpoint):
+        (
+            spark.readStream.schema("id int, val string")
+            .parquet(src)
+            .writeStream.foreachBatch(V.stream_sink(table, "job1"))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+
+    run(ckpt)
+    assert V.read_snapshot(spark, table).count() == 2
+    run(ckpt)  # same checkpoint: source yields nothing new
+    assert V.read_snapshot(spark, table).count() == 2
+    run(str(tmp_path / "ckpt2"))  # lost checkpoint: batch 0 replays
+    assert V.read_snapshot(spark, table).count() == 2  # deduped by txn
