@@ -3719,6 +3719,51 @@ def q_retrieval_index_pipeline(spark, sf_dir):
 
 
 @_q(
+    "user_retention_cohorts",
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cw
+        FROM events GROUP BY user_id),
+    act AS (
+        SELECT DISTINCT e.user_id, f.cw,
+               cast(floor(datediff('day', f.cw, date_trunc('week', e.ts)) / 7)
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN first f ON e.user_id = f.user_id)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+           count(*) AS n_active
+    FROM act GROUP BY cw, week_offset
+    """,
+)
+def q_user_retention_cohorts(spark, sf_dir):
+    # cohort retention triangle: users grouped by first-event week, and
+    # for each (cohort, weeks-since) the distinct actives — the classic
+    # product-analytics rollup.  Scale shape: one user_id aggregation
+    # for first-touch (tiny: one row per user), broadcast back onto the
+    # fact scan, then DISTINCT + count on (cohort, offset) — the heavy
+    # exchange carries (user, cohort, offset) triples, not events.  The
+    # offset arithmetic stays on week-truncated dates (exact multiples
+    # of 7 days), so the division is exact in both engines.
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cw",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@_q(
     "profit_by_nation_year",
     """
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
