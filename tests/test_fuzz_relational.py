@@ -7,7 +7,10 @@ seeded RNG (fully deterministic, no flaky reruns) over a small grammar:
 
     base   := lineitem | lineitem JOIN orders ON orderkey
     filter := 0-2 of {numeric cmp, string IN-list, date range}
-    shape  := GROUP BY subset + aggregates | project + total-order LIMIT
+    shape  := GROUP BY subset + aggregates
+            | project + total-order LIMIT
+            | window function over string partition (row_number / lag /
+              running decimal sum / partition total)
 
 Determinism rules match the production queries (NOTES.md): money sums are
 exact decimal cast double at the boundary, conditional counts are
@@ -139,14 +142,68 @@ def _gen_aggs(rng: random.Random, joined: bool):
     return exprs, sqls
 
 
+# window ORDER BY == the full projection, so tied rows are output-identical
+# and every windowed expression is a function of the ordering columns —
+# tie reorderings cannot change row_number/lag/prefix-sum outputs as a
+# multiset (same argument as the LIMIT shape; see NOTES.md pitfalls).
+_WIN_ORDER = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+
+
+def _gen_window(rng: random.Random):
+    part = rng.choice(list(_STR_COLS))
+    func = rng.choice(["row_number", "lag_qty", "run_sum", "part_sum"])
+    order_sql = ", ".join(_WIN_ORDER)
+    if func == "row_number":
+        wsql = f"row_number() OVER (PARTITION BY {part} ORDER BY {order_sql})"
+    elif func == "lag_qty":
+        wsql = f"lag(l_quantity) OVER (PARTITION BY {part} ORDER BY {order_sql})"
+    elif func == "run_sum":
+        wsql = (
+            f"cast(sum({_DEC.format(c='l_quantity')}) OVER ("
+            f"PARTITION BY {part} ORDER BY {order_sql} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double)"
+        )
+    else:
+        wsql = (
+            f"cast(sum({_DEC.format(c='l_quantity')}) "
+            f"OVER (PARTITION BY {part}) AS double)"
+        )
+
+    def expr():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(part).orderBy(*_WIN_ORDER)
+        if func == "row_number":
+            return F.row_number().over(w)
+        if func == "lag_qty":
+            return F.lag("l_quantity").over(w)
+        q = F.col("l_quantity").cast("decimal(18,2)")
+        if func == "run_sum":
+            return (
+                F.sum(q)
+                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .cast("double")
+            )
+        return F.sum(q).over(Window.partitionBy(part)).cast("double")
+
+    return part, wsql, expr
+
+
 def _gen_case(seed: int):
     """One random plan: (build_spark(spark, tables) -> DataFrame, sql)."""
     rng = random.Random(seed)
     joined = rng.random() < 0.4
     conds, where_sql = _gen_filters(rng, joined)
-    grouped = rng.random() < 0.6
+    shape = rng.choices(["group", "limit", "window"], weights=[5, 2, 3])[0]
+    grouped = shape == "group"
+    windowed = shape == "window"
 
-    if grouped:
+    if windowed:
+        part, wsql, wexpr = _gen_window(rng)
+        out_cols = [part, *_WIN_ORDER]
+        select_sql = ", ".join(out_cols) + f", {wsql} AS wv"
+        tail_sql = ""
+    elif grouped:
         keys = rng.sample(_GROUP_KEYS, rng.randint(1, 2))
         if joined and rng.random() < 0.5:
             keys.append("o_orderpriority")
@@ -173,6 +230,8 @@ def _gen_case(seed: int):
     def build(spark, li, orders):
         df = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")) if joined else li
         df = _apply_filters(df, conds)
+        if windowed:
+            return df.select(*out_cols, wexpr().alias("wv"))
         if grouped:
             return df.groupBy(*keys).agg(*aggs)
         return df.select(*cols).orderBy(*cols).limit(k)
