@@ -219,8 +219,22 @@ def minhash_pairs_from_signatures(
     (at 100 TB the shingle payload dwarfs the 16-byte bucket key); the
     shingles rejoin per-candidate at the end.
     """
+    banded = _band_keys(sig, num_hashes, bands)
+    cand = (
+        banded.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(banded.select(F.col("id").alias("id_b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs(cand, sig, jaccard_threshold, round_digits)
+
+
+def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) banding keys — the ONLY payload that explodes and
+    shuffles during candidate generation (never the shingle arrays)."""
     rows_per_band = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -237,13 +251,14 @@ def minhash_pairs_from_signatures(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    cand = (
-        banded.select(F.col("id").alias("id_a"), "band", "bucket")
-        .join(banded.select(F.col("id").alias("id_b"), "band", "bucket"), ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+
+def _verify_pairs(
+    cand: DataFrame,
+    sig: DataFrame,
+    jaccard_threshold: float,
+    round_digits: int | None,
+) -> DataFrame:
+    """Exact-Jaccard verification: shingles rejoin per-candidate only."""
     sh = sig.select("id", "sh")
     jac = ngram_jaccard(F.col("sh_a"), F.col("sh_b"))
     if round_digits is not None:
@@ -255,6 +270,53 @@ def minhash_pairs_from_signatures(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_minhash_pairs(
+    new_sig: DataFrame,
+    base_sig: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Incremental near-dup mining for a daily ingest: every pair that
+    involves at least one NEW document — new×new plus new×base — without
+    ever re-mining base×base.
+
+    This is the 100 TB steady state the two-phase API exists for: the
+    corpus signature table (:func:`save_minhash_signatures`, bucketed by
+    id) is yesterday's artifact; today's batch computes signatures for
+    its own documents only, mines against the materialized base, then
+    appends its signatures to the table for tomorrow.  Work per day is
+    O(batch + collisions), not O(corpus²) — the base side contributes
+    only its banding keys (16-byte buckets) and the shingles of actual
+    candidates.
+
+    Ids must be globally unique across both sides; output pairs are
+    canonical (``id_a < id_b``) and deduplicated, so a doc present in
+    both roles never yields a mirrored duplicate.
+    """
+    band_new = _band_keys(new_sig, num_hashes, bands)
+    band_base = _band_keys(base_sig, num_hashes, bands)
+    nn = (
+        band_new.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(band_new.select(F.col("id").alias("id_b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    nb = (
+        band_new.select(F.col("id").alias("id_n"), "band", "bucket")
+        .join(band_base.select(F.col("id").alias("id_o"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+    )
+    cand = nn.unionByName(nb).dropDuplicates(["id_a", "id_b"])
+    all_sig = new_sig.select("id", "sh").unionByName(base_sig.select("id", "sh"))
+    return _verify_pairs(cand, all_sig, jaccard_threshold, round_digits)
 
 
 def minhash_near_duplicates(

@@ -268,3 +268,33 @@ def test_fit_once_centroids_reproduce_assignments(spark, sf_dir):
     r1 = {tuple(r) for r in ivf_topk(emb, q, k=3, n_probe=2, centroids=cents).collect()}
     r2 = {tuple(r) for r in ivf_topk(emb, q, k=3, n_probe=2, centroids=saved).collect()}
     assert r1 == r2 and len(r1) > 0
+
+
+def test_incremental_minhash_equals_full_minus_base_pairs(spark, sf_dir):
+    # daily-ingest path: mining the new batch against the materialized
+    # base must produce EXACTLY the full-corpus pairs that involve at
+    # least one new doc — no re-mining of base x base, nothing missed at
+    # the batch boundary, no mirrored duplicates
+    from real_estate_project1_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_pairs_from_signatures,
+        minhash_signature_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = 250
+    base = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+
+    full_sig = minhash_signature_table(docs, "text", "doc_id")
+    full = {
+        tuple(r) for r in minhash_pairs_from_signatures(full_sig).collect()
+    }
+    expected = {p for p in full if p[0] >= split or p[1] >= split}
+
+    inc = incremental_minhash_pairs(
+        minhash_signature_table(new, "text", "doc_id"),
+        minhash_signature_table(base, "text", "doc_id"),
+    )
+    got = {tuple(r) for r in inc.collect()}
+    assert got == expected and len(expected) > 0
