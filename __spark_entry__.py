@@ -4170,6 +4170,207 @@ def q_waiting_orders_suppliers(spark, sf_dir):
     )
 
 
+def _winnow_ctes(k: int = 3, w: int = 4) -> str:
+    # DuckDB mirror of operators/fingerprint.{kgram_hash_array,winnow}:
+    # positional word k-gram md5_60 hashes, then distinct window-of-w
+    # minima — bit-identical to the Spark expression chain. Ends in
+    # ``fps(doc_id, fp)``.
+    return f"""
+    wrds AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    grams AS (SELECT doc_id,
+               list_transform(range(1, greatest(len(w)-{k-1}, 1)+1),
+                   i -> array_to_string(list_slice(w, i, i+{k-1}), ' ')) AS gs
+              FROM wrds),
+    hashed AS (SELECT doc_id,
+               list_transform(gs, g -> ('0x'||substr(md5(g),1,15))::BIGINT) AS hs
+               FROM grams),
+    sel AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(hs)-{w-1}, 1)+1),
+                 i -> list_aggregate(list_slice(hs, i, i+{w-1}), 'min'))) AS sel
+            FROM hashed),
+    fps AS (SELECT doc_id, unnest(sel) AS fp FROM sel)
+    """
+
+
+@_q(
+    "winnowing_fingerprints",
+    f"WITH {_winnow_ctes()} SELECT doc_id, fp AS fingerprint FROM fps",
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    # winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    # — the MOSS algorithm): hash every word 3-gram, keep the minimum of
+    # each sliding window of 4 hashes. Any shared run of >= 6 words between
+    # two docs is GUARANTEED to share a fingerprint, at ~2/(w+1) the
+    # density of full shingling. Scale shape: pure per-row expression chain
+    # in the scan stage — zero shuffle; the md5_60 hash makes the selected
+    # set engine-reproducible, so selection itself is differentially
+    # checked (not just downstream counts).
+    from real_estate_project1_etl_spark.operators.fingerprint import (
+        winnowing_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "text", "doc_id", k=3, w=4)
+
+
+@_q(
+    "winnowing_near_dup",
+    f"""
+    WITH {_winnow_ctes()},
+    rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+             WHERE df BETWEEN 2 AND 50),
+    kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def q_winnowing_near_dup(spark, sf_dir):
+    # fingerprint-index near-dup candidates: docs sharing >= 2 winnowing
+    # fingerprints, hot fingerprints (df > 50 — boilerplate) dropped before
+    # pairing. Scale shape: candidate generation is an equi-join on the
+    # fingerprint value (inverted-index shape, like minhash banding), never
+    # all-pairs; the df cap bounds worst-case join fan-out. The oracle
+    # mirrors the whole construction — selection, cap, pairing — exactly.
+    from real_estate_project1_etl_spark.operators.fingerprint import (
+        winnowing_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_near_duplicates(
+        docs, "text", "doc_id", k=3, w=4, min_shared=2, max_df=50
+    )
+
+
+@_q(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, n_chars,
+           cast(n_chars AS double)
+           / cast((('0x'||substr(md5(cast(doc_id AS varchar)),1,15))::BIGINT
+                   + 1) AS double) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    # deterministic weighted sampling (sequential Poisson / order sampling,
+    # Ohlsson 1998): inclusion probability ~ n_chars, fixed sample size
+    # 100. Priority = w / (hash60(key)+1) — a content hash stands in for
+    # the uniform draw, so the sample is stable under retries and
+    # repartitioning, and since both inputs are exactly agreed integers
+    # and / is IEEE-correctly-rounded, the selected set is bit-identical
+    # cross-engine (the oracle proves it). Scale shape: priority is a
+    # row-local scan-stage expression; top-k is TakeOrderedAndProject —
+    # no global sort.
+    from real_estate_project1_etl_spark.operators.quality import (
+        sequential_poisson_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sequential_poisson_sample(
+        docs, "n_chars", 100, ["doc_id"], id_order_col="doc_id"
+    ).select("doc_id", "n_chars", "priority")
+
+
+@_q(
+    "fuzzy_part_matches",
+    r"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    toks AS (SELECT name, unnest(list_filter(string_split_regex(name, '\s+'),
+                                             t -> t <> '')) AS tok
+             FROM names),
+    rare AS (SELECT tok FROM (
+                SELECT tok, count(DISTINCT name) AS df FROM toks GROUP BY tok)
+             WHERE df BETWEEN 2 AND 500),
+    kept AS (SELECT name, tok FROM toks JOIN rare USING (tok)),
+    cands AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+              FROM kept a JOIN kept b
+              ON a.tok = b.tok AND a.name < b.name)
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS distance
+    FROM cands
+    WHERE levenshtein(name_a, name_b) <= 3
+    """,
+)
+def q_fuzzy_part_matches(spark, sf_dir):
+    # blocked fuzzy matching (entity resolution): part-name pairs within
+    # edit distance 3 that share a word token. Phase 1 blocks (equi-join
+    # on the token — inverted-index shape, sum(block^2) cost, hot blocks
+    # capped), phase 2 verifies with JVM levenshtein on candidates only —
+    # the two-phase shape of every scalable record-linkage system, vs the
+    # O(n^2) distance matrix a naive matcher computes. Names deduplicate
+    # BEFORE blocking (the distinct-name table is tiny at any scale).
+    from real_estate_project1_etl_spark.operators.linkage import (
+        blocked_fuzzy_matches,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return blocked_fuzzy_matches(part, "p_name", max_distance=3)
+
+
+@_q(
+    "cumulative_active_users",
+    """
+    WITH f AS (SELECT user_id, min(cast(ts AS date)) AS fd
+               FROM events GROUP BY user_id),
+    d AS (SELECT fd, count(*) AS new_users FROM f GROUP BY fd)
+    SELECT strftime(fd, '%Y-%m-%d') AS day, new_users,
+           cast(sum(new_users) OVER (ORDER BY fd) AS BIGINT)
+               AS cumulative_users
+    FROM d
+    """,
+)
+def q_cumulative_active_users(spark, sf_dir):
+    # users-to-date growth curve: first-touch day per user, daily new-user
+    # counts, running cumulative sum. Scale shape: the heavy exchange is
+    # the per-user min (one agg over the fact scan); everything after runs
+    # on a days-sized table, so the unpartitioned cumulative window is a
+    # 30-row sort, not a global funnel over events.
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("fd"))
+    daily = first.groupBy("fd").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("fd").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("fd", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@_q(
+    "rolling_week_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, cast(ts AS date) AS d FROM events),
+    days AS (SELECT DISTINCT d + cast(i AS INTEGER) AS day
+             FROM ud, unnest(range(0, 7)) AS t(i))
+    SELECT strftime(dd.day, '%Y-%m-%d') AS day,
+           count(DISTINCT u.user_id) AS active_users
+    FROM days dd JOIN ud u ON u.d BETWEEN dd.day - 6 AND dd.day
+    GROUP BY dd.day
+    """,
+)
+def q_rolling_week_active_users(spark, sf_dir):
+    # EXACT 7-day rolling distinct users (weekly-active-users), computed
+    # the scale-shaped way: each (user, active-day, next-active-day) row
+    # contributes to the <= 7 window-end days it is that user's latest
+    # activity for — a bounded explode + additive count, instead of
+    # re-deduplicating every user inside every window (what
+    # count(distinct) OVER a RANGE frame or the oracle's brute-force
+    # day-join does). One distinct + one lead window on the same (user)
+    # exchange, <= 7x fan-out on a (user, day) table, one final count agg.
+    from real_estate_project1_etl_spark.operators.relational import (
+        sliding_distinct_users,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_distinct_users(ev, "ts", "user_id", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

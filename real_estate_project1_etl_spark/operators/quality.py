@@ -138,6 +138,39 @@ def mixture_hash_sample(
     return stratified_hash_sample(df, source_col, fractions, key_cols)
 
 
+def sequential_poisson_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: list[str],
+    id_order_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows, inclusion probability
+    ~ proportional to ``weight_col`` (sequential Poisson / order sampling,
+    Ohlsson 1998 — the standard PPS design for fixed sample size).
+
+    Each row gets priority ``w / u`` where ``u = hash60(key) + 1`` is its
+    deterministic uniform draw on (0, 2^60]; the ``k`` largest priorities
+    are the sample. Because the draw is a content hash, the sample is
+    stable under retries / repartitioning / engine changes (same rationale
+    as :func:`deterministic_sample`), and because ``w / u`` is a single
+    IEEE-correctly-rounded double division of two exactly-agreed inputs,
+    the priority — and therefore the selected set — is bit-identical in
+    any engine, making the sampler differentially checkable.
+
+    Scale shape: priority is a row-local expression in the scan stage;
+    the top-k is ``orderBy(...).limit(k)`` = TakeOrderedAndProject (a
+    per-partition heap + driver merge of k*partitions rows) — no global
+    sort, no full shuffle.
+    """
+    h = _hash60(key_cols)
+    pr = F.col(weight_col).cast("double") / (h + F.lit(1)).cast("double")
+    order = [F.col("priority").desc()]
+    if id_order_col:
+        order.append(F.col(id_order_col))  # total order under priority ties
+    return df.withColumn("priority", pr).orderBy(*order).limit(k)
+
+
 def observe_metrics(
     df: DataFrame, metrics: dict[str, Column]
 ) -> tuple[DataFrame, "object"]:

@@ -280,3 +280,50 @@ def range_join(
     filters the range — never a cross product. Per-key fan-out is bounded
     by the interval width; salt the key if one key dominates."""
     return left.join(right, key_cond & lower & upper)
+
+
+def sliding_distinct_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT rolling N-day distinct-user count per day, without a
+    per-window COUNT(DISTINCT) — the scale-shaped form of the classic
+    "weekly active users" metric.
+
+    ``count(distinct user) OVER (RANGE N days)`` re-deduplicates every
+    user inside every window: O(days * window * events_per_day) state and
+    a shuffle per frame evaluation. Instead, observe that user ``u``
+    (active on day ``d``, next active on day ``nxt``) is counted in the
+    window ending on day ``D`` exactly when ``D`` is in
+    ``[d, min(d + N - 1, nxt - 1)]`` — i.e. between this activity and the
+    earlier of window expiry or the next activity (which takes over).
+    Each (user, active-day) row therefore expands to at most ``N`` small
+    contribution rows, and the metric is a plain additive count per day.
+
+    Cost: one distinct on (user, day), one lead window (same exchange),
+    a bounded <=N-row explode, one final count agg. All exact — no
+    sketches — and every step is mirrorable in SQL.
+
+    Returns (day, active_users) for every day some user is in-window.
+    """
+    day = F.to_date(F.col(ts_col))
+    ud = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    w = Window.partitionBy("u").orderBy("d")
+    spans = ud.withColumn("nxt", F.lead("d").over(w)).select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.least(
+                    F.date_add(F.col("d"), window_days - 1),
+                    F.coalesce(
+                        F.date_sub(F.col("nxt"), 1),
+                        F.date_add(F.col("d"), window_days - 1),
+                    ),
+                ),
+            )
+        ).alias("day"),
+    )
+    return spans.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))

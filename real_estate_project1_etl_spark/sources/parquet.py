@@ -28,8 +28,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) file read as long nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) file. The session tz
+            # is pinned UTC (session.get_spark), so NTZ -> LTZ is the
+            # identity on values; the cast restores the plain TIMESTAMP type
+            # the engine's time functions (unix_millis, window, watermark)
+            # expect. DuckDB reads the same column as naive TIMESTAMP, so
+            # oracle compares stay exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

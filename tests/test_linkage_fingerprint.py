@@ -1,0 +1,169 @@
+"""Unit tests for winnowing fingerprints, blocked fuzzy matching, weighted
+sampling, and the exact sliding-distinct-users operator."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.operators.fingerprint import (
+    kgram_hash_array,
+    winnow,
+    winnowing_fingerprints,
+    winnowing_near_duplicates,
+)
+from real_estate_project1_etl_spark.operators.linkage import blocked_fuzzy_matches
+from real_estate_project1_etl_spark.operators.quality import (
+    sequential_poisson_sample,
+)
+from real_estate_project1_etl_spark.operators.relational import (
+    sliding_distinct_users,
+)
+
+K, W = 3, 4
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    # the winnowing theorem: a shared word run of length >= w + k - 1
+    # (here 6) guarantees at least one shared selected fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words
+    df = _docs(
+        spark,
+        [
+            (1, f"one two {shared} three four five six"),
+            (2, f"nine ten eleven twelve {shared} thirteen"),
+        ],
+    )
+    fps = winnowing_fingerprints(df, "text", "doc_id", K, W).collect()
+    a = {r.fingerprint for r in fps if r.doc_id == 1}
+    b = {r.fingerprint for r in fps if r.doc_id == 2}
+    assert a & b, "6-word shared run must share a fingerprint"
+
+
+def test_winnowing_selects_subset_at_reduced_density(spark):
+    text = " ".join(f"w{i % 17}" for i in range(200))
+    df = _docs(spark, [(1, text)])
+    row = df.select(
+        F.size(kgram_hash_array("text", K)).alias("n_grams"),
+        F.size(winnow(kgram_hash_array("text", K), W)).alias("n_sel"),
+        F.size(
+            F.array_except(
+                winnow(kgram_hash_array("text", K), W), kgram_hash_array("text", K)
+            )
+        ).alias("extraneous"),
+    ).first()
+    assert row.extraneous == 0  # selected hashes come from the k-gram set
+    assert 0 < row.n_sel < row.n_grams  # strictly sparser than shingling
+    # expected density 2/(w+1) = 0.4; allow generous slack for distinctness
+    assert row.n_sel <= 0.6 * row.n_grams
+
+
+def test_winnowing_near_duplicates_finds_planted_pair(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "CHANGED")
+    other = " ".join(f"zz{i}" for i in range(60))
+    df = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = winnowing_near_duplicates(
+        df, "text", "doc_id", K, W, min_shared=2, max_df=10
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].n_shared >= 2
+
+
+def test_winnowing_hot_fingerprint_cap(spark):
+    # boilerplate shared by every doc is dropped when df > max_df, so no
+    # pairs survive even though all docs share all fingerprints
+    text = " ".join(f"b{i}" for i in range(30))
+    df = _docs(spark, [(i, text) for i in range(5)])
+    pairs = winnowing_near_duplicates(
+        df, "text", "doc_id", K, W, min_shared=1, max_df=4
+    )
+    assert pairs.count() == 0
+
+
+def test_blocked_fuzzy_matches_basics(spark):
+    df = spark.createDataFrame(
+        [
+            ("small ring",),
+            ("small king",),  # dist 1, shares 'small'
+            ("small gong",),  # dist 3 vs 'small king'
+            ("huge bolt",),  # shares nothing
+            ("small ring",),  # duplicate row: names dedup first
+        ],
+        "name string",
+    )
+    out = {
+        (r.name_a, r.name_b): r.distance
+        for r in blocked_fuzzy_matches(df, "name", max_distance=2).collect()
+    }
+    assert out[("small king", "small ring")] == 1
+    assert ("small gong", "small king") in out  # dist 2
+    assert all("huge bolt" not in pair for pair in out)
+    # raising the bound admits the dist-3 pair
+    out3 = {
+        (r.name_a, r.name_b)
+        for r in blocked_fuzzy_matches(df, "name", max_distance=3).collect()
+    }
+    assert ("small gong", "small ring") in out3
+
+
+def test_blocked_fuzzy_matches_hot_block_cap(spark):
+    df = spark.createDataFrame(
+        [(f"common name{i}",) for i in range(20)], "name string"
+    )
+    # 'common' blocks all 20 names; with the cap below 20 nothing pairs
+    # via that token, and nameN tokens are unique so no pairs at all
+    out = blocked_fuzzy_matches(df, "name", max_distance=3, block_max_df=10)
+    assert out.count() == 0
+
+
+def test_sequential_poisson_sample_deterministic_and_weighted(spark):
+    rows = [(i, 1 + (i % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    s1 = sequential_poisson_sample(df, "w", 50, ["id"], "id").collect()
+    s2 = sequential_poisson_sample(
+        df.repartition(7), "w", 50, ["id"], "id"
+    ).collect()
+    assert len(s1) == 50
+    # retry/repartition-stable: identical selected set and priorities
+    assert {(r.id, r.priority) for r in s1} == {(r.id, r.priority) for r in s2}
+    # weighted: the sampled mean weight must exceed the population mean
+    pop_mean = sum(w for _, w in rows) / len(rows)
+    samp_mean = sum(r.w for r in s1) / len(s1)
+    assert samp_mean > pop_mean
+
+
+def test_sliding_distinct_users_matches_bruteforce(spark):
+    d = datetime.datetime
+    rows = [
+        # user 1 active days 1, 2, 10; user 2 active day 5; user 3 days 1-9
+        (1, d(2024, 1, 1)),
+        (1, d(2024, 1, 2)),
+        (1, d(2024, 1, 10)),
+        (2, d(2024, 1, 5)),
+    ] + [(3, d(2024, 1, day)) for day in range(1, 10)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.day.isoformat(): r.active_users
+        for r in sliding_distinct_users(ev, "ts", "user_id", 7).collect()
+    }
+    # brute force over the same span
+    by_day = {}
+    for u, ts in rows:
+        by_day.setdefault(u, set()).add(ts.date())
+    for offset in range(0, 17):
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=offset)
+        lo = day - datetime.timedelta(days=6)
+        n = sum(1 for u, ds in by_day.items() if any(lo <= x <= day for x in ds))
+        if n:
+            assert out.get(day.isoformat()) == n, day
+        else:
+            assert day.isoformat() not in out
+    # windows ending after the last activity+6 don't exist
+    assert max(out) == "2024-01-16"
