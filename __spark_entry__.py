@@ -4371,6 +4371,44 @@ def q_rolling_week_active_users(spark, sf_dir):
     )
 
 
+@_q(
+    "prefix_filter_jaccard_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+           list_distinct(list_transform({_shingles_sql(3)},
+               s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS hs
+           FROM w),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.hs, b.hs)) AS i,
+               len(a.hs) AS na, len(b.hs) AS nb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, cast(i AS DOUBLE) / (na + nb - i) AS jaccard
+    FROM pairs
+    WHERE cast(i AS DOUBLE) / (na + nb - i) >= 0.6
+    """,
+)
+def q_prefix_filter_jaccard_pairs(spark, sf_dir):
+    # EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering,
+    # WWW'07/'08): all pairs with shingle-set Jaccard >= 0.6. The engine
+    # runs the optimized plan — global rare-first shingle order, per-doc
+    # prefixes of ~(1-t)*n shingles, equi-join on prefix shingle + size
+    # filter, exact verify on candidates — while the ORACLE runs the naive
+    # all-pairs definition, so the match proves the prefix-filter theorem
+    # holds end-to-end (perfect recall, zero false positives), not merely
+    # that two copies of the same plan agree. Complements minhash_near_dup:
+    # same pair semantics, no LSH false negatives.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, ngram=3
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -60,6 +60,9 @@ HEADLINE = [
     "profit_by_nation_year",
     "waiting_orders_suppliers",
     "part_supplier_counts",
+    # round-2c: exact set-similarity join (prefix filtering) — the exact
+    # counterpart of minhash_near_dup, worth tracking side by side
+    "prefix_filter_jaccard_pairs",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -89,6 +92,7 @@ COST = {
     "profit_by_nation_year": "5-way join: 3 broadcasts + 1 fact-fact shuffle + year agg",
     "waiting_orders_suppliers": "3 aggs/semijoins sharing the orderkey partitioning",
     "part_supplier_counts": "broadcast anti+dim joins + distinct agg (Expand) on group key",
+    "prefix_filter_jaccard_pairs": "shingle df agg + prefix explode equi-join + candidate-only verify",
 }
 
 

@@ -167,3 +167,47 @@ def test_sliding_distinct_users_matches_bruteforce(spark):
             assert day.isoformat() not in out
     # windows ending after the last activity+6 don't exist
     assert max(out) == "2024-01-16"
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark):
+    # the prefix-filter join must return EXACTLY the naive all-pairs
+    # result — perfect recall (theorem) and zero false positives (verify)
+    from real_estate_project1_etl_spark.operators.dedup import (
+        ngram_jaccard,
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+
+    # deterministic corpus with planted near-dups and unrelated docs
+    rows = []
+    for i in range(40):
+        base = [f"w{(i * 7 + j) % 23}" for j in range(25)]
+        rows.append((2 * i, " ".join(base)))
+        mutated = list(base)
+        if i % 3 == 0:  # planted near-dup
+            mutated[5] = "XX"
+        else:  # heavily mutated (likely below threshold)
+            for j in range(0, 25, 3):
+                mutated[j] = f"z{i}_{j}"
+        rows.append((2 * i + 1, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, ngram=3
+        ).collect()
+    }
+
+    sh = df.select("doc_id", word_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("sb"))
+    brute = {
+        (r.ia, r.ib): r.j
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("j", ngram_jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert set(got) == set(brute)
+    assert got and all(abs(got[k] - brute[k]) < 1e-12 for k in got)
