@@ -7,10 +7,15 @@ seeded RNG (fully deterministic, no flaky reruns) over a small grammar:
 
     base   := lineitem | lineitem JOIN orders ON orderkey
     filter := 0-2 of {numeric cmp, string IN-list, date range}
-    shape  := GROUP BY subset + aggregates
+    shape  := GROUP BY subset + aggregates [+ HAVING]
             | project + total-order LIMIT
             | window function over string partition (row_number / lag /
               running decimal sum / partition total)
+            | bag-semantics set op of two filtered projections
+              (UNION ALL / INTERSECT ALL / EXCEPT ALL)
+            | ROLLUP grouping with per-key GROUPING() markers
+            | LEFT OUTER join against pre-filtered orders + null-aware
+              aggregates (count(*) vs count(o_orderkey))
 
 Determinism rules match the production queries (NOTES.md): money sums are
 exact decimal cast double at the boundary, conditional counts are
@@ -189,14 +194,108 @@ def _gen_window(rng: random.Random):
     return part, wsql, expr
 
 
+_SETOP_COLS = ["l_returnflag", "l_linestatus", "l_quantity"]
+
+
+def _gen_setop(rng: random.Random):
+    """Bag-semantics set op of two differently-filtered projections of
+    lineitem — multiplicity handling is where engines diverge, so compare
+    the full multiset."""
+    op = rng.choice(["UNION ALL", "INTERSECT ALL", "EXCEPT ALL"])
+    conds_a, sql_a = _gen_filters(rng, joined=False)
+    conds_b, sql_b = _gen_filters(rng, joined=False)
+    cols = ", ".join(_SETOP_COLS)
+    wa = f" WHERE {' AND '.join(sql_a)}" if sql_a else ""
+    wb = f" WHERE {' AND '.join(sql_b)}" if sql_b else ""
+    sql = (
+        f"SELECT {cols} FROM lineitem{wa} {op} "
+        f"SELECT {cols} FROM lineitem{wb}"
+    )
+
+    def build(li):
+        a = _apply_filters(li, conds_a).select(*_SETOP_COLS)
+        b = _apply_filters(li, conds_b).select(*_SETOP_COLS)
+        if op == "UNION ALL":
+            return a.unionAll(b)
+        if op == "INTERSECT ALL":
+            return a.intersectAll(b)
+        return a.exceptAll(b)
+
+    return build, sql
+
+
 def _gen_case(seed: int):
     """One random plan: (build_spark(spark, tables) -> DataFrame, sql)."""
     rng = random.Random(seed)
     joined = rng.random() < 0.4
     conds, where_sql = _gen_filters(rng, joined)
-    shape = rng.choices(["group", "limit", "window"], weights=[5, 2, 3])[0]
+    shape = rng.choices(
+        ["group", "limit", "window", "setop", "rollup", "louter"],
+        weights=[4, 2, 3, 2, 2, 2],
+    )[0]
     grouped = shape == "group"
     windowed = shape == "window"
+
+    if shape == "setop":
+        build_setop, sql = _gen_setop(rng)
+
+        def build(spark, li, orders):
+            return build_setop(li)
+
+        return build, sql
+
+    if shape == "rollup":
+        # NO WHERE here, deliberately: on EMPTY input Spark's rollup/cube
+        # emits no rows while DuckDB/Postgres (and the SQL standard) emit
+        # the grand-total row of the () grouping set — a real engine
+        # divergence this fuzzer discovered (NOTES.md pitfalls). Random
+        # filters can produce an empty input, so the rollup shape runs
+        # over the full table, which is never empty.
+        keys = rng.sample(_GROUP_KEYS, rng.randint(1, 2))
+        aggs, agg_sql = _gen_aggs(rng, joined=False)
+        gmarks_sql = [f"grouping({k}) AS g_{k}" for k in keys]
+        select_sql = ", ".join(keys + gmarks_sql + agg_sql)
+        sql = (
+            f"SELECT {select_sql} FROM lineitem "
+            f"GROUP BY ROLLUP ({', '.join(keys)})"
+        )
+
+        def build(spark, li, orders):
+            marks = [F.grouping(k).cast("bigint").alias(f"g_{k}") for k in keys]
+            return li.rollup(*keys).agg(*marks, *aggs)
+
+        return build, sql
+
+    if shape == "louter":
+        # orders pre-filtered in a subquery (filters on the outer side of
+        # a LEFT join are NOT equivalent to post-join filters — the
+        # classic outer-join rewrite trap, exercised here on purpose).
+        # Left-side filters regenerate with joined=False: they are applied
+        # to bare lineitem, so o_totalprice must not appear.
+        conds, where_sql = _gen_filters(rng, joined=False)
+        cut = round(rng.uniform(1000, 400000), 2)
+        keys = rng.sample(_GROUP_KEYS, rng.randint(1, 2))
+        where = f" WHERE {' AND '.join(where_sql)}" if where_sql else ""
+        sql = (
+            f"SELECT {', '.join(keys)}, count(*) AS n_rows, "
+            f"count(o_orderkey) AS n_matched FROM (SELECT * FROM lineitem{where}) l "
+            f"LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > {cut}) o "
+            f"ON l.l_orderkey = o.o_orderkey GROUP BY {', '.join(keys)}"
+        )
+
+        def build(spark, li, orders):
+            left = _apply_filters(li, conds)
+            right = orders.filter(F.col("o_totalprice") > cut)
+            return (
+                left.join(right, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+                .groupBy(*keys)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("o_orderkey").alias("n_matched"),
+                )
+            )
+
+        return build, sql
 
     if windowed:
         part, wsql, wexpr = _gen_window(rng)
@@ -210,6 +309,9 @@ def _gen_case(seed: int):
         aggs, agg_sql = _gen_aggs(rng, joined)
         select_sql = ", ".join(keys + agg_sql)
         tail_sql = f" GROUP BY {', '.join(keys)}"
+        having_n = rng.randint(1, 500) if rng.random() < 0.3 else None
+        if having_n is not None:
+            tail_sql += f" HAVING count(*) > {having_n}"
     else:
         # ORDER BY covers EVERY output column: the synthetic lineitem has
         # duplicate (l_orderkey, l_linenumber) pairs (unlike real TPC-H —
@@ -233,6 +335,13 @@ def _gen_case(seed: int):
         if windowed:
             return df.select(*out_cols, wexpr().alias("wv"))
         if grouped:
+            if having_n is not None:
+                return (
+                    df.groupBy(*keys)
+                    .agg(*aggs, F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > having_n)
+                    .drop("_n")
+                )
             return df.groupBy(*keys).agg(*aggs)
         return df.select(*cols).orderBy(*cols).limit(k)
 
