@@ -4409,6 +4409,45 @@ def q_prefix_filter_jaccard_pairs(spark, sf_dir):
     )
 
 
+@_q(
+    "bloom_decontaminate_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    grams AS (SELECT doc_id, unnest({_shingles_sql(8)}) AS g FROM w),
+    keyed AS (SELECT doc_id,
+              ('0x'||substr(md5(g),1,15))::BIGINT AS h1,
+              ('0x'||substr(md5('2#'||g),1,15))::BIGINT AS h2
+              FROM grams),
+    probe AS (SELECT doc_id, h1 % 65536 AS word,
+                (CAST(1 AS BIGINT) << CAST((h2 >> 0)  % 63 AS INT))
+              | (CAST(1 AS BIGINT) << CAST((h2 >> 6)  % 63 AS INT))
+              | (CAST(1 AS BIGINT) << CAST((h2 >> 12) % 63 AS INT))
+              | (CAST(1 AS BIGINT) << CAST((h2 >> 18) % 63 AS INT)) AS mask
+              FROM keyed),
+    bf AS (SELECT word, bit_or(mask) AS bits FROM probe
+           WHERE doc_id < 5 GROUP BY word),
+    bad AS (SELECT DISTINCT p.doc_id
+            FROM probe p JOIN bf USING (word)
+            WHERE (bf.bits & p.mask) = p.mask)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_bloom_decontaminate_docs(spark, sf_dir):
+    # decontamination via a split-block Bloom filter (parquet's filter
+    # design) built from plain expressions + bit_or — the scale path when
+    # the benchmark n-gram set is too big to broadcast as exact keys: the
+    # filter is a FIXED n_words-row (word, bits) table however large the
+    # benchmark grows. Zero false negatives by construction; the md5-lane
+    # hashes make even this probabilistic structure oracle-exact — the
+    # DuckDB mirror rebuilds the same filter bit-for-bit, so the compare
+    # pins which docs the false-positive rate actually touches.
+    docs = _t(spark, sf_dir, "documents")
+    return T.bloom_decontaminate(
+        docs, docs.filter(F.col("doc_id") < 5), ngram=8
+    ).select("doc_id", "lang", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -376,3 +376,73 @@ def hashing_trick_features(tokens: Column, dim: int = 16) -> Column:
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.size(F.filter(hashed, lambda x: x == j)).cast("double"),
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    n_words: int = 1 << 16,
+    k: int = 4,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """:func:`decontaminate` for benchmark sets too big to broadcast as an
+    exact key list: the membership structure is a split-block Bloom filter
+    (one 63-bit block per n-gram, ``k`` bits set inside it — the
+    cache-local design parquet's column filters use), built with plain
+    SQL expressions and a ``bit_or`` aggregate. The filter table is
+    ``n_words`` rows of (word, bits) — fixed size regardless of benchmark
+    size — so IT broadcasts even when the benchmark's n-gram set never
+    could.
+
+    Guarantees: ZERO false negatives (every truly contaminated doc is
+    dropped — the safe direction for decontamination); false positives
+    drop extra docs at a rate set by n_words * 63 bits vs benchmark
+    n-gram count (~k*(n/(63*n_words))^k per probed gram).
+
+    Scale shape: benchmark side is one bit_or aggregation to ``n_words``
+    rows; corpus grams compute (word, mask) in the scan stage and
+    broadcast-join the filter table; corpus text shuffles zero times.
+    With ``hash_fn='md5_60'`` both hash lanes (h1 selects the block, h2's
+    6-bit fields select bits) are engine-reproducible, so even this
+    probabilistic operator admits an exact DuckDB oracle.
+    """
+    from .dedup import shingle_hash_expr, word_shingles
+
+    def probes(df, out):
+        g = F.explode(word_shingles(F.col(text_col), ngram)).alias("g")
+        base = df.select(F.col(id_col).alias(out), g)
+        if hash_fn == "md5_60":
+            h1 = shingle_hash_expr(F.col("g"), "md5_60")
+            h2 = shingle_hash_expr(F.concat(F.lit("2#"), F.col("g")), "md5_60")
+        else:
+            h1 = F.xxhash64(F.col("g"), F.lit(1))
+            h2 = F.xxhash64(F.col("g"), F.lit(2))
+        # shiftleft's bit-count arg must be a literal in the Python API, so
+        # the per-row shift goes through an expr string over the h2 column
+        mask_sql = " | ".join(
+            "shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(pmod(shiftright(h2, {6 * i}), 63) AS INT))"
+            for i in range(k)
+        )
+        return base.withColumn("h2", h2).select(
+            out,
+            F.pmod(h1, F.lit(n_words)).alias("word"),
+            F.expr(mask_sql).alias("mask"),
+        )
+
+    bfilter = (
+        probes(benchmark, "bid")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    contaminated = (
+        probes(corpus, "cid")
+        .join(F.broadcast(bfilter), "word")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+        .select(F.col("cid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -211,3 +211,47 @@ def test_prefix_filter_jaccard_equals_bruteforce(spark):
     }
     assert set(got) == set(brute)
     assert got and all(abs(got[k] - brute[k]) < 1e-12 for k in got)
+
+
+def test_bloom_decontaminate_no_false_negatives_and_tight(spark, sf_dir):
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    exact = {r.doc_id for r in decontaminate(docs, bench).select("doc_id").collect()}
+    bloom = {
+        r.doc_id
+        for r in bloom_decontaminate(docs, bench).select("doc_id").collect()
+    }
+    # zero false negatives: bloom never keeps a doc the exact rule drops
+    assert bloom <= exact
+    # at the default filter size the FPR is negligible on this corpus
+    assert len(bloom) >= 0.98 * len(exact)
+    # a deliberately tiny filter stays safe (still no false negatives)
+    tiny = {
+        r.doc_id
+        for r in bloom_decontaminate(docs, bench, n_words=16)
+        .select("doc_id")
+        .collect()
+    }
+    assert tiny <= exact
+
+
+def test_bloom_decontaminate_filter_is_fixed_size(spark):
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bloom_decontaminate,
+    )
+
+    # the property that makes it the scale path: the filter table row
+    # count is bounded by n_words however large the benchmark is
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = bloom_decontaminate(docs, docs, ngram=8, n_words=32)
+    # every doc collides with itself -> everything is dropped
+    assert out.count() == 0
