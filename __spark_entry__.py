@@ -4449,6 +4449,221 @@ def q_bloom_decontaminate_docs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# corpus statistics / time-series / graph-centrality (round 2c)
+# --------------------------------------------------------------------------
+
+#: positioned token stream — DuckDB mirror of corpus.tokenize_positions
+_TOKS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents
+),
+toks AS (
+  SELECT doc_id, p AS pos, ws[p+1] AS w
+  FROM (SELECT doc_id, ws, cast(unnest(range(len(ws))) AS int) AS p FROM t)
+)
+"""
+
+
+@_q(
+    "induced_stopword_removal",
+    _TOKS_SQL
+    + r""",
+    stop AS (
+      SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY w)
+      WHERE dfreq * 100 > (SELECT count(*) FROM documents) * 60
+    ),
+    kept AS (SELECT * FROM toks WHERE w NOT IN (SELECT w FROM stop)),
+    per_doc AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(kept_text, '') AS kept_text,
+           cast(coalesce(n_kept, 0) AS bigint) AS n_kept
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def q_induced_stopword_removal(spark, sf_dir):
+    # corpus-induced boilerplate removal (the data-driven stopword list a
+    # curation pipeline derives, vs the reference's fixed literal strips,
+    # transform.py:33-35): token df agg -> broadcast stoplist -> anti join
+    # -> in-order reassembly. Exact integer threshold compare.
+    from real_estate_project1_etl_spark.operators.corpus import (
+        remove_induced_stopwords,
+    )
+
+    return remove_induced_stopwords(_t(spark, sf_dir, "documents"), threshold_pct=60)
+
+
+@_q(
+    "bm25_topk_docs",
+    _TOKS_SQL
+    + r""",
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT (SELECT count(*) FROM toks) AS u_tokens,
+                   (SELECT count(*) FROM documents) AS n_docs),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN ('spark', 'join', 'window', 'stream') GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id,
+        cast((cast(1000000 AS HUGEINT) * (2*n_docs - 2*dfreq + 1) * 22 * u_tokens * tf)
+             // (cast(2*dfreq + 1 AS HUGEINT)
+                 * (10*u_tokens*tf + 3*u_tokens + 9*dl*n_docs)) AS bigint) AS term_score
+      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN tot
+    ),
+    score AS (SELECT doc_id, cast(sum(term_score) AS bigint) AS score_scaled
+              FROM scored GROUP BY doc_id)
+    SELECT doc_id, score_scaled, rank FROM (
+      SELECT doc_id, score_scaled,
+             cast(row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS int) AS rank
+      FROM score
+    ) WHERE rank <= 20
+    """,
+)
+def q_bm25_topk_docs(spark, sf_dir):
+    # exact BM25 retrieval in scaled-integer arithmetic (rational idf —
+    # rank-equivalent to the textbook log form, but bit-reproducible:
+    # no transcendentals, no float summation order). The token stream is
+    # filtered to the query terms at the scan, so the shuffled volume is
+    # O(matching tokens), not the corpus.
+    from real_estate_project1_etl_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "join", "window", "stream"], k=20
+    )
+
+
+@_q(
+    "bigram_pmi_collocations",
+    _TOKS_SQL
+    + r""",
+    uni AS (SELECT w, count(*) AS c_w FROM toks GROUP BY w),
+    bi_all AS (
+      SELECT w_prev, w, count(*) AS c_xy FROM (
+        SELECT doc_id, pos, w,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+        FROM toks
+      ) WHERE w_prev IS NOT NULL GROUP BY w_prev, w
+    ),
+    tot AS (SELECT (SELECT count(*) FROM toks) AS u_tokens,
+                   (SELECT cast(sum(c_xy) AS bigint) FROM bi_all) AS t_bigrams),
+    bi AS (SELECT * FROM bi_all WHERE c_xy >= 5)
+    SELECT w_prev AS w1, w AS w2, c_xy,
+      cast((cast(1000000 AS HUGEINT) * c_xy * u_tokens * u_tokens)
+           // (cast(t_bigrams AS HUGEINT) * c_x * c_y) AS bigint) AS pmi_scaled
+    FROM bi
+    JOIN (SELECT w AS w_prev, c_w AS c_x FROM uni) USING (w_prev)
+    JOIN (SELECT w, c_w AS c_y FROM uni) USING (w)
+    CROSS JOIN tot
+    """,
+)
+def q_bigram_pmi_collocations(spark, sf_dir):
+    # collocation mining: adjacent-bigram PMI as an exact integer ratio
+    # (log is monotone, so the scaled rational ranks identically to
+    # textbook PMI). Bigrams via per-doc lag window — exactly len-1 pairs
+    # per doc, no pair explosion.
+    from real_estate_project1_etl_spark.operators.corpus import bigram_pmi
+
+    return bigram_pmi(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+@_q(
+    "event_transitions",
+    """
+    SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+    FROM (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS from_type
+          FROM events)
+    WHERE from_type IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    # first-order Markov transition matrix of user behavior — lag window
+    # per user (total order via unique event_id tie-break), then a
+    # |types|^2-group count that collapses map-side.
+    from real_estate_project1_etl_spark.operators.timeseries import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "hourly_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             cast(sum(cast(value AS decimal(18,2))) AS double) AS hour_value
+      FROM events WHERE user_id < 100 GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+    spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM spans),
+    grid AS (SELECT s.user_id, s.hour, h.hour_value
+             FROM spine s LEFT JOIN hourly h USING (user_id, hour))
+    SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(hour_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           hour_value IS NOT NULL AS is_observed
+    FROM grid
+    """,
+)
+def q_hourly_gap_fill(spark, sf_dir):
+    # regular-grid resampling with forward fill: per-user hourly spine
+    # (sequence+explode — distributed, proportional to output, no global
+    # calendar cross join), exact-decimal hourly sums, last(ignorenulls)
+    # carry-forward. The BI "gap fill" primitive the reference's
+    # dashboard layer implies but pandas can't do at scale.
+    from real_estate_project1_etl_spark.operators.timeseries import (
+        hourly_gap_fill_ffill,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return hourly_gap_fill_ffill(ev)
+
+
+@_q(
+    "copurchase_pagerank",
+    """
+    WITH parts AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM parts x JOIN parts y ON x.ok = y.ok AND x.pk < y.pk),
+    und AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    verts AS (SELECT DISTINCT a AS id FROM und),
+    n AS (SELECT count(*) AS n_verts FROM verts),
+    deg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY a),
+    pr0 AS (SELECT id, 1000000000 // n_verts AS pr FROM verts CROSS JOIN n),
+    c1 AS (SELECT und.b AS id, cast(sum((85 * p.pr) // (100 * d.deg)) AS bigint) AS s
+           FROM und JOIN pr0 p ON und.a = p.id JOIN deg d ON und.a = d.id GROUP BY und.b),
+    pr1 AS (SELECT v.id, (15000000000 // (100 * n_verts)) + coalesce(s, 0) AS pr
+            FROM verts v CROSS JOIN n LEFT JOIN c1 ON v.id = c1.id),
+    c2 AS (SELECT und.b AS id, cast(sum((85 * p.pr) // (100 * d.deg)) AS bigint) AS s
+           FROM und JOIN pr1 p ON und.a = p.id JOIN deg d ON und.a = d.id GROUP BY und.b),
+    pr2 AS (SELECT v.id, (15000000000 // (100 * n_verts)) + coalesce(s, 0) AS pr
+            FROM verts v CROSS JOIN n LEFT JOIN c2 ON v.id = c2.id),
+    c3 AS (SELECT und.b AS id, cast(sum((85 * p.pr) // (100 * d.deg)) AS bigint) AS s
+           FROM und JOIN pr2 p ON und.a = p.id JOIN deg d ON und.a = d.id GROUP BY und.b),
+    pr3 AS (SELECT v.id, (15000000000 // (100 * n_verts)) + coalesce(s, 0) AS pr
+            FROM verts v CROSS JOIN n LEFT JOIN c3 ON v.id = c3.id)
+    SELECT id, cast(pr AS bigint) AS pr_scaled FROM pr3
+    """,
+)
+def q_copurchase_pagerank(spark, sf_dir):
+    # iterative graph centrality with a DIFFERENTIAL oracle: 3 PageRank
+    # iterations in scaled-integer arithmetic (floor div + integer sums —
+    # bit-reproducible across engines/partitionings; the oracle unrolls
+    # the same three rounds as chained CTEs). Graph = parts co-purchased
+    # in the same order; per-iteration cost is one shuffle.
+    from real_estate_project1_etl_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_fixed,
+    )
+
+    return pagerank_fixed(copurchase_edges(_t(spark, sf_dir, "lineitem")), iters=3)
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 

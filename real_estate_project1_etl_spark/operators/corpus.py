@@ -1,0 +1,231 @@
+"""Corpus-level statistical text operators — induced stopwords, BM25
+retrieval, bigram PMI collocations.
+
+These are the corpus-statistics layer of an LLM-data curation pipeline
+(the reference ETL cleans per-row, transform.py:30-58; a training-data
+pipeline additionally needs *cross-document* statistics: which tokens are
+boilerplate, which documents match a query, which collocations are
+phrases). All three operators follow the same scale shape:
+
+* tokenization happens in the scan stage (``split`` on the JVM — no
+  Python), producing a narrow ``(doc_id, pos, w)`` stream;
+* corpus statistics are ONE aggregation each (token document-frequency,
+  term frequency, bigram counts) — map-side partial aggregation applies
+  because the keys are tokens, and token frequency is Zipfian, so the
+  partial agg collapses the heavy head before the shuffle;
+* the small statistics tables (stoplist, query-term df) are broadcast
+  back against the token stream — never a shuffle of the corpus on a
+  low-cardinality key.
+
+Determinism: every score is computed in *scaled integer / exact decimal*
+arithmetic (floor division at the end) so results are bit-identical
+across engines and partition orders — no transcendental functions, no
+float summation order dependence. PMI and BM25 are rank-equivalent to
+their textbook log formulations because log is monotone: ranking by
+``p(xy)/(p(x)p(y))`` equals ranking by PMI, and the scaled-integer BM25
+uses the rational idf ``(N-df+1/2)/(df+1/2)`` (the argument of the
+textbook log-idf) as a multiplicative factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.functions.text import collapse_whitespace
+
+
+def tokenize_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, pos, w)`` — whitespace tokens with their 0-based
+    position. Narrow (scan-stage flatMap, no shuffle); the building block
+    for every operator in this module."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")).alias(
+            "pos", "w"
+        ),
+    )
+
+
+def induced_stopwords(toks: DataFrame, n_docs_df: DataFrame, threshold_pct: int) -> DataFrame:
+    """Tokens whose document frequency exceeds ``threshold_pct`` percent
+    of the corpus — corpus-induced boilerplate (the data-driven analogue
+    of a hand-written stopword list). Integer comparison
+    ``df * 100 > n_docs * pct`` keeps the threshold exact.
+
+    One shuffle (token df agg); ``n_docs_df`` is a single-row count
+    aggregate joined in via broadcast-crossJoin, so no driver collect.
+    """
+    dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("dfreq"))
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("dfreq") * 100 > F.col("n_docs") * threshold_pct)
+        .select("w")
+    )
+
+
+def remove_induced_stopwords(
+    docs: DataFrame, threshold_pct: int = 60, text_col: str = "text"
+) -> DataFrame:
+    """Strip corpus-induced boilerplate tokens from every document and
+    reassemble the text in original token order.
+
+    Returns ``(doc_id, kept_text, n_kept)`` for every input document
+    (documents reduced to nothing keep a row with empty text — the
+    curation gate downstream decides their fate, not this operator).
+
+    Scale shape: token df agg (one shuffle, Zipf-collapsed by partial
+    agg) -> tiny stoplist broadcast -> left-anti join against the token
+    stream -> per-doc reassembly (one shuffle on doc_id). The stoplist
+    at any realistic threshold is a few hundred tokens — always
+    broadcastable regardless of corpus size.
+    """
+    toks = tokenize_positions(docs, text_col)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = induced_stopwords(toks, n_docs, threshold_pct)
+    kept = toks.join(F.broadcast(stop), "w", "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact BM25 retrieval: top-``k`` documents for a bag of query
+    terms, scored in scaled-integer arithmetic (k1=1.2, b=0.75).
+
+    Per-term contribution, all integer (SCALE=1e6):
+
+        idf_num = 2N - 2df + 1          # rational idf (N-df+.5)/(df+.5),
+        idf_den = 2df + 1               # scaled by 2
+        denom   = 10*U*tf + 3*U + 9*dl*N   # (tf + k1*(1-b+b*dl/avgdl))
+                                           # scaled by 10*U, avgdl = U/N
+        term    = floor(SCALE * idf_num * 22 * U * tf / (idf_den * denom))
+
+    ``22*U*tf`` is ``tf*(k1+1)`` scaled by the same ``10*U``. Products
+    run through decimal(38,0) so corpus sizes up to ~1e9 tokens cannot
+    overflow; the per-term floors are summed as exact integers (order-
+    independent), so the score is bit-identical across engines.
+
+    Scale shape: the token stream is filtered to query terms *first*
+    (broadcast hash of a literal list — the scan emits only matching
+    tokens), then tf is one agg; df and corpus totals are single-row /
+    tiny aggregates broadcast back. Top-k is a global sort of |matching
+    docs| rows only.
+    """
+    toks = tokenize_positions(docs, text_col)
+    terms = [t.lower() for t in query_terms]
+
+    # per-doc length + corpus totals
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("u_tokens"),
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+
+    qtoks = toks.filter(F.col("w").isin(terms))
+    tf = qtoks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term_score",
+            F.expr(
+                """
+                cast(
+                  (cast(1000000 as decimal(38,0))
+                     * (2*n_docs - 2*dfreq + 1) * 22 * u_tokens * tf)
+                  div
+                  (cast(2*dfreq + 1 as decimal(38,0))
+                     * (10*u_tokens*tf + 3*u_tokens + 9*dl*n_docs))
+                as bigint)
+                """
+            ),
+        )
+    )
+    score = scored.groupBy("doc_id").agg(F.sum("term_score").alias("score_scaled"))
+    w = Window.orderBy(F.col("score_scaled").desc(), F.col("doc_id"))
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score_scaled", "rank")
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-bigram PMI collocations, scaled-integer exact.
+
+    PMI ranks by ``p(xy) / (p(x)p(y))`` (log is monotone, so the rational
+    ratio is rank-equivalent to textbook PMI):
+
+        pmi_scaled = floor(1e6 * c_xy * U^2 / (T * c_x * c_y))
+
+    with U = total unigram tokens, T = total bigrams. decimal(38,0)
+    intermediates (U^2 alone overflows int64 beyond ~3e9 tokens).
+
+    Scale shape: bigrams come from a per-doc ``lag`` window — partition
+    by doc_id, order by pos, so the shuffle is on doc_id and each
+    partition streams (no giant pair explosion: exactly len-1 bigrams
+    per doc). Unigram and bigram counts are Zipf-collapsed partial aggs;
+    ``min_count`` prunes the long tail before the final join, and the
+    pruned bigram table joins the unigram counts via broadcast.
+    """
+    toks = tokenize_positions(docs, text_col)
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    bi_all = (
+        toks.withColumn("w_prev", F.lag("w").over(wspec))
+        .filter(F.col("w_prev").isNotNull())
+        .groupBy("w_prev", "w")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    # T counts ALL bigrams (probability denominator), before tail pruning
+    totals = toks.agg(F.count(F.lit(1)).alias("u_tokens")).crossJoin(
+        bi_all.agg(F.sum("c_xy").alias("t_bigrams"))
+    )
+    bi = bi_all.filter(F.col("c_xy") >= min_count)
+    return (
+        bi.join(F.broadcast(uni.withColumnRenamed("w", "w_prev").withColumnRenamed("c_w", "c_x")), "w_prev")
+        .join(F.broadcast(uni.withColumnRenamed("c_w", "c_y")), "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("w_prev").alias("w1"),
+            F.col("w").alias("w2"),
+            "c_xy",
+            F.expr(
+                """
+                cast(
+                  (cast(1000000 as decimal(38,0)) * c_xy * u_tokens * u_tokens)
+                  div
+                  (cast(t_bigrams as decimal(38,0)) * c_x * c_y)
+                as bigint)
+                """
+            ).alias("pmi_scaled"),
+        )
+    )

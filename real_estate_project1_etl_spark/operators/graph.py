@@ -78,3 +78,88 @@ def component_sizes(labels: DataFrame) -> DataFrame:
     """``(comp, size)`` per component — the dup-group size histogram
     input; one shuffle on the component id."""
     return labels.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase edges: distinct part pairs appearing in the
+    same order. ``(a, b)`` with a < b, one row per distinct pair.
+
+    Scale shape: the pair explosion is a self-join WITHIN each order
+    (equi-join on l_orderkey) — orders have bounded line counts, so the
+    blowup per key is O(lines^2) with small lines, never a corpus cross
+    join. One shuffle on orderkey, one distinct on the pair.
+    """
+    parts = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = parts.alias("x")
+    b = parts.select(F.col("ok"), F.col("pk").alias("pk2")).alias("y")
+    return (
+        a.join(b, ["ok"])
+        .filter(F.col("pk") < F.col("pk2"))
+        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count in scaled-integer arithmetic
+    — bit-reproducible across engines and partitionings (every step is
+    integer floor division and integer sums; no float accumulation
+    order).
+
+        pr_0(v)    = floor(scale / N)
+        pr_t+1(v)  = floor((den-num)*scale / (den*N))
+                     + sum_{u->v} floor(num * pr_t(u) / (den * deg(u)))
+
+    over the undirected graph (both directions of each edge). Returns
+    ``(id, pr_scaled)`` for every vertex.
+
+    Scale shape: each iteration is ONE shuffle — messages are the edge
+    list joined to current labels (broadcast-sized per-vertex state
+    columns only: id + a long), aggregated by destination.
+    ``localCheckpoint`` caps lineage depth at O(1) per round instead of
+    O(iters). Vertex count enters as a single-row aggregate
+    crossJoin-broadcast, not a driver-side collect.
+    """
+    e = edges.select(F.col("a"), F.col("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    verts = und.select(F.col("a").alias("id")).distinct()
+    n_df = verts.agg(F.count(F.lit(1)).alias("n_verts"))
+    deg = und.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+
+    pr = (
+        verts.crossJoin(F.broadcast(n_df))
+        .select("id", F.expr(f"cast({scale} div n_verts as bigint)").alias("pr"))
+    )
+    # integer base term: floor((den-num)*scale / (den*N)) — `div`, never
+    # double `/`+cast (double rounding can overshoot the floor by 1)
+    base = F.expr(
+        f"cast({(damp_den - damp_num) * scale} div ({damp_den} * n_verts) as bigint)"
+    )
+
+    pr = pr.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            und.join(pr.withColumnRenamed("id", "a"), "a")
+            .join(deg.withColumnRenamed("id", "a"), "a")
+            .select(
+                F.col("b").alias("id"),
+                F.expr(f"cast({damp_num} * pr div ({damp_den} * deg) as bigint)").alias("m"),
+            )
+        )
+        pr = (
+            verts.join(contrib.groupBy("id").agg(F.sum("m").alias("s")), "id", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select("id", (base + F.coalesce(F.col("s"), F.lit(0))).alias("pr"))
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("id", F.col("pr").alias("pr_scaled"))

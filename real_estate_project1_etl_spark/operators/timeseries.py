@@ -1,0 +1,100 @@
+"""Time-series operators over the event stream — gap-filled resampling
+with forward fill, and Markov transition mining.
+
+The reference pipeline is batch-file ETL (dag.py:30-43); an analytics
+engine over event data additionally needs the time-series primitives
+BI tools expect: regular-grid resampling (missing buckets materialized,
+carried-forward values) and behavioral transition counts. Both are
+expressed as declarative DataFrame plans — the spine generation is
+``sequence`` + ``explode`` (JVM, scan-stage), never a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_gap_fill_ffill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Resample each key's events to an hourly grid spanning its own
+    [min, max] hour, materializing empty buckets, and forward-fill the
+    per-hour aggregate into the gaps.
+
+    Returns ``(user_id, hour, filled_value, is_observed)`` — one row per
+    key per hour in range; ``filled_value`` is the exact-decimal hourly
+    sum (cast double at the boundary) carried forward, NULL before the
+    first observed bucket.
+
+    Scale shape: the spine is ``sequence(min_hour, max_hour, 1 hour)``
+    exploded per key — generated distributed, proportional to output
+    size, no driver loop and no cross join against a global calendar
+    table (each key only materializes its own range). The forward fill
+    is one window per key ordered by hour (``last(ignorenulls)`` over an
+    unbounded-preceding frame) — a single shuffle on the key, which
+    AQE-coalesces; keys are independent so skew is bounded by one key's
+    hour span, not the corpus.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        events.select(F.col(key_col), hour.alias("hour"), F.col(value_col))
+        .groupBy(key_col, "hour")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("hour_value")
+        )
+    )
+    spans = hourly.groupBy(key_col).agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    grid = spine.join(hourly, [key_col, "hour"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        key_col,
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("hour_value").isNotNull().alias("is_observed"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts: for each user's event
+    stream in time order, count (previous event_type -> event_type)
+    pairs across the corpus.
+
+    ``(from_type, to_type, n_transitions)`` — the behavioral transition
+    matrix in sparse form. The per-user ordering tie-breaks on the
+    unique ``event_id`` so the sequence (hence the counts) is a total
+    order — deterministic under any partitioning.
+
+    Scale shape: one shuffle on the key for the ``lag`` window (each
+    user's stream is processed within its partition), then a
+    Zipf-collapsed count agg on the (from, to) pair — at most
+    |event_types|^2 groups, so the final agg is map-side collapsed.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    return (
+        events.withColumn("from_type", F.lag(type_col).over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy(F.col("from_type"), F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

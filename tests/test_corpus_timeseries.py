@@ -1,0 +1,214 @@
+"""Unit tests for the corpus-statistics, time-series, and graph-centrality
+operators (round 2c): semantics on planted inputs, determinism under
+repartitioning, and scale-shape invariants the oracle diff can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.operators.corpus import (
+    bigram_pmi,
+    bm25_topk,
+    remove_induced_stopwords,
+)
+from real_estate_project1_etl_spark.operators.graph import (
+    copurchase_edges,
+    pagerank_fixed,
+)
+from real_estate_project1_etl_spark.operators.timeseries import (
+    event_transitions,
+    hourly_gap_fill_ffill,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# --------------------------------------------------------------------- corpus
+
+
+def test_induced_stopwords_removed_and_empty_docs_kept(spark):
+    # "the" occurs in 3/4 docs (75% > 60%) -> removed; "rare" stays.
+    docs = _docs(
+        spark,
+        ["the rare word", "the other thing", "the thing again", "unrelated text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_induced_stopwords(docs, threshold_pct=60).collect()
+    }
+    assert len(out) == 4
+    assert "the" not in out[0]["kept_text"].split()
+    assert "rare" in out[0]["kept_text"].split()
+    # a doc made entirely of stopwords keeps its row with empty text
+    all_stop = _docs(spark, ["the", "the", "the", "x"])
+    rows = {
+        r["doc_id"]: r
+        for r in remove_induced_stopwords(all_stop, threshold_pct=60).collect()
+    }
+    assert rows[0]["kept_text"] == "" and rows[0]["n_kept"] == 0
+
+
+def test_induced_stopwords_preserve_token_order(spark):
+    docs = _docs(spark, ["zz a yy a xx", "a b", "a c", "a d"])
+    out = remove_induced_stopwords(docs, threshold_pct=90).collect()
+    r0 = [r for r in out if r["doc_id"] == 0][0]
+    # "a" appears in 4/4 docs -> removed; the rest keep original order
+    assert r0["kept_text"] == "zz yy xx"
+
+
+def test_bm25_prefers_more_matching_terms(spark):
+    filler = "filler " * 30
+    docs = _docs(
+        spark,
+        [
+            filler + "spark join window stream",  # all 4 query terms
+            filler + "spark join",  # 2 terms
+            filler + "spark",  # 1 term
+            filler.strip(),  # 0 terms -> no row
+        ],
+    )
+    out = bm25_topk(docs, ["spark", "join", "window", "stream"], k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert set(ranks) == {0, 1, 2}  # non-matching doc absent
+    assert ranks[0] == 1 and ranks[1] == 2 and ranks[2] == 3
+    scores = {r["doc_id"]: r["score_scaled"] for r in out}
+    assert scores[0] > scores[1] > scores[2] > 0
+
+
+def test_bm25_length_normalization(spark):
+    # same tf, much longer doc -> lower score (the b*dl/avgdl penalty)
+    docs = _docs(
+        spark,
+        ["spark " + "pad " * 5, "spark " + "pad " * 200, "x", "y"],
+    )
+    out = {r["doc_id"]: r["score_scaled"] for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    assert out[0] > out[1]
+
+
+def test_bigram_pmi_planted_collocation_beats_chance(spark):
+    # "new york" always adjacent; "alpha"/"beta" frequent but independent
+    corpus = []
+    for i in range(20):
+        corpus.append(f"alpha x{i} beta new york alpha y{i} beta")
+    docs = _docs(spark, corpus)
+    out = {(r["w1"], r["w2"]): r["pmi_scaled"] for r in bigram_pmi(docs, min_count=5).collect()}
+    assert ("new", "york") in out
+    # chance-level pair (if present at min_count) must score below the
+    # deterministic collocation
+    for pair, v in out.items():
+        if pair != ("new", "york"):
+            assert out[("new", "york")] >= v
+
+
+def test_bigram_pmi_deterministic_under_repartition(spark):
+    docs = _docs(spark, [f"a b c d e f g h a b w{i}" for i in range(10)])
+    a = sorted(map(tuple, bigram_pmi(docs, 2).collect()))
+    b = sorted(map(tuple, bigram_pmi(docs.repartition(7), 2).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------- timeseries
+
+
+def test_hourly_gap_fill_fills_forward(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 00:10:00", 10.0),
+            (2, 7, "2024-01-01 00:20:00", 5.0),
+            (3, 7, "2024-01-01 03:05:00", 2.0),  # 2-hour gap before this
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = sorted(
+        hourly_gap_fill_ffill(ev).collect(), key=lambda r: r["hour"]
+    )
+    assert [r["hour"][11:13] for r in rows] == ["00", "01", "02", "03"]
+    assert [r["filled_value"] for r in rows] == [15.0, 15.0, 15.0, 2.0]
+    assert [r["is_observed"] for r in rows] == [True, False, False, True]
+
+
+def test_hourly_gap_fill_spine_is_per_key(spark):
+    # key 1 spans 1 hour, key 2 spans 3 — no global-calendar blowup
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 1.0),
+            (2, 2, "2024-01-01 00:00:00", 1.0),
+            (3, 2, "2024-01-01 02:00:00", 1.0),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = hourly_gap_fill_ffill(ev)
+    assert out.filter(F.col("user_id") == 1).count() == 1
+    assert out.filter(F.col("user_id") == 2).count() == 3
+
+
+def test_event_transitions_counts(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:01", "view"),
+            (2, 1, "2024-01-01 00:00:02", "click"),
+            (3, 1, "2024-01-01 00:00:03", "view"),
+            (4, 2, "2024-01-01 00:00:01", "view"),
+            (5, 2, "2024-01-01 00:00:02", "click"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(ev).collect()
+    }
+    assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_event_transitions_tiebreak_on_event_id(spark):
+    # equal timestamps: order must follow event_id, not partition luck
+    ev = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 00:00:00", "a"),
+            (11, 1, "2024-01-01 00:00:00", "b"),
+            (12, 1, "2024-01-01 00:00:00", "c"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["from_type"], r["to_type"]) for r in event_transitions(ev).collect()
+    }
+    assert out == {("a", "b"), ("b", "c")}
+
+
+# --------------------------------------------------------------------- graph
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # star: 0 at the center of 1..6 — hub must outrank every leaf
+    edges = spark.createDataFrame([(0, i) for i in range(1, 7)], "a long, b long")
+    pr = {r["id"]: r["pr_scaled"] for r in pagerank_fixed(edges, iters=3).collect()}
+    assert all(pr[0] > pr[i] for i in range(1, 7))
+    # leaves are symmetric -> identical scores
+    assert len({pr[i] for i in range(1, 7)}) == 1
+    # floor-division mass loss only: total <= scale, within N ulps per iter
+    assert 0 < sum(pr.values()) <= 10**9
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(40)], "a long, b long"
+    ).filter(F.col("a") != F.col("b"))
+    a = sorted(map(tuple, pagerank_fixed(edges, iters=3).collect()))
+    b = sorted(map(tuple, pagerank_fixed(edges.repartition(11), iters=3).collect()))
+    assert a == b
+
+
+def test_copurchase_edges_within_order_only(spark):
+    li = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 100), (2, 200), (2, 300), (3, 400)],
+        "l_orderkey long, l_partkey long",
+    )
+    edges = {(r["a"], r["b"]) for r in copurchase_edges(li).collect()}
+    # dup (1,100) collapses; orders never cross; singleton order 3 emits none
+    assert edges == {(100, 200), (200, 300)}
