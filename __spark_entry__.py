@@ -4663,6 +4663,108 @@ def q_copurchase_pagerank(spark, sf_dir):
     return pagerank_fixed(copurchase_edges(_t(spark, sf_dir, "lineitem")), iters=3)
 
 
+@_q(
+    "part_association_rules",
+    """
+    WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    item AS (SELECT pk, count(*) AS c_item FROM baskets GROUP BY pk),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
+    pairs AS (
+      SELECT x.pk AS pk, y.pk AS pk2, count(*) AS c_pair
+      FROM baskets x JOIN baskets y ON x.ok = y.ok AND x.pk < y.pk
+      GROUP BY x.pk, y.pk
+      HAVING count(*) >= 2
+    ),
+    directed AS (
+      SELECT pk AS antecedent, pk2 AS consequent, c_pair FROM pairs
+      UNION ALL
+      SELECT pk2 AS antecedent, pk AS consequent, c_pair FROM pairs
+    )
+    SELECT antecedent, consequent, c_pair,
+      cast((1000000 * c_pair) // n_orders AS bigint) AS support_scaled,
+      cast((1000000 * c_pair) // c_ante AS bigint) AS confidence_scaled,
+      cast((cast(1000000 AS HUGEINT) * c_pair * n_orders)
+           // (cast(c_ante AS HUGEINT) * c_cons) AS bigint) AS lift_scaled
+    FROM directed
+    JOIN (SELECT pk AS antecedent, c_item AS c_ante FROM item) USING (antecedent)
+    JOIN (SELECT pk AS consequent, c_item AS c_cons FROM item) USING (consequent)
+    CROSS JOIN n
+    """,
+)
+def q_part_association_rules(spark, sf_dir):
+    # market-basket association rules: support/confidence/lift as exact
+    # scaled-integer ratios over distinct-order counts. Pair generation is
+    # a within-order self-join (bounded basket sizes), min-count pruned
+    # before the broadcast item-count joins.
+    from real_estate_project1_etl_spark.operators.basket import association_rules
+
+    return association_rules(_t(spark, sf_dir, "lineitem"), min_pair_orders=2)
+
+
+@_q(
+    "copurchase_triangles",
+    """
+    WITH parts AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+          FROM parts x JOIN parts y ON x.ok = y.ok AND x.pk < y.pk),
+    tri AS (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM e ab JOIN e bc ON ab.b = bc.a
+      JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    v AS (SELECT x AS id FROM tri
+          UNION ALL SELECT y AS id FROM tri
+          UNION ALL SELECT z AS id FROM tri)
+    SELECT id, count(*) AS n_tri FROM v GROUP BY id
+    """,
+)
+def q_copurchase_triangles(spark, sf_dir):
+    # per-vertex triangle participation on the co-purchase graph —
+    # canonical a<b<c wedge join + closing equi-join (each triangle
+    # counted once; wedge list is the only intermediate that shuffles).
+    from real_estate_project1_etl_spark.operators.graph import (
+        copurchase_edges,
+        triangle_participation,
+    )
+
+    return triangle_participation(copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+@_q(
+    "nhop_reachability",
+    """
+    WITH RECURSIVE
+    parts AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM parts x JOIN parts y ON x.ok = y.ok AND x.pk < y.pk),
+    und AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    seeds AS (SELECT DISTINCT a AS id FROM und WHERE a < 10),
+    r(id, d) AS (
+      SELECT id, 0 FROM seeds
+      UNION
+      SELECT und.b, r.d + 1 FROM r JOIN und ON und.a = r.id WHERE r.d < 3
+    )
+    SELECT id, min(d) AS dist FROM r GROUP BY id
+    """,
+)
+def q_nhop_reachability(spark, sf_dir):
+    # capped BFS from a seed set — frontier expansion + final min-merge,
+    # semantics identical to the recursive-UNION CTE the oracle runs
+    # (enumerate (vertex, path length <= 3), min per vertex).
+    from real_estate_project1_etl_spark.operators.graph import (
+        copurchase_edges,
+        nhop_min_distance,
+    )
+
+    edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    verts = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    return nhop_min_distance(edges, verts.filter(F.col("id") < 10), hops=3)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -163,3 +163,66 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return pr.select("id", F.col("pr").alias("pr_scaled"))
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts: ``(id, n_tri)`` for every vertex that
+    participates in at least one triangle of the undirected graph.
+
+    Enumeration uses the canonical ordering a < b < c (each triangle
+    found exactly once): join e(a,b) x e(b,c) on the shared middle
+    vertex, then close the wedge against e(a,c). With edges stored
+    a < b, both joins are equi-joins; the wedge blowup is bounded by
+    sum(deg^2) — the standard triangle-join cost — and the closing join
+    immediately prunes non-triangles, so nothing wider than the wedge
+    list ever shuffles.
+    """
+    e = edges.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = ab.join(bc, "y")  # x < y < z by construction
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    verts = (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
+    )
+    return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def nhop_min_distance(
+    edges: DataFrame, seeds: DataFrame, hops: int = 3
+) -> DataFrame:
+    """BFS minimum distance from a seed set, capped at ``hops``:
+    ``(id, dist)`` for every vertex reachable within the cap.
+
+    Implemented as frontier expansion with a final min-merge — exactly
+    the semantics of a recursive UNION CTE (enumerate all (vertex,
+    path-length<=hops) pairs, take the min per vertex), which is what
+    the DuckDB oracle runs. Each hop is one equi-join shuffle on the
+    frontier (distinct-pruned so revisits don't amplify), lineage capped
+    by localCheckpoint.
+    """
+    e = edges.select(F.col("a"), F.col("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    frontier = seeds.select(F.col("id")).distinct().withColumn("d", F.lit(0))
+    levels = [frontier]
+    for k in range(1, hops + 1):
+        frontier = (
+            und.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .withColumn("d", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(frontier)
+    all_levels = levels[0]
+    for lv in levels[1:]:
+        all_levels = all_levels.unionAll(lv)
+    return all_levels.groupBy("id").agg(F.min("d").alias("dist"))

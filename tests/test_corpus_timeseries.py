@@ -212,3 +212,59 @@ def test_copurchase_edges_within_order_only(spark):
     edges = {(r["a"], r["b"]) for r in copurchase_edges(li).collect()}
     # dup (1,100) collapses; orders never cross; singleton order 3 emits none
     assert edges == {(100, 200), (200, 300)}
+
+
+# ------------------------------------------------------- basket / graph 2
+
+
+def test_association_rules_hand_computed(spark):
+    from real_estate_project1_etl_spark.operators.basket import association_rules
+
+    # 4 orders: {1,2} x3, {1,3} x1  -> pair (1,2) qualifies (c=3)
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2), (13, 1), (13, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(li, min_pair_orders=2).collect()
+    }
+    assert set(out) == {(1, 2), (2, 1)}
+    r12 = out[(1, 2)]
+    # support = 3/4, conf(1->2) = 3/4, lift = (3*4)/(4*3) = 1.0
+    assert r12["support_scaled"] == 750000
+    assert r12["confidence_scaled"] == 750000
+    assert r12["lift_scaled"] == 1000000
+    # conf(2->1) = 3/3 = 1.0
+    assert out[(2, 1)]["confidence_scaled"] == 1000000
+
+
+def test_triangle_participation_counts(spark):
+    from real_estate_project1_etl_spark.operators.graph import triangle_participation
+
+    # triangle 1-2-3 plus pendant 3-4 (no triangle for 4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    out = {r["id"]: r["n_tri"] for r in triangle_participation(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+    # two triangles sharing edge 1-2: vertex 1 and 2 in both
+    edges2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (1, 4)], "a long, b long"
+    )
+    out2 = {r["id"]: r["n_tri"] for r in triangle_participation(edges2).collect()}
+    assert out2 == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_nhop_min_distance_chain_and_cap(spark):
+    from real_estate_project1_etl_spark.operators.graph import nhop_min_distance
+
+    # chain 0-1-2-3-4-5: from seed {0}, 3 hops reaches up to vertex 3
+    edges = spark.createDataFrame([(i, i + 1) for i in range(5)], "a long, b long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out = {r["id"]: r["dist"] for r in nhop_min_distance(edges, seeds, hops=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+    # a shortcut edge lowers the distance (min over paths, not first-found)
+    edges2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(0, 3)], "a long, b long"
+    )
+    out2 = {r["id"]: r["dist"] for r in nhop_min_distance(edges2, seeds, hops=3).collect()}
+    assert out2[3] == 1 and out2[4] == 2 and out2[5] == 3
