@@ -4765,6 +4765,76 @@ def q_nhop_reachability(spark, sf_dir):
     return nhop_min_distance(edges, verts.filter(F.col("id") < 10), hops=3)
 
 
+@_q(
+    "source_lang_chi2",
+    """
+    WITH cells AS (SELECT source AS row_val, lang AS col_val, count(*) AS observed
+                   FROM documents GROUP BY 1, 2),
+    rm AS (SELECT row_val, cast(sum(observed) AS bigint) AS r_tot FROM cells GROUP BY 1),
+    cm AS (SELECT col_val, cast(sum(observed) AS bigint) AS c_tot FROM cells GROUP BY 1),
+    n AS (SELECT cast(sum(observed) AS bigint) AS n_tot FROM cells)
+    SELECT row_val, col_val, observed,
+      cast((cast(1000000 AS HUGEINT)
+              * (observed*n_tot - r_tot*c_tot) * (observed*n_tot - r_tot*c_tot))
+           // (cast(n_tot AS HUGEINT) * r_tot * c_tot) AS bigint) AS contrib_scaled
+    FROM cells JOIN rm USING (row_val) JOIN cm USING (col_val) CROSS JOIN n
+    """,
+)
+def q_source_lang_chi2(spark, sf_dir):
+    # contingency-table association (is `source` independent of `lang`?)
+    # — per-cell chi-square contributions as exact scaled integers
+    # ((O*N - R*C)^2 multiplied through, one floor at the boundary).
+    from real_estate_project1_etl_spark.operators.stats import chi2_contingency
+
+    return chi2_contingency(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+@_q(
+    "source_gini_diversity",
+    """
+    WITH counts AS (SELECT source AS grp, lang AS cls, count(*) AS c
+                    FROM documents GROUP BY 1, 2),
+    tot AS (SELECT grp, cast(sum(c) AS bigint) AS t FROM counts GROUP BY 1)
+    SELECT grp, cast(count(*) AS bigint) AS n_classes,
+           cast(1000000 - sum(cast((cast(1000000 AS HUGEINT) * c * c)
+                                   // (cast(t AS HUGEINT) * t) AS bigint))
+                AS bigint) AS gini_scaled
+    FROM counts JOIN tot USING (grp) GROUP BY grp
+    """,
+)
+def q_source_gini_diversity(spark, sf_dir):
+    # per-source language-mix concentration: Gini impurity as a scaled
+    # integer (1 - sum p_i^2 — rational in the counts, no logs).
+    from real_estate_project1_etl_spark.operators.stats import gini_impurity
+
+    return gini_impurity(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+@_q(
+    "value_mad_per_event_type",
+    """
+    WITH cents AS (SELECT event_type AS grp,
+                          cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS v_cents
+                   FROM events),
+    med AS (SELECT grp, quantile_cont(v_cents, 0.5) AS median_cents
+            FROM cents GROUP BY grp),
+    dev AS (SELECT c.grp, median_cents, abs(v_cents - median_cents) AS adev
+            FROM cents c JOIN med USING (grp))
+    SELECT grp, min(median_cents) AS median_cents,
+           quantile_cont(adev, 0.5) AS mad_cents, count(*) AS n
+    FROM dev GROUP BY grp
+    """,
+)
+def q_value_mad_per_event_type(spark, sf_dir):
+    # robust dispersion: median absolute deviation in integer CENTS so
+    # every interpolated median is a dyadic rational — exactly
+    # representable, hence bit-identical across engines (raw-double
+    # medians differ in the last ulp between interpolation formulas).
+    from real_estate_project1_etl_spark.operators.stats import mad_per_group
+
+    return mad_per_group(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -1,0 +1,148 @@
+"""Statistical-analysis operators — contingency-table association
+(chi-square), distribution concentration (Gini impurity), and robust
+dispersion (median absolute deviation).
+
+The feature-selection / drift-detection statistics a training-data
+pipeline runs over its metadata columns (is `source` independent of
+`lang`? how concentrated is each source's language mix? what's a
+robust spread of the value column per segment?). The chi-square and
+Gini statistics are *rational functions of integer counts*, so they are
+computed in scaled-integer arithmetic (floor division at the boundary) —
+bit-identical across engines, no float summation order, no
+transcendentals. MAD uses exact medians (selection / two-point average —
+IEEE-exact in both engines).
+
+Scale shape: every statistic reduces to ONE count aggregation over the
+fact table (cells = category pairs — map-side collapsed; the cell
+tables are tiny) followed by broadcast joins among the marginals. The
+fact table shuffles at most once, on the grouping key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chi2_contingency(
+    df: DataFrame, row_col: str, col_col: str, scale: int = 10**6
+) -> DataFrame:
+    """Per-cell chi-square contributions for the ``row_col`` x
+    ``col_col`` contingency table, in scaled-integer arithmetic:
+
+        contrib = floor(scale * (O*N - R*C)^2 / (N * R * C))
+
+    which is ``scale * (O - E)^2 / E`` with ``E = R*C/N`` multiplied
+    through — exact integer products (decimal(38,0) guards the squared
+    term), one floor at the end. Only observed (non-zero) cells are
+    emitted; an unobserved cell's contribution is its expected count
+    ``scale*R*C/N^2*N`` with O=0 — callers needing the full statistic add
+    it from the marginals; the dominant (dependent) cells rank
+    identically either way.
+
+    Returns ``(row_val, col_val, observed, contrib_scaled)``.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    rmarg = cells.groupBy("row_val").agg(F.sum("observed").alias("r_tot"))
+    cmarg = cells.groupBy("col_val").agg(F.sum("observed").alias("c_tot"))
+    n = cells.agg(F.sum("observed").alias("n_tot"))
+    return (
+        cells.join(F.broadcast(rmarg), "row_val")
+        .join(F.broadcast(cmarg), "col_val")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "row_val",
+            "col_val",
+            "observed",
+            F.expr(
+                f"""
+                cast(
+                  (cast({scale} as decimal(38,0))
+                     * (observed*n_tot - r_tot*c_tot)
+                     * (observed*n_tot - r_tot*c_tot))
+                  div
+                  (cast(n_tot as decimal(38,0)) * r_tot * c_tot)
+                as bigint)
+                """
+            ).alias("contrib_scaled"),
+        )
+    )
+
+
+def gini_impurity(
+    df: DataFrame, group_col: str, class_col: str, scale: int = 10**6
+) -> DataFrame:
+    """Per-group Gini impurity of the ``class_col`` distribution:
+
+        gini = 1 - sum_i (c_i / T)^2
+             ~ scale - sum_i floor(scale * c_i^2 / T^2)
+
+    scaled-integer with per-class floors (each term exact to 1/scale;
+    deterministic because integer sums are order-independent). 0 =
+    perfectly concentrated, -> scale * (1 - 1/k) for k uniform classes.
+
+    Returns ``(group, n_classes, gini_scaled)``.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(class_col).alias("cls")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("grp").agg(F.sum("c").alias("t"))
+    return (
+        counts.join(F.broadcast(tot), "grp")
+        .withColumn(
+            "term",
+            F.expr(
+                f"cast((cast({scale} as decimal(38,0)) * c * c)"
+                f" div (cast(t as decimal(38,0)) * t) as bigint)"
+            ),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            (F.lit(scale) - F.sum("term")).alias("gini_scaled"),
+        )
+    )
+
+
+def mad_per_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Median absolute deviation per group — the robust spread statistic
+    (insensitive to the outliers that corrupt stddev):
+
+        mad(g) = median(|x - median_g|)
+
+    Exactness: the 2-dp value column is converted to integer CENTS
+    first (via an exact decimal cast), so every order statistic and
+    every interpolated median lands on a dyadic rational (k/2, then k/4
+    for the deviation median) — exactly representable in a double under
+    ANY correct interpolation formula, hence bit-identical across
+    engines. Medians over raw doubles would NOT be (engines disagree in
+    the last ulp on ``a + (b-a)*q`` vs ``(a+b)/2``).
+
+    Returns ``(grp, median_cents, mad_cents, n)`` — cent-scaled doubles
+    (possibly .5 / .25 fractional from even-count interpolation).
+
+    Scale shape: two aggs on the SAME group key — the group median is
+    computed once and broadcast back (the median table is
+    |groups|-sized), then deviations aggregate once more on that key.
+    """
+    cents = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(f"cast(cast({value_col} as decimal(18,2)) * 100 as bigint)").alias(
+            "v_cents"
+        ),
+    )
+    med = cents.groupBy("grp").agg(
+        F.expr("percentile(v_cents, 0.5)").alias("median_cents")
+    )
+    dev = cents.join(F.broadcast(med), "grp").withColumn(
+        "adev", F.abs(F.col("v_cents") - F.col("median_cents"))
+    )
+    return dev.groupBy("grp").agg(
+        F.min("median_cents").alias("median_cents"),
+        F.expr("percentile(adev, 0.5)").alias("mad_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,75 @@
+"""Unit tests for the statistical-analysis operators: hand-computed
+contingency/Gini/MAD values on planted inputs, plus the dyadic-exactness
+property that makes the MAD oracle safe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.operators.stats import (
+    chi2_contingency,
+    gini_impurity,
+    mad_per_group,
+)
+
+
+def test_chi2_independent_table_is_zero(spark):
+    # perfectly independent 2x2: O == E for every cell -> contrib 0
+    rows = []
+    for s in ["a", "b"]:
+        for l in ["en", "de"]:
+            rows += [(s, l)] * 10
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = chi2_contingency(df, "source", "lang").collect()
+    assert len(out) == 4
+    assert all(r["contrib_scaled"] == 0 for r in out)
+
+
+def test_chi2_dependent_table_positive(spark):
+    # diagonal-heavy table: dependence -> strictly positive contributions
+    rows = [("a", "en")] * 30 + [("a", "de")] * 5 + [("b", "en")] * 5 + [("b", "de")] * 30
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {(r["row_val"], r["col_val"]): r for r in chi2_contingency(df, "source", "lang").collect()}
+    # N=70, R_a=35, C_en=35, O=30: contrib = 1e6*(30*70-35*35)^2/(70*35*35)
+    expected = (10**6 * (30 * 70 - 35 * 35) ** 2) // (70 * 35 * 35)
+    assert out[("a", "en")]["contrib_scaled"] == expected
+    assert all(r["contrib_scaled"] > 0 for r in out.values())
+
+
+def test_gini_concentrated_vs_uniform(spark):
+    rows = [("pure", "en")] * 20 + [("mixed", "en")] * 10 + [("mixed", "de")] * 10
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r["grp"]: r for r in gini_impurity(df, "source", "lang").collect()}
+    assert out["pure"]["gini_scaled"] == 0  # single class -> impurity 0
+    # two uniform classes -> 1 - 2*(1/2)^2 = 0.5
+    assert out["mixed"]["gini_scaled"] == 500000
+    assert out["mixed"]["n_classes"] == 2
+
+
+def test_mad_hand_computed(spark):
+    # values 1.00..5.00: median 3.00 (=300 cents), deviations {0,100,200}
+    # doubled coverage -> MAD = 100 cents
+    df = spark.createDataFrame(
+        [("t", float(v)) for v in [1, 2, 3, 4, 5]], "event_type string, value double"
+    )
+    r = mad_per_group(df, "event_type", "value").collect()[0]
+    assert r["median_cents"] == 300.0 and r["mad_cents"] == 100.0 and r["n"] == 5
+
+
+def test_mad_even_count_dyadic(spark):
+    # even count: median of {1.00, 2.00} = 150.0 cents exactly (dyadic);
+    # deviations {50, 50} -> MAD 50.0
+    df = spark.createDataFrame(
+        [("t", 1.0), ("t", 2.0)], "event_type string, value double"
+    )
+    r = mad_per_group(df, "event_type", "value").collect()[0]
+    assert r["median_cents"] == 150.0 and r["mad_cents"] == 50.0
+
+
+def test_mad_outlier_insensitive(spark):
+    base = [("t", float(v)) for v in [10, 11, 12, 13, 14]]
+    spiked = base + [("t", 10000.0)]
+    df = spark.createDataFrame(spiked, "event_type string, value double")
+    r = mad_per_group(df, "event_type", "value").collect()[0]
+    # stddev would explode; MAD stays at ~1.5 units (150 cents)
+    assert r["mad_cents"] <= 200.0
