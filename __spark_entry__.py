@@ -4835,6 +4835,70 @@ def q_value_mad_per_event_type(spark, sf_dir):
     return mad_per_group(_t(spark, sf_dir, "events"), "event_type", "value")
 
 
+@_q(
+    "orders_profile",
+    """
+    WITH p AS (
+      SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+             count(*) - count(o_orderkey) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             cast(min(o_orderkey) AS varchar) AS min_value,
+             cast(max(o_orderkey) AS varchar) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             count(DISTINCT o_custkey),
+             cast(min(o_custkey) AS varchar), cast(max(o_custkey) AS varchar)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus),
+             min(o_orderstatus), max(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice),
+             cast(cast(min(o_totalprice) AS decimal(18,2)) AS varchar),
+             cast(cast(max(o_totalprice) AS decimal(18,2)) AS varchar)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+             count(DISTINCT o_orderdate),
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority)
+      FROM orders
+    )
+    SELECT "column", n_rows, cast(n_nulls AS bigint) AS n_nulls,
+           cast(n_distinct AS bigint) AS n_distinct, min_value, max_value
+    FROM p
+    """,
+)
+def q_orders_profile(spark, sf_dir):
+    # single-pass table profile: every column's nulls / exact distincts /
+    # min / max in ONE scan+agg, unpivoted via stack (the oracle's 6-scan
+    # UNION ALL is the naive form — the match proves the fused plan).
+    # min/max strings are type-pinned (decimal cast for doubles, fixed
+    # timestamp format) — raw double stringification is engine-specific.
+    from real_estate_project1_etl_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        {
+            "o_orderkey": "int",
+            "o_custkey": "int",
+            "o_orderstatus": "string",
+            "o_totalprice": "money",
+            "o_orderdate": "ts",
+            "o_orderpriority": "string",
+        },
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -63,6 +63,9 @@ HEADLINE = [
     # round-2c: exact set-similarity join (prefix filtering) — the exact
     # counterpart of minhash_near_dup, worth tracking side by side
     "prefix_filter_jaccard_pairs",
+    # round-2c: graph analytics — adjacency-intersection triangles (the
+    # heaviest new family; pagerank tracked in SCALE.md instead)
+    "copurchase_triangles",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -93,6 +96,7 @@ COST = {
     "waiting_orders_suppliers": "3 aggs/semijoins sharing the orderkey partitioning",
     "part_supplier_counts": "broadcast anti+dim joins + distinct agg (Expand) on group key",
     "prefix_filter_jaccard_pairs": "shingle df agg + prefix explode equi-join + candidate-only verify",
+    "copurchase_triangles": "within-order pair join (edges) + broadcast adjacency intersect; explodes triangles only",
 }
 
 

