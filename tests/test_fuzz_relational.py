@@ -16,6 +16,10 @@ seeded RNG (fully deterministic, no flaky reruns) over a small grammar:
             | ROLLUP grouping with per-key GROUPING() markers
             | LEFT OUTER join against pre-filtered orders + null-aware
               aggregates (count(*) vs count(o_orderkey))
+            | correlated [NOT] EXISTS subquery (semi/anti join plan)
+            | decorrelated scalar subquery via exact cross-multiplication
+              (x * count(*) vs sum(x) — avg() result types differ between
+              engines, the cross-multiplied form is decimal-exact)
 
 Determinism rules match the production queries (NOTES.md): money sums are
 exact decimal cast double at the boundary, conditional counts are
@@ -230,8 +234,8 @@ def _gen_case(seed: int):
     joined = rng.random() < 0.4
     conds, where_sql = _gen_filters(rng, joined)
     shape = rng.choices(
-        ["group", "limit", "window", "setop", "rollup", "louter"],
-        weights=[4, 2, 3, 2, 2, 2],
+        ["group", "limit", "window", "setop", "rollup", "louter", "exists", "scalarsub"],
+        weights=[4, 2, 3, 2, 2, 2, 2, 2],
     )[0]
     grouped = shape == "group"
     windowed = shape == "window"
@@ -294,6 +298,67 @@ def _gen_case(seed: int):
                     F.count("o_orderkey").alias("n_matched"),
                 )
             )
+
+        return build, sql
+
+    if shape == "exists":
+        # correlated [NOT] EXISTS — planned as a semi/anti join. The
+        # subquery's own filter makes the key set a strict subset, so the
+        # NOT EXISTS branch exercises the null-safe anti-join path too.
+        # filters apply to bare lineitem here — regenerate without the
+        # joined-only o_totalprice condition (same trap as louter)
+        conds, where_sql = _gen_filters(rng, joined=False)
+        negated = rng.random() < 0.5
+        cut = round(rng.uniform(1000, 400000), 2)
+        keys = rng.sample(_GROUP_KEYS, rng.randint(1, 2))
+        kw = "NOT EXISTS" if negated else "EXISTS"
+        where = f" AND {' AND '.join(where_sql)}" if where_sql else ""
+        sql = (
+            f"SELECT {', '.join(keys)}, count(*) AS n FROM lineitem l "
+            f"WHERE {kw} (SELECT 1 FROM orders o "
+            f"WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > {cut})"
+            f"{where} GROUP BY {', '.join(keys)}"
+        )
+
+        def build(spark, li, orders):
+            right = orders.filter(F.col("o_totalprice") > cut)
+            df = _apply_filters(li, conds)
+            df = df.join(
+                right,
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti" if negated else "left_semi",
+            )
+            return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+        return build, sql
+
+    if shape == "scalarsub":
+        # above/below-global-average via EXACT cross-multiplication:
+        # x * count > sum  avoids the engine-specific avg() result type
+        # (DuckDB avg(decimal) -> double, Spark -> wider decimal) while
+        # testing the same decorrelated scalar-subquery plan shape.
+        conds, where_sql = _gen_filters(rng, joined=False)
+        col = rng.choice(["l_quantity", "l_extendedprice"])
+        op_sql, op_is_gt = rng.choice([(">", True), ("<=", False)])
+        keys = rng.sample(_GROUP_KEYS, rng.randint(1, 2))
+        where = f" AND {' AND '.join(where_sql)}" if where_sql else ""
+        dcol = _DEC.format(c=col)
+        sql = (
+            f"SELECT {', '.join(keys)}, count(*) AS n FROM lineitem "
+            f"WHERE {dcol} * (SELECT count(*) FROM lineitem) {op_sql} "
+            f"(SELECT sum({dcol}) FROM lineitem)"
+            f"{where} GROUP BY {', '.join(keys)}"
+        )
+
+        def build(spark, li, orders):
+            tot = li.agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.sum(F.col(col).cast("decimal(18,2)")).alias("_tot"),
+            )
+            lhs = F.col(col).cast("decimal(18,2)") * F.col("_cnt")
+            cond = lhs > F.col("_tot") if op_is_gt else lhs <= F.col("_tot")
+            df = _apply_filters(li, conds).crossJoin(F.broadcast(tot)).filter(cond)
+            return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
 
         return build, sql
 
