@@ -4899,6 +4899,62 @@ def q_orders_profile(spark, sf_dir):
     )
 
 
+@_q(
+    "sequential_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT v.user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS first_view,
+           strftime(t2, '%Y-%m-%d %H:%M:%S') AS first_click_after_view,
+           strftime(t3, '%Y-%m-%d %H:%M:%S') AS first_purchase_after_chain
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q_sequential_funnel(spark, sf_dir):
+    # ORDERED funnel (view -> click -> purchase, each stage strictly
+    # after the previous stage's first completion) — unlike the unordered
+    # conversion_funnel counts, this is the sequence-pattern variant:
+    # stage k's earliest qualifying time is an agg over events gated by
+    # the broadcast stage-(k-1) table. Three aggs on user_id; the event
+    # scan is filtered to one type per stage before any join.
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("t1", fmt).alias("first_view"),
+            F.date_format("t2", fmt).alias("first_click_after_view"),
+            F.date_format("t3", fmt).alias("first_purchase_after_chain"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

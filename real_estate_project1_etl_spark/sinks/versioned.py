@@ -47,6 +47,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = [
     "CommitConflict",
@@ -255,6 +256,38 @@ def compact(
     df = read_snapshot(spark, path, base)
     new_files = _write_data_files(df, path, n_files)
     return _commit(path, base, new_files, "compact", _head_txn(path, base))
+
+
+def optimize_zorder(
+    spark, path: str, col_a: str, col_b: str, bits: int = 16, n_files: int = 8
+) -> int:
+    """OPTIMIZE ZORDER BY (col_a, col_b): rewrite the current snapshot
+    clustered on the Morton interleave of the two (min/max-normalized)
+    columns and commit it as a new version — same pointer-flip publish
+    as :func:`compact`, so readers never block and time travel still
+    reaches the un-clustered history.
+
+    After the rewrite, a range predicate on EITHER column skips row
+    groups via footer stats (the lakehouse OPTIMIZE ZORDER semantics;
+    skipping asserted in test_versioned). The 4-number min/max stats are
+    collected driver-side — planning metadata, not data — and the sort
+    is expression-based so the table schema is unchanged (no persisted
+    key column).
+    """
+    from real_estate_project1_etl_spark.sinks.writers import zorder_key_expr
+
+    base = current_version(path)
+    df = read_snapshot(spark, path, base)
+    mna, mxa, mnb, mxb = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    top = (1 << bits) - 1
+    na = f"cast((({col_a}) - {mna}) * {top} div greatest({mxa - mna}, 1) as bigint)"
+    nb = f"cast((({col_b}) - {mnb}) * {top} div greatest({mxb - mnb}, 1) as bigint)"
+    zkey = zorder_key_expr(f"({na})", f"({nb})", bits)
+    arranged = df.repartitionByRange(n_files, zkey).sortWithinPartitions(zkey)
+    new_files = _write_data_files(arranged, path, None)
+    return _commit(path, base, new_files, "optimize_zorder", _head_txn(path, base))
 
 
 def upsert(

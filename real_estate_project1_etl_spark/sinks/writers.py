@@ -310,3 +310,75 @@ def scd2_upsert(
     tmp = path.rstrip("/") + "._scd2_tmp"
     out.write.mode("overwrite").parquet(tmp)
     _swap_dir(path, tmp, "scd2")
+
+
+def zorder_key_expr(col_a: str, col_b: str, bits: int = 20) -> "F.Column":
+    """Z-order (Morton) interleave of two non-negative integer columns:
+    bit i of ``col_a`` lands at position 2i, bit i of ``col_b`` at 2i+1.
+    Built from plain shift/mask expressions — pure JVM codegen, no UDF.
+
+    ``bits`` per column (default 20 -> 40-bit key) must cover the
+    columns' value range; values are masked to ``bits`` so overflow
+    degrades locality, never correctness.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({col_a}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({col_b}) >> {i}) & 1) << {2 * i + 1})")
+    return F.expr(" | ".join(terms))
+
+
+def write_zorder_sorted(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    partitions: int = 8,
+    bits: int = 20,
+) -> None:
+    """Two-dimensional clustered layout: range-partition + sort on the
+    Z-order interleave of ``(col_a, col_b)``, so row-group min/max stats
+    are tight on BOTH columns at once — a range predicate on EITHER
+    column skips row groups, which one-column sorting (clustered index)
+    only gives for its single sort key.
+
+    This is the standard multi-dimensional clustering trick of
+    lakehouse table formats (Z-ordering / space-filling curves): points
+    close in Z-key are close in both dimensions, so each row group
+    covers a small rectangle of the (a, b) space instead of a thin
+    full-width stripe. The layout column ``_zkey`` is written so later
+    OPTIMIZE-style rewrites can re-cluster incrementally.
+
+    Both columns are NORMALIZED to the full ``bits`` range first
+    (min/max-stretched, computed as a single-row aggregate broadcast —
+    no driver collect). Interleaving raw values degrades to a one-column
+    sort whenever the ranges are unequal: the wider column owns every
+    high bit, so the curve never alternates dimensions (measured: a
+    13-bit x 8-bit interleave skipped nothing on the narrow column).
+
+    At 100 TB: identical plan — one tiny stats agg, then
+    repartitionByRange samples the z-key distribution, the sort is
+    within partitions, and the write parallelism is ``partitions``.
+    """
+    stats = df.agg(
+        F.min(col_a).alias("_mna"),
+        F.max(col_a).alias("_mxa"),
+        F.min(col_b).alias("_mnb"),
+        F.max(col_b).alias("_mxb"),
+    )
+    top = (1 << bits) - 1
+    na = f"cast((({col_a}) - _mna) * {top} div greatest(_mxa - _mna, 1) as bigint)"
+    nb = f"cast((({col_b}) - _mnb) * {top} div greatest(_mxb - _mnb, 1) as bigint)"
+    zdf = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_na", F.expr(na))
+        .withColumn("_nb", F.expr(nb))
+        .withColumn("_zkey", zorder_key_expr("_na", "_nb", bits))
+        .drop("_mna", "_mxa", "_mnb", "_mxb", "_na", "_nb")
+    )
+    (
+        zdf.repartitionByRange(partitions, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

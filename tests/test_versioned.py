@@ -173,3 +173,31 @@ def test_stream_sink_exactly_once_through_foreachBatch(spark, tmp_path):
     assert V.read_snapshot(spark, table).count() == 2
     run(str(tmp_path / "ckpt2"))  # lost checkpoint: batch 0 replays
     assert V.read_snapshot(spark, table).count() == 2  # deduped by txn
+
+
+def test_optimize_zorder_new_version_same_rows_and_skips(spark, tmp_path, sf_dir):
+    from real_estate_project1_etl_spark.sinks import versioned as V
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+    from tests.test_scale import _scan_rows
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "vt_z")
+    v1 = V.create_or_replace(li, path, n_files=4)
+    before = sorted(map(tuple, V.read_snapshot(spark, path).collect()))
+
+    v2 = V.optimize_zorder(spark, path, "l_orderkey", "l_partkey", n_files=16)
+    assert v2 == v1 + 1
+    after_df = V.read_snapshot(spark, path)
+    assert sorted(map(tuple, after_df.collect())) == before  # content identical
+    assert after_df.columns == ["l_orderkey", "l_partkey", "l_quantity"]  # no key col
+
+    total = len(before)
+    _, s_a = _scan_rows(after_df.filter(F.col("l_orderkey") < 100))
+    _, s_b = _scan_rows(after_df.filter(F.col("l_partkey") < 20))
+    assert s_a < total / 2 and s_b < total / 2, (s_a, s_b, total)
+
+    # time travel still reaches the pre-clustered version
+    old = V.read_snapshot(spark, path, v1)
+    assert sorted(map(tuple, old.collect())) == before
