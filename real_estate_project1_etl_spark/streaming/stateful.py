@@ -192,3 +192,82 @@ def record_high_events(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# streaming Markov transitions (stream twin of timeseries.event_transitions)
+# --------------------------------------------------------------------------
+
+TRANSITION_OUTPUT = "user_id long, from_type string, to_type string, ts timestamp"
+TRANSITION_STATE = "last_type string"
+
+
+def _transitions_update(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    prev = state.get[0] if state.exists else None
+    out_from, out_to, out_ts = [], [], []
+    for ts, et in zip(batch["ts"], batch["event_type"]):
+        if prev is not None:
+            out_from.append(prev)
+            out_to.append(et)
+            out_ts.append(ts)
+        prev = et
+    if prev is not None:
+        state.update((prev,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_from),
+            "from_type": out_from,
+            "to_type": out_to,
+            "ts": out_ts,
+        }
+    )
+
+
+def transition_events(events: DataFrame) -> DataFrame:
+    """Streaming Markov transitions: one APPEND row per (previous
+    event_type -> event_type) step in each user's stream, with the state
+    carrying only the last seen type across micro-batches (O(1) state
+    per key — the streaming-native form of the batch lag window, which
+    would need the whole history).
+
+    Aggregating the emitted rows by (from_type, to_type) reproduces the
+    batch ``timeseries.event_transitions`` matrix exactly when events
+    arrive in per-user time order across micro-batches (the file-source
+    replay case; asserted in tests). Out-of-order arrival across batches
+    would need a watermark-deep reorder buffer in state — documented
+    trade-off, same as any stream-vs-batch lag semantics.
+
+    Batch DataFrames fall back to the window-based operator (identical
+    output, no state).
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            events.withColumn("from_type", F.lag("event_type").over(w))
+            .filter(F.col("from_type").isNotNull())
+            .select(
+                "user_id",
+                "from_type",
+                F.col("event_type").alias("to_type"),
+                "ts",
+            )
+        )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transitions_update,
+            outputStructType=TRANSITION_OUTPUT,
+            stateStructType=TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

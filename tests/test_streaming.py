@@ -245,3 +245,76 @@ def test_curation_chain_is_streaming_safe(spark, sf_dir, tmp_path):
     assert got_fps == exp_fps
     # exactly one survivor per digest
     assert out.count() == len(exp_fps)
+
+
+def test_streaming_transitions_match_batch(spark, events_batch, tmp_path):
+    from real_estate_project1_etl_spark.streaming.stateful import transition_events
+
+    out = _run_stream(spark, events_batch, transition_events, tmp_path, "trans")
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in out.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    exp = {
+        (r.from_type, r.to_type): r.n
+        for r in transition_events(events_batch)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_transitions_state_spans_batches(spark, events_batch, tmp_path):
+    # two time-ordered file drops: the cross-boundary transition (last
+    # event of drop 1 -> first event of drop 2 per user) must be emitted,
+    # proving the last-type state carries across micro-batches
+    from real_estate_project1_etl_spark.streaming.stateful import transition_events
+
+    ev = events_batch.orderBy("ts", "event_id").limit(2000).localCheckpoint()
+    cut = ev.selectExpr("percentile(cast(ts as long), 0.5) as c").first()["c"]
+    first = ev.filter(F.col("ts").cast("long") <= cut)
+    second = ev.filter(F.col("ts").cast("long") > cut)
+    src = str(tmp_path / "src_trans2")
+    first.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        transition_events(stream)
+        .writeStream.format("memory")
+        .queryName("mem_trans2")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 120
+        while spark.table("mem_trans2").count() == 0 and _t.time() < deadline:
+            _t.sleep(1)
+        second.coalesce(1).write.mode("append").parquet(src)
+        exp_n = transition_events(ev).count()
+        while spark.table("mem_trans2").count() < exp_n and _t.time() < deadline:
+            _t.sleep(1)
+    finally:
+        q.stop()
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.table("mem_trans2")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    exp = {
+        (r.from_type, r.to_type): r.n
+        for r in transition_events(ev)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
