@@ -4955,6 +4955,59 @@ def q_sequential_funnel(spark, sf_dir):
     )
 
 
+@_q(
+    "decayed_user_value",
+    """
+    WITH a AS (SELECT max(ts) AS anchor FROM events)
+    SELECT user_id,
+           sum(cast(cast(value AS decimal(18,2)) * 100 AS bigint)
+               * pow(0.5, date_diff('day', cast(ts AS date), cast(anchor AS date))
+                          // 7)) AS decayed_cents,
+           count(*) AS n_events
+    FROM events CROSS JOIN a
+    GROUP BY user_id
+    """,
+)
+def q_decayed_user_value(spark, sf_dir):
+    # recency-weighted engagement score with EXACT dyadic decay weights
+    # (0.5^integer-half-lives): every product and partial sum is an exact
+    # multiple of 2^-k below 2^53, so the double sum is order-independent
+    # and cross-engine identical — the property a continuous exp(-dt/tau)
+    # cannot give.
+    from real_estate_project1_etl_spark.operators.timeseries import time_decayed_sum
+
+    return time_decayed_sum(_t(spark, sf_dir, "events"), half_life_days=7)
+
+
+@_q(
+    "per_group_sample",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(cast(event_id AS varchar)), event_id)
+               AS rn
+      FROM events
+    ) WHERE rn <= 50
+    """,
+)
+def q_per_group_sample(spark, sf_dir):
+    # deterministic fixed-k sample PER GROUP: rank by a content hash
+    # (md5 of the unique id — reproducible across engines, runs, and
+    # partitionings, unlike rand()) and keep k per stratum. One exchange
+    # on the group key; the per-group heap bounds memory at k.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.select("event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

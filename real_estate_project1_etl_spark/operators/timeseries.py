@@ -98,3 +98,56 @@ def event_transitions(
         .groupBy(F.col("from_type"), F.col(type_col).alias("to_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def time_decayed_sum(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Exponential time-decay score per key — the recency-weighted value
+    recsys/engagement rankers use:
+
+        score(k) = sum_i value_i * 0.5 ^ floor(age_days_i / half_life)
+
+    with age measured back from the dataset's max timestamp (data-derived,
+    so results are reproducible; the anchor arrives via a broadcast
+    single-row aggregate, not a driver collect).
+
+    Exactness: the decay uses the INTEGER number of elapsed half-lives,
+    so every weight is a dyadic rational (2^-k, exact in a double), the
+    2-dp values become integer cents, and every product/partial sum is an
+    exact multiple of 2^-k well under 2^53 — addition is exact in ANY
+    order, making the double aggregation bit-identical across engines and
+    partitionings (a continuous `exp(-dt/tau)` would not be: transcendental
+    evaluation and float summation order both diverge cross-engine).
+
+    Returns ``(user_id, decayed_cents, n_events)``; one scan, one agg
+    shuffle on the key.
+    """
+    anchor = events.agg(F.max(ts_col).alias("_anchor"))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .select(
+            F.col(key_col),
+            (
+                F.expr(f"cast(cast({value_col} as decimal(18,2)) * 100 as bigint)")
+                * F.pow(
+                    F.lit(0.5),
+                    # integer div, not floor(float/7): stays in bigint end
+                    # to end, no float-division corner anywhere
+                    F.expr(
+                        f"datediff(cast(_anchor as date), cast({ts_col} as date))"
+                        f" div {half_life_days}"
+                    ),
+                )
+            ).alias("w"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.sum("w").alias("decayed_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
