@@ -5008,6 +5008,44 @@ def q_per_group_sample(spark, sf_dir):
     )
 
 
+@_q(
+    "dwell_time_per_type",
+    """
+    SELECT event_type,
+           count(*) AS n_with_next,
+           cast(sum(date_diff('second', ts, next_ts)) AS bigint) AS total_dwell_s,
+           max(date_diff('second', ts, next_ts)) AS max_dwell_s
+    FROM (
+      SELECT event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    WHERE next_ts IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_dwell_time_per_type(spark, sf_dir):
+    # dwell-time analytics: seconds from each event to the user's next
+    # event (lead window, unique-id tiebreak), aggregated by the type the
+    # user was dwelling ON. Whole-second integer durations — exact in
+    # both engines regardless of the sub-second encoding.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dw = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dwell_s",
+            F.col("next_ts").cast("long") - F.col("ts").cast("long"),
+        )
+    )
+    return dw.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_with_next"),
+        F.sum("dwell_s").alias("total_dwell_s"),
+        F.max("dwell_s").alias("max_dwell_s"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

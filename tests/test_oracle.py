@@ -32,24 +32,12 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(df):
-    """pandas DataFrame -> (sorted column names, multiset of row tuples)."""
-    cols = sorted(df.columns)
-    df = df[cols]
+from tools.driver_sim import canon as _canon  # noqa: E402
 
-    def cell(v):
-        if v is None:
-            return "NULL"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NULL"
-            if v == int(v) and abs(v) < 2**53:
-                return str(int(v))
-            return repr(v)
-        return str(v)
-
-    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
-    return cols, rows
+# the repo gate MUST use the driver-sim's STRICT canonicalization (floats
+# keep their float form): a lossy local fold (5.0 -> "5") let a DuckDB
+# HUGEINT-sum dtype drift pass here and fail on the driver
+# (dwell_time_per_type, round 2c) — one canon, imported, never forked.
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
