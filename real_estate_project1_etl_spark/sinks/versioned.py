@@ -327,6 +327,42 @@ def upsert(
     return _commit(path, base, files, "upsert", _head_txn(path, base))
 
 
+def table_diff(
+    spark, path: str, from_version: int, to_version: int, key_cols: list[str]
+) -> DataFrame:
+    """CDC between two snapshots: one row per changed key with
+    ``_change`` in {insert, delete, update} plus the to-version's row
+    values (nulls for deletes) — the change-data-feed a downstream
+    incremental consumer reads instead of re-scanning the table.
+
+    Implementation: full outer join of the two snapshots on the key,
+    change class from null-side tests, update detection by comparing the
+    non-key columns as a struct (null-safe: struct equality treats NULL
+    = NULL as equal, so a column flipping to/from NULL is a real
+    update). One shuffle on the key; nothing wider than the two
+    snapshots' changed rows survives the filter.
+    """
+    from_df = read_snapshot(spark, path, from_version)
+    to_df = read_snapshot(spark, path, to_version)
+    val_cols = [c for c in to_df.columns if c not in key_cols]
+
+    a = from_df.select(
+        *key_cols, F.struct(*val_cols).alias("_old")
+    )
+    b = to_df.select(*key_cols, F.struct(*val_cols).alias("_new"))
+    j = a.join(b, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+    )
+    return (
+        j.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(*key_cols, "_change", *[F.col(f"_new.{c}").alias(c) for c in val_cols])
+    )
+
+
 def vacuum(path: str, keep_last: int = 1) -> int:
     """Delete data files referenced only by expired versions (older than
     the newest ``keep_last``), plus their manifests.  Returns the number

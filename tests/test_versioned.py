@@ -201,3 +201,35 @@ def test_optimize_zorder_new_version_same_rows_and_skips(spark, tmp_path, sf_dir
     # time travel still reaches the pre-clustered version
     old = V.read_snapshot(spark, path, v1)
     assert sorted(map(tuple, old.collect())) == before
+
+
+def test_table_diff_change_feed(spark, tmp_path):
+    from real_estate_project1_etl_spark.sinks import versioned as V
+
+    path = str(tmp_path / "vt_cdc")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    v1 = V.create_or_replace(base, path)
+    # v2: update k=2 (value), update k=4 (NULL -> non-NULL), delete k=3,
+    # insert k=5, keep k=1 untouched
+    v2 = V.upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0), (5, "e", 50.0)],
+            "k long, s string, v double",
+        ),
+        path,
+        ["k"],
+    )
+    # upsert keeps k=3 (merge, not replace) — delete it via replace
+    cur = V.read_snapshot(spark, path, v2).filter(F.col("k") != 3)
+    v3 = V.create_or_replace(cur, path)
+
+    diff = {r["k"]: r for r in V.table_diff(spark, path, v1, v3, ["k"]).collect()}
+    assert set(diff) == {2, 3, 4, 5}  # k=1 untouched -> absent
+    assert diff[2]["_change"] == "update" and diff[2]["v"] == 25.0
+    assert diff[3]["_change"] == "delete" and diff[3]["s"] is None
+    assert diff[4]["_change"] == "update" and diff[4]["s"] == "d"
+    assert diff[5]["_change"] == "insert" and diff[5]["s"] == "e"
