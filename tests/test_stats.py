@@ -97,3 +97,103 @@ def test_profile_columns_nulls_and_exact_mode(spark):
     # approx mode keeps the schema (HLL++ path for 100 TB)
     approx = profile_columns(df, {"k": "int"}, exact=False).collect()[0]
     assert approx["n_distinct"] >= 3
+
+
+# ---------------------------------------------------------------------------
+# property-based: scaled-integer statistics vs exact Python integer models
+# (guards the div/floor semantics beyond the fixed oracle datasets)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_COUNTS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]), st.sampled_from(["x", "y", "z"])
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_COUNTS)
+def test_hypothesis_gini_matches_integer_model(spark, pairs):
+    from collections import Counter
+
+    df = spark.createDataFrame(pairs, "g string, c string")
+    got = {r["grp"]: r["gini_scaled"] for r in gini_impurity(df, "g", "c").collect()}
+    by_grp: dict = {}
+    for g, c in pairs:
+        by_grp.setdefault(g, Counter())[c] += 1
+    for g, cnt in by_grp.items():
+        t = sum(cnt.values())
+        exp = 10**6 - sum((10**6 * k * k) // (t * t) for k in cnt.values())
+        assert got[g] == exp, (g, got[g], exp)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_COUNTS)
+def test_hypothesis_chi2_matches_integer_model(spark, pairs):
+    from collections import Counter
+
+    df = spark.createDataFrame(pairs, "r string, c string")
+    got = {
+        (r["row_val"], r["col_val"]): r["contrib_scaled"]
+        for r in chi2_contingency(df, "r", "c").collect()
+    }
+    cells = Counter(pairs)
+    n = len(pairs)
+    rtot = Counter(r for r, _ in pairs)
+    ctot = Counter(c for _, c in pairs)
+    for (rv, cv), o in cells.items():
+        num = 10**6 * (o * n - rtot[rv] * ctot[cv]) ** 2
+        exp = num // (n * rtot[rv] * ctot[cv])
+        assert got[(rv, cv)] == exp, ((rv, cv), got[(rv, cv)], exp)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(100, 105)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_hypothesis_association_rules_match_integer_model(spark, rows):
+    from collections import Counter
+
+    from real_estate_project1_etl_spark.operators.basket import association_rules
+
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["c_pair"],
+            r["support_scaled"],
+            r["confidence_scaled"],
+            r["lift_scaled"],
+        )
+        for r in association_rules(df, min_pair_orders=1).collect()
+    }
+    baskets: dict = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    n_orders = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        for p in items:
+            item[p] += 1
+        for a in items:
+            for b in items:
+                if a < b:
+                    pair[(a, b)] += 1
+    exp = {}
+    for (a, b), c in pair.items():
+        for ant, cons in [(a, b), (b, a)]:
+            exp[(ant, cons)] = (
+                c,
+                (10**6 * c) // n_orders,
+                (10**6 * c) // item[ant],
+                (10**6 * c * n_orders) // (item[ant] * item[cons]),
+            )
+    assert got == exp
