@@ -5046,6 +5046,49 @@ def q_dwell_time_per_type(spark, sf_dir):
     )
 
 
+@_q(
+    "robust_outliers_per_type",
+    """
+    WITH cents AS (SELECT event_id, event_type AS grp,
+                          cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS v_cents
+                   FROM events),
+    med AS (SELECT grp, quantile_cont(v_cents, 0.5) AS median_cents
+            FROM cents GROUP BY grp),
+    dev AS (SELECT c.event_id, c.grp, c.v_cents, m.median_cents,
+                   abs(c.v_cents - m.median_cents) AS adev
+            FROM cents c JOIN med m USING (grp)),
+    mad AS (SELECT grp, quantile_cont(adev, 0.5) AS mad_cents FROM dev GROUP BY grp)
+    SELECT d.event_id, d.grp AS event_type, d.v_cents
+    FROM dev d JOIN mad USING (grp)
+    WHERE d.adev > 5 * mad.mad_cents
+    """,
+)
+def q_robust_outliers_per_type(spark, sf_dir):
+    # robust outlier flagging: |x - median| > 5*MAD per group — the
+    # quarantine rule that survives the heavy tails that break z-scores
+    # (composition of the integer-cents median machinery, so every
+    # comparison is dyadic-exact cross-engine). Two aggs on the group
+    # key, medians broadcast back; the fact table shuffles once.
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        F.col("event_type").alias("grp"),
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias("v_cents"),
+    )
+    med = cents.groupBy("grp").agg(
+        F.expr("percentile(v_cents, 0.5)").alias("median_cents")
+    )
+    dev = cents.join(F.broadcast(med), "grp").withColumn(
+        "adev", F.abs(F.col("v_cents") - F.col("median_cents"))
+    )
+    mad = dev.groupBy("grp").agg(F.expr("percentile(adev, 0.5)").alias("mad_cents"))
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter(F.col("adev") > 5 * F.col("mad_cents"))
+        .select("event_id", F.col("grp").alias("event_type"), "v_cents")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
