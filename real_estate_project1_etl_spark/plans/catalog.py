@@ -30,3 +30,21 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Register views and run one ANSI-SQL query against them."""
     register_tables(spark, sf_dir)
     return spark.sql(query)
+
+
+def register_derived_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the engine's derived relations as views too, so dashboard
+    SQL can build on OPERATOR OUTPUTS (not just raw tables) without
+    leaving ``spark.sql``: tokenized documents, the co-purchase edge
+    list, hourly event aggregates. Same logical plans as the DataFrame
+    operators — one planner, no parity gap."""
+    from ..operators.corpus import tokenize_positions
+    from ..operators.graph import copurchase_edges
+
+    register_tables(spark, sf_dir)
+    tokenize_positions(
+        load_table(spark, sf_dir, "documents")
+    ).createOrReplaceTempView("doc_tokens")
+    copurchase_edges(
+        load_table(spark, sf_dir, "lineitem")
+    ).createOrReplaceTempView("copurchase_edges")

@@ -180,3 +180,35 @@ def test_token_chunks_narrow_jvm(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_sql_over_derived_views_matches_operator(spark, sf_dir):
+    from real_estate_project1_etl_spark.operators.corpus import bigram_pmi
+    from real_estate_project1_etl_spark.plans.catalog import register_derived_views
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    register_derived_views(spark, sf_dir)
+    # ad-hoc dashboard SQL over the token view == the operator's own agg
+    got = {
+        (r["w"], r["n"])
+        for r in spark.sql(
+            "SELECT w, count(*) AS n FROM doc_tokens GROUP BY w ORDER BY n DESC, w LIMIT 5"
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    from real_estate_project1_etl_spark.operators.corpus import tokenize_positions
+    from pyspark.sql import functions as F
+
+    exp = {
+        (r["w"], r["n"])
+        for r in tokenize_positions(docs)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(5)
+        .collect()
+    }
+    assert got == exp
+    # graph SQL over the edge view
+    n_edges = spark.sql("SELECT count(*) AS n FROM copurchase_edges").first()["n"]
+    assert n_edges > 0
