@@ -268,3 +268,21 @@ def test_nhop_min_distance_chain_and_cap(spark):
     )
     out2 = {r["id"]: r["dist"] for r in nhop_min_distance(edges2, seeds, hops=3).collect()}
     assert out2[3] == 1 and out2[4] == 2 and out2[5] == 3
+
+
+def test_triangle_hub_skew_bounded(spark):
+    from real_estate_project1_etl_spark.operators.graph import triangle_participation
+
+    # planted hub with the LOWEST id: an id-ordered enumeration would
+    # generate all (neighbor choose 2) wedges from the hub (~2M here,
+    # quadratic in hub degree); degree-ordering points every hub edge
+    # INTO the hub, so hub out-degree ~ 0 and the work stays linear.
+    n_leaves = 2000
+    hub = [(0, i) for i in range(1, n_leaves + 1)]
+    ring = [(i, i + 1) for i in range(1, n_leaves)]  # leaf ring -> triangles
+    edges = spark.createDataFrame(hub + ring, "a long, b long")
+    out = {r["id"]: r["n_tri"] for r in triangle_participation(edges).collect()}
+    # each ring edge (i, i+1) closes a triangle with the hub
+    assert out[0] == n_leaves - 1
+    assert out[1] == 1 and out[2] == 2 and out[n_leaves] == 1
+    assert sum(out.values()) == 3 * (n_leaves - 1)
