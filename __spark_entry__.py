@@ -5089,6 +5089,40 @@ def q_robust_outliers_per_type(spark, sf_dir):
     )
 
 
+@_q(
+    "contamination_overlap_frac",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 7, 1) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g
+        FROM w
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id < 5
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           cast(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit,
+           cast(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+             / count(*) AS overlap_frac
+    FROM grams g LEFT JOIN bench b USING (g)
+    GROUP BY g.doc_id
+    """,
+)
+def q_contamination_overlap_frac(spark, sf_dir):
+    # graded contamination: per-doc fraction of distinct 8-grams hitting
+    # the eval set (docs 0-4) — the thresholdable signal behind the
+    # binary decontaminate_docs rule. bigint/bigint division at the
+    # boundary (cross-engine exact).
+    docs = _t(spark, sf_dir, "documents")
+    return T.contamination_overlap(docs, docs.filter(F.col("doc_id") < 5), ngram=8)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -446,3 +446,51 @@ def bloom_decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Fractional benchmark contamination: per corpus doc, the share of
+    its distinct word ``ngram``-grams that appear in the benchmark set —
+    the graded signal behind the binary :func:`decontaminate` drop rule
+    (curation pipelines threshold on the fraction, e.g. >0.1, rather
+    than any-hit, to tolerate idiom-level collisions).
+
+    Returns ``(doc_id, n_grams, n_hit, overlap_frac)``; the fraction is
+    one bigint/bigint division (cross-engine exact).
+
+    Scale shape: same as decontaminate — gram keys are 8-byte hashes,
+    the benchmark side broadcasts, corpus text shuffles zero times; the
+    per-doc tally is one agg on the doc id.
+    """
+    from .dedup import word_shingles
+
+    def gram_keys(df, out):
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(word_shingles(F.col(text_col), ngram)).alias("g"),
+        ).select(out, F.xxhash64("g").alias("gk"))
+
+    cg = gram_keys(corpus, id_col)
+    bench = gram_keys(benchmark, "bid").select("gk").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        cg.join(F.broadcast(bench), "gk", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_grams")).alias("overlap_frac"),
+        )
+    )
