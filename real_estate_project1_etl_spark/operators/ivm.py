@@ -1,0 +1,80 @@
+"""Incremental view maintenance — refresh a materialized count/sum
+aggregate from a CDC change feed instead of recomputing from the full
+table.
+
+The composition this enables: ``sinks.versioned`` gives snapshot
+versions, ``versioned.table_diff(include_old=True)`` gives the
+before/after change feed, and this module folds that feed into the
+materialized aggregate. Cost is O(changes + touched groups), never
+O(table) — at 100 TB the difference between a nightly full recompute
+and a minutes-sized delta job.
+
+Exactness: the maintained measures are additive (count and an exact
+decimal sum), so delta application is algebraically identical to
+recomputation — decimal addition is associative/commutative, no float
+drift accumulates across refreshes. Non-additive measures (min/max,
+distinct counts) need either a deletion-aware sketch or a per-group
+recompute of touched groups; that variant is the documented extension,
+not implemented here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_count_sum_agg(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The materialized view this module maintains:
+    ``(grp, n_rows, total)`` with an exact decimal(18,2) sum."""
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total"),
+    )
+
+
+def incremental_refresh(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Fold a ``table_diff(include_old=True)`` change feed into the
+    materialized aggregate. Handles all three change classes, including
+    updates that MOVE a row between groups (the minus side uses the
+    before-image's group, the plus side the after-image's).
+
+    One shuffle on the group key for the delta agg plus one outer merge
+    join against the base — both sized by the touched groups, not the
+    table. Groups whose row count reaches zero are dropped (exactly what
+    recomputation would produce).
+    """
+    plus = changes.filter(F.col("_change").isin("insert", "update")).select(
+        F.col(group_col).alias("grp"),
+        F.lit(1).alias("dn"),
+        F.col(value_col).cast("decimal(18,2)").alias("dv"),
+    )
+    minus = changes.filter(F.col("_change").isin("delete", "update")).select(
+        F.col(f"{group_col}_old").alias("grp"),
+        F.lit(-1).alias("dn"),
+        (-F.col(f"{value_col}_old").cast("decimal(18,2)")).alias("dv"),
+    )
+    deltas = (
+        plus.unionAll(minus)
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    return (
+        base_agg.join(deltas, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+                "n_rows"
+            ),
+            (
+                F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("dv"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("decimal(28,2)").alias("total"),  # match build_count_sum_agg's sum type
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -328,12 +328,20 @@ def upsert(
 
 
 def table_diff(
-    spark, path: str, from_version: int, to_version: int, key_cols: list[str]
+    spark,
+    path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+    include_old: bool = False,
 ) -> DataFrame:
     """CDC between two snapshots: one row per changed key with
     ``_change`` in {insert, delete, update} plus the to-version's row
     values (nulls for deletes) — the change-data-feed a downstream
-    incremental consumer reads instead of re-scanning the table.
+    incremental consumer reads instead of re-scanning the table. With
+    ``include_old`` the from-version's values come along as ``<col>_old``
+    (the before-image deletes/updates need for incremental aggregate
+    maintenance).
 
     Implementation: full outer join of the two snapshots on the key,
     change class from null-side tests, update detection by comparing the
@@ -356,10 +364,13 @@ def table_diff(
         .when(F.col("_new").isNull(), F.lit("delete"))
         .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
     )
+    out_cols = [F.col(f"_new.{c}").alias(c) for c in val_cols]
+    if include_old:
+        out_cols += [F.col(f"_old.{c}").alias(f"{c}_old") for c in val_cols]
     return (
         j.withColumn("_change", change)
         .filter(F.col("_change").isNotNull())
-        .select(*key_cols, "_change", *[F.col(f"_new.{c}").alias(c) for c in val_cols])
+        .select(*key_cols, "_change", *out_cols)
     )
 
 

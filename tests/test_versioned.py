@@ -233,3 +233,48 @@ def test_table_diff_change_feed(spark, tmp_path):
     assert diff[3]["_change"] == "delete" and diff[3]["s"] is None
     assert diff[4]["_change"] == "update" and diff[4]["s"] == "d"
     assert diff[5]["_change"] == "insert" and diff[5]["s"] == "e"
+
+
+def test_incremental_view_maintenance_equals_recompute(spark, tmp_path):
+    from real_estate_project1_etl_spark.operators.ivm import (
+        build_count_sum_agg,
+        incremental_refresh,
+    )
+    from real_estate_project1_etl_spark.sinks import versioned as V
+
+    path = str(tmp_path / "vt_ivm")
+    v1_rows = [
+        (1, "HIGH", 10.50), (2, "HIGH", 20.25), (3, "LOW", 5.00),
+        (4, "LOW", 7.75), (5, "MED", 100.00),
+    ]
+    v1 = V.create_or_replace(
+        spark.createDataFrame(v1_rows, "k long, prio string, amount double"), path
+    )
+    base_agg = build_count_sum_agg(
+        V.read_snapshot(spark, path, v1), "prio", "amount"
+    ).localCheckpoint()
+
+    # v2: insert k=6, delete k=5 (MED empties out), update k=2 amount,
+    # update k=3 moving LOW -> HIGH (group move)
+    v2_rows = [
+        (1, "HIGH", 10.50), (2, "HIGH", 99.99), (3, "HIGH", 5.00),
+        (4, "LOW", 7.75), (6, "LOW", 1.25),
+    ]
+    v2 = V.create_or_replace(
+        spark.createDataFrame(v2_rows, "k long, prio string, amount double"), path
+    )
+
+    changes = V.table_diff(spark, path, v1, v2, ["k"], include_old=True)
+    got = {
+        r["grp"]: (r["n_rows"], float(r["total"]))
+        for r in incremental_refresh(base_agg, changes, "prio", "amount").collect()
+    }
+    exp = {
+        r["grp"]: (r["n_rows"], float(r["total"]))
+        for r in build_count_sum_agg(
+            V.read_snapshot(spark, path, v2), "prio", "amount"
+        ).collect()
+    }
+    assert got == exp
+    assert "MED" not in got  # emptied group dropped, exactly like recompute
+    assert got["HIGH"] == (3, 115.49)
