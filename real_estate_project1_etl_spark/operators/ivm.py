@@ -78,3 +78,47 @@ def incremental_refresh(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def build_minmax_agg(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Non-additive companion view: ``(grp, v_min, v_max)``."""
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.min(value_col).alias("v_min"), F.max(value_col).alias("v_max")
+    )
+
+
+def refresh_minmax_touched(
+    base_agg: DataFrame,
+    new_table: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maintain a min/max view under deletes: non-additive measures
+    can't fold deltas (removing the current min needs the runner-up), so
+    the standard IVM fallback is a scoped recompute — re-aggregate ONLY
+    the groups the change feed touched (both the before- and after-image
+    group of every change) and keep the untouched groups' rows as-is.
+
+    Cost: O(changes) to find touched groups + a recompute whose input is
+    the touched groups' slice of the new table (semi-join prunes the
+    scan), never the whole table. Exactly the recompute result by
+    construction; asserted in tests.
+    """
+    touched = (
+        changes.select(F.col(group_col).alias("grp"))
+        .unionAll(changes.select(F.col(f"{group_col}_old").alias("grp")))
+        .filter(F.col("grp").isNotNull())
+        .distinct()
+    )
+    recomputed = build_minmax_agg(
+        new_table.join(
+            F.broadcast(touched),
+            new_table[group_col] == touched["grp"],
+            "left_semi",
+        ),
+        group_col,
+        value_col,
+    )
+    kept = base_agg.join(F.broadcast(touched), "grp", "left_anti")
+    return kept.unionByName(recomputed)

@@ -278,3 +278,40 @@ def test_incremental_view_maintenance_equals_recompute(spark, tmp_path):
     assert got == exp
     assert "MED" not in got  # emptied group dropped, exactly like recompute
     assert got["HIGH"] == (3, 115.49)
+
+
+def test_minmax_touched_group_refresh_equals_recompute(spark, tmp_path):
+    from real_estate_project1_etl_spark.operators.ivm import (
+        build_minmax_agg,
+        refresh_minmax_touched,
+    )
+    from real_estate_project1_etl_spark.sinks import versioned as V
+
+    path = str(tmp_path / "vt_ivm_mm")
+    v1 = V.create_or_replace(
+        spark.createDataFrame(
+            [(1, "A", 5.0), (2, "A", 9.0), (3, "B", 1.0), (4, "C", 3.0)],
+            "k long, g string, v double",
+        ),
+        path,
+    )
+    base = build_minmax_agg(V.read_snapshot(spark, path, v1), "g", "v").localCheckpoint()
+    # delete the A-max, move k=3 B->A (B empties), C untouched
+    v2 = V.create_or_replace(
+        spark.createDataFrame(
+            [(1, "A", 5.0), (3, "A", 1.0), (4, "C", 3.0)], "k long, g string, v double"
+        ),
+        path,
+    )
+    new_table = V.read_snapshot(spark, path, v2)
+    changes = V.table_diff(spark, path, v1, v2, ["k"], include_old=True)
+    got = {
+        r["grp"]: (r["v_min"], r["v_max"])
+        for r in refresh_minmax_touched(base, new_table, changes, "g", "v").collect()
+    }
+    exp = {
+        r["grp"]: (r["v_min"], r["v_max"])
+        for r in build_minmax_agg(new_table, "g", "v").collect()
+    }
+    assert got == exp
+    assert got["A"] == (1.0, 5.0) and "B" not in got and got["C"] == (3.0, 3.0)
