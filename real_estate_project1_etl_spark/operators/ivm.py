@@ -122,3 +122,56 @@ def refresh_minmax_touched(
     )
     kept = base_agg.join(F.broadcast(touched), "grp", "left_anti")
     return kept.unionByName(recomputed)
+
+
+def streaming_view_sink(
+    view_path: str, app_id: str, group_col: str, value_col: str
+):
+    """Exactly-once MAINTAINED VIEW over a stream: a ``foreachBatch``
+    adapter that folds each micro-batch (treated as inserts) into the
+    count/sum view stored as a versioned table, replay-safe via the same
+    per-writer transaction watermark as ``versioned.stream_sink``.
+
+        q = (events.writeStream
+             .foreachBatch(streaming_view_sink(view, "app", "event_type", "value"))
+             .start())
+
+    A checkpoint replay — or a wiped checkpoint re-delivering old
+    batches — hits the watermark check and no-ops, so the view never
+    double-counts (asserted in tests, including restart). Each commit
+    is a full small-table rewrite of the VIEW (groups-sized, not
+    stream-sized) published by pointer flip; the base table itself is
+    not touched, making this the derived-view half of the lakehouse
+    story: raw appends via stream_sink, maintained aggregates via this.
+    """
+    from real_estate_project1_etl_spark.sinks import versioned as V
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_id = int(batch_id)
+        base_version = V.current_version(view_path)
+        txn = V._head_txn(view_path, base_version)
+        if app_id in txn and batch_id <= txn[app_id]:
+            return
+        delta = build_count_sum_agg(batch_df, group_col, value_col)
+        if base_version:
+            base = V.read_snapshot(batch_df.sparkSession, view_path, base_version)
+            merged = (
+                base.unionByName(delta)
+                .groupBy("grp")
+                .agg(F.sum("n_rows").alias("n_rows"), F.sum("total").alias("total"))
+            )
+        else:
+            import os as _os
+
+            _os.makedirs(view_path, exist_ok=True)
+            merged = delta
+        files = V._write_data_files(merged.coalesce(1), view_path, None)
+        V._commit(
+            view_path,
+            base_version,
+            files,
+            f"view_refresh[{batch_id}]",
+            {**txn, app_id: batch_id},
+        )
+
+    return write

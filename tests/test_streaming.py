@@ -318,3 +318,50 @@ def test_streaming_transitions_state_spans_batches(spark, events_batch, tmp_path
         .collect()
     }
     assert got == exp
+
+
+def test_streaming_maintained_view_exactly_once(spark, events_batch, tmp_path):
+    from real_estate_project1_etl_spark.operators.ivm import (
+        build_count_sum_agg,
+        streaming_view_sink,
+    )
+    from real_estate_project1_etl_spark.sinks import versioned as V
+
+    src = str(tmp_path / "src_view")
+    view = str(tmp_path / "agg_view")
+    ckpt = str(tmp_path / "ckpt_view")
+    events_batch.write.parquet(src)
+
+    def run(checkpoint):
+        stream = spark.readStream.schema(events_batch.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_view_sink(view, "viewapp", "event_type", "value")
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(ckpt)
+    exp = {
+        r["grp"]: (r["n_rows"], float(r["total"]))
+        for r in build_count_sum_agg(events_batch, "event_type", "value").collect()
+    }
+    got = {
+        r["grp"]: (r["n_rows"], float(r["total"]))
+        for r in V.read_snapshot(spark, view).collect()
+    }
+    assert got == exp
+
+    # wiped checkpoint: every batch re-delivers from scratch — the txn
+    # watermark must no-op them all, leaving the view un-double-counted
+    run(str(tmp_path / "ckpt_view_2"))
+    got2 = {
+        r["grp"]: (r["n_rows"], float(r["total"]))
+        for r in V.read_snapshot(spark, view).collect()
+    }
+    assert got2 == exp
