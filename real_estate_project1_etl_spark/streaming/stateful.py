@@ -271,3 +271,71 @@ def transition_events(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# silence detection via state timeouts (heartbeat monitoring)
+# --------------------------------------------------------------------------
+
+SILENCE_OUTPUT = "user_id long, last_seen timestamp, n_events long, status string"
+SILENCE_STATE = "last_seen timestamp, n long"
+
+
+def _silence_update(timeout_ms: int):
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            last_seen, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen": [last_seen],
+                    "n_events": [n],
+                    "status": ["silent"],
+                }
+            )
+            return
+        last_seen, n = (state.get if state.exists else (None, 0))
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = pdf["ts"].max()
+            last_seen = mx if last_seen is None else max(last_seen, mx)
+        state.update((last_seen, n))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_seen": [last_seen],
+                "n_events": [n],
+                "status": ["active"],
+            }
+        )
+
+    return update
+
+
+def silent_user_detector(events: DataFrame, timeout_ms: int = 2000) -> DataFrame:
+    """Heartbeat monitoring: emit ``active`` per user per micro-batch and
+    a terminal ``silent`` row once a key receives nothing for
+    ``timeout_ms`` of processing time — the ProcessingTimeTimeout leg of
+    the arbitrary-state API (every other stateful op here is data-driven;
+    silence is the one condition DATA can't signal, only its absence,
+    which is exactly what state timeouts exist for).
+
+    State is O(1) per key and removed on the silence emit, so
+    permanently-dead keys don't leak state — the memory-bound pattern
+    for high-churn key spaces.
+    """
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _silence_update(timeout_ms),
+            outputStructType=SILENCE_OUTPUT,
+            stateStructType=SILENCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

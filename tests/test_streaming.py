@@ -365,3 +365,52 @@ def test_streaming_maintained_view_exactly_once(spark, events_batch, tmp_path):
         for r in V.read_snapshot(spark, view).collect()
     }
     assert got2 == exp
+
+
+def test_silent_user_detector_times_out(spark, tmp_path):
+    import time as _t
+
+    from real_estate_project1_etl_spark.streaming.stateful import silent_user_detector
+
+    src = str(tmp_path / "src_silence")
+    drop1 = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:01"), (2, 8, "2024-01-01 00:00:02")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    drop1.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(drop1.schema).parquet(src)
+    q = (
+        silent_user_detector(stream, timeout_ms=6000)
+        .writeStream.format("memory")
+        .queryName("mem_silence")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 120
+        mem = lambda st: spark.table("mem_silence").filter(F.col("status") == st)
+        while mem("active").count() < 2 and _t.time() < deadline:
+            _t.sleep(0.5)
+        # user 7 heartbeats well inside the window -> its timer resets;
+        # user 8 stays quiet -> its timer (from drop 1) fires first
+        spark.createDataFrame(
+            [(3, 7, "2024-01-01 00:01:00")], "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        while mem("silent").count() < 1 and _t.time() < deadline:
+            _t.sleep(0.3)
+        first_silent = {r["user_id"] for r in mem("silent").collect()}
+    finally:
+        q.stop()
+    # 8's un-reset timer fires before 7's heartbeat-extended one
+    assert 8 in first_silent and 7 not in first_silent
+    # the heartbeat produced a second active row for 7 before any silence
+    assert (
+        spark.table("mem_silence")
+        .filter((F.col("status") == "active") & (F.col("user_id") == 7))
+        .count()
+        >= 2
+    )
