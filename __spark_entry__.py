@@ -5123,6 +5123,61 @@ def q_contamination_overlap_frac(spark, sf_dir):
     return T.contamination_overlap(docs, docs.filter(F.col("doc_id") < 5), ngram=8)
 
 
+@_q(
+    "customer_pareto_80",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(cast(o_totalprice AS decimal(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             cast(row_number() OVER (ORDER BY rev DESC, o_custkey) AS int) AS rnk,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev,
+             (SELECT sum(rev) FROM rev) AS total_rev
+      FROM rev
+    )
+    SELECT o_custkey, rnk, cast(rev AS double) AS revenue,
+           cast(cum_rev AS double) AS cum_revenue
+    FROM ranked
+    WHERE cum_rev * 5 <= total_rev * 4
+    """,
+)
+def q_customer_pareto_80(spark, sf_dir):
+    # Pareto / 80-20 concentration: the smallest prefix of customers (by
+    # revenue) covering <=80% of total revenue. The threshold compares
+    # EXACT decimals cross-multiplied (cum*5 <= total*4) — no ratio
+    # double ever enters a comparison, so the cut row is engine-exact.
+    # One agg + one ranked window; the global total rides along as a
+    # broadcast single-row aggregate. Scale note: the cumulative sum
+    # needs a global order (Exchange SinglePartition over the |customers|
+    # aggregate — already reduced, not the fact table); at 100 TB use the
+    # two-phase form of operators/util.assign_global_ids (range-partition
+    # + per-partition cumsum + broadcast partition offsets) — same
+    # result, no single-task sort.
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    ranked = (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_rev",
+            F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(rev.agg(F.sum("rev").alias("total_rev"))))
+    )
+    return ranked.filter(F.col("cum_rev") * 5 <= F.col("total_rev") * 4).select(
+        "o_custkey",
+        "rnk",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
