@@ -30,6 +30,9 @@ SENSITIVE = [
     "copurchase_pagerank",
     "induced_stopword_removal",
     "decayed_user_value",
+    "robust_outliers_per_type",
+    "customer_pareto_80",
+    "bm25_topk_docs",
 ]
 
 
