@@ -5178,6 +5178,179 @@ def q_customer_pareto_80(spark, sf_dir):
     )
 
 
+@_q(
+    "forecast_revenue",
+    """
+    SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * cast(l_discount AS decimal(18,2))) AS double)
+             AS potential_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6 shape — the forecast-revenue-change scan-aggregate, the
+    # last of the 22 TPC-H query shapes (Q1-Q22 all registered; Q5 is
+    # star_join_revenue).  Pure filter+agg: every predicate (shipdate
+    # range, discount band, quantity cap) pushes to the parquet scan
+    # (PushedFilters), so the aggregate sees only qualifying rows and no
+    # exchange carries more than one partial-sum row per task.  Revenue
+    # term is the exact-decimal product, double only at the boundary.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(R.dec2("l_extendedprice") * R.dec2("l_discount"))
+            .cast("double")
+            .alias("potential_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "customer_balance_distribution",
+    """
+    SELECT c_custkey,
+           cast(ntile(4) OVER w AS int)  AS quartile,
+           percent_rank() OVER w         AS pct_rank,
+           cume_dist() OVER w            AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_customer_balance_distribution(spark, sf_dir):
+    # Distribution-rank family completion: ntile / percent_rank /
+    # cume_dist over a total order (acctbal, custkey tie-break — rule 4:
+    # every ranking needs a unique ordering, or percent_rank is
+    # engine-dependent on ties).  percent_rank = (rank-1)/(n-1) and
+    # cume_dist = rank/n are int/int double divisions — cross-engine
+    # exact.  Scale note: a global ORDER BY window is a SinglePartition
+    # exchange — fine over the customer dim; for fact-scale inputs use
+    # the range-partitioned two-phase form (util.assign_global_ids).
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@_q(
+    "orders_in_flight",
+    """
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS s, max(l_shipdate) AS e
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderdate
+    ),
+    deltas AS (
+      SELECT strftime(s, '%Y-%m-%d') AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT strftime(e + INTERVAL 1 DAY, '%Y-%m-%d') AS day, -1 AS delta FROM iv
+    ),
+    daily AS (
+      SELECT day, cast(sum(delta) AS bigint) AS net_change
+      FROM deltas GROUP BY day
+    )
+    SELECT day, net_change,
+           cast(sum(net_change) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+             AS open_count
+    FROM daily
+    """,
+)
+def q_orders_in_flight(spark, sf_dir):
+    # Sweep-line interval concurrency: orders "in flight" per boundary
+    # day, where an order is open from o_orderdate until its last
+    # lineitem ships.  2 delta rows per interval instead of one row per
+    # covered day (the O(n*days) explode the naive form pays); the only
+    # global step is the running sum over the aggregated day spine.
+    # ISO 'yyyy-MM-dd' strings sort chronologically, so the string ORDER
+    # BY in both engines is the same order as the dates themselves.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("e"))
+        .select(F.col("o_orderdate").alias("start"), F.col("e").alias("end"))
+    )
+    from real_estate_project1_etl_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    return interval_concurrency(iv, "start", "end")
+
+
+_KGRAM_K = 20
+
+
+@_q(
+    "repeated_kgram_spans",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(text) - {_KGRAM_K - 1}, 0) + 1)) AS pos,
+             unnest(list_transform(
+                 range(1, greatest(length(text) - {_KGRAM_K - 1}, 0) + 1),
+                 i -> md5(substring(text, cast(i AS int), {_KGRAM_K})))) AS h
+      FROM documents
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM p)
+      WHERE cnt >= 2
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             max(pos + {_KGRAM_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dup
+    ),
+    f AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+      FROM m
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM f
+    )
+    SELECT doc_id,
+           cast(min(pos) AS bigint) AS span_start,
+           cast(max(pos) + {_KGRAM_K - 1} - min(pos) + 1 AS bigint) AS span_len,
+           count(*) AS n_dup_grams
+    FROM s GROUP BY doc_id, span_id
+    """,
+)
+def q_repeated_kgram_spans(spark, sf_dir):
+    # ExactSubstr-style repeated-substring spans (Lee et al. 2022) —
+    # the dedup modality the minhash/simhash family can't express:
+    # WHICH characters of each document are duplicated content, as
+    # maximal merged spans.  The oracle mirrors the construction
+    # exactly (same md5(k-gram) hashes via zipped unnests, same window
+    # count, same running-max interval merge), so candidate generation
+    # AND span coalescing are both differentially checked.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        repeated_kgram_spans,
+    )
+
+    return repeated_kgram_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=_KGRAM_K
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

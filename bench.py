@@ -66,6 +66,9 @@ HEADLINE = [
     # round-2c: graph analytics — adjacency-intersection triangles (the
     # heaviest new family; pagerank tracked in SCALE.md instead)
     "copurchase_triangles",
+    # round-2d: ExactSubstr repeated-substring spans — O(total chars)
+    # gram explode + hash-window count, the char-level dedup modality
+    "repeated_kgram_spans",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -97,6 +100,7 @@ COST = {
     "part_supplier_counts": "broadcast anti+dim joins + distinct agg (Expand) on group key",
     "prefix_filter_jaccard_pairs": "shingle df agg + prefix explode equi-join + candidate-only verify",
     "copurchase_triangles": "within-order pair join (edges) + broadcast adjacency intersect; explodes triangles only",
+    "repeated_kgram_spans": "O(total chars) gram explode + 1 hash exchange (window count) + 1 doc exchange (span merge)",
 }
 
 

@@ -653,3 +653,79 @@ def prefix_filter_jaccard_pairs(
     ).localCheckpoint(eager=True)
     sets.unpersist()
     return out
+
+
+def repeated_kgram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring spans — the ExactSubstr dedup modality
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every maximal character span whose content recurs
+    across (or within) the corpus. A substring of length >= k repeats
+    iff every one of its length-k grams repeats, so corpus-wide k-gram
+    counting finds exactly the spans a suffix array would, with no
+    suffix-array build:
+
+      1. explode each document into (id, pos, md5(k-gram)) — O(total
+         chars) rows, produced narrowly in the scan stage;
+      2. ONE window count partitioned by the gram hash (single exchange
+         on the 32-hex key; the payload per row is just id+pos, the text
+         itself never shuffles) keeps positions whose gram occurs
+         ``min_count``+ times anywhere;
+      3. per-document running-max interval merge of the surviving
+         [pos, pos+k-1] windows (second exchange, on the doc id) —
+         overlapping-or-adjacent spans coalesce into maximal spans, all
+         native window expressions.
+
+    Returns one row per maximal span: (id, span_start [1-based],
+    span_len, n_dup_grams). 100 TB: materialize step 1 as a bucketed
+    gram table (the save_minhash_signatures pattern) and swap the window
+    count for groupBy+broadcast-semi-join when the duplicated-gram set
+    is small relative to the corpus.
+    """
+    t, i = F.col(text_col), F.col(id_col)
+    grams = (
+        ensure_parallelism(df.select(i.alias("_id"), t.alias("_t")))
+        .select(
+            "_id",
+            F.explode(
+                F.when(
+                    F.length("_t") >= k,
+                    F.expr(
+                        f"transform(sequence(1, length(_t) - {k} + 1), "
+                        f"p -> struct(p as pos, md5(substring(_t, p, {k})) as h))"
+                    ),
+                ).otherwise(F.array())
+            ).alias("g"),
+        )
+        .select("_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dup = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("cnt") >= min_count)
+    wdoc = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.withColumn(
+            "new_span",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1) - F.min("pos") + 1).cast("long").alias("span_len"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_len", "n_dup_grams")
+    )
+    return spans

@@ -151,3 +151,39 @@ def time_decayed_sum(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Sweep-line interval concurrency: for every boundary day, how many
+    [start, end] intervals (inclusive, day granularity) are open.
+
+    The naive formulation explodes each interval into one row per covered
+    day — O(n * avg_days) rows BEFORE any reduction, a scale killer for
+    long intervals. The sweep-line form emits exactly two delta events
+    per interval (+1 at start, -1 the day after end), aggregates them to
+    one net-change row per distinct boundary day (partial map-side
+    combine, one exchange on the day), then takes a running sum over the
+    day order. That cumulative window is a SinglePartition exchange — but
+    over the *aggregated* day spine (thousands of rows however large the
+    input), not the fact table; at extreme spine sizes use the two-phase
+    range-partitioned prefix-sum of util.assign_global_ids.
+
+    Output: (day 'yyyy-MM-dd' string, net_change, open_count), one row
+    per boundary day.
+    """
+    s = F.to_date(F.col(start_col))
+    e = F.to_date(F.col(end_col))
+    deltas = intervals.select(s.alias("d"), F.lit(1).alias("delta")).unionAll(
+        intervals.select(F.date_add(e, 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").cast("long").alias("net_change"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "open_count", F.sum("net_change").over(w).cast("long")
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "net_change", "open_count"
+    )

@@ -1,0 +1,132 @@
+"""Planted-case tests for the ExactSubstr-style repeated-substring span
+detector (operators/dedup.repeated_kgram_spans) and the sweep-line interval
+concurrency operator (operators/timeseries.interval_concurrency).
+
+Both also have full DuckDB differential oracles in __spark_entry__
+(repeated_kgram_spans / orders_in_flight); these tests pin the hand-checkable
+semantics the oracle can't express as clearly: exact span boundaries around a
+planted duplicate, within-doc repeats, sub-k documents, and partition
+independence.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.operators.dedup import repeated_kgram_spans
+from real_estate_project1_etl_spark.operators.timeseries import interval_concurrency
+
+K = 10
+
+# unique filler with no repeated K-gram anywhere: distinct pair-coded chunks
+_ALPHA = string.ascii_lowercase
+
+
+def _filler(tag: int, n: int) -> str:
+    # positionally unique text: every K-window contains the tag+counter
+    # encoding, so no K-gram of one filler ever equals a K-gram of another
+    out = []
+    i = 0
+    while len("".join(out)) < n:
+        out.append(f"{_ALPHA[tag]}{i:04d}")
+        i += 1
+    return "".join(out)[:n]
+
+
+def test_planted_cross_doc_span_exact(spark):
+    shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZYDOG"  # 42 chars
+    a = _filler(0, 30) + shared + _filler(1, 25)
+    b = _filler(2, 50) + shared + _filler(3, 17)
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_len"], r["n_dup_grams"])
+        for r in repeated_kgram_spans(df, "text", "doc_id", k=K).collect()
+    }
+    # only K-grams fully inside the shared block repeat, so the merged span
+    # is exactly the planted block: 42 chars, 42-K+1 duplicated grams
+    assert got == {
+        0: (31, len(shared), len(shared) - K + 1),
+        1: (51, len(shared), len(shared) - K + 1),
+    }
+
+
+def test_within_doc_repeat_two_spans(spark):
+    chunk = "ABCDEFGHIJKLMNOPQRST"  # 20 chars, no internal K-gram repeat
+    text = chunk + _filler(4, 40) + chunk
+    df = spark.createDataFrame([(7, text)], "doc_id int, text string")
+    rows = sorted(
+        (r["span_start"], r["span_len"])
+        for r in repeated_kgram_spans(df, "text", "doc_id", k=K).collect()
+    )
+    assert rows == [(1, 20), (61, 20)]
+
+
+def test_sub_k_docs_and_no_dups_empty(spark):
+    df = spark.createDataFrame(
+        [(0, "short"), (1, _filler(5, 80)), (2, _filler(6, 3))],
+        "doc_id int, text string",
+    )
+    assert repeated_kgram_spans(df, "text", "doc_id", k=K).count() == 0
+
+
+def test_spans_partition_independent(spark):
+    shared = "REPEATED-CONTENT-BLOCK-123456"
+    # disjoint filler tags (0-11 prefixes, 13-24 suffixes) so no K-gram
+    # repeats outside the planted block
+    docs = [(i, _filler(i, 15 + 3 * i) + shared + _filler(i + 13, 11))
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    base = set(map(tuple, repeated_kgram_spans(df, "text", "doc_id", k=K).collect()))
+    rep = set(
+        map(
+            tuple,
+            repeated_kgram_spans(df.repartition(7), "text", "doc_id", k=K).collect(),
+        )
+    )
+    assert base == rep and len(base) == 12
+
+
+def test_interval_concurrency_hand_checked(spark):
+    iv = spark.createDataFrame(
+        [("2020-01-01", "2020-01-03"), ("2020-01-02", "2020-01-05")],
+        "start string, end string",
+    )
+    rows = [
+        (r["day"], r["net_change"], r["open_count"])
+        for r in interval_concurrency(iv, "start", "end").orderBy("day").collect()
+    ]
+    assert rows == [
+        ("2020-01-01", 1, 1),
+        ("2020-01-02", 1, 2),
+        ("2020-01-04", -1, 1),
+        ("2020-01-06", -1, 0),
+    ]
+
+
+def test_interval_concurrency_collapses_equal_boundaries(spark):
+    iv = spark.createDataFrame(
+        [("2021-06-01", "2021-06-01")] * 3, "start string, end string"
+    )
+    rows = [
+        (r["day"], r["net_change"], r["open_count"])
+        for r in interval_concurrency(iv, "start", "end").orderBy("day").collect()
+    ]
+    assert rows == [("2021-06-01", 3, 3), ("2021-06-02", -3, 0)]
+
+
+def test_interval_concurrency_never_negative_and_ends_zero(spark):
+    import random
+
+    rng = random.Random(42)
+    base = ["2022-%02d-%02d" % (m, d) for m in range(1, 13) for d in range(1, 28)]
+    ivs = []
+    for _ in range(200):
+        s = rng.randrange(len(base) - 30)
+        ivs.append((base[s], base[s + rng.randrange(30)]))
+    df = spark.createDataFrame(ivs, "start string, end string")
+    rows = interval_concurrency(df, "start", "end").orderBy("day").collect()
+    assert all(r["open_count"] >= 0 for r in rows)
+    assert rows[-1]["open_count"] == 0
+    assert sum(r["net_change"] for r in rows) == 0
