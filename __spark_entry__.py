@@ -5351,6 +5351,282 @@ def q_repeated_kgram_spans(spark, sf_dir):
     )
 
 
+@_q(
+    "equi_depth_histogram",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             cast(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS int)
+               AS bucket
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q_equi_depth_histogram(spark, sf_dir):
+    # Equi-depth (quantile-bucketed) histogram — the optimizer-statistics
+    # twin of the fixed-width histogram already registered: ntile over a
+    # total order (price, orderkey tie-break) then per-bucket count and
+    # bounds.  min/max pass doubles through untouched (no sums), so the
+    # result is engine-exact.  Scale: same SinglePartition caveat and
+    # two-phase alternative as customer_balance_distribution.
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@_q(
+    "label_centroid_similarity",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             sum(cast(round(cast(v AS double) * 10000000.0) AS bigint)) AS c
+      FROM ex GROUP BY label, dim
+    ),
+    pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(cast(a.c AS decimal(38,0)) * cast(b.c AS decimal(38,0))) AS dot,
+             sum(cast(a.c AS decimal(38,0)) * cast(a.c AS decimal(38,0))) AS na,
+             sum(cast(b.c AS decimal(38,0)) * cast(b.c AS decimal(38,0))) AS nb
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           cast(cast(dot AS varchar) AS double)
+             / (sqrt(cast(cast(na AS varchar) AS double))
+                * sqrt(cast(cast(nb AS varchar) AS double))) AS cosine
+    FROM pair
+    """,
+)
+def q_label_centroid_similarity(spark, sf_dir):
+    # Pairwise cosine between per-label centroid vectors. Cosine is
+    # scale-invariant, so the centroid (mean) can be replaced by the
+    # SUM vector — and to make that sum order-independent across
+    # engines/partitionings, each float is fixed-point-scaled to a
+    # bigint (round(v*1e7)) first: integer sums are exact under any
+    # aggregation order.  Dot/norm products overflow int64 at corpus
+    # scale, so they accumulate as decimal(38,0) — still exact — and
+    # doubles appear only in the final cosine division.  The dim-equi
+    # join carries |labels| x |dims| rows, never the raw vectors.
+    ex = _t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("v") * F.lit(10000000.0)).cast("long")).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("dim").alias("dim_a"),
+        F.col("c").cast("decimal(38,0)").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").cast("decimal(38,0)").alias("cb"),
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("dim_a") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+        )
+    )
+    return pair.select(
+        "label_a",
+        "label_b",
+        (
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            )
+        ).alias("cosine"),
+    )
+
+
+@_q(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem.orderkey->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.partkey->part', count(*)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_partkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier', count(*)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_suppkey IS NULL
+    UNION ALL
+    SELECT 'orders.custkey->customer', count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'customer.nationkey->nation', count(*)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'supplier.nationkey->nation', count(*)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'nation.regionkey->region', count(*)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_regionkey IS NULL
+    """,
+)
+def q_referential_integrity_audit(spark, sf_dir):
+    # Foreign-key orphan audit across the whole star — the data-quality
+    # gate a warehouse runs before trusting joins.  Each arm is a LEFT
+    # ANTI join + count; dimension sides broadcast, so the fact tables
+    # are scanned but never shuffled.  Output: one row per FK edge.
+    def orphans(child, ck, parent, pk, tag):
+        return (
+            child.join(
+                F.broadcast(parent.select(pk)),
+                F.col(ck) == F.col(pk),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(tag).alias("fk"), "n_orphans")
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    arms = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey->orders"),
+        orphans(li, "l_partkey", part, "p_partkey", "lineitem.partkey->part"),
+        orphans(li, "l_suppkey", supplier, "s_suppkey", "lineitem.suppkey->supplier"),
+        orphans(orders, "o_custkey", customer, "c_custkey", "orders.custkey->customer"),
+        orphans(customer, "c_nationkey", nation, "n_nationkey", "customer.nationkey->nation"),
+        orphans(supplier, "s_nationkey", nation, "n_nationkey", "supplier.nationkey->nation"),
+        orphans(nation, "n_regionkey", region, "r_regionkey", "nation.regionkey->region"),
+    ]
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionAll(arm)
+    return out
+
+
+@_q(
+    "quantity_price_correlation",
+    """
+    WITH m AS (
+      -- the varchar hop makes the decimal->double conversion correctly
+      -- rounded (DuckDB's direct decimal->double cast double-rounds the
+      -- int128 significand once sums exceed 2^53; Spark's BigDecimal
+      -- path rounds once). String parse is correctly rounded in both.
+      SELECT l_returnflag,
+             count(*) AS n,
+             cast(cast(sum(cast(l_quantity AS decimal(18,2))) AS varchar) AS double) AS sx,
+             cast(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS varchar) AS double) AS sy,
+             cast(cast(sum(cast(l_quantity AS decimal(18,2))
+                      * cast(l_extendedprice AS decimal(18,2))) AS varchar) AS double) AS sxy,
+             cast(cast(sum(cast(l_quantity AS decimal(18,2))
+                      * cast(l_quantity AS decimal(18,2))) AS varchar) AS double) AS sxx,
+             cast(cast(sum(cast(l_extendedprice AS decimal(18,2))
+                      * cast(l_extendedprice AS decimal(18,2))) AS varchar) AS double) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM m
+    """,
+)
+def q_quantity_price_correlation(spark, sf_dir):
+    # Per-group Pearson correlation from EXACT decimal moments: the five
+    # sums accumulate as decimals (order-independent), doubles enter
+    # only in the final closed-form expression — which both engines
+    # evaluate over identical inputs with the identical IEEE operation
+    # tree, so the result is bit-reproducible.  Never use corr(double)
+    # directly on oracle-compared output: its running-merge accumulation
+    # is partitioning-dependent.
+    x, y = R.dec2("l_quantity"), R.dec2("l_extendedprice")
+    m = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr"))
+
+
+@_q(
+    "event_id_islands",
+    """
+    WITH s AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS grp
+      FROM events
+    )
+    SELECT user_id,
+           cast(min(event_id) AS bigint) AS island_start,
+           cast(max(event_id) AS bigint) AS island_end,
+           count(*) AS island_len
+    FROM s GROUP BY user_id, grp
+    """,
+)
+def q_event_id_islands(spark, sf_dir):
+    # Gaps-and-islands: maximal runs of consecutive event_ids per user
+    # (the classic sequence-completeness audit — missing-id detection is
+    # the complement of this output).  The id-minus-row_number trick
+    # turns each run into a constant group key; everything stays
+    # partitioned by user, no global sort.  Pure integer output.
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", (F.col("event_id") - F.row_number().over(w)).alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").cast("long").alias("island_start"),
+            F.max("event_id").cast("long").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .select("user_id", "island_start", "island_end", "island_len")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
