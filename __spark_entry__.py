@@ -5627,6 +5627,95 @@ def q_event_id_islands(spark, sf_dir):
     )
 
 
+@_q(
+    "mode_per_group",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    r AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM c
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark, sf_dir):
+    # Statistical mode per group with a deterministic tie-break (lowest
+    # value wins) — never use an engine's native mode()/any_value(),
+    # whose tie resolution is unspecified.  Two-level: count per
+    # (group, value) collapses the fact table map-side, then a
+    # row_number over the tiny per-group count table picks the winner.
+    # The same shape is the generic argmax-with-tiebreak template.
+    c = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt")
+    )
+
+
+@_q(
+    "nation_customer_roster",
+    """
+    WITH top5 AS (
+      SELECT c_nationkey, c_custkey, c_name,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) AS rn
+      FROM customer
+    )
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS roster,
+           count(*) AS n_listed
+    FROM top5 JOIN nation ON n_nationkey = c_nationkey
+    WHERE rn <= 5
+    GROUP BY n_name
+    """,
+)
+def q_nation_customer_roster(spark, sf_dir):
+    # Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    # Spark has no ordered string_agg, so the deterministic form is
+    # collect_list of (sort_key, value) structs -> array_sort (struct
+    # ordering is field-order lexicographic) -> transform to values ->
+    # array_join.  The per-group top-5 cap keeps the concatenated
+    # payload bounded — at scale an UNCAPPED listagg is an anti-pattern
+    # (unbounded row width); the cap is part of the operator, enforced
+    # before the aggregation so losing rows never shuffle into it.
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    top5 = cust.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        top5.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("c_custkey", "c_name"))
+                    ),
+                    lambda x: x["c_name"],
+                ),
+                ",",
+            ).alias("roster"),
+            F.count(F.lit(1)).alias("n_listed"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
