@@ -5339,9 +5339,11 @@ def q_repeated_kgram_spans(spark, sf_dir):
     # the dedup modality the minhash/simhash family can't express:
     # WHICH characters of each document are duplicated content, as
     # maximal merged spans.  The oracle mirrors the construction
-    # exactly (same md5(k-gram) hashes via zipped unnests, same window
-    # count, same running-max interval merge), so candidate generation
-    # AND span coalescing are both differentially checked.
+    # (positional k-grams via zipped unnests, same window count, same
+    # running-max interval merge); the engine hashes grams with
+    # xxhash64 (8-byte shuffle key) while the oracle uses md5 — the
+    # output depends only on gram EQUALITY, so both agree and the
+    # differential check covers candidate generation AND coalescing.
     from real_estate_project1_etl_spark.operators.dedup import (
         repeated_kgram_spans,
     )

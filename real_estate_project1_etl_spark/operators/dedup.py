@@ -661,6 +661,7 @@ def repeated_kgram_spans(
     id_col: str = "doc_id",
     k: int = 20,
     min_count: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exact repeated-substring spans — the ExactSubstr dedup modality
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -670,10 +671,15 @@ def repeated_kgram_spans(
     counting finds exactly the spans a suffix array would, with no
     suffix-array build:
 
-      1. explode each document into (id, pos, md5(k-gram)) — O(total
-         chars) rows, produced narrowly in the scan stage;
+      1. explode each document into (id, pos, hash(k-gram)) — O(total
+         chars) rows, produced narrowly in the scan stage. ``hash_fn``
+         is ``xxhash64`` by default (8-byte bigint shuffle key; the
+         output depends only on gram EQUALITY, so any collision-safe
+         hash yields identical spans — the DuckDB oracle uses md5 and
+         still matches); pass ``md5`` to mirror an external system
+         bit-for-bit;
       2. ONE window count partitioned by the gram hash (single exchange
-         on the 32-hex key; the payload per row is just id+pos, the text
+         keyed by the hash; the payload per row is just id+pos, the text
          itself never shuffles) keeps positions whose gram occurs
          ``min_count``+ times anywhere;
       3. per-document running-max interval merge of the surviving
@@ -687,8 +693,26 @@ def repeated_kgram_spans(
     count for groupBy+broadcast-semi-join when the duplicated-gram set
     is small relative to the corpus.
     """
+    grams = kgram_table(df, text_col, id_col, k, hash_fn)
+    dup = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("cnt") >= min_count)
+    return _merge_gram_spans(dup.select("_id", "pos"), id_col, k)
+
+
+def kgram_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Phase 1 of two-phase ExactSubstr: the positional gram table
+    ``(_id, pos, h)`` — one row per character position, hash of the
+    length-``k`` gram starting there. Narrow (scan-stage) explode; this
+    is what :func:`save_kgram_table` materializes at corpus scale."""
     t, i = F.col(text_col), F.col(id_col)
-    grams = (
+    return (
         ensure_parallelism(df.select(i.alias("_id"), t.alias("_t")))
         .select(
             "_id",
@@ -697,21 +721,23 @@ def repeated_kgram_spans(
                     F.length("_t") >= k,
                     F.expr(
                         f"transform(sequence(1, length(_t) - {k} + 1), "
-                        f"p -> struct(p as pos, md5(substring(_t, p, {k})) as h))"
+                        f"p -> struct(p as pos, {hash_fn}(substring(_t, p, {k})) as h))"
                     ),
                 ).otherwise(F.array())
             ).alias("g"),
         )
         .select("_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    dup = grams.withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).filter(F.col("cnt") >= min_count)
+
+
+def _merge_gram_spans(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Running-max interval merge of duplicated gram positions ``(_id,
+    pos)`` into maximal spans (overlap-or-adjacent coalesce)."""
     wdoc = Window.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)
     )
-    spans = (
+    return (
         dup.withColumn(
             "new_span",
             F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
@@ -728,4 +754,59 @@ def repeated_kgram_spans(
         )
         .select(F.col("_id").alias(id_col), "span_start", "span_len", "n_dup_grams")
     )
-    return spans
+
+
+def save_kgram_table(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the positional gram table bucketed by the gram hash
+    ``h`` (the save_minhash_signatures pattern): the corpus-wide explode
+    and the exchange on ``h`` are paid ONCE at write time. Every later
+    use — re-running span detection with a different ``min_count``, or an
+    :func:`incremental_kgram_spans` batch — aggregates or joins on ``h``
+    against co-located buckets with no Exchange on the base side."""
+    from ..sinks.bucketed import write_bucketed
+
+    grams = kgram_table(df, text_col, id_col, k, hash_fn)
+    write_bucketed(grams, table, "h", num_buckets=num_buckets, sort_col="h")
+
+
+def incremental_kgram_spans(
+    base_grams: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Daily-batch ExactSubstr: repeated-substring spans for the NEW docs
+    against (base corpus + batch), without re-exploding the base corpus.
+
+    A new-doc gram is duplicated iff its occurrences within the batch
+    plus its occurrences in the base gram table reach ``min_count`` — so
+    the work is O(batch grams + base-side aggregate on matching hashes):
+    the base table (read back from :func:`save_kgram_table`'s bucketed
+    parquet) is aggregated by ``h`` with NO Exchange (bucketed on ``h``),
+    and only hash-count pairs, never base positions, cross the join.
+    Equals the full recompute restricted to batch ids (tested), except
+    spans that exist ONLY inside the base corpus, which were already
+    reported when the base was built.
+    """
+    grams_new = kgram_table(new_docs, text_col, id_col, k, hash_fn)
+    base_counts = base_grams.groupBy("h").agg(F.count(F.lit(1)).alias("base_cnt"))
+    cnt_new = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = (
+        grams_new.withColumn("new_cnt", cnt_new)
+        .join(base_counts, "h", "left")
+        .filter(
+            F.col("new_cnt") + F.coalesce(F.col("base_cnt"), F.lit(0)) >= min_count
+        )
+    )
+    return _merge_gram_spans(dup.select("_id", "pos"), id_col, k)

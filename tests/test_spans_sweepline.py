@@ -88,6 +88,22 @@ def test_spans_partition_independent(spark):
     assert base == rep and len(base) == 12
 
 
+def test_spans_hash_fn_invariant(spark):
+    # spans depend only on gram equality: xxhash64 (production, 8-byte
+    # key) and md5 (oracle mirror) must produce identical output
+    shared = "HASH-INVARIANT-SHARED-CONTENT"
+    docs = [(i, _filler(i, 20) + shared + _filler(i + 13, 13)) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    xx = set(map(tuple, repeated_kgram_spans(df, "text", "doc_id", k=K).collect()))
+    md = set(
+        map(
+            tuple,
+            repeated_kgram_spans(df, "text", "doc_id", k=K, hash_fn="md5").collect(),
+        )
+    )
+    assert xx == md and len(xx) == 6
+
+
 def test_interval_concurrency_hand_checked(spark):
     iv = spark.createDataFrame(
         [("2020-01-01", "2020-01-03"), ("2020-01-02", "2020-01-05")],
@@ -130,3 +146,65 @@ def test_interval_concurrency_never_negative_and_ends_zero(spark):
     assert all(r["open_count"] >= 0 for r in rows)
     assert rows[-1]["open_count"] == 0
     assert sum(r["net_change"] for r in rows) == 0
+
+
+def test_two_phase_kgram_spans_match_and_incremental(spark, sf_dir):
+    # 100 TB path for ExactSubstr: (1) spans recomputed from the
+    # materialized bucketed gram table equal the one-shot output;
+    # (2) incremental batch spans equal the full recompute restricted to
+    # batch ids; (3) the base-side groupBy(h) reads the bucketed table
+    # with no Exchange.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        incremental_kgram_spans,
+        kgram_table,
+        save_kgram_table,
+        _merge_gram_spans,
+    )
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F, Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    full = repeated_kgram_spans(docs, "text", "doc_id", k=K)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    expected = {
+        tuple(r) for r in full.collect() if r["doc_id"] in batch_ids
+    }
+
+    save_kgram_table(base, "b_gram_tbl", "text", "doc_id", k=K, num_buckets=8)
+    try:
+        base_grams = spark.table("b_gram_tbl")
+        inc = incremental_kgram_spans(base_grams, batch, "text", "doc_id", k=K)
+        got = {tuple(r) for r in inc.collect()}
+        assert got == expected and len(got) > 0
+
+        # bucketed-on-h base aggregate: no Exchange between the FileScan
+        # and the HashAggregate on h
+        agg = base_grams.groupBy("h").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_gram_tbl")
+
+
+def test_phase_split_equals_one_shot(spark):
+    from real_estate_project1_etl_spark.operators.dedup import (
+        kgram_table,
+        _merge_gram_spans,
+    )
+    from pyspark.sql import functions as F, Window
+
+    shared = "TWO-PHASE-EQUIVALENCE-BLOCK"
+    docs = [(i, _filler(i, 17) + shared + _filler(i + 13, 12)) for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    one = set(map(tuple, repeated_kgram_spans(df, "text", "doc_id", k=K).collect()))
+    grams = kgram_table(df, "text", "doc_id", k=K)
+    dup = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("cnt") >= 2)
+    two = set(
+        map(tuple, _merge_gram_spans(dup.select("_id", "pos"), "doc_id", K).collect())
+    )
+    assert one == two and len(one) == 8
