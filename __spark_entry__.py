@@ -5718,6 +5718,115 @@ def q_nation_customer_roster(spark, sf_dir):
     )
 
 
+@_q(
+    "weighted_median_price",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) AS cents,
+             cast(l_quantity AS bigint) AS w
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, cents, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS totw
+      FROM c
+    )
+    SELECT l_returnflag,
+           cast(min(cents) AS double) / 100 AS weighted_median_price
+    FROM s WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median_price(spark, sf_dir):
+    # Exact weighted (lower) median: the price at which cumulative
+    # quantity weight first reaches half the group total.  Integer-cents
+    # values and bigint weights make the cumulative sums exact; the
+    # crossing VALUE is tie-order-independent (ties share a cents value,
+    # so wherever the threshold lands inside a tie block, min(cents)
+    # over qualifying rows is that block's value).  Scale note: the
+    # per-group cumulative window shuffles once on the group key; groups
+    # are independent, so a hot group bounds one task's sort, not the
+    # stage — for a single giant group use the two-phase range-partition
+    # cumsum.
+    cents = (R.dec2("l_extendedprice") * 100).cast("bigint")
+    c = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents.alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("cents")
+    s = c.withColumn(
+        "cumw", F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("totw", F.sum("w").over(Window.partitionBy("l_returnflag")))
+    return (
+        s.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("cents").cast("double") / 100).alias("weighted_median_price")
+        )
+    )
+
+
+@_q(
+    "time_weighted_value",
+    """
+    WITH e AS (
+      SELECT event_type, value, ts, event_id, user_id FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS cents,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) - epoch_us(ts)
+               AS dur_us
+      FROM e
+    )
+    SELECT event_type,
+           cast(cast(sum(cents * dur_us) AS varchar) AS double)
+             / cast(sum(dur_us) AS double) / 100 AS twap,
+           cast(sum(dur_us) AS bigint) AS total_us
+    FROM d WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY event_type
+    """,
+)
+def q_time_weighted_value(spark, sf_dir):
+    # Time-weighted average (TWAP): each event's value is "held" until
+    # the same user's next event; the average weights value by holding
+    # duration.  Durations are exact MICROSECOND longs (unix_timestamp /
+    # epoch() would truncate endpoints vs the difference differently
+    # across engines on sub-second timestamps — measured 7s drift);
+    # cents x micros products sum as exact decimal(38,0) (the long sum
+    # would overflow at ~5e21), and doubles appear only in the final
+    # ratio (oracle varchar-hops the hugeint per determinism rule 7).
+    # Per-user lead is a user-partitioned window (no global order); the
+    # final agg is |event_types| rows.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    )
+    return (
+        d.filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum((F.col("cents") * F.col("dur_us")).cast("decimal(38,0)"))
+                .cast("double")
+                / F.sum("dur_us").cast("double")
+                / 100
+            ).alias("twap"),
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
