@@ -65,7 +65,17 @@ def _mk_tables(rng, spark, con):
 
 def _gen_case(rng):
     shape = rng.choice(
-        ["group", "join", "nullsafe_join", "setop", "distinct", "order_limit", "agg_distinct"]
+        [
+            "group",
+            "join",
+            "nullsafe_join",
+            "setop",
+            "distinct",
+            "order_limit",
+            "agg_distinct",
+            "semi_anti",
+            "not_in",
+        ]
     )
 
     if shape == "group":
@@ -150,6 +160,41 @@ def _gen_case(rng):
                 else (c.asc_nulls_first() if nulls == "FIRST" else c.asc_nulls_last())
             )
             return t.select("id", "v").orderBy(c, F.col("id")).limit(k)
+
+    elif shape == "semi_anti":
+        # EXISTS / NOT EXISTS over a nullable key: NULL keys never match,
+        # so NULL-keyed t rows are always anti-side survivors
+        negated = rng.random() < 0.5
+        key = rng.choice(["k1", "k2"])
+        kw = "NOT EXISTS" if negated else "EXISTS"
+        sql = (
+            f"SELECT id, {key} FROM t WHERE {kw} "
+            f"(SELECT 1 FROM u WHERE u.{key} = t.{key})"
+        )
+
+        def build(t, u):
+            how = "left_anti" if negated else "left_semi"
+            return t.alias("t").join(
+                u.alias("u"), F.col(f"t.{key}") == F.col(f"u.{key}"), how
+            ).select("id", key)
+
+    elif shape == "not_in":
+        # the classic trap: NOT IN over a subquery CONTAINING NULLs is
+        # empty (three-valued logic) — Spark plans a null-aware anti
+        # join; both engines must implement the same standard semantics
+        key = rng.choice(["k1", "k2"])
+        sql = (
+            f"SELECT id, {key} FROM t "
+            f"WHERE {key} NOT IN (SELECT {key} FROM u)"
+        )
+
+        def build(t, u):
+            t.createOrReplaceTempView("fz_t")
+            u.createOrReplaceTempView("fz_u")
+            return t.sparkSession.sql(
+                f"SELECT id, {key} FROM fz_t "
+                f"WHERE {key} NOT IN (SELECT {key} FROM fz_u)"
+            )
 
     else:  # agg_distinct
         key = rng.choice(["k1", "k2"])
