@@ -5719,6 +5719,68 @@ def q_nation_customer_roster(spark, sf_dir):
 
 
 @_q(
+    "incremental_substring_spans",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(text) - {_KGRAM_K - 1}, 0) + 1)) AS pos,
+             unnest(list_transform(
+                 range(1, greatest(length(text) - {_KGRAM_K - 1}, 0) + 1),
+                 i -> md5(substring(text, cast(i AS int), {_KGRAM_K})))) AS h
+      FROM documents
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM p)
+      WHERE cnt >= 2
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             max(pos + {_KGRAM_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dup
+    ),
+    f AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+      FROM m
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM f
+    )
+    SELECT doc_id,
+           cast(min(pos) AS bigint) AS span_start,
+           cast(max(pos) + {_KGRAM_K - 1} - min(pos) + 1 AS bigint) AS span_len,
+           count(*) AS n_dup_grams
+    FROM s WHERE doc_id % 5 = 0
+    GROUP BY doc_id, span_id
+    """,
+)
+def q_incremental_substring_spans(spark, sf_dir):
+    # The incremental ExactSubstr path ON the correctness ledger: docs
+    # with doc_id%5==0 arrive as the "new batch" against the rest as the
+    # base gram table; a batch gram is duplicated iff batch-count +
+    # base-count reaches 2.  The oracle is the FULL-corpus construction
+    # restricted to batch ids — the equality the incremental form must
+    # preserve (O(batch grams) work; base positions never re-merge).
+    from real_estate_project1_etl_spark.operators.dedup import (
+        incremental_kgram_spans,
+        kgram_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    base_grams = kgram_table(base, "text", "doc_id", k=_KGRAM_K)
+    return incremental_kgram_spans(
+        base_grams, batch, "text", "doc_id", k=_KGRAM_K
+    )
+
+
+@_q(
     "weighted_median_price",
     """
     WITH c AS (
