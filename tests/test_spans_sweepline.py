@@ -208,3 +208,84 @@ def test_phase_split_equals_one_shot(spark):
         map(tuple, _merge_gram_spans(dup.select("_id", "pos"), "doc_id", K).collect())
     )
     assert one == two and len(one) == 8
+
+
+# ---- hypothesis cross-model checks: pure-python brute-force models ----
+# (the DuckDB oracles share the construction; these don't — an independent
+# reference implementation over randomized small inputs)
+
+from datetime import date, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+
+def _brute_spans(texts: dict[int, str], k: int):
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            grams[t[i : i + k]] += 1
+    out = set()
+    for did, t in texts.items():
+        pos = [i + 1 for i in range(len(t) - k + 1) if grams[t[i : i + k]] >= 2]
+        if not pos:
+            continue
+        start, end, n = pos[0], pos[0] + k - 1, 1
+        for p in pos[1:]:
+            if p <= end + 1:
+                end = p + k - 1
+                n += 1
+            else:
+                out.add((did, start, end - start + 1, n))
+                start, end, n = p, p + k - 1, 1
+        out.add((did, start, end - start + 1, n))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=40), min_size=1, max_size=8
+    )
+)
+def test_spans_match_bruteforce_model(spark, texts):
+    # tiny alphabet makes repeats likely; ids are list positions
+    k = 5
+    data = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(data.items()), "doc_id int, text string")
+    got = set(map(tuple, repeated_kgram_spans(df, "text", "doc_id", k=k).collect()))
+    assert got == _brute_spans(data, k)
+
+
+def _brute_concurrency(intervals):
+    from collections import Counter
+
+    delta = Counter()
+    for s, e in intervals:
+        delta[s] += 1
+        delta[e + timedelta(days=1)] -= 1
+    out, run = [], 0
+    for d in sorted(delta):
+        run += delta[d]
+        out.append((d.isoformat(), delta[d], run))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 30)), min_size=1, max_size=40
+    )
+)
+def test_interval_concurrency_matches_bruteforce_model(spark, raw):
+    base = date(2023, 1, 1)
+    ivs = [(base + timedelta(days=s), base + timedelta(days=s + d)) for s, d in raw]
+    df = spark.createDataFrame(
+        [(a.isoformat(), b.isoformat()) for a, b in ivs], "start string, end string"
+    )
+    got = [
+        (r["day"], r["net_change"], r["open_count"])
+        for r in interval_concurrency(df, "start", "end").orderBy("day").collect()
+    ]
+    assert got == _brute_concurrency(ivs)
