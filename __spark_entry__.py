@@ -5781,6 +5781,85 @@ def q_incremental_substring_spans(spark, sf_dir):
 
 
 @_q(
+    "substring_dedup_clean_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(text) - {_KGRAM_K - 1}, 0) + 1)) AS pos,
+             unnest(list_transform(
+                 range(1, greatest(length(text) - {_KGRAM_K - 1}, 0) + 1),
+                 i -> md5(substring(text, cast(i AS int), {_KGRAM_K})))) AS h
+      FROM documents
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM p)
+      WHERE cnt >= 2
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             max(pos + {_KGRAM_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dup
+    ),
+    f AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+      FROM m
+    ),
+    sg AS (
+      SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM f
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_KGRAM_K - 1} AS e
+      FROM sg GROUP BY doc_id, span_id
+    ),
+    cover AS (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM spans),
+    chars AS (
+      SELECT doc_id,
+             unnest(range(1, length(text) + 1)) AS i,
+             unnest(list_transform(range(1, length(text) + 1),
+                    j -> substring(text, cast(j AS int), 1))) AS ch
+      FROM documents
+    ),
+    kept AS (
+      SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS clean_text
+      FROM chars c LEFT JOIN cover v ON c.doc_id = v.doc_id AND c.i = v.cp
+      WHERE v.cp IS NULL GROUP BY c.doc_id
+    ),
+    removed AS (
+      SELECT doc_id, cast(sum(e - s + 1) AS bigint) AS n_removed_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           coalesce(r.n_removed_chars, 0) AS n_removed_chars
+    FROM documents d
+    LEFT JOIN kept k ON d.doc_id = k.doc_id
+    LEFT JOIN removed r ON d.doc_id = r.doc_id
+    """,
+)
+def q_substring_dedup_clean_text(spark, sf_dir):
+    # ExactSubstr removal stage: every doc rewritten with its repeated
+    # spans cut out (Lee et al. 2022 remove what they detect).  The
+    # engine folds the per-doc span array into complement segments and
+    # stitches them with one concat_ws(transform(substr)) — no per-char
+    # explode; the oracle builds the same string the expensive way
+    # (char-level anti join + ordered string_agg), so matching proves
+    # the segment-fold arithmetic exactly.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    return remove_repeated_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=_KGRAM_K
+    )
+
+
+@_q(
     "weighted_median_price",
     """
     WITH c AS (

@@ -810,3 +810,66 @@ def incremental_kgram_spans(
         )
     )
     return _merge_gram_spans(dup.select("_id", "pos"), id_col, k)
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """ExactSubstr dedup, removal stage (Lee et al. 2022 cut the spans
+    they detect; this is that cut): rewrite each document with every
+    maximal repeated span removed, keeping the complement segments in
+    order.
+
+    Plan shape: span detection (:func:`repeated_kgram_spans`) produces
+    the tiny (id, start, len) table; spans group per doc into a sorted
+    array (disjoint by construction — the detector merges overlaps), a
+    single ``aggregate`` fold builds the complement segment list, and
+    one ``concat_ws(transform(...))`` stitches the kept substrings — all
+    JVM expressions evaluated once per document, no explode of
+    characters, no Python. Docs with no spans pass through via the left
+    join (empty segment fold keeps full text).
+
+    Returns (id, clean_text, n_removed_chars).
+    """
+    spans = repeated_kgram_spans(df, text_col, id_col, k, min_count, hash_fn)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_len"))
+        ).alias("_spans"),
+        F.sum("span_len").alias("_removed"),
+    )
+    out = df.join(per_doc, id_col, "left")
+    # fold over spans: acc = (cursor, kept-segments); each span emits the
+    # gap [cursor, span_start), cursor jumps past the span; finish adds
+    # the tail segment [cursor, end]
+    segs = F.expr(
+        f"""
+        aggregate(
+          coalesce(_spans, array()),
+          struct(cast(1 as long) as cur, cast(array() as array<struct<s: bigint, l: bigint>>) as segs),
+          (acc, sp) -> struct(
+            sp.span_start + sp.span_len as cur,
+            case when sp.span_start > acc.cur
+                 then acc.segs || array(struct(acc.cur as s, sp.span_start - acc.cur as l))
+                 else acc.segs end as segs),
+          acc -> case when length({text_col}) + 1 > acc.cur
+                      then acc.segs || array(struct(acc.cur as s, length({text_col}) + 1 - acc.cur as l))
+                      else acc.segs end)
+        """
+    )
+    clean = F.concat_ws(
+        "",
+        F.transform(
+            segs, lambda sg: F.expr(text_col).substr(sg["s"].cast("int"), sg["l"].cast("int"))
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.coalesce(F.col("_removed"), F.lit(0)).cast("long").alias("n_removed_chars"),
+    )

@@ -289,3 +289,27 @@ def test_interval_concurrency_matches_bruteforce_model(spark, raw):
         for r in interval_concurrency(df, "start", "end").orderBy("day").collect()
     ]
     assert got == _brute_concurrency(ivs)
+
+
+def test_remove_repeated_spans_planted(spark):
+    from real_estate_project1_etl_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    shared = "SHARED-BLOCK-TO-REMOVE-123"
+    a = _filler(0, 15) + shared + _filler(1, 11)
+    b = _filler(2, 22) + shared + _filler(3, 14)
+    # doc 9: entirely duplicated content (identical to doc 8) -> empty
+    dup_text = "Z" * 40
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (8, dup_text), (9, dup_text), (5, "tiny")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_chars"])
+        for r in remove_repeated_spans(df, "text", "doc_id", k=K).collect()
+    }
+    assert got[0] == (_filler(0, 15) + _filler(1, 11), len(shared))
+    assert got[1] == (_filler(2, 22) + _filler(3, 14), len(shared))
+    assert got[8] == ("", 40) and got[9] == ("", 40)
+    assert got[5] == ("tiny", 0)
