@@ -180,14 +180,22 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
 
     Why this shape: the only exploded stream is the TRIANGLE list
     itself (1.9M rows at sf0.1), never the wedge list (36M rows there).
-    Measured at sf0.1 / local[32]: 2.8 s vs 14-22 s for wedge-join
-    formulations (self-join or in-row pair generation) — on par with a
-    vectorized single-node engine on the same graph. The adjacency
-    table is |V| rows (arrays of out-neighbors) and is broadcast onto
-    the edge list; at 100 TB drop the broadcast hint and both
-    adjacency joins fall back to shuffled equi-joins on vertex id.
-    Output is enumeration-invariant: per-vertex counts are unchanged
-    by the orientation.
+    Two further cuts relative to the naive edge-adjacency form: (1) the
+    oriented edge list is re-derived by exploding the adjacency table
+    in-row, so ``out(u)`` rides along for free and only ONE broadcast
+    join (for ``out(v)``) remains; (2) the src/dst contributions use
+    ``size(intersect)`` instead of exploding the triangle list three
+    times, so the final aggregation shuffles |E'| + |E'| + T rows
+    instead of 3T (T = triangles, E' = edges in >=1 triangle).
+    Measured at sf0.1 / local[32] (post-regen denser graph: 20k
+    vertices, 1.2M edges, avg deg 120, 1.88M triangles): 5.0 s steady
+    vs 6.8 s for the two-join/triple-explode form and 14-22 s for
+    wedge-join formulations — on par with a vectorized single-node
+    engine on the same graph. The adjacency table is |V| rows (arrays
+    of out-neighbors) and is broadcast onto the edge list; at 100 TB
+    drop the broadcast hint and the adjacency join falls back to a
+    shuffled equi-join on vertex id. Output is enumeration-invariant:
+    per-vertex counts are unchanged by the orientation.
     """
     e = edges.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
@@ -209,22 +217,22 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("ns"))
-    eadj = oriented.join(
-        F.broadcast(adj.select(F.col("src").alias("_u"), F.col("ns").alias("nu"))),
-        F.col("src") == F.col("_u"),
+    # re-derive (src, dst) by exploding adj so out(u) needs no join
+    eadj = adj.select(
+        "src", F.col("ns").alias("nu"), F.explode("ns").alias("dst")
     ).join(
         F.broadcast(adj.select(F.col("src").alias("_v"), F.col("ns").alias("nv"))),
         F.col("dst") == F.col("_v"),
     )
     tri = eadj.select(
-        "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
+        "src", "dst", F.array_intersect("nu", "nv").alias("ws")
+    ).where(F.size("ws") > 0)
+    contrib = (
+        tri.select(F.col("src").alias("id"), F.size("ws").alias("c"))
+        .unionAll(tri.select(F.col("dst").alias("id"), F.size("ws").alias("c")))
+        .unionAll(tri.select(F.explode("ws").alias("id"), F.lit(1).alias("c")))
     )
-    verts = (
-        tri.select(F.col("src").alias("id"))
-        .unionAll(tri.select(F.col("dst").alias("id")))
-        .unionAll(tri.select(F.col("w").alias("id")))
-    )
-    return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
+    return contrib.groupBy("id").agg(F.sum("c").cast("long").alias("n_tri"))
 
 
 def nhop_min_distance(
