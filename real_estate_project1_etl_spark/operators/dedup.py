@@ -545,6 +545,13 @@ def semantic_dedup(
         )
         assigned = model.transform(feat).select(id_col, "u", "cluster_id")
 
+    # materialize the assignment once: both sides of the pair self-join
+    # (and nothing else) read it, and without this Spark recomputes the
+    # normalize+score pipeline per branch (measured 2x the assign cost at
+    # sf0.1). localCheckpoint also caps the lineage like the PageRank
+    # loop; at cluster scale prefer writing the assignment to a table.
+    assigned = assigned.localCheckpoint(eager=True)
+
     a = assigned.select(F.col(id_col).alias("i"), F.col("u").alias("ui"), "cluster_id")
     b = assigned.select(F.col(id_col).alias("j"), F.col("u").alias("uj"), "cluster_id")
     dups = (
