@@ -2256,6 +2256,90 @@ def q_repetition_ratio(spark, sf_dir):
 
 
 @_q(
+    "gopher_repetition_signals",
+    r"""
+    WITH bw AS (
+        SELECT doc_id,
+               length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_chars,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws,
+               len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS nw
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i, wd,
+               1 + coalesce(sum(length(wd) + 1) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM (SELECT doc_id, unnest(range(1, nw + 1)) AS i, unnest(ws) AS wd FROM bw)
+    ),
+    ns AS (SELECT unnest(range(2, 11)) AS n),
+    pos AS (
+        SELECT b.doc_id, b.n_chars, b.ws, ns.n,
+               unnest(range(1, b.nw - ns.n + 2)) AS i
+        FROM bw b CROSS JOIN ns WHERE b.nw >= ns.n
+    ),
+    occ AS (
+        SELECT p.doc_id, p.n_chars, p.n,
+               array_to_string(p.ws[p.i : p.i + p.n - 1], ' ') AS gm,
+               w1.s AS s, w2.s + length(w2.wd) - 1 AS e
+        FROM pos p
+        JOIN w w1 ON w1.doc_id = p.doc_id AND w1.i = p.i
+        JOIN w w2 ON w2.doc_id = p.doc_id AND w2.i = p.i + p.n - 1
+    ),
+    oc AS (SELECT *, count(*) OVER (PARTITION BY doc_id, n, gm) AS cnt FROM occ),
+    top AS (
+        SELECT doc_id, n, cnt * length(gm) / n_chars AS frac
+        FROM (SELECT DISTINCT doc_id, n_chars, n, gm, cnt FROM oc WHERE n <= 4) x
+        QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                 ORDER BY cnt DESC, length(gm) DESC, gm) = 1
+    ),
+    sg AS (
+        SELECT doc_id, n_chars, n, s, e,
+               sum(ns_flag) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM (
+            SELECT *, CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END AS ns_flag
+            FROM (
+                SELECT doc_id, n_chars, n, s, e,
+                       max(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+                FROM oc WHERE n >= 5 AND cnt >= 2))
+    ),
+    dup AS (
+        SELECT doc_id, n, sum(cov) / any_value(n_chars) AS frac
+        FROM (SELECT doc_id, n_chars, n, span_id, max(e) - min(s) + 1 AS cov
+              FROM sg GROUP BY doc_id, n_chars, n, span_id)
+        GROUP BY doc_id, n
+    ),
+    c AS (
+        SELECT doc_id, n, frac, 'top' AS k FROM top
+        UNION ALL SELECT doc_id, n, frac, 'dup' FROM dup
+    )
+    SELECT b.doc_id,
+        coalesce(max(CASE WHEN k='top' AND n=2 THEN frac END), 0.0) AS top_2gram_char_frac,
+        coalesce(max(CASE WHEN k='top' AND n=3 THEN frac END), 0.0) AS top_3gram_char_frac,
+        coalesce(max(CASE WHEN k='top' AND n=4 THEN frac END), 0.0) AS top_4gram_char_frac,
+        coalesce(max(CASE WHEN k='dup' AND n=5 THEN frac END), 0.0) AS dup_5gram_char_frac,
+        coalesce(max(CASE WHEN k='dup' AND n=6 THEN frac END), 0.0) AS dup_6gram_char_frac,
+        coalesce(max(CASE WHEN k='dup' AND n=7 THEN frac END), 0.0) AS dup_7gram_char_frac,
+        coalesce(max(CASE WHEN k='dup' AND n=8 THEN frac END), 0.0) AS dup_8gram_char_frac,
+        coalesce(max(CASE WHEN k='dup' AND n=9 THEN frac END), 0.0) AS dup_9gram_char_frac,
+        coalesce(max(CASE WHEN k='dup' AND n=10 THEN frac END), 0.0) AS dup_10gram_char_frac
+    FROM bw b LEFT JOIN c ON b.doc_id = c.doc_id
+    GROUP BY b.doc_id
+    """,
+)
+def q_gopher_repetition_signals(spark, sf_dir):
+    # the full Gopher repetition filter battery (Rae et al. 2021 A1):
+    # top-{2,3,4}-gram char fraction + duplicate-{5..10}-gram char
+    # coverage with overlap-once span union — the oracle rebuilds the
+    # same signals from word positions + window arithmetic, so the
+    # in-row gram/offset construction and the interval union are both
+    # differentially proven.
+    return T.gopher_repetition(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "decontaminate_docs",
     r"""
     WITH w AS (

@@ -494,3 +494,150 @@ def contamination_overlap(
             (F.col("n_hit") / F.col("n_grams")).alias("overlap_frac"),
         )
     )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The full Gopher repetition-signal battery (Rae et al. 2021,
+    arXiv:2112.11446 Table A1): per document,
+
+    - ``top_{n}gram_char_frac`` for n in ``top_ns``: fraction of the
+      document's characters contained in occurrences of its single most
+      frequent word n-gram (count x char-length of the gram / doc chars;
+      ties broken by longer gram then lexicographic — deterministic).
+    - ``dup_{n}gram_char_frac`` for n in ``dup_ns``: fraction of
+      characters covered by word n-grams that occur 2+ times, counting
+      overlapping occurrences ONCE (the paper's "taking care not to
+      count characters that occur in overlapping n-grams more than
+      once") — a per-(doc, n) interval union over the occurrences' char
+      spans, the same running-max merge as the ExactSubstr span
+      detector but with variable-width [s, e] intervals.
+
+    Completes :func:`repetition_ratio` (one scalar signal) into the
+    filter set production pipelines actually run (Gopher / NeMo-Curator
+    / Dolma all apply this battery before training).
+
+    Scale shape: ONE explode produces all (n, gram, char-span) rows for
+    every n at once (sum_n (W-n+1) rows per doc, built in-row with
+    higher-order functions over pre-computed word-start offsets); gram
+    counting is one window over (doc, n, gram) and the span union one
+    window over (doc, n) — two exchanges total, both on keys that
+    cannot skew beyond a single document's grams. Fractions are
+    int/int divisions (cross-engine exact).
+
+    Text is lowercased and whitespace-collapsed first; the denominator
+    is the character length of that normalized text.
+    """
+    from pyspark.sql import Window
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    base = df.select(
+        F.col(id_col),
+        F.lower(collapse_whitespace(F.col(text_col))).alias("t"),
+    ).withColumn("n_chars", F.length("t").cast("long"))
+    w_arr = F.split(F.col("t"), " ")
+    # 1-based char start offset of every word: running fold over lengths
+    starts = F.expr(
+        "aggregate(split(t, ' '), "
+        "struct(cast(1 as bigint) as p, cast(array() as array<bigint>) as a), "
+        "(acc, x) -> struct(acc.p + length(x) + 1, acc.a || array(acc.p)), "
+        "acc -> acc.a)"
+    )
+    words = base.withColumn("ws", w_arr).withColumn("st", starts).withColumn(
+        "nw", F.size("ws").cast("long")
+    )
+
+    def grams_for(n):
+        # sequence() counts DOWN when stop < start (NOTES pitfall) -> guard
+        return F.expr(
+            f"""
+            case when nw >= {n} then
+              transform(sequence(1, nw - {n} + 1), i -> struct(
+                cast({n} as int) as n,
+                concat_ws(' ', slice(ws, i, {n})) as g,
+                element_at(st, cast(i as int)) as s,
+                element_at(st, cast(i as int) + {n} - 1)
+                  + length(element_at(ws, cast(i as int) + {n} - 1)) - 1 as e))
+            else cast(array() as
+              array<struct<n: int, g: string, s: bigint, e: bigint>>) end
+            """
+        )
+    occ = words.select(
+        id_col,
+        "n_chars",
+        F.explode(
+            F.flatten(F.array(*[grams_for(n) for n in all_ns]))
+        ).alias("o"),
+    ).select(id_col, "n_chars", "o.n", "o.g", "o.s", "o.e")
+    cnt_w = Window.partitionBy(id_col, "n", "g")
+    occ = occ.withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
+
+    # top-n-gram char fraction: one row per (doc, n in top_ns)
+    top_rank = Window.partitionBy(id_col, "n").orderBy(
+        F.col("cnt").desc(), F.length("g").desc(), F.col("g")
+    )
+    top = (
+        occ.filter(F.col("n").isin(list(top_ns)))
+        .select(id_col, "n_chars", "n", "g", "cnt")
+        .distinct()
+        .withColumn("rk", F.row_number().over(top_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            id_col,
+            "n",
+            (F.col("cnt") * F.length("g") / F.col("n_chars")).alias("frac"),
+        )
+    )
+
+    # duplicate-n-gram char coverage: interval union of cnt>=2 spans
+    span_w = Window.partitionBy(id_col, "n").orderBy("s", "e")
+    dup = (
+        occ.filter(F.col("n").isin(list(dup_ns)) & (F.col("cnt") >= 2))
+        .withColumn(
+            "prev_e",
+            F.max("e").over(span_w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_span",
+            F.when(F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(span_w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "n_chars", "n", "span_id")
+        .agg((F.max("e") - F.min("s") + 1).alias("cov"))
+        .groupBy(id_col, "n_chars", "n")
+        .agg(F.sum("cov").alias("cov"))
+        .select(id_col, "n", (F.col("cov") / F.col("n_chars")).alias("frac"))
+    )
+
+    # assemble: one union + one conditional-agg pivot + one left join
+    # (NOT one join per signal — that would be 9 join stages)
+    combined = top.withColumn("kind", F.lit("top")).unionAll(
+        dup.withColumn("kind", F.lit("dup"))
+    )
+    aggs = [
+        F.max(
+            F.when((F.col("kind") == "top") & (F.col("n") == n), F.col("frac"))
+        ).alias(f"top_{n}gram_char_frac")
+        for n in top_ns
+    ] + [
+        F.max(
+            F.when((F.col("kind") == "dup") & (F.col("n") == n), F.col("frac"))
+        ).alias(f"dup_{n}gram_char_frac")
+        for n in dup_ns
+    ]
+    sig = combined.groupBy(id_col).agg(*aggs)
+    cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    return base.select(id_col).join(sig, id_col, "left").select(
+        id_col, *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in cols]
+    )

@@ -132,3 +132,30 @@ def test_observe_metrics_single_pass_write(spark, tmp_path):
     assert got["violations_v_nonneg"] == 2
     # the write itself saw every row (metrics didn't fork the plan)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_gopher_repetition_hand_computed(spark):
+    from real_estate_project1_etl_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # top 2-gram "a b" cnt=3, len 3, chars 11 -> 9/11
+            (1, "a b a b a b"),
+            # 9 words, tie "x y"/"y z" cnt=3 -> lexicographic "x y";
+            # dup 5-grams cover [1,17] entirely -> 1.0
+            (2, "x y z x y z x y z"),
+            (3, "q"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()
+    }
+    assert abs(got[1]["top_2gram_char_frac"] - 9 / 11) < 1e-12
+    assert got[1]["dup_5gram_char_frac"] == 0.0  # both 5-grams unique
+    assert abs(got[2]["top_2gram_char_frac"] - 9 / 17) < 1e-12
+    assert got[2]["dup_5gram_char_frac"] == 1.0
+    assert got[3]["top_2gram_char_frac"] == 0.0
+    assert got[3]["dup_10gram_char_frac"] == 0.0
