@@ -69,6 +69,7 @@ HEADLINE = [
     # round-2d: ExactSubstr repeated-substring spans — O(total chars)
     # gram explode + hash-window count, the char-level dedup modality
     "repeated_kgram_spans",
+    "gopher_repetition_signals",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -101,6 +102,7 @@ COST = {
     "prefix_filter_jaccard_pairs": "shingle df agg + prefix explode equi-join + candidate-only verify",
     "copurchase_triangles": "within-order pair join (edges) + broadcast adjacency intersect; explodes triangles only",
     "repeated_kgram_spans": "O(total chars) gram explode + 1 hash exchange (window count) + 1 doc exchange (span merge)",
+    "gopher_repetition_signals": "one explode builds all n-gram spans in-row; 1 gram-count exchange + 1 span-union exchange + pivot agg",
 }
 
 
