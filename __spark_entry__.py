@@ -2033,6 +2033,29 @@ def q_click_purchase_attribution(spark, sf_dir):
 
 
 @_q(
+    "click_attribution_outer",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_click_attribution_outer(spark, sf_dir):
+    # batch twin of the stream-stream LEFT OUTER attribution join
+    # (streaming/windows.click_purchase_attribution_outer): every click
+    # appears, null purchase when nothing landed within the horizon —
+    # in streaming the null row is emitted by watermark state eviction
+    from real_estate_project1_etl_spark.streaming.windows import (
+        click_purchase_attribution_outer,
+    )
+
+    return click_purchase_attribution_outer(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "customer_order_distribution",
     """
     SELECT c_count, count(*) AS custdist FROM (

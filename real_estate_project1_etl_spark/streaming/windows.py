@@ -139,3 +139,50 @@ def click_purchase_attribution(
         (F.unix_millis(F.col("purchase_ts")) - F.unix_millis(F.col("click_ts")))
         .alias("gap_ms"),
     )
+
+
+def click_purchase_attribution_outer(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click row is
+    emitted — matched clicks once per in-``horizon`` purchase, and
+    unmatched clicks with a NULL purchase once the watermark passes
+    ``click_ts + horizon`` (state eviction IS the null-emission
+    trigger; Spark cannot declare a click unmatched until no
+    qualifying purchase can still arrive). The advanced stream-stream
+    semantic beyond the inner join: correct null results require the
+    engine to reason about watermark + join-condition bounds together.
+
+    Caveat inherent to the semantics: clicks whose deadline is never
+    passed by the final watermark (the tail of a finite stream) stay in
+    state and emit nothing — the stream-vs-batch test asserts emitted
+    null rows are exactly the batch-unmatched clicks old enough to have
+    been evicted. On a batch DataFrame this is a plain left join (the
+    ``click_attribution_outer`` oracle query).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_millis(F.col("purchase_ts")) - F.unix_millis(F.col("click_ts")))
+        .alias("gap_ms"),
+    )

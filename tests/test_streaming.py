@@ -414,3 +414,33 @@ def test_silent_user_detector_times_out(spark, tmp_path):
         .count()
         >= 2
     )
+
+
+def test_stream_stream_outer_attribution(spark, events_batch, tmp_path):
+    from real_estate_project1_etl_spark.streaming.windows import (
+        click_purchase_attribution_outer,
+    )
+
+    out = _run_stream(
+        spark, events_batch, click_purchase_attribution_outer, tmp_path, "oattr"
+    )
+    got_matched = {
+        (r.click_id, r.purchase_id, r.gap_ms)
+        for r in out.collect()
+        if r.purchase_id is not None
+    }
+    got_null = {r.click_id for r in out.collect() if r.purchase_id is None}
+    batch = click_purchase_attribution_outer(events_batch).collect()
+    exp_matched = {
+        (r.click_id, r.purchase_id, r.gap_ms)
+        for r in batch
+        if r.purchase_id is not None
+    }
+    exp_null = {r.click_id for r in batch if r.purchase_id is None}
+    # inner results must be complete and exact
+    assert got_matched == exp_matched and exp_matched
+    # null (unmatched) emissions happen via state eviction: everything
+    # emitted must be a true batch-unmatched click; the stream may hold
+    # back tail clicks whose deadline the final watermark never passed
+    assert got_null <= exp_null
+    assert got_null, "watermark never evicted any unmatched click"
