@@ -2056,6 +2056,36 @@ def q_click_attribution_outer(spark, sf_dir):
 
 
 @_q(
+    "bigram_heavy_hitters",
+    r"""
+    WITH w AS (
+        SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(ws) - 1, 0) + 1),
+                   i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS gram
+        FROM w WHERE len(ws) >= 2
+    )
+    SELECT gram, count(*) AS n_occ FROM g GROUP BY gram HAVING count(*) >= 20
+    """,
+)
+def q_bigram_heavy_hitters(spark, sf_dir):
+    # approx_top_k sketch heavy hitters with a frequency floor — the
+    # sketch runs in its exact regime here (distinct bigrams << capacity)
+    # so the exact GROUP BY/HAVING oracle pins it; at 100 TB the same
+    # one-row mergeable-sketch agg replaces a full token-stream shuffle
+    from real_estate_project1_etl_spark.operators.corpus import (
+        heavy_hitter_ngrams,
+    )
+
+    return heavy_hitter_ngrams(
+        _t(spark, sf_dir, "documents"), n=2, min_count=20
+    )
+
+
+@_q(
     "customer_order_distribution",
     """
     SELECT c_count, count(*) AS custdist FROM (

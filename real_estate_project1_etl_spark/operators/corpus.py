@@ -229,3 +229,54 @@ def bigram_pmi(
             ).alias("pmi_scaled"),
         )
     )
+
+
+def heavy_hitter_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 2,
+    max_items: int = 1000,
+    capacity: int = 10000,
+) -> DataFrame:
+    """Frequency heavy hitters over the word n-gram stream via the
+    ``approx_top_k`` sketch: ``(gram, n_occurrences)`` for every n-gram
+    occurring at least ``min_count`` times.
+
+    Why a sketch and not the plain ``groupBy(gram).count()`` that
+    :func:`bigram_pmi` uses: the sketch is a bounded-memory mergeable
+    summary — each task keeps at most ``capacity`` tracked items, partial
+    sketches merge map-side, and the driver receives ONE row regardless
+    of vocabulary size. At 100 TB that is the difference between a
+    full token-stream shuffle and a metadata-sized agg; it is the same
+    primitive production systems use for top-URL / hot-key reports.
+
+    Determinism/exactness regime: whenever the true distinct-gram count
+    is <= ``capacity`` the sketch degenerates to exact counting (no
+    evictions), so the ``min_count`` FREQUENCY FLOOR (not a rank cut —
+    rank cuts tie-break arbitrarily) yields a deterministic, engine-
+    reproducible result set — that regime is what the DuckDB oracle
+    pins. Beyond capacity the counts become approximate with the usual
+    top-k sketch guarantees; raise ``capacity`` to push the exact
+    frontier out.
+    """
+    w = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    stream = docs.select(F.explode(grams).alias("g"))
+    sk = stream.agg(
+        F.expr(f"approx_top_k(g, {max_items}, {capacity})").alias("tk")
+    )
+    return (
+        sk.select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("gram"),
+            F.col("s.count").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+    )
