@@ -5997,6 +5997,169 @@ def q_substring_dedup_clean_text(spark, sf_dir):
 
 
 @_q(
+    "documents_curation_v2",
+    f"""
+    WITH bw AS (
+        SELECT doc_id,
+               length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_chars,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws,
+               len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS nw
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, n_chars,
+               unnest(list_transform(range(1, nw), i -> array_to_string(ws[i : i + 1], ' '))) AS gm
+        FROM bw WHERE nw >= 2
+    ),
+    top2 AS (
+        SELECT doc_id, cnt * length(gm) / n_chars AS frac
+        FROM (SELECT DISTINCT doc_id, n_chars, gm, count(*) OVER (PARTITION BY doc_id, gm) AS cnt FROM g2) x
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, length(gm) DESC, gm) = 1
+    ),
+    g5 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, nw - 3), i -> array_to_string(ws[i : i + 4], ' '))) AS gm
+        FROM bw WHERE nw >= 5
+    ),
+    dup5_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, gm, count(*) AS c FROM g5 GROUP BY doc_id, gm HAVING count(*) >= 2)
+    ),
+    ok AS (
+        SELECT b.doc_id FROM bw b
+        LEFT JOIN top2 t ON b.doc_id = t.doc_id
+        WHERE coalesce(t.frac, 0.0) <= 0.12
+          AND b.doc_id NOT IN (SELECT doc_id FROM dup5_docs)
+    ),
+    cleaned AS (
+        SELECT d.doc_id, d.lang,
+               regexp_replace(regexp_replace(regexp_replace(
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(d.text, '<[^>]+>', ' ', 'g'),
+                           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                       '\\s+', ' ', 'g')),
+                   'https?://[^\\s]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9 \\-()]{{7,}}[0-9]', '<PHONE>', 'g') AS t
+        FROM documents d JOIN ok ON d.doc_id = ok.doc_id),
+    feat AS (
+        SELECT doc_id, lang, t,
+               CASE WHEN length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) = 0
+                    THEN 0
+                    ELSE len(string_split(
+                             trim(regexp_replace(t, '\\s+', ' ', 'g')), ' '))
+               END AS n_tokens,
+               sha256(lower(trim(regexp_replace(t, '\\s+', ' ', 'g')))) AS fp
+        FROM cleaned),
+    surv AS (
+        SELECT doc_id, lang, n_tokens, t
+        FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM feat WHERE n_tokens >= 20) sub
+        WHERE rn = 1
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(t) - {_KGRAM_K - 1}, 0) + 1)) AS pos,
+             unnest(list_transform(
+                 range(1, greatest(length(t) - {_KGRAM_K - 1}, 0) + 1),
+                 i -> md5(substring(t, cast(i AS int), {_KGRAM_K})))) AS h
+      FROM surv
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM p)
+      WHERE cnt >= 2
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             max(pos + {_KGRAM_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dup
+    ),
+    sg AS (
+      SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM (SELECT doc_id, pos,
+                   CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+            FROM m)
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_KGRAM_K - 1} AS e
+      FROM sg GROUP BY doc_id, span_id
+    ),
+    cover AS (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM spans),
+    chars AS (
+      SELECT doc_id,
+             unnest(range(1, length(t) + 1)) AS i,
+             unnest(list_transform(range(1, length(t) + 1),
+                    j -> substring(t, cast(j AS int), 1))) AS ch
+      FROM surv
+    ),
+    kept AS (
+      SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS clean_text
+      FROM chars c LEFT JOIN cover v ON c.doc_id = v.doc_id AND c.i = v.cp
+      WHERE v.cp IS NULL GROUP BY c.doc_id
+    ),
+    removed AS (
+      SELECT doc_id, cast(sum(e - s + 1) AS bigint) AS n_removed_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT sv.doc_id, sv.lang, sv.n_tokens,
+           coalesce(k.clean_text, '') AS clean_text,
+           coalesce(r.n_removed_chars, 0) AS n_removed_chars
+    FROM surv sv
+    LEFT JOIN kept k ON sv.doc_id = k.doc_id
+    LEFT JOIN removed r ON sv.doc_id = r.doc_id
+    """,
+)
+def q_documents_curation_v2(spark, sf_dir):
+    # the Dolma/Gopher-shaped end-to-end curation chain: repetition gate
+    # (top-2-gram frac <= 0.12, no within-doc duplicate 5-gram) -> markup
+    # strip -> PII scrub -> token-count gate -> exact content dedup
+    # (first-wins) -> corpus-level ExactSubstr span REMOVAL over the
+    # survivors. Composes four independently-oracled operators into one
+    # plan: the gate is two per-doc window signals, the clean/gate/dedup
+    # chain is one map stage + one fingerprint exchange, and the removal
+    # stage adds the gram-hash + doc exchanges of repeated_kgram_spans.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = T.gopher_repetition(docs, top_ns=(2,), dup_ns=(5,))
+    ok = sig.filter(
+        (F.col("top_2gram_char_frac") <= 0.12)
+        & (F.col("dup_5gram_char_frac") == 0.0)
+    ).select("doc_id")
+    cleaned = docs.join(ok, "doc_id").select(
+        "doc_id", "lang", T.scrub_pii(T.strip_markup(F.col("text"))).alias("t")
+    )
+    feat = cleaned.select(
+        "doc_id",
+        "lang",
+        "t",
+        T.whitespace_token_count(F.col("t")).alias("n_tokens"),
+        content_fingerprint(F.col("t")).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        feat.filter(F.col("n_tokens") >= 20)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens", "t")
+    )
+    despan = remove_repeated_spans(surv, "t", "doc_id", k=_KGRAM_K)
+    return surv.select("doc_id", "lang", "n_tokens").join(
+        despan, "doc_id"
+    ).select("doc_id", "lang", "n_tokens", "clean_text", "n_removed_chars")
+
+
+@_q(
     "weighted_median_price",
     """
     WITH c AS (

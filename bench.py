@@ -70,6 +70,7 @@ HEADLINE = [
     # gram explode + hash-window count, the char-level dedup modality
     "repeated_kgram_spans",
     "gopher_repetition_signals",
+    "documents_curation_v2",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -103,6 +104,7 @@ COST = {
     "copurchase_triangles": "within-order pair join (edges) + broadcast adjacency intersect; explodes triangles only",
     "repeated_kgram_spans": "O(total chars) gram explode + 1 hash exchange (window count) + 1 doc exchange (span merge)",
     "gopher_repetition_signals": "one explode builds all n-gram spans in-row; 1 gram-count exchange + 1 span-union exchange + pivot agg",
+    "documents_curation_v2": "repetition gate + strip/scrub/gate/dedup (1 map stage + 1 exchange) + corpus ExactSubstr removal",
 }
 
 
