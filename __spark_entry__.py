@@ -6269,6 +6269,259 @@ def q_time_weighted_value(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# KMV/theta sketches, skyline, session paths, entity resolution (round 2f)
+# --------------------------------------------------------------------------
+
+_MD5_60_SQL = "('0x' || substr(md5(cast({c} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@_q(
+    "kmv_distinct_users",
+    f"""
+    WITH d AS (SELECT DISTINCT event_type,
+                      {_MD5_60_SQL.format(c="user_id")} AS h
+               FROM events),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM d),
+    km AS (SELECT event_type, count(*) AS n_sample, max(h) AS kth
+           FROM r WHERE rn <= 64 GROUP BY event_type),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY event_type)
+    SELECT km.event_type,
+           cast(km.n_sample AS BIGINT) AS n_sample,
+           ex.exact_distinct,
+           CASE WHEN km.n_sample < 64 THEN cast(km.n_sample AS double)
+                ELSE 63.0 * 1152921504606846976.0 / cast(km.kth AS double)
+           END AS kmv_estimate
+    FROM km JOIN ex USING (event_type)
+    """,
+)
+def q_kmv_distinct_users(spark, sf_dir):
+    # KMV bottom-k distinct sketch per event_type, alongside the exact
+    # count it approximates. Engine-reproducible by construction (md5_60
+    # hash — same idiom as the minhash oracles), so the ESTIMATE itself is
+    # on the differential ledger, not just "some number came out". Scale
+    # story in operators/sketch.py: O(k) mergeable state per group vs the
+    # full distinct shuffle of exact COUNT(DISTINCT).
+    from real_estate_project1_etl_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_distinct(ev, ["event_type"], "user_id", k=64)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(ex, "event_type").select(
+        "event_type", "n_sample", "exact_distinct", "kmv_estimate"
+    )
+
+
+@_q(
+    "kmv_user_overlap",
+    f"""
+    WITH f AS (SELECT {_MD5_60_SQL.format(c="user_id")} AS h,
+                      bool_or(event_type = 'click')    AS in_a,
+                      bool_or(event_type = 'purchase') AS in_b
+               FROM events WHERE event_type IN ('click', 'purchase')
+               GROUP BY 1),
+    r AS (SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM f),
+    km AS (SELECT count(*) AS n_sample, max(h) AS theta_hash,
+                  sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                      AS n_both_all,
+                  sum(CASE WHEN rn <= 63 AND in_a AND in_b THEN 1 ELSE 0 END)
+                      AS n_both_retained
+           FROM r WHERE rn <= 64)
+    SELECT cast(n_sample AS BIGINT) AS n_sample,
+           CASE WHEN n_sample < 64 THEN 1152921504606846976
+                ELSE theta_hash END AS theta,
+           CASE WHEN n_sample < 64 THEN cast(n_sample AS double)
+                ELSE 63.0 * (1152921504606846976.0 / cast(theta_hash AS double))
+           END AS union_est,
+           CASE WHEN n_sample < 64 THEN cast(n_both_all AS double)
+                ELSE cast(n_both_retained AS double)
+                     * (1152921504606846976.0 / cast(theta_hash AS double))
+           END AS intersection_est,
+           CASE WHEN n_sample < 64
+                THEN cast(n_both_all AS double) / cast(n_sample AS double)
+                ELSE cast(n_both_retained AS double) / 63.0
+           END AS jaccard_est
+    FROM km
+    """,
+)
+def q_kmv_user_overlap(spark, sf_dir):
+    # theta-sketch set algebra: distinct-user union/intersection/Jaccard
+    # between the click and purchase audiences, estimated from ONE pass
+    # that retains only the k(=64) smallest union hashes plus membership
+    # flags. The oracle mirrors the construction and the estimator's exact
+    # expression tree (parenthesization matters for IEEE equality).
+    from real_estate_project1_etl_spark.operators.sketch import kmv_set_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_overlap(
+        ev, "event_type", "user_id", "click", "purchase", k=64
+    )
+
+
+@_q(
+    "part_skyline",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_brand = p.p_brand
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    """,
+)
+def q_part_skyline(spark, sf_dir):
+    # skyline (Pareto front) per brand: parts where no same-brand part is
+    # both cheaper-or-equal and smaller-or-equal (one strict). The oracle
+    # runs the O(n^2) NOT EXISTS *definition*; the engine runs the
+    # linear-ish sweep (distinct-x min + strict-prefix window min +
+    # broadcast join back — relational.skyline2d). The match proves the
+    # sweep rewrite is semantics-preserving, same pattern as
+    # prefix_filter_jaccard_pairs.
+    part = _t(spark, sf_dir, "part")
+    return R.skyline2d(
+        part,
+        "p_retailprice",
+        "p_size",
+        keep_cols=["p_brand", "p_partkey", "p_retailprice", "p_size"],
+        partition_cols=["p_brand"],
+    )
+
+
+@_q(
+    "top_session_paths",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM gaps),
+    first3 AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sessions),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM first3 WHERE rn <= 3 GROUP BY user_id, session_id)
+    SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    """,
+)
+def q_top_session_paths(spark, sf_dir):
+    # clickstream path analysis: 30-min-gap sessionization (same session
+    # assignment as event_sessionization), then the ordered sequence of
+    # the first 3 event types per session becomes a path string, counted
+    # per distinct path. Ordered string_agg is emulated with the
+    # struct-sort collect_list idiom (rn is unique within the session, so
+    # the sort is total); all windows are user-partitioned — no global
+    # funnel anywhere.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ems = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ems - F.lag(ems).over(w)
+    s = ev.withColumn(
+        "new_session", F.when(gap > 1800000, 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wn = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first3 = s.withColumn("rn", F.row_number().over(wn)).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@_q(
+    "part_entity_resolution",
+    r"""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+    toks AS (SELECT name, unnest(list_filter(string_split_regex(name, '\s+'),
+                                             t -> t <> '')) AS tok
+             FROM names),
+    rare AS (SELECT tok FROM (
+                SELECT tok, count(DISTINCT name) AS df FROM toks GROUP BY tok)
+             WHERE df BETWEEN 2 AND 500),
+    kept AS (SELECT name, tok FROM toks JOIN rare USING (tok)),
+    cands AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+              FROM kept a JOIN kept b
+              ON a.tok = b.tok AND a.name < b.name),
+    pairs AS (SELECT name_a, name_b FROM cands
+              WHERE levenshtein(name_a, name_b) <= 3),
+    edges AS (SELECT name_a AS a, name_b AS b FROM pairs
+              UNION SELECT name_b, name_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+    SELECT comp AS canonical_name,
+           count(DISTINCT p_name) AS n_names,
+           count(*) AS n_rows,
+           min(p_retailprice) AS min_price
+    FROM part JOIN labels ON p_name = id
+    GROUP BY comp
+    """,
+)
+def q_part_entity_resolution(spark, sf_dir):
+    # end-to-end entity resolution: blocked fuzzy matching (token blocks +
+    # levenshtein verify — the fuzzy_part_matches edge set) -> connected
+    # components (min-label propagation; oracle = recursive-CTE transitive
+    # closure, same pairing as near_dup_components) -> survivorship: the
+    # lexicographic-min name is the deterministic canonical record, with
+    # cluster size and min price rolled up from ALL raw rows in the
+    # cluster. The three phases are each individually oracle-proven
+    # elsewhere; this query pins their composition.
+    from real_estate_project1_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from real_estate_project1_etl_spark.operators.linkage import (
+        blocked_fuzzy_matches,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_matches(part, "p_name", max_distance=3)
+    labels = connected_components(pairs, "name_a", "name_b")
+    return (
+        part.join(labels, part.p_name == labels.id)
+        .groupBy("comp")
+        .agg(
+            F.countDistinct("p_name").alias("n_names"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p_retailprice").alias("min_price"),
+        )
+        .select(
+            F.col("comp").alias("canonical_name"),
+            "n_names",
+            "n_rows",
+            "min_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 

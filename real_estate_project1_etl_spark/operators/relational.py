@@ -327,3 +327,64 @@ def sliding_distinct_users(
         ).alias("day"),
     )
     return spans.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keep_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skyline (Pareto-front) query minimizing ``x_col`` and ``y_col``:
+    keep every row not dominated by another row. Row a dominates row b
+    when ``a.x <= b.x``, ``a.y <= b.y`` and at least one is strict;
+    duplicate (x, y) points do not dominate each other (both survive).
+
+    The naive definition is an O(n^2) NOT EXISTS self-join — the oracle
+    runs exactly that, and the match proves this sweep is
+    semantics-preserving (same trick as
+    :func:`~.dedup.prefix_filter_jaccard_pairs`). The sweep:
+
+    1. one agg exchange: per distinct x, the minimum y (``gmin``);
+    2. a window over the distinct-x table (rows frame is exact because
+       there is ONE row per distinct x) gives the strict-prefix minimum
+       ``prefmin`` = min{ y' : x' < x };
+    3. broadcast the distinct-x table back: a row is dominated iff
+       ``prefmin <= y`` (dominator with strictly smaller x) or
+       ``gmin < y`` (dominator sharing x with strictly smaller y).
+
+    Cost at scale: one groupBy on x + a window over |distinct x| rows +
+    one broadcastable join — never the quadratic pair space. The
+    distinct-x side is small for any realistic skyline dimension
+    (prices, sizes); if it weren't, the window degrades gracefully to a
+    single-column sort of the distinct-x table only.
+
+    ``partition_cols`` computes an independent skyline per partition (the
+    common "frontier per brand/segment" form); the window is then
+    partitioned too, so no global sort exists anywhere in the plan.
+    """
+    keep = keep_cols if keep_cols is not None else df.columns
+    parts = list(partition_cols or [])
+    gm = df.groupBy(*parts, F.col(x_col).alias("_x")).agg(
+        F.min(y_col).alias("_gmin")
+    )
+    w = (
+        Window.partitionBy(*parts).orderBy("_x")
+        if parts
+        else Window.orderBy("_x")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    fronts = gm.withColumn("_prefmin", F.min("_gmin").over(w)).select(
+        "_x",
+        "_gmin",
+        "_prefmin",
+        *[F.col(p).alias(f"_part_{p}") for p in parts],
+    )
+    cond = df[x_col] == fronts["_x"]
+    for p in parts:
+        cond = cond & (df[p] == fronts[f"_part_{p}"])
+    out = df.join(F.broadcast(fronts), on=cond, how="inner")
+    dominated = (
+        F.col("_prefmin").isNotNull() & (F.col("_prefmin") <= F.col(y_col))
+    ) | (F.col("_gmin") < F.col(y_col))
+    return out.filter(~dominated).select(*[df[c] for c in keep])

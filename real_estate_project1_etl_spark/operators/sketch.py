@@ -1,0 +1,150 @@
+"""KMV / theta-style distinct-count sketches (engine-reproducible).
+
+The reference has no approximate aggregation at all (its only "metric" is
+the row-wise price_per_m2, reference: transform.py:96-101); at 100 TB the
+count-distinct family is exactly where exact aggregation stops being an
+option — COUNT(DISTINCT user_id) per dimension is a full shuffle of every
+distinct pair, while a bottom-k (KMV) sketch is O(k) per group and
+mergeable across partitions/days (Bar-Yossef et al.'s distinct-elements
+estimator; the same bottom-k idea underlies DataSketches' theta sketch).
+
+Why not ``approx_count_distinct``? Spark's HLL++ is engine-specific (its
+binary registers don't reproduce outside the JVM), so it can only ever be
+rows-only on the correctness ledger. The KMV construction here is built
+from an md5-derived 60-bit hash that any engine reproduces bit-for-bit
+(DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT`` — the same idiom the
+minhash/simhash oracles in operators/dedup.py use), so candidate sketches
+AND estimates are differentially checkable, not just eyeballed.
+
+Estimator (classic KMV): with ``h`` uniform on [0, 2^60) and ``h_(k)`` the
+k-th smallest distinct hash of a set S, ``|S| ≈ (k-1) * 2^60 / h_(k)``;
+when |S| < k the sketch degenerates to the exact distinct count. The
+theta-style set algebra uses the k-th smallest hash of the UNION as the
+sampling threshold θ: every distinct value hashing below θ is retained
+(k-1 of them), each representing ``2^60/θ`` values — membership flags on
+the retained sample estimate any intersection/difference without
+rescanning.
+
+Determinism: hashes are exact bigints; the only doubles are fixed per-row
+expressions over exact aggregates (NOTES.md determinism rule 8), and
+bigint→double casts are correctly rounded in both engines (int64 fits the
+double exponent range; no decimal hop needed).
+
+Scale shape: the per-group sort behind ``row_number() <= k`` runs on the
+DISTINCT (group, hash) table — already one agg exchange smaller than the
+fact table. A 1000-executor deployment would swap the window for a
+partial bottom-k aggregate (per-partition k-mins, then merge k-mins —
+the sketch's defining mergeability); the output is identical because
+"k smallest of a union" = "k smallest of per-partition k-smallest".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["md5_60", "kmv_distinct", "kmv_set_overlap"]
+
+#: hash domain size: md5_60 hashes are uniform on [0, 2^60)
+_DOMAIN = float(2**60)
+
+
+def md5_60(v: Column | str) -> Column:
+    """First 15 hex chars of md5 as a non-negative 60-bit long —
+    bit-identical in any engine with md5 (same contract as
+    :func:`~.dedup.shingle_hash_expr` ``md5_60``)."""
+    c = F.col(v) if isinstance(v, str) else v
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate of ``value_col``.
+
+    Returns one row per group: ``n_sample`` (min(distinct, k) — the
+    sketch size actually retained), ``kth_hash`` (the threshold; the
+    sketch's entire state besides the sample itself) and
+    ``kmv_estimate`` (double; exact when the group has < k distinct
+    values).
+    """
+    d = (
+        df.select(*group_cols, md5_60(value_col).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    km = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = km.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("n_sample") < k, F.col("n_sample").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_DOMAIN) / F.col("kth_hash").cast("double")
+    )
+    return agg.withColumn("kmv_estimate", est)
+
+
+def kmv_set_overlap(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-style union/intersection/Jaccard estimate between the
+    distinct ``value_col`` sets of two ``key_col`` groups.
+
+    One output row: ``n_sample`` (union sketch size), ``theta`` (k-th
+    smallest union hash; 2^60 in the exact regime), ``union_est``,
+    ``intersection_est``, ``jaccard_est`` — all exact when the union has
+    fewer than ``k`` distinct values, estimated from the retained
+    below-theta sample otherwise.
+
+    The sketch never rescans the fact table per set operation — the
+    membership flags ride along with the retained hashes, which is the
+    whole point of theta-sketch algebra at scale (estimate A∩B, A∖B, …
+    for any pair of already-sketched dimensions).
+    """
+    flagged = df.filter(F.col(key_col).isin([group_a, group_b])).select(
+        md5_60(value_col).alias("h"),
+        (F.col(key_col) == group_a).alias("in_a"),
+        (F.col(key_col) == group_b).alias("in_b"),
+    )
+    # distinct hash of the union, with membership flags (one agg exchange)
+    m = flagged.groupBy("h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.orderBy("h")
+    km = m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    both = (F.col("in_a") & F.col("in_b")).cast("bigint")
+    agg = km.select(
+        F.lit(1).alias("g"), "rn", "h", both.alias("both")
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.max("h").alias("theta_hash"),
+        F.sum("both").alias("n_both_all"),
+        F.sum(F.when(F.col("rn") <= k - 1, F.col("both")).otherwise(0)).alias(
+            "n_both_retained"
+        ),
+    )
+    exact = F.col("n_sample") < k
+    scale = F.lit(_DOMAIN) / F.col("theta_hash").cast("double")
+    union_est = F.when(exact, F.col("n_sample").cast("double")).otherwise(
+        F.lit(float(k - 1)) * scale
+    )
+    inter_est = F.when(exact, F.col("n_both_all").cast("double")).otherwise(
+        F.col("n_both_retained").cast("double") * scale
+    )
+    jacc = F.when(
+        exact,
+        F.col("n_both_all").cast("double") / F.col("n_sample").cast("double"),
+    ).otherwise(F.col("n_both_retained").cast("double") / F.lit(float(k - 1)))
+    return agg.select(
+        "n_sample",
+        F.when(exact, F.lit(2**60)).otherwise(F.col("theta_hash")).alias("theta"),
+        union_est.alias("union_est"),
+        inter_est.alias("intersection_est"),
+        jacc.alias("jaccard_est"),
+    )

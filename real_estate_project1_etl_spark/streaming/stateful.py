@@ -339,3 +339,84 @@ def silent_user_detector(events: DataFrame, timeout_ms: int = 2000) -> DataFrame
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# streaming KMV distinct sketch (stream twin of operators/sketch.kmv_distinct)
+# --------------------------------------------------------------------------
+
+KMV_OUTPUT = "event_type string, n_sample long, kth_hash long, kmv_estimate double"
+KMV_STATE = "mins array<long>"
+
+
+def _kmv_update(k: int):
+    """Per-key updater: merge the micro-batch's md5_60 hashes into the
+    retained bottom-k set (the sketch's ENTIRE state — O(k) longs per key
+    forever), emit the refreshed estimate.
+
+    The Python md5 path reproduces Spark's ``md5(cast(v AS string))``
+    bit-for-bit (same bytes hashed), so the streaming sketch converges to
+    EXACTLY the batch sketch of operators/sketch.kmv_distinct — asserted
+    by tests/test_streaming.py, not just claimed.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+
+        mins = list(state.get[0]) if state.exists else []
+        s = set(mins)
+        for pdf in pdfs:
+            for v in pdf["user_id"]:
+                h = int(
+                    hashlib.md5(str(int(v)).encode()).hexdigest()[:15], 16
+                )
+                s.add(h)
+        mins = sorted(s)[:k]
+        state.update((mins,))
+        n = len(mins)
+        kth = mins[-1] if mins else None
+        est = float(n) if n < k else (k - 1) * (2.0**60) / float(kth)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_sample": [n],
+                "kth_hash": [kth],
+                "kmv_estimate": [est],
+            }
+        )
+
+    return update
+
+
+def streaming_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming distinct-user sketch per event_type: every micro-batch
+    refreshes the bottom-k hash set and emits the current KMV estimate.
+
+    This is the sketch's defining scale property made operational: state
+    never grows past k longs per key no matter how many distinct users
+    stream through — the streaming-safe replacement for an exact
+    ``COUNT(DISTINCT)`` whose state would be unbounded. Batch DataFrames
+    take the :func:`~..operators.sketch.kmv_distinct` fallback (identical
+    output; the stream-matches-batch test pins the equivalence).
+    """
+    if not events.isStreaming:
+        from real_estate_project1_etl_spark.operators.sketch import (
+            kmv_distinct,
+        )
+
+        return kmv_distinct(events, ["event_type"], "user_id", k=k).select(
+            "event_type", "n_sample", "kth_hash", "kmv_estimate"
+        )
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kmv_update(k),
+            outputStructType=KMV_OUTPUT,
+            stateStructType=KMV_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

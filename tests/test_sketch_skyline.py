@@ -1,0 +1,169 @@
+"""KMV/theta sketch estimator geometry and skyline dominance semantics.
+
+The oracle queries (kmv_distinct_users, kmv_user_overlap, part_skyline)
+prove engine-reproducibility; these tests pin the MATH — estimator
+accuracy on planted cardinalities, exact-regime degeneration, and the
+sweep-vs-naive dominance equivalence on adversarial point sets the
+testdata doesn't contain (duplicates, ties along one axis).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.operators.relational import skyline2d
+from real_estate_project1_etl_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_set_overlap,
+)
+
+
+def test_kmv_exact_regime_below_k(spark):
+    # < k distinct values -> the sketch IS the exact distinct count
+    df = spark.createDataFrame(
+        [("g", f"v{i % 40}") for i in range(400)], "g string, v string"
+    )
+    row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert row.n_sample == 40
+    assert row.kmv_estimate == 40.0
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    # planted 5000 distinct values, k=64: RSE ~ 1/sqrt(k-2) ~ 12.7%;
+    # assert within 4 sigma (the hash is fixed, so this is deterministic —
+    # the bound just keeps the test robust if k defaults change)
+    df = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(5000)], "g string, v string"
+    )
+    row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert row.n_sample == 64
+    assert abs(row.kmv_estimate - 5000) / 5000 < 0.51
+
+
+def test_kmv_overlap_planted_jaccard(spark):
+    # |A|=600, |B|=600, |A∩B|=300, |A∪B|=900, J=1/3
+    rows = [("a", f"u{i}") for i in range(600)] + [
+        ("b", f"u{i}") for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    r = kmv_set_overlap(df, "k", "v", "a", "b", k=64).collect()[0]
+    assert r.n_sample == 64
+    assert abs(r.union_est - 900) / 900 < 0.51
+    assert abs(r.jaccard_est - 1 / 3) < 0.20
+    # intersection estimate consistent with its own scale factor
+    assert r.intersection_est >= 0
+
+
+def test_kmv_overlap_exact_regime(spark):
+    rows = [("a", f"u{i}") for i in range(20)] + [
+        ("b", f"u{i}") for i in range(10, 30)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    r = kmv_set_overlap(df, "k", "v", "a", "b", k=64).collect()[0]
+    assert r.n_sample == 30
+    assert r.union_est == 30.0
+    assert r.intersection_est == 10.0
+    assert abs(r.jaccard_est - 10 / 30) < 1e-12
+
+
+def _brute_skyline(pts):
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (qx <= x and qy <= y and (qx < x or qy < y))
+            for j, (qx, qy) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_skyline_matches_naive_on_random_points(spark):
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id int, x int, y int"
+    )
+    got = sorted(
+        (r.x, r.y) for r in skyline2d(df, "x", "y", ["x", "y"]).collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_keeps_duplicate_frontier_points(spark):
+    # identical (x, y) points do not dominate each other: both survive
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5), (3, 9, 9)], "id int, x int, y int"
+    )
+    ids = sorted(r.id for r in skyline2d(df, "x", "y", ["id"]).collect())
+    assert ids == [1, 2]
+
+
+def test_skyline_partitioned_equals_per_group(spark):
+    rng = random.Random(11)
+    rows = [
+        (g, i, rng.randint(0, 30), rng.randint(0, 30))
+        for g in ("p", "q", "r")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, x int, y int")
+    got = {
+        (r.g, r.x, r.y)
+        for r in skyline2d(
+            df, "x", "y", ["g", "x", "y"], partition_cols=["g"]
+        ).collect()
+    }
+    want = set()
+    for g in ("p", "q", "r"):
+        pts = [(x, y) for (gg, _, x, y) in rows if gg == g]
+        want |= {(g, x, y) for (x, y) in _brute_skyline(pts)}
+    assert got == want
+
+
+def test_kmv_partition_independence(spark):
+    # same rows, different physical partitioning -> identical sketch
+    rows = [("g", f"v{i}") for i in range(2000)]
+    a = spark.createDataFrame(rows, "g string, v string").repartition(1)
+    b = spark.createDataFrame(rows, "g string, v string").repartition(16, "v")
+    ra = kmv_distinct(a, ["g"], "v", k=64).collect()[0]
+    rb = kmv_distinct(b, ["g"], "v", k=64).collect()[0]
+    assert (ra.n_sample, ra.kth_hash, ra.kmv_estimate) == (
+        rb.n_sample,
+        rb.kth_hash,
+        rb.kmv_estimate,
+    )
+
+
+def test_kmv_partial_sketches_merge_exactly(spark):
+    # the scale claim in one property: bottom-k of the union == bottom-k of
+    # the union of per-shard bottom-k's. Shard by a day column, sketch each
+    # shard, merge the retained hashes, re-take bottom-k -> identical to
+    # sketching the whole table directly.
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i % 7}", f"u{i % 900}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "day string, v string")
+
+    direct = kmv_distinct(df.withColumn("g", F.lit("all")), ["g"], "v", k=48)
+    d_row = direct.collect()[0]
+
+    # per-day partial sketches: retain each day's bottom-48 hashes
+    from real_estate_project1_etl_spark.operators.sketch import md5_60
+    from pyspark.sql import Window
+
+    h = df.select("day", md5_60("v").alias("h")).distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    partial = h.withColumn("rn", F.row_number().over(w)).filter("rn <= 48")
+    # merge: union of retained hashes, global bottom-48
+    merged = (
+        partial.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(48)
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+        .collect()[0]
+    )
+    assert (merged.n, merged.kth) == (d_row.n_sample, d_row.kth_hash)

@@ -444,3 +444,47 @@ def test_stream_stream_outer_attribution(spark, events_batch, tmp_path):
     # back tail clicks whose deadline the final watermark never passed
     assert got_null <= exp_null
     assert got_null, "watermark never evicted any unmatched click"
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, events_batch, tmp_path):
+    # the bottom-k hash state merged across micro-batches must converge to
+    # EXACTLY the batch sketch (k smallest of a union = k smallest of
+    # per-batch k-smallest) — split the stream into 2 file drops to force
+    # a real merge, then compare the final emission per key bit-for-bit
+    from real_estate_project1_etl_spark.operators.sketch import kmv_distinct
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        streaming_kmv_distinct,
+    )
+
+    ev = events_batch.select("event_type", "user_id", "event_id")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src_kmv")
+    half_a.coalesce(1).write.parquet(src)
+    half_b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        streaming_kmv_distinct(stream, k=32)
+        .writeStream.format("memory")
+        .queryName("mem_kmv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("mem_kmv").toPandas()
+    # final state per key = the emission with the smallest kth_hash (the
+    # retained set only ever gets smaller-valued as more hashes merge in)
+    final = out.loc[out.groupby("event_type")["kth_hash"].idxmin()]
+    got = {
+        r.event_type: (r.n_sample, r.kth_hash, r.kmv_estimate)
+        for r in final.itertuples()
+    }
+    exp = {
+        r.event_type: (r.n_sample, r.kth_hash, r.kmv_estimate)
+        for r in kmv_distinct(ev, ["event_type"], "user_id", k=32).collect()
+    }
+    assert got == exp
