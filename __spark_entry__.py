@@ -6152,6 +6152,12 @@ def q_documents_curation_v2(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_tokens", "t")
+        # the survivor set is consumed 3x (span detection, span-removal
+        # join, final metadata join) — materialize it once so the Gopher
+        # battery + scrub chain upstream doesn't run 3x (measured 6.5s ->
+        # ~3s at sf0.1). At cluster scale this is the natural stage
+        # boundary to persist (or write the silver table and read back).
+        .localCheckpoint(eager=True)
     )
     despan = remove_repeated_spans(surv, "t", "doc_id", k=_KGRAM_K)
     return surv.select("doc_id", "lang", "n_tokens").join(
@@ -6519,6 +6525,202 @@ def q_part_entity_resolution(spark, sf_dir):
             "min_price",
         )
     )
+
+
+@_q(
+    "histogram_quantiles",
+    """
+    WITH stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                          count(*) AS n
+                   FROM orders),
+    hist AS (
+        SELECT cast(least(255, floor((o_totalprice - mn)
+                                     / ((mx - mn) / 256.0))) AS BIGINT)
+                   AS bucket,
+               count(*) AS cnt
+        FROM orders, stats
+        GROUP BY 1),
+    cum AS (
+        SELECT bucket, cast(sum(cnt) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cnt
+        FROM hist),
+    ps AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(p)),
+    hq AS (
+        SELECT p, min(bucket) AS hist_bucket
+        FROM ps, cum, stats
+        WHERE cum_cnt >= cast(ceil(p * n) AS BIGINT)
+        GROUP BY p),
+    ranked AS (
+        SELECT o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        FROM orders),
+    ex AS (
+        SELECT p, min(o_totalprice) AS exact_value
+        FROM ps, ranked, stats
+        WHERE rn >= cast(ceil(p * n) AS BIGINT)
+        GROUP BY p)
+    SELECT hq.p, hq.hist_bucket,
+           mn + hq.hist_bucket * ((mx - mn) / 256.0) AS hist_est,
+           ex.exact_value
+    FROM hq JOIN ex ON hq.p = ex.p, stats
+    """,
+)
+def q_histogram_quantiles(spark, sf_dir):
+    # mergeable-histogram quantile estimation: one scan builds a 256-bucket
+    # equi-width histogram (bucket counts are ADDITIVE — partition/shard
+    # sketches merge by summing, the property exact rank statistics lack);
+    # the p-quantile estimate is the lower edge of the first bucket whose
+    # cumulative count reaches ceil(p*n). The exact comparison value is
+    # rank-based (value at row ceil(p*n) under a total order) — selection,
+    # not interpolation, so no engine arithmetic enters the compare. At
+    # 100 TB the histogram path is O(buckets) memory and one pass; the
+    # exact path's global sort is the cost being avoided — both shown here
+    # on purpose. All edge arithmetic uses identical IEEE expression trees
+    # in both engines.
+    od = _t(spark, sf_dir, "orders")
+    stats = od.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(256.0)
+    bucket = F.least(
+        F.lit(255),
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+    ).cast("bigint")
+    hist = (
+        od.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket", F.sum("cnt").over(wcum).cast("bigint").alias("cum_cnt")
+    )
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    target = F.ceil(F.col("p") * F.col("n")).cast("bigint")
+    hq = (
+        ps.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("cum_cnt") >= target)
+        .groupBy("p")
+        .agg(F.min("bucket").alias("hist_bucket"))
+    )
+    wrank = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = od.select(
+        "o_totalprice", F.row_number().over(wrank).alias("rn")
+    )
+    ex = (
+        ranked.crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("rn") >= target)
+        .groupBy("p")
+        .agg(F.min("o_totalprice").alias("exact_value"))
+    )
+    return (
+        hq.join(ex, "p")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "p",
+            "hist_bucket",
+            (
+                F.col("mn") + F.col("hist_bucket") * width
+            ).alias("hist_est"),
+            "exact_value",
+        )
+    )
+
+
+@_q(
+    "sentence_split_docs",
+    r"""
+    WITH punct AS (
+        -- the synthetic corpus has no sentence punctuation; plant it the
+        -- same way on both sides (non-overlapping left-to-right regex
+        -- replace is identical in Java regex and RE2)
+        SELECT doc_id,
+               regexp_replace(text, ' (batch|join|merge) ', '. \1 ', 'g')
+                   AS text
+        FROM documents),
+    arr AS (
+        SELECT doc_id,
+               string_split(
+                   regexp_replace(text, '([.!?])[ \t\n\r\f]+',
+                                  '\1' || chr(30), 'g'),
+                   chr(30)) AS a
+        FROM punct),
+    e AS (
+        SELECT doc_id, i,
+               trim(a[i + 1], ' ' || chr(9) || chr(10) || chr(13)
+                              || chr(12)) AS s
+        FROM arr, LATERAL (SELECT unnest(range(len(a))) AS i))
+    SELECT doc_id,
+           cast(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                AS int) AS idx,
+           s AS sentence
+    FROM e WHERE s <> ''
+    """,
+)
+def q_sentence_split_docs(spark, sf_dir):
+    # Python UDTF surface (Spark 4 table functions): sentence splitting as
+    # a LATERAL table function, Arrow-batched (ArrowEvalPythonUDTF — the
+    # sanctioned Python lane; the row-at-a-time UDTF node is the slow path
+    # the lint bans). The split rule uses an explicit ASCII whitespace
+    # class and a capture-group rewrite instead of lookbehind, so the
+    # RE2-based oracle reproduces it exactly — the UDTF's OUTPUT is on the
+    # differential ledger, which is rare for Python table functions.
+    from real_estate_project1_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " (batch|join|merge) ", ". $1 ").alias(
+            "text"
+        ),
+    )
+    docs.createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.idx, t.sentence
+        FROM _docs_udtf d, LATERAL split_sentences(d.text) t
+        """
+    )
+
+
+@_q("phash_image_neardup")
+def q_phash_image_neardup(spark, sf_dir):
+    # perceptual-hash image near-dup (rows-only like multimodal_features:
+    # media payloads are synthesized; the banded candidate join + exact
+    # hamming verify is the operator under test). Two planted near-dup
+    # image pairs: an exact byte copy and a 1-byte perturbation.
+    import hashlib as _hl
+
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        phash_near_duplicates,
+    )
+    from real_estate_project1_etl_spark.schemas import MEDIA_ASSETS
+
+    def pix(seed: str) -> bytes:  # 64 distinct pseudo-pixels per asset
+        return (
+            _hl.sha256(seed.encode()).digest()
+            + _hl.sha256((seed + "x").encode()).digest()
+        )
+
+    rows = [
+        (i, "image", pix(f"asset-{i}"), "image/png", 64, 48, None)
+        for i in range(40)
+    ]
+    # planted pair 1: exact byte copy of asset 7
+    rows.append((1000, "image", pix("asset-7"), "image/png", 64, 48, None))
+    # planted pair 2: 2 pixels of asset 11 pushed to extremes
+    p = bytearray(pix("asset-11"))
+    p[3], p[40] = 255, 0
+    rows.append((1001, "image", bytes(p), "image/png", 64, 48, None))
+    assets = spark.createDataFrame(rows, MEDIA_ASSETS)
+    return phash_near_duplicates(assets, max_hamming=3)
 
 
 # --------------------------------------------------------------------------

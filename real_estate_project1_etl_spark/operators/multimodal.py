@@ -174,3 +174,106 @@ def resize_images(assets: DataFrame, max_side: int = 32) -> DataFrame:
             "new_w int, new_h int, thumb binary"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash image near-duplicates
+# --------------------------------------------------------------------------
+
+PHASH_SCHEMA = "asset_id long, phash long"
+
+
+def _stub_pixels(payload: bytes, n: int = 64) -> list[int]:
+    """Stubbed 'decode to n grayscale pixels': the first n payload bytes
+    (cycled if short). A real implementation decodes + downsamples to an
+    8x8 luma grid (PIL); the stub keeps the bit geometry real AND
+    controllable — tests plant payloads whose pixel bytes they choose,
+    so hamming distances are exact by construction."""
+    if not payload:
+        payload = b"\x00"
+    reps = (n // len(payload)) + 1
+    return list((payload * reps)[:n])
+
+
+def perceptual_hashes(assets: DataFrame) -> DataFrame:
+    """aHash-style 64-bit perceptual hash per image asset: bit i is set
+    iff pixel i is above the mean pixel value (the average-hash family;
+    DCT-based pHash drops into the same UDF). Arrow-batched; payloads
+    never leave the scan partition — only (asset_id, phash) moves."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = _stub_pixels(payload if payload is not None else b"")
+                mean = sum(px) / len(px)
+                bits = 0
+                for i, v in enumerate(px):
+                    if v > mean:
+                        bits |= 1 << i
+                if bits >= 1 << 63:  # two's-complement into int64
+                    bits -= 1 << 64
+                ids.append(aid)
+                hashes.append(bits)
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_duplicates(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: 4x16-bit pigeonhole
+    banding (any pair within hamming<=3 shares at least one intact chunk)
+    generates candidates via an equi-join on (band, chunk) — never the
+    all-pairs space — then the exact 64-bit hamming verifies candidates
+    only. Identical shape to simhash_near_duplicates
+    (operators/dedup.py), applied to the image modality.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    from real_estate_project1_etl_spark.operators.dedup import hamming64
+
+    ph = perceptual_hashes(assets)
+
+    def _mask(i: int) -> int:
+        m = 0xFFFF << (16 * i)
+        return m - (1 << 64) if m >= 1 << 63 else m  # signed int64 mask
+
+    chunks = ph.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.col("phash")
+                        .bitwiseAND(F.lit(_mask(i)))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("asset_id", "phash", "bk.band", "bk.key")
+    a = chunks.select(
+        "band", "key",
+        F.col("asset_id").alias("id_a"), F.col("phash").alias("ph_a"),
+    )
+    b = chunks.select(
+        "band", "key",
+        F.col("asset_id").alias("id_b"), F.col("phash").alias("ph_b"),
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("ph_a"), F.col("ph_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -133,3 +133,38 @@ def test_unigram_logprob_matches_numpy_model(spark):
         assert abs(lp - expect) < 1e-9, (i, lp, expect)
     # the gibberish doc scores strictly lowest
     assert got[2][1] == min(lp for _, lp in got.values())
+
+
+def test_split_sentences_udtf_edges(spark):
+    # UDTF surface: null in -> no rows; whitespace-only text -> no rows;
+    # empties dropped with indices renumbered; trailing text without
+    # punctuation kept as a final sentence
+    from real_estate_project1_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two!   Three? tail no punct"),
+            (2, None),
+            (3, "   "),
+            (4, "!  !  x."),
+        ],
+        "id long, text string",
+    )
+    df.createOrReplaceTempView("_udtf_edge")
+    got = {
+        (r.id, r.idx): r.sentence
+        for r in spark.sql(
+            "SELECT d.id, t.idx, t.sentence FROM _udtf_edge d, "
+            "LATERAL split_sentences(d.text) t"
+        ).collect()
+    }
+    assert got == {
+        (1, 0): "One.",
+        (1, 1): "Two!",
+        (1, 2): "Three?",
+        (1, 3): "tail no punct",
+        (4, 0): "!",
+        (4, 1): "!",
+        (4, 2): "x.",
+    }

@@ -104,7 +104,21 @@ def _gen_aggs(rng: random.Random, joined: bool):
     """Returns (spark_agg_exprs, sql_agg_fragments) — 1-3 aggregates."""
     exprs, sqls = [], []
     picks = rng.sample(
-        ["cnt", "sum_qty", "sum_rev", "min_q", "max_p", "cond_cnt", "avg_q"],
+        [
+            "cnt",
+            "sum_qty",
+            "sum_rev",
+            "min_q",
+            "max_p",
+            "cond_cnt",
+            "avg_q",
+            # DISTINCT aggregates: one is a distinct-agg rewrite; two over
+            # DIFFERENT columns force Spark's Expand-based multi-distinct
+            # plan — a physical path nothing else in the suite touches
+            "cntd_supp",
+            "cntd_part",
+            "sumd_qty",
+        ],
         rng.randint(1, 3),
     )
     for i, p in enumerate(picks):
@@ -137,6 +151,23 @@ def _gen_aggs(rng: random.Random, joined: bool):
             v = rng.choice(domain)
             exprs.append(F.count(F.when(F.col(col) == v, 1)).alias(a))
             sqls.append(f"count(*) FILTER (WHERE {col} = '{v}') AS {a}")
+        elif p == "cntd_supp":
+            exprs.append(F.countDistinct("l_suppkey").alias(a))
+            sqls.append(f"count(DISTINCT l_suppkey) AS {a}")
+        elif p == "cntd_part":
+            exprs.append(F.countDistinct("l_partkey").alias(a))
+            sqls.append(f"count(DISTINCT l_partkey) AS {a}")
+        elif p == "sumd_qty":
+            # distinct decimals sum exactly in any order — boundary double
+            exprs.append(
+                F.sum_distinct(
+                    F.col("l_quantity").cast("decimal(18,2)")
+                ).cast("double").alias(a)
+            )
+            sqls.append(
+                f"cast(sum(DISTINCT {_DEC.format(c='l_quantity')})"
+                f" AS double) AS {a}"
+            )
         else:  # avg_q — exact-decimal sum over exact count, double at boundary
             exprs.append(
                 (

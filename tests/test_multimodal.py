@@ -63,3 +63,66 @@ def test_resize_preserves_aspect_and_sizes_thumb(spark):
     # never upscale: a small image keeps its dims
     small = resize_images(synthetic_assets(spark, 12), max_side=1024).collect()
     assert all((r.new_w, r.new_h) == (64, 48) for r in small)
+
+
+def test_phash_identical_payloads_pair(spark):
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        phash_near_duplicates,
+        synthetic_assets,
+    )
+    from real_estate_project1_etl_spark.schemas import MEDIA_ASSETS
+
+    base = synthetic_assets(spark, 12)
+    img = base.filter("modality = 'image'").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(500, "image", bytes(img.payload), "image/png", 64, 48, None)],
+        MEDIA_ASSETS,
+    )
+    pairs = phash_near_duplicates(base.union(dup)).collect()
+    assert any(
+        {p.id_a, p.id_b} == {img.asset_id, 500} and p.hamming == 0
+        for p in pairs
+    )
+
+
+def test_phash_pigeonhole_finds_exactly_k_flips(spark):
+    # plant two payloads whose stub pixels differ in exactly 3 positions
+    # far from the mean -> hamming exactly 3, must be found (pigeonhole:
+    # one 16-bit chunk of 4 is intact); a pair with ~half the bits
+    # different must NOT pass the verify
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        phash_near_duplicates,
+    )
+    from real_estate_project1_etl_spark.schemas import MEDIA_ASSETS
+
+    lo, hi = 10, 200
+    base_px = [lo if i % 2 else hi for i in range(64)]  # mean ~105
+    flip3 = list(base_px)
+    for i in (3, 21, 55):  # flip pixels across 3 different 16-bit chunks
+        flip3[i] = hi if flip3[i] == lo else lo
+    far = [hi if i < 32 else lo for i in range(64)]
+    rows = [
+        (1, "image", bytes(base_px), "image/png", 64, 48, None),
+        (2, "image", bytes(flip3), "image/png", 64, 48, None),
+        (3, "image", bytes(far), "image/png", 64, 48, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_ASSETS)
+    pairs = {(p.id_a, p.id_b): p.hamming for p in phash_near_duplicates(df).collect()}
+    assert pairs.get((1, 2)) == 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_no_payload_shuffle_plan(spark):
+    # the banded join moves only (asset_id, phash, band, key) — the binary
+    # payload must not appear in any exchange
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        phash_near_duplicates,
+        synthetic_assets,
+    )
+
+    df = phash_near_duplicates(synthetic_assets(spark, 24))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "payload" not in m.group(0)
