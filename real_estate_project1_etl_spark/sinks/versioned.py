@@ -106,6 +106,80 @@ def _write_data_files(df: DataFrame, path: str, n_files: int | None) -> list[str
     )
 
 
+#: manifest stats are kept only for types whose min/max are JSON-exact and
+#: whose comparison semantics match SQL's (lexicographic str, numeric)
+_STATS_TYPES = (int, float, str)
+
+
+def _collect_file_stats(path: str, files: list[str]) -> dict[str, dict]:
+    """Per-file column min/max from the parquet footers (driver-side, one
+    footer read per file — no data scan). This is the Delta/Iceberg
+    data-skipping design: stats ride in the manifest, so a predicate
+    prunes files during PLANNING, before Spark ever opens them.
+
+    Columns with non-JSON-exact types (timestamps, binary, nested) or
+    missing footer statistics simply have no entry — pruning treats
+    absent stats as "file may match" (always safe).
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in files:
+        meta = pq.ParquetFile(os.path.join(path, rel)).metadata
+        cols: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max or "." in name:
+                    cols[name] = None  # nested / no stats -> unusable
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        cols[name] = None
+                        continue
+                if not (
+                    isinstance(mn, _STATS_TYPES) and isinstance(mx, _STATS_TYPES)
+                ) or isinstance(mn, bool):
+                    cols[name] = None
+                    continue
+                cur = cols.get(name)
+                if cur is None and name in cols:
+                    continue  # poisoned by an earlier row group
+                cols[name] = (
+                    [mn, mx]
+                    if cur is None
+                    else [min(cur[0], mn), max(cur[1], mx)]
+                )
+        out[rel] = {k: v for k, v in cols.items() if v is not None}
+    return out
+
+
+def _file_survives(stats: dict | None, col: str, op: str, value) -> bool:
+    """Conservative overlap test: False only when the file's [min, max]
+    interval PROVES no row can satisfy ``col op value`` (NULLs never
+    satisfy a comparison, so non-null min/max bounds are sufficient)."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    if op == "=":
+        return mn <= value <= mx
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    if op == ">=":
+        return mx >= value
+    return True  # unknown operator -> never prune
+
+
 def _commit(
     path: str,
     base_version: int,
@@ -123,6 +197,19 @@ def _commit(
     """
     version = _next_free_version(path, base_version + 1)
     os.makedirs(_manifest_dir(path), exist_ok=True)
+    # per-file min/max stats for manifest-level data skipping: carried
+    # forward for files retained from the base version, read from the
+    # parquet footers (one footer each, driver-side) for new files
+    prior_stats = (
+        _read_manifest(path, base_version).get("file_stats", {})
+        if base_version
+        else {}
+    )
+    new = [f for f in files if f not in prior_stats]
+    file_stats = {
+        **{f: prior_stats[f] for f in files if f in prior_stats},
+        **_collect_file_stats(path, new),
+    }
     manifest = {
         "version": version,
         "files": files,
@@ -132,6 +219,7 @@ def _commit(
         # batch), carried forward cumulatively — the Delta-paper "txn"
         # action that makes streaming re-delivery idempotent
         "txn": dict(txn or {}),
+        "file_stats": file_stats,
     }
     try:
         with open(_manifest_path(path, version), "x") as fh:
@@ -214,14 +302,55 @@ def stream_sink(path: str, app_id: str, n_files: int | None = None):
     return write
 
 
-def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+def read_snapshot(
+    spark,
+    path: str,
+    version: int | None = None,
+    prune: list[tuple[str, str, object]] | None = None,
+) -> DataFrame:
     """Read a committed snapshot (the current one, or a pinned ``version``
-    for time travel).  The file list is explicit — no directory listing."""
+    for time travel).  The file list is explicit — no directory listing.
+
+    ``prune`` is a list of simple predicates ``(col, op, value)`` with
+    ``op`` in {=, <, <=, >, >=}. Files whose manifest min/max stats prove
+    no row can match are dropped during PLANNING — the Delta/Iceberg
+    data-skipping read path: at 100 TB, skipping happens before a single
+    parquet footer is opened, from the manifest alone. The predicates are
+    ALSO applied as row filters on the surviving files, so the result is
+    exactly the filtered table whether or not any file was prunable
+    (stats-less files — old manifests, exotic types — just don't prune).
+    """
     v = version if version is not None else current_version(path)
     if v == 0:
         raise FileNotFoundError(f"no committed version at {path}")
-    files = _read_manifest(path, v)["files"]
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    m = _read_manifest(path, v)
+    files = m["files"]
+    if prune:
+        stats = m.get("file_stats", {})
+        files = [
+            f
+            for f in files
+            if all(
+                _file_survives(stats.get(f), col, op, val)
+                for col, op, val in prune
+            )
+        ]
+        if not files:  # every file pruned: empty result, correct schema
+            full = spark.read.parquet(
+                *[os.path.join(path, f) for f in m["files"]]
+            )
+            return full.filter(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    ops = {
+        "=": lambda c, x: F.col(c) == x,
+        "<": lambda c, x: F.col(c) < x,
+        "<=": lambda c, x: F.col(c) <= x,
+        ">": lambda c, x: F.col(c) > x,
+        ">=": lambda c, x: F.col(c) >= x,
+    }
+    for col, op, val in prune or []:
+        df = df.filter(ops[op](col, val))
+    return df
 
 
 def history(path: str) -> list[dict]:

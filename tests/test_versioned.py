@@ -315,3 +315,78 @@ def test_minmax_touched_group_refresh_equals_recompute(spark, tmp_path):
     }
     assert got == exp
     assert got["A"] == (1.0, 5.0) and "B" not in got and got["C"] == (3.0, 3.0)
+
+
+def test_manifest_stats_prune_files_and_preserve_results(spark, tmp_path):
+    # range-partitioned commit -> disjoint per-file key ranges in the
+    # manifest stats -> a point/range predicate must read FEWER files
+    # while returning exactly the full-scan filter result
+    path = str(tmp_path / "t_stats")
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("s"),
+    )
+    V.create_or_replace(df.repartitionByRange(8, "k"), path)
+
+    m = V._read_manifest(path, V.current_version(path))
+    assert m["file_stats"], "manifest must carry per-file stats"
+    assert all("k" in st for st in m["file_stats"].values())
+
+    pruned = V.read_snapshot(spark, path, prune=[("k", "=", 4242)])
+    assert len(pruned.inputFiles()) < len(m["files"])
+    assert [r.v for r in pruned.collect()] == [4242 % 97]
+
+    rng = V.read_snapshot(spark, path, prune=[("k", ">=", 7000)])
+    assert len(rng.inputFiles()) < len(m["files"])
+    assert rng.count() == 1000
+
+    # string stats prune lexicographically too
+    s = V.read_snapshot(spark, path, prune=[("s", "<", "u000100")])
+    assert len(s.inputFiles()) < len(m["files"])
+    assert s.count() == 100
+
+
+def test_stats_carry_forward_on_append_and_compact(spark, tmp_path):
+    path = str(tmp_path / "t_stats2")
+    lo = spark.range(0, 100).select(F.col("id").alias("k"))
+    hi = spark.range(100000, 100100).select(F.col("id").alias("k"))
+    V.create_or_replace(lo.coalesce(1), path)
+    V.append(hi.coalesce(1), path)
+    m = V._read_manifest(path, V.current_version(path))
+    # both the retained file and the appended file have stats
+    assert len(m["file_stats"]) == len(m["files"]) == 2
+    pruned = V.read_snapshot(spark, path, prune=[("k", ">", 99999)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 100
+    # compact rewrites files; fresh stats appear for the new layout
+    V.compact(spark, path, target_file_bytes=10**9)
+    m2 = V._read_manifest(path, V.current_version(path))
+    assert len(m2["file_stats"]) == len(m2["files"])
+
+
+def test_prune_on_statless_manifest_is_noop(spark, tmp_path):
+    # old manifests (pre-stats) must keep working: strip the stats and
+    # assert pruning degrades to read-everything + row filter
+    path = str(tmp_path / "t_stats3")
+    V.create_or_replace(
+        spark.range(0, 1000).select(F.col("id").alias("k")).repartition(4), path
+    )
+    v = V.current_version(path)
+    mp = V._manifest_path(path, v)
+    m = json.load(open(mp))
+    m.pop("file_stats")
+    json.dump(m, open(mp, "w"))
+    out = V.read_snapshot(spark, path, prune=[("k", "=", 5)])
+    assert len(out.inputFiles()) == len(m["files"])
+    assert out.count() == 1
+
+
+def test_prune_all_files_returns_empty_with_schema(spark, tmp_path):
+    path = str(tmp_path / "t_stats4")
+    V.create_or_replace(
+        spark.range(0, 10).select(F.col("id").alias("k")), path
+    )
+    out = V.read_snapshot(spark, path, prune=[("k", ">", 10**9)])
+    assert out.count() == 0
+    assert out.columns == ["k"]
