@@ -6690,6 +6690,49 @@ def q_sentence_split_docs(spark, sf_dir):
     )
 
 
+@_q(
+    "phash_doc_neardup",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+    px AS (SELECT doc_id, i, ascii(substr(text, i + 1, 1)) AS v
+           FROM d, LATERAL (SELECT unnest(range(64)) AS i)),
+    m AS (SELECT doc_id, sum(v) / 64 AS mean FROM px GROUP BY doc_id),
+    h AS (SELECT px.doc_id,
+                 cast(sum(CASE WHEN v > mean THEN
+                            CASE WHEN i = 63 THEN -9223372036854775808
+                                 ELSE (cast(1 AS BIGINT) << i) END
+                          ELSE 0 END) AS BIGINT) AS phash
+          FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def q_phash_doc_neardup(spark, sf_dir):
+    # perceptual-hash near-dup made ORACLE-EXACT: payloads are the first
+    # 64 utf-8 bytes of each (ASCII, >=64-char) document, so DuckDB can
+    # recompute the aHash bit-for-bit from ascii(substr(...)). The engine
+    # runs the real pipeline — Arrow mapInPandas decode-stub hash, 4x16
+    # pigeonhole banding, candidate-only hamming verify — while the
+    # oracle runs the NAIVE all-pairs definition; the match proves both
+    # the hash AND that banding loses no pair at hamming<=3 (any 3 flips
+    # leave one of 4 chunks intact).
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        phash_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return phash_near_duplicates(assets, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
 @_q("phash_image_neardup")
 def q_phash_image_neardup(spark, sf_dir):
     # perceptual-hash image near-dup (rows-only like multimodal_features:

@@ -71,6 +71,11 @@ HEADLINE = [
     "repeated_kgram_spans",
     "gopher_repetition_signals",
     "documents_curation_v2",
+    # round-2f: skyline sweep (20k parts), perceptual-hash banded
+    # near-dup (5k docs), mergeable-histogram quantiles (150k orders)
+    "part_skyline",
+    "phash_doc_neardup",
+    "histogram_quantiles",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -105,6 +110,9 @@ COST = {
     "repeated_kgram_spans": "O(total chars) gram explode + 1 hash exchange (window count) + 1 doc exchange (span merge)",
     "gopher_repetition_signals": "one explode builds all n-gram spans in-row; 1 gram-count exchange + 1 span-union exchange + pivot agg",
     "documents_curation_v2": "repetition gate + strip/scrub/gate/dedup (1 map stage + 1 exchange) + corpus ExactSubstr removal",
+    "part_skyline": "per-brand distinct-price agg + tiny window + broadcast join back (never the O(n^2) pair space)",
+    "phash_doc_neardup": "Arrow hash UDF over 64-byte payload + 4-chunk band self-join + candidate-only hamming",
+    "histogram_quantiles": "1 stats agg + 1 bucket-count agg (additive sketch) + rank pass for the exact comparison values",
 }
 
 

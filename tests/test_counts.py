@@ -33,3 +33,13 @@ def test_bench_headline_queries_are_registered():
     q = entry_mod.queries()
     missing = [n for n in bench.HEADLINE if n not in q]
     assert not missing, missing
+
+
+def test_readme_counts_match_registry():
+    readme = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(r"(\d+) named queries, (\d+) matched", readme)
+    assert m, "README.md must state 'N named queries, M matched'"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(entry_mod.queries()),
+        len(entry_mod.oracle_sql()),
+    ), "README.md query counts are stale — update them to match the registry"
