@@ -6766,6 +6766,203 @@ def q_phash_image_neardup(spark, sf_dir):
     return phash_near_duplicates(assets, max_hamming=3)
 
 
+@_q(
+    "user_value_trend_exact",
+    """
+    WITH b AS (
+        SELECT user_id,
+               (epoch_us(ts) - min(epoch_us(ts))
+                    OVER (PARTITION BY user_id)) // 1000000 AS x,
+               cast(cast(value AS decimal(18,2)) * 100 AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+    m AS (
+        SELECT user_id, count(*) AS n,
+               cast(cast(sum(cast(x AS decimal(38,0))) AS varchar) AS double) AS sx,
+               cast(cast(sum(cast(y AS decimal(38,0))) AS varchar) AS double) AS sy,
+               cast(cast(sum(cast(x * y AS decimal(38,0))) AS varchar) AS double) AS sxy,
+               cast(cast(sum(cast(x * x AS decimal(38,0))) AS varchar) AS double) AS sxx
+        FROM b GROUP BY user_id)
+    SELECT user_id, n,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 3600.0
+               AS slope_cents_per_hour
+    FROM m
+    WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+    """,
+)
+def q_user_value_trend_exact(spark, sf_dir):
+    # per-user OLS value trend from EXACT integer/decimal moments — the
+    # oracle-backed closed-form twin of linear_trend_per_user (which stays
+    # rows-only on purpose: it exercises the applyInPandas grouped-map API
+    # with float numpy sums). x = whole seconds since the user's first
+    # event (integer div — small, centered), y = integer cents; the four
+    # moment sums accumulate as decimal(38,0) (order-independent), hop to
+    # double at the boundary (oracle varchar-hops per determinism rule 7),
+    # and the slope is one fixed IEEE expression tree over exact inputs.
+    # Same moment discipline as quantity_price_correlation.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mic = F.unix_micros("ts")
+    w = Window.partitionBy("user_id")
+    b = ev.withColumn("_d", mic - F.min(mic).over(w)).select(
+        "user_id",
+        F.expr("_d div 1000000").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d38(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    ) * F.lit(3600.0)
+    return (
+        m.filter((n >= 2) & (den != 0))
+        .select("user_id", "n", slope.alias("slope_cents_per_hour"))
+    )
+
+
+@_q(
+    "cms_user_frequencies",
+    """
+    WITH grid AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)),
+    counters AS (
+        SELECT j AS row,
+               ('0x' || substr(md5('cms' || j || '#'
+                                   || cast(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 256 AS bucket,
+               count(*) AS cnt
+        FROM events, grid
+        GROUP BY 1, 2),
+    keys AS (SELECT user_id, count(*) AS exact_cnt
+             FROM events GROUP BY user_id),
+    kb AS (
+        SELECT k.user_id, g.j AS row,
+               ('0x' || substr(md5('cms' || g.j || '#'
+                                   || cast(k.user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 256 AS bucket
+        FROM keys k, grid g),
+    est AS (
+        SELECT kb.user_id, min(coalesce(c.cnt, 0)) AS cms_estimate
+        FROM kb LEFT JOIN counters c USING (row, bucket)
+        GROUP BY kb.user_id)
+    SELECT k.user_id, k.exact_cnt, e.cms_estimate
+    FROM keys k JOIN est e ON k.user_id = e.user_id
+    """,
+)
+def q_cms_user_frequencies(spark, sf_dir):
+    # count-min frequency sketch: a 4x256 additive counter grid (mergeable
+    # across partitions/days by cell-wise sum) answers per-key frequency
+    # point queries as the min over 4 salted-hash counters — always an
+    # upper bound on the true count. Exact counts ride along so the
+    # overestimate is visible on the ledger; the oracle rebuilds the grid
+    # and the min-query bit-for-bit (salted md5_60 hashes).
+    from real_estate_project1_etl_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cms_build(ev, "user_id", depth=4, width=256)
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(counters, keys.select("user_id"), "user_id", depth=4)
+    return keys.join(est, "user_id").select(
+        "user_id", "exact_cnt", "cms_estimate"
+    )
+
+
+@_q(
+    "orders_quality_audit",
+    """
+    SELECT 'orderkey_not_null' AS rule,
+           cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           cast(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 400000)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           cast(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_format',
+           cast(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           cast(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'custkey_fk',
+           cast(count(*) AS BIGINT)
+    FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q_orders_quality_audit(spark, sf_dir):
+    # Deequ/dbt-style declarative data-quality audit: six rules -> one
+    # violation count each. All four row-local rules fuse into ONE
+    # conditional-sum scan (stack-unpivoted), uniqueness is one groupBy,
+    # the FK rule one broadcast anti-join — the rule table grows, the
+    # pass count doesn't. Generic engine in operators/audit.py; the
+    # oracle evaluates each rule independently (match proves the fused
+    # plan).
+    from real_estate_project1_etl_spark.operators.audit import (
+        audit_constraints,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rules = [
+        {"rule": "orderkey_not_null", "kind": "not_null", "col": "o_orderkey"},
+        {
+            "rule": "totalprice_positive",
+            "kind": "in_range",
+            "col": "o_totalprice",
+            "lo": 0,
+            "hi": 400000,
+        },
+        {
+            "rule": "status_in_domain",
+            "kind": "in_set",
+            "col": "o_orderstatus",
+            "values": ["O", "F", "P"],
+        },
+        {
+            # fires on real data ('4-NOT SPECIFIED', '5-LOW') so the
+            # differential sees nonzero counts, not just a wall of zeros
+            "rule": "priority_format",
+            "kind": "matches",
+            "col": "o_orderpriority",
+            "pattern": "^[1-3]-",
+        },
+        {"rule": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+        {
+            "rule": "custkey_fk",
+            "kind": "foreign_key",
+            "col": "o_custkey",
+            "ref": cust,
+            "ref_col": "c_custkey",
+        },
+    ]
+    return audit_constraints(od, rules)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -43,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["md5_60", "kmv_distinct", "kmv_set_overlap"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "kmv_distinct",
+    "kmv_set_overlap",
+    "md5_60",
+]
 
 #: hash domain size: md5_60 hashes are uniform on [0, 2^60)
 _DOMAIN = float(2**60)
@@ -147,4 +153,74 @@ def kmv_set_overlap(
         union_est.alias("union_est"),
         inter_est.alias("intersection_est"),
         jacc.alias("jaccard_est"),
+    )
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of ``value_col`` frequencies: a ``depth x width``
+    counter grid, each row a different salted md5_60 hash. One scan, one
+    agg exchange; counters are ADDITIVE, so per-partition / per-day
+    sketches merge by summing cells — the same mergeability as the KMV
+    and histogram sketches, for the frequency-estimation job (Cormode &
+    Muthukrishnan '05).
+
+    Returns (row, bucket, cnt) — at most depth*width rows regardless of
+    input size, the whole point at 100 TB.
+    """
+    v = F.col(value_col).cast("string")
+    bk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (md5_60(F.concat(F.lit(f"cms{j}#"), v)) % width).alias(
+                        "bucket"
+                    ),
+                )
+                for j in range(depth)
+            ]
+        )
+    ).alias("bk")
+    return (
+        df.select(bk)
+        .select("bk.row", "bk.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each distinct key in ``keys``: the
+    estimate is the MIN over the key's ``depth`` counters — an upper
+    bound on the true count (collisions only ever inflate), within
+    2N/width with probability 1-2^-depth. The tiny counter table is
+    broadcast; keys never shuffle."""
+    v = F.col(value_col).cast("string")
+    kb = keys.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            md5_60(F.concat(F.lit(f"cms{j}#"), v)) % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("bk"),
+    ).select(value_col, "bk.row", "bk.bucket")
+    joined = kb.join(F.broadcast(counters), ["row", "bucket"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )

@@ -159,3 +159,52 @@ def test_gopher_repetition_hand_computed(spark):
     assert got[2]["dup_5gram_char_frac"] == 1.0
     assert got[3]["top_2gram_char_frac"] == 0.0
     assert got[3]["dup_10gram_char_frac"] == 0.0
+
+
+def test_audit_constraints_planted_violations(spark):
+    # every rule kind, each with a known violation count planted
+    from real_estate_project1_etl_spark.operators.audit import (
+        audit_constraints,
+    )
+
+    rows = [
+        # (id, price, status, code)
+        (1, 10.0, "O", "1-A"),
+        (2, -5.0, "F", "2-B"),      # price out of range
+        (3, None, "X", "9-C"),      # bad status; bad code prefix; null price OK
+        (None, 20.0, "O", "1-D"),   # null id
+        (5, 999.0, "P", "zzz"),     # bad code format
+        (5, 11.0, "O", "1-E"),      # duplicate id
+        (5, 12.0, "O", "1-F"),      # duplicate id again
+        (7, 13.0, "O", "3-G"),      # orphan: 7 not in ref
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, price double, status string, code string"
+    )
+    ref = spark.createDataFrame(
+        [(1,), (2,), (3,), (5,)], "k long"
+    )
+    rules = [
+        {"rule": "id_not_null", "kind": "not_null", "col": "id"},
+        {"rule": "price_range", "kind": "in_range", "col": "price",
+         "lo": 0, "hi": 100},
+        {"rule": "status_domain", "kind": "in_set", "col": "status",
+         "values": ["O", "F", "P"]},
+        {"rule": "code_format", "kind": "matches", "col": "code",
+         "pattern": "^[1-3]-"},
+        {"rule": "id_unique", "kind": "unique", "cols": ["id"]},
+        {"rule": "id_fk", "kind": "foreign_key", "col": "id",
+         "ref": ref, "ref_col": "k"},
+    ]
+    got = {
+        r.rule: r.n_violations
+        for r in audit_constraints(df, rules).collect()
+    }
+    assert got == {
+        "id_not_null": 1,
+        "price_range": 2,      # -5.0 and 999.0
+        "status_domain": 1,    # X
+        "code_format": 2,      # 9-C and zzz
+        "id_unique": 2,        # two extra rows for id=5
+        "id_fk": 1,            # id=7 (NULL id is not an FK violation)
+    }

@@ -167,3 +167,45 @@ def test_kmv_partial_sketches_merge_exactly(spark):
         .collect()[0]
     )
     assert (merged.n, merged.kth) == (d_row.n_sample, d_row.kth_hash)
+
+
+def test_cms_upper_bound_and_exact_heavy_hitter(spark):
+    from real_estate_project1_etl_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    # 1 heavy key (5000 occurrences) + 500 light keys (1 each)
+    rows = [("hot",)] * 5000 + [(f"k{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "v string")
+    counters = cms_build(df, "v", depth=4, width=256)
+    keys = df.distinct()
+    est = {
+        r.v: r.cms_estimate
+        for r in cms_estimate(counters, keys, "v", depth=4).collect()
+    }
+    exact = {"hot": 5000, **{f"k{i}": 1 for i in range(500)}}
+    # never underestimates
+    assert all(est[k] >= exact[k] for k in exact)
+    # heavy hitter estimate within CMS bound: exact + 2N/width slack
+    assert est["hot"] <= 5000 + 2 * 5500 / 256 * 4
+
+
+def test_cms_partial_sketches_merge_by_summing(spark):
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.sketch import cms_build
+
+    rows = [(f"v{i % 300}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, "v string").withColumn(
+        "shard", F.monotonically_increasing_id() % 4
+    )
+    whole = {
+        (r.row, r.bucket): r.cnt for r in cms_build(df, "v").collect()
+    }
+    merged: dict = {}
+    for s in range(4):
+        part = cms_build(df.filter(F.col("shard") == s), "v").collect()
+        for r in part:
+            merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.cnt
+    assert merged == whole

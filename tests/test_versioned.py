@@ -390,3 +390,25 @@ def test_prune_all_files_returns_empty_with_schema(spark, tmp_path):
     out = V.read_snapshot(spark, path, prune=[("k", ">", 10**9)])
     assert out.count() == 0
     assert out.columns == ["k"]
+
+
+def test_zorder_plus_manifest_stats_prune_on_both_dimensions(spark, tmp_path):
+    # OPTIMIZE ZORDER clusters files on the Morton interleave, so each
+    # file covers a narrow range of BOTH columns — manifest stats then
+    # prune on either dimension without opening a footer
+    path = str(tmp_path / "t_zstats")
+    df = spark.range(0, 40000).select(
+        (F.xxhash64("id") % 1000).alias("a"),
+        (F.xxhash64(F.col("id") + 7) % 1000).alias("b"),
+    )
+    V.create_or_replace(df, path)
+    V.optimize_zorder(spark, path, "a", "b", n_files=16)
+    m = V._read_manifest(path, V.current_version(path))
+    assert len(m["files"]) == 16
+
+    for col in ("a", "b"):
+        pruned = V.read_snapshot(spark, path, prune=[(col, "<", -800)])
+        kept = len(pruned.inputFiles())
+        assert kept < 16, f"no manifest pruning on {col} after zorder"
+        full = V.read_snapshot(spark, path).filter(F.col(col) < -800).count()
+        assert pruned.count() == full
