@@ -1479,6 +1479,39 @@ def q_minhash_near_dup(spark, sf_dir):
 
 
 @_q(
+    "incremental_dedup_docs",
+    f"""
+    WITH {_minhash_pairs_ctes(0.4)}
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE id_b >= (SELECT (max(doc_id) + 1) // 2 FROM documents)
+    """,
+)
+def q_incremental_dedup_docs(spark, sf_dir):
+    # Daily-ingest near-dup mining: docs below the id midpoint play the
+    # materialized corpus (yesterday's signature table), docs at/above play
+    # today's batch.  incremental_minhash_pairs mines new×new plus new×base
+    # WITHOUT re-mining base×base; the oracle runs the FULL mirrored LSH
+    # construction and restricts to pairs touching a new id — the match
+    # proves the incremental decomposition loses no pair (and invents
+    # none).  Since ids are canonical (id_a < id_b) and base ids are all
+    # below the split, "touches a new id" is exactly id_b >= split.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signature_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    base = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    base_sig = minhash_signature_table(base, "text", "doc_id", hash_fn="md5_60")
+    new_sig = minhash_signature_table(new, "text", "doc_id", hash_fn="md5_60")
+    return incremental_minhash_pairs(
+        new_sig, base_sig, jaccard_threshold=0.4, round_digits=None
+    )
+
+
+@_q(
     "simhash_near_dup",
     f"""
     WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
