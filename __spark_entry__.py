@@ -2294,6 +2294,79 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def _luhn_sum_sql(expr: str, shift: int) -> str:
+    # DuckDB mirror of operators/textstats.luhn_checksum: reverse, double
+    # every second digit from the right (``shift=1`` = a check digit will
+    # be appended), fold-sum.
+    d = f"(ascii(substr(reverse({expr}), i, 1)) - 48)"
+    return (
+        f"list_sum(list_transform(range(1, length(reverse({expr})) + 1), i -> "
+        f"CASE WHEN (i + {shift}) % 2 = 0 THEN "
+        f"CASE WHEN {d}*2 > 9 THEN {d}*2 - 9 ELSE {d}*2 END "
+        f"ELSE {d} END))"
+    )
+
+
+@_q(
+    "luhn_card_audit",
+    f"""
+    WITH mint AS (
+        SELECT doc_id, text,
+               '4' || lpad(cast(doc_id AS varchar), 14, '0') AS body
+        FROM documents
+    ), card AS (
+        SELECT doc_id, text, body,
+               (10 - {_luhn_sum_sql('body', 1)} % 10) % 10 AS cd
+        FROM mint
+    ), p AS (
+        SELECT doc_id,
+               text || ' ' || body || cast(cd AS varchar)
+                    || ' ' || body || cast((cd + 1) % 10 AS varchar) AS planted
+        FROM card
+    ), c AS (
+        SELECT doc_id, planted,
+               regexp_extract_all(planted, '[0-9]{{13,19}}') AS cands
+        FROM p
+    ), v AS (
+        SELECT doc_id, planted, cands,
+               list_filter(cands, s -> {_luhn_sum_sql('s', 0)} % 10 = 0) AS valids
+        FROM c
+    )
+    SELECT doc_id,
+           cast(len(cands) AS bigint) AS n_cands,
+           cast(len(valids) AS bigint) AS n_valid,
+           md5(list_reduce(list_prepend(planted, valids),
+                           (acc, x) -> replace(acc, x, '<CARD>'))) AS scrub_fp
+    FROM v
+    """,
+)
+def q_luhn_card_audit(spark, sf_dir):
+    # payment-card PII pass: mint one Luhn-VALID and one Luhn-INVALID
+    # 16-digit number per doc (check digit computed by the same expression
+    # tree on both engines), then extract digit-run candidates, keep the
+    # Luhn-valid ones, and fold them back over the text as <CARD>.  The
+    # oracle mirrors the whole chain — checksum arithmetic, RE2-safe
+    # candidate regex, conditional fold-replace — so the scrub transcript
+    # (md5) is compared verbatim, not just the counts.
+    docs = _t(spark, sf_dir, "documents")
+    body = F.concat(F.lit("4"), F.lpad(F.col("doc_id").cast("string"), 14, "0"))
+    cd = (10 - T.luhn_checksum(body, shift=1) % 10) % 10
+    planted = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(body, cd.cast("string")),
+        F.concat(body, ((cd + 1) % 10).cast("string")),
+    )
+    cands = F.regexp_extract_all(planted, F.lit(r"[0-9]{13,19}"), 0)
+    valids = T.find_payment_cards(planted)
+    return docs.select(
+        "doc_id",
+        F.size(cands).cast("bigint").alias("n_cands"),
+        F.size(valids).cast("bigint").alias("n_valid"),
+        F.md5(T.scrub_payment_cards(planted)).alias("scrub_fp"),
+    )
+
+
 @_q(
     "markup_strip",
     r"""

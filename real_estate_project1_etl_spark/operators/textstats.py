@@ -641,3 +641,71 @@ def gopher_repetition(
     return base.select(id_col).join(sig, id_col, "left").select(
         id_col, *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in cols]
     )
+
+
+# --------------------------------------------------------------------------
+# Payment-card PII: Luhn validation + scrub (north-star §2b PII family)
+# --------------------------------------------------------------------------
+
+
+def luhn_checksum(digits: Column, shift: int = 0) -> Column:
+    """Luhn mod-10 checksum of a digits-only string as a pure expression
+    tree (no UDF): reverse, double every second digit from the right,
+    fold-sum.  ``shift=1`` computes the sum as if a check digit will be
+    APPENDED (body digits move one position left) — used to mint valid
+    numbers in tests/oracles.  Valid numbers have ``luhn_checksum(...) % 10
+    == 0``."""
+    rev = F.reverse(digits)
+
+    def contrib(i: Column) -> Column:
+        v = F.ascii(rev.substr(i, F.lit(1))) - 48
+        v2 = v * 2
+        doubled = F.when(v2 > 9, v2 - 9).otherwise(v2)
+        return F.when((i + F.lit(shift)) % 2 == 0, doubled).otherwise(v)
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.length(rev)), contrib),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff the digits-only string passes the Luhn check (the checksum
+    every real payment-card number satisfies) — the standard false-positive
+    filter on digit runs before scrubbing them as card numbers."""
+    return luhn_checksum(digits) % 10 == 0
+
+
+_CARD_RUN_RX = r"[0-9]{13,19}"
+# separator-tolerant form: 13-19 digits with single spaces/dashes between
+# groups ("4111 1111 1111 1111"); RE2-safe (no lookarounds) but only the
+# contiguous form is oracle-mirrored.
+_CARD_SEP_RX = r"[0-9](?:[ -]?[0-9]){11,17}[0-9]"
+
+
+def find_payment_cards(text: Column | str, tolerate_separators: bool = False) -> Column:
+    """Array of Luhn-valid card-number candidates found in free text.
+    Candidates are digit runs of card-plausible length (13-19); Luhn
+    filters the overwhelming majority of incidental numbers (ids,
+    timestamps) — doubling precision is exactly why scrubbers use it."""
+    t = F.col(text) if isinstance(text, str) else text
+    rx = _CARD_SEP_RX if tolerate_separators else _CARD_RUN_RX
+    cands = F.regexp_extract_all(t, F.lit(rx), 0)
+    return F.filter(
+        cands, lambda c: luhn_valid(F.regexp_replace(c, r"[ -]", ""))
+    )
+
+
+def scrub_payment_cards(text: Column | str, tolerate_separators: bool = False) -> Column:
+    """Replace every Luhn-valid card number with ``<CARD>`` — fold the
+    validated candidate array back over the text with ``replace`` (a
+    conditional replacement no single regexp_replace can express).  Stays
+    entirely in codegen: extract + filter + fold are all native
+    higher-order functions."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        find_payment_cards(t, tolerate_separators),
+        t,
+        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+    )

@@ -208,3 +208,58 @@ def test_audit_constraints_planted_violations(spark):
         "id_unique": 2,        # two extra rows for id=5
         "id_fk": 1,            # id=7 (NULL id is not an FK violation)
     }
+
+
+# --------------------------------------------------------------------------
+# Payment-card PII (textstats.luhn_* / scrub_payment_cards)
+# --------------------------------------------------------------------------
+
+
+def test_luhn_valid_known_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.textstats import luhn_valid
+
+    # real test numbers (Visa/MC/Amex docs) + off-by-one corruptions
+    vectors = [
+        ("4111111111111111", True),
+        ("5500005555555559", True),
+        ("378282246310005", True),   # 15-digit Amex
+        ("4111111111111112", False),
+        ("1234567812345678", False),
+    ]
+    df = spark.createDataFrame(vectors, "num string, expect boolean")
+    got = df.select("num", "expect", luhn_valid(F.col("num")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.expect, r.num
+
+
+def test_scrub_payment_cards_conditional_and_separator_tolerant(spark):
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        scrub_payment_cards,
+    )
+
+    txt = "pay 4532015112830366 not 4532015112830367 also 4111 1111 1111 1111 end"
+    df = spark.createDataFrame([(txt,)], "text string")
+    strict, tolerant = df.select(
+        scrub_payment_cards(F.col("text")).alias("a"),
+        scrub_payment_cards(F.col("text"), tolerate_separators=True).alias("b"),
+    ).first()
+    # valid contiguous number scrubbed; Luhn-INVALID one preserved verbatim
+    assert strict == "pay <CARD> not 4532015112830367 also 4111 1111 1111 1111 end"
+    # separator-tolerant form also catches the spaced card
+    assert tolerant == "pay <CARD> not 4532015112830367 also <CARD> end"
+
+
+def test_scrub_payment_cards_no_candidates_is_identity(spark):
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        scrub_payment_cards,
+    )
+
+    df = spark.createDataFrame([("no digits here", ), ("short 123456", )], "text string")
+    out = [r.s for r in df.select(scrub_payment_cards(F.col("text")).alias("s")).collect()]
+    assert out == ["no digits here", "short 123456"]
