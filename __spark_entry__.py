@@ -2367,6 +2367,149 @@ def q_luhn_card_audit(spark, sf_dir):
     )
 
 
+def _canon_url_sql(u: str) -> str:
+    # DuckDB mirror of functions/web.canonicalize_url — same RE2-safe
+    # regexes, same HOF pipeline (note: DuckDB regexp_replace needs the 'g'
+    # flag for the duplicate-slash collapse; Spark's is global by default).
+    scheme = "lower(regexp_extract(" + u + ", '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    hostport = (
+        "lower(regexp_extract(" + u + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+    )
+    host = (
+        "CASE WHEN " + scheme + " = 'https' AND " + hostport + " LIKE '%:443' "
+        "THEN regexp_replace(" + hostport + ", ':443$', '') "
+        "WHEN " + scheme + " = 'http' AND " + hostport + " LIKE '%:80' "
+        "THEN regexp_replace(" + hostport + ", ':80$', '') "
+        "ELSE " + hostport + " END"
+    )
+    path = (
+        "regexp_replace(regexp_replace(regexp_extract(" + u
+        + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
+        " '/{2,}', '/', 'g'), '/+$', '')"
+    )
+    query = (
+        "array_to_string(list_sort(list_filter(string_split("
+        "regexp_extract(" + u + ", '\\?([^#]*)', 1), '&'),"
+        " kv -> kv <> '' AND NOT regexp_matches(kv, '^(utm_|fbclid|gclid)'))), '&')"
+    )
+    return (
+        scheme + " || '://' || " + host + " || " + path
+        + " || CASE WHEN " + query + " <> '' THEN '?' || " + query + " ELSE '' END"
+    )
+
+
+def _reg_domain_sql(h: str) -> str:
+    # DuckDB mirror of functions/web.registrable_domain (embedded PSL sample)
+    multi = "co\\.uk|org\\.uk|ac\\.uk|com\\.au|co\\.jp|com\\.br|co\\.nz|github\\.io"
+    three = "regexp_extract(lower(" + h + "), '([^.]+\\.(?:" + multi + "))$', 1)"
+    two = "regexp_extract(lower(" + h + "), '([^.]+\\.[^.]+)$', 1)"
+    return "CASE WHEN " + three + " <> '' THEN " + three + " ELSE " + two + " END"
+
+
+_MESSY_URL_SQL = """
+        CASE
+          WHEN doc_id % 4 = 0 THEN
+            'https://WWW.Src' || cast((doc_id % 150) % 20 AS varchar)
+              || '.Example.COM:443/a//b' || cast(doc_id % 150 AS varchar)
+              || '/?utm_source=feed&id=' || cast(doc_id % 150 AS varchar) || '#top'
+          WHEN doc_id % 4 = 1 THEN
+            'https://www.src' || cast((doc_id % 150) % 20 AS varchar)
+              || '.example.com/a/b' || cast(doc_id % 150 AS varchar)
+              || '?id=' || cast(doc_id % 150 AS varchar) || '&utm_campaign=x'
+          WHEN doc_id % 4 = 2 THEN
+            'HTTPS://www.SRC' || cast((doc_id % 150) % 20 AS varchar)
+              || '.example.com/a/b' || cast(doc_id % 150 AS varchar)
+              || '/?fbclid=z' || cast(doc_id AS varchar)
+              || '&id=' || cast(doc_id % 150 AS varchar)
+          ELSE
+            'https://www.src' || cast((doc_id % 150) % 20 AS varchar)
+              || '.example.com:443/a/b' || cast(doc_id % 150 AS varchar)
+              || '?id=' || cast(doc_id % 150 AS varchar)
+        END"""
+
+_CANON_HOST_SQL = "regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
+
+
+@_q(
+    "url_canonical_dedup",
+    f"""
+    WITH m AS (
+        SELECT doc_id, {_MESSY_URL_SQL} AS u FROM documents
+    ), c AS (
+        SELECT doc_id, {_canon_url_sql('u')} AS canon FROM m
+    )
+    SELECT canon,
+           {_reg_domain_sql(_CANON_HOST_SQL)} AS domain,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM c
+    GROUP BY 1, 2
+    """,
+)
+def q_url_canonical_dedup(spark, sf_dir):
+    # Crawl-corpus URL dedup: each doc mints a "messy" spelling of its
+    # page's URL (case noise, default port, duplicate/trailing slashes,
+    # utm/fbclid tracking params, fragment — variant picked by doc_id%4);
+    # canonicalization must collapse all spellings of one page into one
+    # group key.  The oracle mirrors the full canonicalizer (regex
+    # component split, port/slash rules, tracking-param filter + sort), so
+    # the compare checks the construction, not just group counts.
+    from real_estate_project1_etl_spark.functions.web import (
+        canonicalize_url,
+        registrable_domain,
+        url_hostport,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    p = (F.col("doc_id") % 150).cast("string")
+    d = ((F.col("doc_id") % 150) % 20).cast("string")
+    ids = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    messy = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://WWW.Src"), d, F.lit(".Example.COM:443/a//b"), p,
+                F.lit("/?utm_source=feed&id="), p, F.lit("#top"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://www.src"), d, F.lit(".example.com/a/b"), p,
+                F.lit("?id="), p, F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("HTTPS://www.SRC"), d, F.lit(".example.com/a/b"), p,
+                F.lit("/?fbclid=z"), ids, F.lit("&id="), p,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.src"), d, F.lit(".example.com:443/a/b"), p,
+                F.lit("?id="), p,
+            )
+        )
+    )
+    return (
+        docs.withColumn("canon", canonicalize_url(messy))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            "canon",
+            registrable_domain(url_hostport(F.col("canon"))).alias("domain"),
+            "n_docs",
+            "first_doc",
+        )
+    )
+
+
 @_q(
     "markup_strip",
     r"""
