@@ -4955,6 +4955,42 @@ def q_bigram_pmi_collocations(spark, sf_dir):
 
 
 @_q(
+    "bigram_coverage_quality",
+    f"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    b AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE []::VARCHAR[] END AS bgs
+        FROM w
+    ),
+    e AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+    common AS (SELECT bg FROM e GROUP BY bg HAVING count(*) >= 3),
+    cov AS (
+        SELECT doc_id, count(*) AS n_covered
+        FROM e JOIN common USING (bg) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           cast(len(bgs) AS bigint) AS n_bigrams,
+           cast(coalesce(cov.n_covered, 0) AS bigint) AS n_covered,
+           CASE WHEN len(bgs) > 0
+                THEN cast(coalesce(cov.n_covered, 0) AS double) / len(bgs)
+                ELSE 0.0 END AS coverage
+    FROM b LEFT JOIN cov ON b.doc_id = cov.doc_id
+    """,
+)
+def q_bigram_coverage_quality(spark, sf_dir):
+    # n-gram-LM quality signal from exact integer counts (the
+    # deterministic stand-in for KenLM perplexity filtering): fraction of
+    # each doc's bigram occurrences that are corpus-common.  int/int
+    # division at the boundary — bit-identical across engines.
+    from real_estate_project1_etl_spark.operators.corpus import bigram_coverage
+
+    return bigram_coverage(_t(spark, sf_dir, "documents"), min_count=3)
+
+
+@_q(
     "event_transitions",
     """
     SELECT from_type, event_type AS to_type, count(*) AS n_transitions

@@ -280,3 +280,54 @@ def heavy_hitter_ngrams(
         )
         .filter(F.col("n_occ") >= min_count)
     )
+
+
+def bigram_coverage(
+    docs: DataFrame, min_count: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document language-model-coverage quality score, exact-arithmetic
+    edition: the fraction of a document's word-bigram OCCURRENCES that are
+    "common" in the corpus (appear >= ``min_count`` times overall).
+    Fluent text re-uses the corpus's phrase inventory; gibberish and
+    boilerplate-mangled text does not — this is the n-gram-LM quality
+    signal (cf. CCNet/KenLM filtering) built from exact integer counts, so
+    it is bit-reproducible across engines (no log-perplexity float).
+
+    Scale shape: bigrams are built per-row by ONE expression (no
+    positional self-join), explode feeds a single Zipf-friendly count agg
+    (map-side partials collapse the heavy head), and the common-bigram set
+    joins back as a semi-join (broadcastable Zipf head at production
+    vocabulary sizes). Returns (doc_id, n_bigrams, n_covered, coverage).
+    """
+    w = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    n = F.size(w)
+    # sequence(1, n-1) counts DOWN when n=1 (pitfalls log) — guard n>=2
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", bigrams.alias("bgs"))
+    e = base.select("doc_id", F.explode("bgs").alias("bg"))
+    common = e.groupBy("bg").count().filter(F.col("count") >= min_count).select("bg")
+    cov = e.join(common, "bg", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+    return (
+        base.select("doc_id", F.size("bgs").cast("bigint").alias("n_bigrams"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("bigint").alias("n_covered"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
+    )

@@ -286,3 +286,22 @@ def test_triangle_hub_skew_bounded(spark):
     assert out[0] == n_leaves - 1
     assert out[1] == 1 and out[2] == 2 and out[n_leaves] == 1
     assert sum(out.values()) == 3 * (n_leaves - 1)
+
+
+def test_bigram_coverage_discriminates_fluent_from_gibberish(spark):
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.corpus import bigram_coverage
+
+    # corpus: many docs share the phrase inventory; one doc is unique noise
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(10)]
+    rows.append((99, "zxq wvu tsr qpo nml kji"))
+    rows.append((100, ""))  # degenerate: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_coverage(df, min_count=3).collect()}
+    assert out[0].coverage == 1.0          # every bigram appears 10x
+    assert out[99].coverage == 0.0         # unique bigrams never common
+    assert out[100].n_bigrams == 0 and out[100].coverage == 0.0
+    # n_bigrams is occurrences: len(words)-1
+    assert out[0].n_bigrams == len(common.split()) - 1
