@@ -1325,6 +1325,86 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _jl_proj_sql(vcol: str, out_dim: int = 16, seed: int = 7) -> str:
+    # DuckDB mirror of operators/similarity.random_projection: identical
+    # seeded-LCG plane constants inlined as double literals (repr
+    # round-trips), identical 1/sqrt(k) scale factor.
+    import math as _math
+
+    from real_estate_project1_etl_spark.operators.similarity import (
+        _random_hyperplanes,
+    )
+
+    # literals in e-notation: DuckDB parses plain decimal literals as
+    # DECIMAL and its decimal->double conversion double-rounds (determinism
+    # rule 9) — e-notation parses directly as a correctly-rounded DOUBLE
+    planes = _random_hyperplanes(64, out_dim, seed)
+    s = f"{1.0 / _math.sqrt(out_dim):.17e}"
+    comps = ", ".join(
+        f"list_dot_product({vcol}, [{', '.join(f'{float(x):.17e}' for x in p)}]) * {s}"
+        for p in planes
+    )
+    return f"[{comps}]"
+
+
+def _cos_sql_pair(a: str, b: str) -> str:
+    # (duplicate of _COS_SQL, which is defined further down this module)
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@_q(
+    "jl_projection_pairs",
+    f"""
+    WITH v AS (
+        SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+    ), p AS (
+        SELECT vec_id, e, {_jl_proj_sql('e')} AS pe FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql_pair('a.e', 'b.e')} AS cos_orig,
+           {_cos_sql_pair('a.pe', 'b.pe')} AS cos_proj
+    FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def q_jl_projection_pairs(spark, sf_dir):
+    # JL dimensionality reduction 64 -> 16 with a geometry transcript:
+    # for every adjacent-id pair, the cosine before and after projection.
+    # The oracle recomputes the ENTIRE construction (plane constants, dots,
+    # scale, cosines) — bit-equal doubles, no tolerance band; the
+    # preservation QUALITY itself is asserted in tests/test_similarity.py.
+    from real_estate_project1_etl_spark.functions.vectors import cosine_similarity
+    from real_estate_project1_etl_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # double-cast FIRST: float32 dot chains diverge from the oracle's
+    # double arithmetic at ~1e-8 (determinism rule 6); on double-cast
+    # arrays Spark's fold and DuckDB's list_dot_product are bit-equal
+    e64 = F.col("embedding").cast("array<double>")
+    proj = emb.select(
+        "vec_id",
+        e64.alias("e"),
+        random_projection(e64, dim=64, out_dim=16).alias("pe"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("pe").alias("pa")
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("pe").alias("pb"),
+    )
+    return a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        cosine_similarity(F.col("ea"), F.col("eb")).alias("cos_orig"),
+        cosine_similarity(F.col("pa"), F.col("pb")).alias("cos_proj"),
+    )
+
+
 @_q(
     "embedding_neardup",
     """

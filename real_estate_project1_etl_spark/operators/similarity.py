@@ -426,3 +426,34 @@ def quantized_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def random_projection(
+    vec, dim: int, out_dim: int, seed: int = 7, scale: bool = True
+):
+    """Johnson-Lindenstrauss random projection of an embedding column to
+    ``out_dim`` components — the standard dimensionality cut before
+    clustering / ANN when vectors are wide (JL: pairwise geometry is
+    preserved within epsilon for out_dim = O(log n / eps^2)).
+
+    Pure expression tree: ``out_dim`` dot products against seeded-LCG
+    hyperplanes (:func:`_random_hyperplanes` — the same deterministic
+    generator the LSH bucketing uses), so projections are bit-reproducible
+    across runs AND engines (the DuckDB oracle inlines the identical plane
+    constants).  ``scale`` multiplies by 1/sqrt(out_dim), making projected
+    L2 distances unbiased estimates of the originals (cosine is
+    scale-invariant either way).
+
+    At 100 TB this runs in the scan stage (narrow, codegen'd, no Python,
+    no shuffle) and cuts every downstream shuffle/sketch byte count by
+    dim/out_dim.
+    """
+    import math as _math
+
+    v = F.col(vec) if isinstance(vec, str) else vec
+    planes = _random_hyperplanes(dim, out_dim, seed)
+    s = 1.0 / _math.sqrt(out_dim) if scale else 1.0
+    comps = [
+        dot(v, F.array(*[F.lit(float(x)) for x in p])) * F.lit(s) for p in planes
+    ]
+    return F.array(*comps)

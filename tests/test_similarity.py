@@ -176,3 +176,58 @@ def test_quantized_rerank_recall_near_exact(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # int8 coarse + 4x candidates recovers nearly all exact neighbors
     assert recall >= 0.9, f"quantized-rerank recall {recall:.2f}"
+
+
+def test_random_projection_separates_dup_pairs_from_random(spark):
+    # the downstream contract: near-dup pairs must STAY high-cosine after
+    # projection and random pairs must stay low — i.e. a threshold-based
+    # near-dup detector survives the 64->16 cut.  Planted geometry: each
+    # base vector pairs with a noisy copy (cos ~0.95) and with an unrelated
+    # vector (cos ~0).
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.functions.vectors import cosine_similarity
+    from real_estate_project1_etl_spark.operators.similarity import random_projection
+
+    rng = _random.Random(11)
+    rows = []
+    for i in range(100):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        noisy = [x + rng.gauss(0, 0.2) for x in base]
+        other = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, base, noisy, other))
+    df = spark.createDataFrame(
+        rows, "id long, base array<double>, noisy array<double>, other array<double>"
+    )
+    out = df.select(
+        cosine_similarity(
+            random_projection("base", 64, 16), random_projection("noisy", 64, 16)
+        ).alias("dup_sim"),
+        cosine_similarity(
+            random_projection("base", 64, 16), random_projection("other", 64, 16)
+        ).alias("rand_sim"),
+    ).collect()
+    mean_dup = sum(r.dup_sim for r in out) / len(out)
+    mean_rand = sum(r.rand_sim for r in out) / len(out)
+    assert mean_dup > 0.85, mean_dup          # dups stay near-dups
+    assert abs(mean_rand) < 0.15, mean_rand   # randoms stay unrelated
+    # pairwise margin: every dup pair beats every-random-mean by a gap
+    assert min(r.dup_sim for r in out) > mean_rand + 0.3
+
+
+def test_random_projection_dim_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])], "id long, v array<double>"
+    )
+    p1 = df.select(random_projection("v", 64, 16).alias("p")).first().p
+    p2 = df.select(random_projection("v", 64, 16).alias("p")).first().p
+    p3 = df.select(random_projection("v", 64, 16, seed=8).alias("p")).first().p
+    assert len(p1) == 16
+    assert p1 == p2          # seeded -> bit-reproducible
+    assert p1 != p3          # different seed -> different planes
