@@ -1580,15 +1580,27 @@ def q_incremental_dedup_docs(spark, sf_dir):
         minhash_signature_table,
     )
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
     split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     base = docs.filter(F.col("doc_id") < split)
     new = docs.filter(F.col("doc_id") >= split)
-    base_sig = minhash_signature_table(base, "text", "doc_id", hash_fn="md5_60")
-    new_sig = minhash_signature_table(new, "text", "doc_id", hash_fn="md5_60")
-    return incremental_minhash_pairs(
+    # persist both signature tables: banding + the two candidate-verify
+    # joins each re-reference them (the steady state reads base from the
+    # materialized bucketed table instead — save_minhash_signatures)
+    base_sig = minhash_signature_table(
+        base, "text", "doc_id", hash_fn="md5_60"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_sig = minhash_signature_table(
+        new, "text", "doc_id", hash_fn="md5_60"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out = incremental_minhash_pairs(
         new_sig, base_sig, jaccard_threshold=0.4, round_digits=None
-    )
+    ).localCheckpoint(eager=True)
+    base_sig.unpersist()
+    new_sig.unpersist()
+    return out
 
 
 @_q(

@@ -76,6 +76,14 @@ HEADLINE = [
     "part_skyline",
     "phash_doc_neardup",
     "histogram_quantiles",
+    # round-2g: incremental corpus dedup (batch twin of the streaming
+    # signature-store loop), URL canonicalization dedup, Luhn card scrub,
+    # bigram LM-coverage quality, JL projection geometry
+    "incremental_dedup_docs",
+    "url_canonical_dedup",
+    "luhn_card_audit",
+    "bigram_coverage_quality",
+    "jl_projection_pairs",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -113,6 +121,11 @@ COST = {
     "part_skyline": "per-brand distinct-price agg + tiny window + broadcast join back (never the O(n^2) pair space)",
     "phash_doc_neardup": "Arrow hash UDF over 64-byte payload + 4-chunk band self-join + candidate-only hamming",
     "histogram_quantiles": "1 stats agg + 1 bucket-count agg (additive sketch) + rank pass for the exact comparison values",
+    "incremental_dedup_docs": "batch signatures + banding joins vs base; O(batch+collisions), corpus side is banding keys only",
+    "url_canonical_dedup": "scan-stage regex/HOF canonicalization + 1 groupBy exchange on the canonical key",
+    "luhn_card_audit": "scan-stage regexp extract + Luhn fold + replace fold; zero shuffles",
+    "bigram_coverage_quality": "per-row bigram expression + Zipf count agg + semi-join back (2 exchanges)",
+    "jl_projection_pairs": "16 dot-product folds per row (codegen) + adjacent-id self-join shuffle",
 }
 
 
