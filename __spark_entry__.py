@@ -1470,10 +1470,12 @@ _COS_SQL = (
 
 def _planes_bucket_sql(vcol: str, planes) -> str:
     # DuckDB mirror of operators/similarity.lsh_bucket_expr with the
-    # seeded-LCG hyperplanes inlined as float literals (repr round-trips)
+    # seeded-LCG hyperplanes inlined as double literals in E-NOTATION
+    # (determinism rule 9: plain decimal literals parse as DECIMAL and
+    # double-round on conversion — a sign-of-dot near zero could flip)
     terms = [
         "(CASE WHEN list_dot_product({v}, [{p}]) > 0 THEN {w} ELSE 0 END)".format(
-            v=vcol, p=", ".join(repr(float(x)) for x in plane), w=1 << i
+            v=vcol, p=", ".join(f"{float(x):.17e}" for x in plane), w=1 << i
         )
         for i, plane in enumerate(planes)
     ]
@@ -1676,6 +1678,56 @@ def _lsh_topk_sql() -> str:
         FROM scored
     ) WHERE rank <= 5
     """
+
+
+def _jl_lsh_rerank_sql() -> str:
+    from real_estate_project1_etl_spark.operators.similarity import (
+        _random_hyperplanes,
+    )
+
+    planes16 = _random_hyperplanes(16, 4, 42)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, cast(embedding AS double[]) AS cv
+        FROM embeddings
+    ), qp AS (SELECT query_id, qv, {_jl_proj_sql('qv')} AS pv FROM q),
+    cp AS (SELECT neighbor_id, cv, {_jl_proj_sql('cv')} AS pv FROM c),
+    qb AS (SELECT query_id, qv, {_planes_bucket_sql('pv', planes16)} AS bucket FROM qp),
+    cb AS (SELECT neighbor_id, cv, {_planes_bucket_sql('pv', planes16)} AS bucket FROM cp),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({_cos_sql_pair('qv', 'cv')}, 6) AS sim
+        FROM cb JOIN qb USING (bucket)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@_q("jl_lsh_rerank_topk", _jl_lsh_rerank_sql())
+def q_jl_lsh_rerank_topk(spark, sf_dir):
+    # the ANN ladder end-to-end: JL 64->16 projection, 4-plane LSH buckets
+    # in PROJECTED space (cheap tier), exact cosine rerank on ORIGINAL
+    # vectors for candidates only.  The oracle mirrors every tier —
+    # projection constants, bucket planes, rerank — in one SQL chain.
+    from real_estate_project1_etl_spark.operators.similarity import (
+        projected_lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return projected_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, proj_dim=16, k=5
+    )
 
 
 @_q("lsh_ann_topk", _lsh_topk_sql())

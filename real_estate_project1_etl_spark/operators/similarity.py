@@ -457,3 +457,64 @@ def random_projection(
         dot(v, F.array(*[F.lit(float(x)) for x in p])) * F.lit(s) for p in planes
     ]
     return F.array(*comps)
+
+
+def projected_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    proj_dim: int = 16,
+    k: int = 5,
+    n_planes: int = 4,
+    seed_proj: int = 7,
+    seed_lsh: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """The full ANN memory/compute ladder in one operator:
+    JL-project (``dim`` -> ``proj_dim``) -> hyperplane-LSH bucket in the
+    PROJECTED space -> candidate equi-join on bucket -> EXACT cosine rerank
+    on the ORIGINAL vectors.
+
+    Why project before bucketing: at 100 TB the bucketing pass reads every
+    vector — hashing 16 components instead of 1536 cuts that scan's compute
+    ~100x while JL preserves the sign-of-dot geometry the buckets encode.
+    The rerank stage touches original vectors only for candidates (the
+    quantized-rerank pattern, with JL instead of int8 as the cheap tier).
+
+    Deterministic end-to-end (seeded planes for both tiers), so the whole
+    ladder — projection, bucketing, candidates, rerank — is mirrorable in
+    SQL and differentially checked (``jl_lsh_rerank_topk``).
+    """
+    pj = lambda c: random_projection(c, dim, proj_dim, seed_proj)  # noqa: E731
+    planes = _random_hyperplanes(proj_dim, n_planes, seed_lsh)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("pv", pj(F.col("qv")))
+        .withColumn("bucket", lsh_bucket_expr("pv", planes))
+        .drop("pv")
+    )
+    c = (
+        ensure_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        )
+        .withColumn("pv", pj(F.col("cv")))
+        .withColumn("bucket", lsh_bucket_expr("pv", planes))
+        .drop("pv")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_to)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
