@@ -160,6 +160,96 @@ def _collect_file_stats(path: str, files: list[str]) -> dict[str, dict]:
     return out
 
 
+#: bloom sidecar config file name (table-level opt-in, see
+#: :func:`set_bloom_columns`)
+_BLOOM_CFG = "_bloom_cols.json"
+
+
+def set_bloom_columns(
+    path: str, cols: list[str], n_bits: int = 4096, n_hashes: int = 5
+) -> None:
+    """Opt the table into manifest BLOOM FILTERS for ``cols`` — the
+    point-lookup complement to min/max stats.  Min/max prunes ranges; on a
+    high-cardinality key whose values interleave across files (uuids, user
+    ids) every file's [min, max] spans everything and range stats prune
+    NOTHING — a per-file bloom answers "could value v be in this file?"
+    probabilistically with no false negatives, so ``=`` predicates skip
+    files the way Delta/Iceberg bloom indexes do.
+
+    Size: ``n_bits/8`` bytes per column per file in the manifest (default
+    512 B).  False-positive rate ~ (1-e^{-kn/m})^k — at 4096 bits / 5
+    hashes, <1% up to ~400 distinct values per file; oversize ``n_bits``
+    for bigger files.  Applies to commits made AFTER the call."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _BLOOM_CFG), "w") as fh:
+        json.dump({"cols": list(cols), "n_bits": n_bits, "k": n_hashes}, fh)
+
+
+def _bloom_config(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _BLOOM_CFG)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _bloom_positions(value, n_bits: int, k: int) -> list[int]:
+    """k salted-md5 bit positions for a canonicalized value. Only int and
+    str values participate (float equality pruning is a correctness trap:
+    '1.0' vs '1' canonicalization differs by engine)."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:15], 16) % n_bits
+        for salt in range(k)
+    ]
+
+
+def _collect_file_blooms(path: str, files: list[str], cfg: dict) -> dict[str, dict]:
+    """Per-file bloom bitsets for the configured columns.
+
+    Driver-side single-column reads at commit time — the same cost class
+    as a footer-stats pass for small commits.  At a 1000-executor scale the
+    equivalent is a cluster-side ``groupBy(file)`` aggregate over the k
+    hash positions with only the finished bitsets collected; the manifest
+    format here is identical either way."""
+    import pyarrow.parquet as pq
+
+    n_bits, k = cfg["n_bits"], cfg["k"]
+    out: dict[str, dict] = {}
+    for rel in files:
+        pf = pq.ParquetFile(os.path.join(path, rel))
+        present = [c for c in cfg["cols"] if c in pf.schema_arrow.names]
+        per: dict[str, str] = {}
+        if present:
+            tbl = pq.read_table(os.path.join(path, rel), columns=present)
+            for col in present:
+                vals = set(tbl.column(col).to_pylist())
+                vals.discard(None)
+                if any(not isinstance(v, (int, str)) or isinstance(v, bool) for v in vals):
+                    continue  # unsupported type -> no bloom (never prunes)
+                bits = bytearray(n_bits // 8)
+                for v in vals:
+                    for p in _bloom_positions(v, n_bits, k):
+                        bits[p // 8] |= 1 << (p % 8)
+                per[col] = bits.hex()
+        out[rel] = per
+    return out
+
+
+def _bloom_may_contain(bloom_hex: str | None, cfg: dict | None, value) -> bool:
+    """False only when the file's bloom PROVES the value absent (all-safe:
+    missing bloom / config / unsupported value type -> may contain)."""
+    if not bloom_hex or not cfg or not isinstance(value, (int, str)) or isinstance(value, bool):
+        return True
+    bits = bytes.fromhex(bloom_hex)
+    return all(
+        bits[p // 8] & (1 << (p % 8))
+        for p in _bloom_positions(value, cfg["n_bits"], cfg["k"])
+    )
+
+
 def _file_survives(stats: dict | None, col: str, op: str, value) -> bool:
     """Conservative overlap test: False only when the file's [min, max]
     interval PROVES no row can satisfy ``col op value`` (NULLs never
@@ -221,6 +311,21 @@ def _commit(
         "txn": dict(txn or {}),
         "file_stats": file_stats,
     }
+    # bloom indexes (opt-in per table): built for NEW files only, carried
+    # forward for retained ones, exactly like file_stats
+    bloom_cfg = _bloom_config(path)
+    if bloom_cfg:
+        prior_blooms = (
+            _read_manifest(path, base_version).get("file_blooms", {})
+            if base_version
+            else {}
+        )
+        new_bloom = [f for f in files if f not in prior_blooms]
+        manifest["file_blooms"] = {
+            **{f: prior_blooms[f] for f in files if f in prior_blooms},
+            **_collect_file_blooms(path, new_bloom, bloom_cfg),
+        }
+        manifest["bloom_cfg"] = bloom_cfg
     try:
         with open(_manifest_path(path, version), "x") as fh:
             json.dump(manifest, fh)
@@ -315,10 +420,14 @@ def read_snapshot(
     ``op`` in {=, <, <=, >, >=}. Files whose manifest min/max stats prove
     no row can match are dropped during PLANNING — the Delta/Iceberg
     data-skipping read path: at 100 TB, skipping happens before a single
-    parquet footer is opened, from the manifest alone. The predicates are
-    ALSO applied as row filters on the surviving files, so the result is
-    exactly the filtered table whether or not any file was prunable
-    (stats-less files — old manifests, exotic types — just don't prune).
+    parquet footer is opened, from the manifest alone.  ``=`` predicates
+    additionally consult the per-file bloom indexes when the table opted
+    in (:func:`set_bloom_columns`) — the point-lookup path for
+    high-cardinality keys whose ranges overlap across every file.  The
+    predicates are ALSO applied as row filters on the surviving files, so
+    the result is exactly the filtered table whether or not any file was
+    prunable (stats-less files — old manifests, exotic types — just
+    don't prune).
     """
     v = version if version is not None else current_version(path)
     if v == 0:
@@ -327,11 +436,18 @@ def read_snapshot(
     files = m["files"]
     if prune:
         stats = m.get("file_stats", {})
+        blooms, bcfg = m.get("file_blooms", {}), m.get("bloom_cfg")
         files = [
             f
             for f in files
             if all(
                 _file_survives(stats.get(f), col, op, val)
+                and (
+                    op != "="
+                    or _bloom_may_contain(
+                        blooms.get(f, {}).get(col), bcfg, val
+                    )
+                )
                 for col, op, val in prune
             )
         ]

@@ -412,3 +412,67 @@ def test_zorder_plus_manifest_stats_prune_on_both_dimensions(spark, tmp_path):
         assert kept < 16, f"no manifest pruning on {col} after zorder"
         full = V.read_snapshot(spark, path).filter(F.col(col) < -800).count()
         assert pruned.count() == full
+
+
+# --------------------------------------------------------------------------
+# manifest bloom indexes (point-lookup data skipping)
+# --------------------------------------------------------------------------
+
+
+def _bloom_table(spark, path, n_commits=4):
+    # interleaved high-cardinality keys + identical "aaa"/"zzz" sentinels
+    # in EVERY file: min/max ranges all span [aaa, zzz], so range stats
+    # can prune nothing — only the bloom can skip
+    V.set_bloom_columns(path, ["s"], n_bits=4096, n_hashes=5)
+    for i in range(n_commits):
+        rows = [(f"u{j:04d}-{i}", i * 1000 + j) for j in range(50)]
+        rows += [("aaa", -1), ("zzz", -2)]
+        df = spark.createDataFrame(rows, "s string, v long")
+        if i == 0:
+            V.create_or_replace(df, path, n_files=1)
+        else:
+            V.append(df, path, n_files=1)
+
+
+def test_bloom_prunes_where_minmax_cannot(spark, tmp_path):
+    path = str(tmp_path / "bloomtab")
+    _bloom_table(spark, path)
+    m = V._read_manifest(path, V.current_version(path))
+    assert len(m["files"]) == 4 and "file_blooms" in m
+
+    # range stats are useless here: every file spans [aaa, zzz]
+    nostats = V.read_snapshot(spark, path, prune=[("s", ">=", "u0000")])
+    assert len(nostats.inputFiles()) == 4
+
+    # bloom point lookup: the key lives in exactly one commit's file
+    hit = V.read_snapshot(spark, path, prune=[("s", "=", "u0007-2")])
+    assert len(hit.inputFiles()) == 1
+    assert [r.v for r in hit.collect()] == [2007]
+
+    # absent key: every file bloom-pruned, empty result, correct schema
+    miss = V.read_snapshot(spark, path, prune=[("s", "=", "nope")])
+    assert miss.count() == 0
+    assert miss.columns == ["s", "v"]
+
+
+def test_bloom_carry_forward_and_no_false_negatives(spark, tmp_path):
+    path = str(tmp_path / "bloomcarry")
+    _bloom_table(spark, path, n_commits=2)
+    # one more append AFTER the others: priors carried forward unchanged
+    V.append(spark.createDataFrame([("fresh", 9)], "s string, v long"), path, n_files=1)
+    for key, want in [("u0003-0", [3]), ("u0042-1", [1042]), ("fresh", [9])]:
+        got = V.read_snapshot(spark, path, prune=[("s", "=", key)])
+        assert [r.v for r in got.collect()] == want, key
+        assert len(got.inputFiles()) == 1, key
+
+
+def test_bloom_unsupported_type_never_prunes(spark, tmp_path):
+    path = str(tmp_path / "bloomfloat")
+    V.set_bloom_columns(path, ["x"])
+    df = spark.createDataFrame([(1.5, 1), (2.5, 2)], "x double, v long")
+    V.create_or_replace(df, path, n_files=1)
+    V.append(spark.createDataFrame([(3.5, 3)], "x double, v long"), path, n_files=1)
+    out = V.read_snapshot(spark, path, prune=[("x", "=", 2.5)])
+    # floats never participate in blooms; min/max may still prune the
+    # second file (2.5 < 3.5) but the matching row must always survive
+    assert [r.v for r in out.collect()] == [2]
