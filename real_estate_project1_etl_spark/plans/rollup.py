@@ -1,0 +1,139 @@
+"""Materialized rollup (summary) tables + a derivability router — the
+aggregation-pushdown layer every 100 TB warehouse grows: pay the full-table
+aggregation ONCE at the finest useful grain, then serve every coarser-grain
+aggregate query by re-aggregating the tiny summary instead of rescanning
+the corpus (Kimball aggregate tables / Druid rollup / BigQuery MV shape).
+
+Correct re-aggregation needs algebraic aggregates only:
+
+  sum   -> sum of partial sums          count -> sum of partial counts
+  min   -> min of partial mins          max   -> max of partial maxs
+  avg   -> sum of sums / sum of counts  (derived, never averaged-of-avgs)
+
+Non-algebraic aggregates (count_distinct, exact percentiles) are NOT
+derivable from a rollup; the router refuses them so callers fall back to
+the base table — silently serving a wrong answer is the classic summary-
+table bug this module's contract exists to prevent.
+
+Extends the reference's single-grain pandas report (reference:
+transform.py:30-58 computes per-listing metrics only) with the
+serve-at-any-grain layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: aggregate functions a rollup can materialize and re-aggregate
+_ALGEBRAIC = ("sum", "count", "min", "max")
+
+_META = "_rollup_meta.json"
+
+
+def materialize_rollup(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    specs: dict[str, tuple[str, str]],
+) -> None:
+    """Aggregate ``df`` to the grain of ``group_cols`` and persist it with
+    its derivability metadata.  ``specs`` maps output column -> (fn, src)
+    with fn in {sum, count, min, max}; a ``rollup_count__`` row-count
+    column is always added so avg at any grain derives exactly.
+
+    ``sum`` is materialized over ``decimal(38,6)`` casts: partial sums
+    re-aggregate exactly (decimal addition is associative), while double
+    sums would make the served answer partitioning-dependent.
+    """
+    aggs = [F.count(F.lit(1)).alias("rollup_count__")]
+    for out, (fn, src) in specs.items():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"{fn} is not algebraic; cannot materialize {out}")
+        if fn == "sum":
+            aggs.append(F.sum(F.col(src).cast("decimal(38,6)")).alias(out))
+        elif fn == "count":
+            aggs.append(F.count(src).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(src).alias(out))
+    df.groupBy(*group_cols).agg(*aggs).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, _META), "w") as fh:
+        json.dump({"group_cols": list(group_cols), "specs": dict(specs)}, fh)
+
+
+def rollup_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as fh:
+        return json.load(fh)
+
+
+def can_serve(meta: dict, group_cols: list[str], aggs: dict[str, tuple[str, str]]) -> bool:
+    """True iff a query grouping by ``group_cols`` computing ``aggs``
+    (out -> (fn, src); fn may also be 'avg') derives from this rollup:
+    the grain must be a subset of the rollup's, and every aggregate must
+    re-aggregate algebraically from a materialized column."""
+    if not set(group_cols) <= set(meta["group_cols"]):
+        return False
+    materialized = [list(v) for v in meta["specs"].values()]
+    for fn, src in aggs.values():
+        if fn in ("sum", "min", "max", "count"):
+            if [fn, src] not in materialized:
+                return False
+        elif fn == "avg":
+            # avg needs BOTH partials: sum(src)/count(src) — dividing by
+            # the row count would silently miscount when src has NULLs
+            if ["sum", src] not in materialized or ["count", src] not in materialized:
+                return False
+        else:
+            return False  # count_distinct / percentile / ... not derivable
+    return True
+
+
+def _col_for(specs: dict, fn: str, src: str) -> str:
+    for out, spec in specs.items():
+        if list(spec) == [fn, src]:
+            return out
+    raise KeyError((fn, src))
+
+
+def query_rollup(
+    spark: SparkSession,
+    path: str,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Serve an aggregate query FROM the rollup at any coarser grain.
+    Raises ``ValueError`` when not derivable (callers route to the base
+    table instead — see :func:`can_serve`).  Output columns: group cols +
+    the keys of ``aggs`` (sum columns come back as the decimal partials'
+    exact total; cast at the caller's boundary if doubles are wanted)."""
+    meta = rollup_meta(path)
+    if not can_serve(meta, group_cols, aggs):
+        raise ValueError(
+            f"rollup at {path} (grain {meta['group_cols']}) cannot serve "
+            f"group by {group_cols} with {aggs}"
+        )
+    specs = meta["specs"]
+    r = spark.read.parquet(path)
+    out_aggs = []
+    for out, (fn, src) in aggs.items():
+        if fn == "sum":
+            out_aggs.append(F.sum(_col_for(specs, "sum", src)).alias(out))
+        elif fn == "count":
+            out_aggs.append(F.sum(_col_for(specs, "count", src)).alias(out))
+        elif fn == "min":
+            out_aggs.append(F.min(_col_for(specs, "min", src)).alias(out))
+        elif fn == "max":
+            out_aggs.append(F.max(_col_for(specs, "max", src)).alias(out))
+        elif fn == "avg":
+            out_aggs.append(
+                (
+                    F.sum(_col_for(specs, "sum", src))
+                    / F.sum(_col_for(specs, "count", src))
+                ).alias(out)
+            )
+    if not group_cols:
+        return r.agg(*out_aggs)
+    return r.groupBy(*group_cols).agg(*out_aggs)

@@ -1,0 +1,111 @@
+"""Materialized rollup router (plans/rollup.py): coarser-grain queries
+served from the summary must equal direct aggregation over the base, and
+non-derivable shapes must be refused, never silently wrong."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.plans import rollup as R
+from real_estate_project1_etl_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def rollup_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rollup") / "li_rollup")
+    li = load_table(spark, sf_dir, "lineitem")
+    R.materialize_rollup(
+        li,
+        path,
+        ["l_returnflag", "l_linestatus", "l_shipdate"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "cnt_qty": ("count", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+            "n_rows": ("count", "l_orderkey"),
+        },
+    )
+    return path
+
+
+def _direct(spark, sf_dir, cols):
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(*cols) if cols else li
+    return g.agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.avg("l_quantity").alias("avg_qty"),
+    )
+
+
+def _rollup_q(spark, rollup_path, cols):
+    return R.query_rollup(
+        spark,
+        rollup_path,
+        cols,
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+            "avg_qty": ("avg", "l_quantity"),
+        },
+    )
+
+
+@pytest.mark.parametrize(
+    "cols",
+    [
+        ["l_returnflag", "l_linestatus", "l_shipdate"],  # same grain
+        ["l_returnflag", "l_linestatus"],                # coarser
+        ["l_shipdate"],                                  # different subset
+        [],                                              # grand total
+    ],
+)
+def test_rollup_serves_any_coarser_grain_exactly(spark, sf_dir, rollup_path, cols):
+    got = {
+        tuple(r[c] for c in cols): (r.sum_qty, r.min_price, r.max_price, r.avg_qty)
+        for r in _rollup_q(spark, rollup_path, cols).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols): (r.sum_qty, r.min_price, r.max_price, r.avg_qty)
+        for r in _direct(spark, sf_dir, cols).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        gs, gmin, gmax, gavg = got[k]
+        ws, wmin, wmax, wavg = want[k]
+        assert gs == ws, k            # decimal partial sums re-aggregate exactly
+        assert gmin == wmin and gmax == wmax, k
+        # rollup avg = decimal(38,6) sum / count (exact to 6 dp); the
+        # direct double avg can differ by up to half an ulp of that scale
+        assert abs(float(gavg) - wavg) < 1e-6, k
+
+
+def test_rollup_refuses_non_derivable(spark, rollup_path):
+    meta = R.rollup_meta(rollup_path)
+    # finer grain than materialized
+    assert not R.can_serve(meta, ["l_returnflag", "l_suppkey"], {})
+    # non-algebraic aggregate
+    assert not R.can_serve(
+        meta, ["l_returnflag"], {"d": ("count_distinct", "l_orderkey")}
+    )
+    # aggregate over a column that was never materialized
+    assert not R.can_serve(meta, ["l_returnflag"], {"s": ("sum", "l_discount")})
+    # avg without a count partial for the same source
+    assert not R.can_serve(meta, ["l_returnflag"], {"a": ("avg", "l_extendedprice")})
+    with pytest.raises(ValueError):
+        R.query_rollup(
+            spark, rollup_path, ["l_returnflag"], {"s": ("sum", "l_discount")}
+        )
+
+
+def test_materialize_rejects_non_algebraic(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        R.materialize_rollup(
+            li, str(tmp_path / "bad"), ["l_returnflag"],
+            {"d": ("count_distinct", "l_orderkey")},
+        )
