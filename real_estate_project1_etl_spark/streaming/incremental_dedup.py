@@ -27,11 +27,18 @@ from ..operators.dedup import incremental_minhash_pairs, minhash_signature_table
 
 def _load_signature_store(spark: SparkSession, store_path: str, like: DataFrame) -> DataFrame:
     """The accumulated survivor signatures, or an empty frame with the same
-    schema on the bootstrap batch (store not yet created)."""
+    schema on the bootstrap batch (store not yet created).  Only the
+    missing-path case bootstraps — a corrupt or unreadable store must
+    FAIL the batch (silently deduping against nothing would re-admit the
+    whole corpus)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(store_path).select("id", "sh", "sig")
-    except Exception:  # AnalysisException: path does not exist (bootstrap)
-        return like.limit(0)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return like.limit(0)
+        raise
 
 
 def incremental_dedup_batch(
