@@ -49,17 +49,12 @@ def materialize_rollup(
     re-aggregate exactly (decimal addition is associative), while double
     sums would make the served answer partitioning-dependent.
     """
-    aggs = [F.count(F.lit(1)).alias("rollup_count__")]
-    for out, (fn, src) in specs.items():
+    for out, (fn, _src) in specs.items():
         if fn not in _ALGEBRAIC:
             raise ValueError(f"{fn} is not algebraic; cannot materialize {out}")
-        if fn == "sum":
-            aggs.append(F.sum(F.col(src).cast("decimal(38,6)")).alias(out))
-        elif fn == "count":
-            aggs.append(F.count(src).alias(out))
-        else:
-            aggs.append(getattr(F, fn)(src).alias(out))
-    df.groupBy(*group_cols).agg(*aggs).write.mode("overwrite").parquet(path)
+    df.groupBy(*group_cols).agg(*_partial_aggs(specs)).write.mode(
+        "overwrite"
+    ).parquet(path)
     with open(os.path.join(path, _META), "w") as fh:
         json.dump({"group_cols": list(group_cols), "specs": dict(specs)}, fh)
 
@@ -137,3 +132,63 @@ def query_rollup(
     if not group_cols:
         return r.agg(*out_aggs)
     return r.groupBy(*group_cols).agg(*out_aggs)
+
+
+def _partial_aggs(specs: dict) -> list:
+    """The same partial-aggregate list materialize_rollup builds — shared
+    by full materialization and incremental update."""
+    aggs = [F.count(F.lit(1)).alias("rollup_count__")]
+    for out, (fn, src) in specs.items():
+        if fn == "sum":
+            aggs.append(F.sum(F.col(src).cast("decimal(38,6)")).alias(out))
+        elif fn == "count":
+            aggs.append(F.count(src).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(src).alias(out))
+    return aggs
+
+
+def update_rollup(batch_df: DataFrame, path: str) -> None:
+    """Fold a NEW batch of base-table rows into an existing rollup without
+    touching the base table — the maintenance loop that keeps summary
+    tables fresh under continuous ingest.  Work is O(batch + |rollup|):
+    the batch aggregates to partials at the rollup's grain, unions with
+    the current summary, and re-aggregates by the algebraic merge rules
+    (sum/count partials add — decimal, so the fold is exact and
+    order-independent; min/max fold by min/max).  Fold-in-any-order
+    equals full recompute (tested).
+
+    Crash safety: the merged summary lands in a temp dir and swaps in via
+    the sinks' crash-tolerant local-FS swap (old kept until new is in
+    place; recovery on next entry).  At cluster scale the same merge
+    writes a new versioned-table commit instead.
+    """
+    import os as _os
+
+    from ..sinks.writers import _recover_swap, _swap_dir
+
+    _recover_swap(path, "rollup")
+    meta = rollup_meta(path)
+    specs = meta["specs"]
+    grain = meta["group_cols"]
+    spark = batch_df.sparkSession
+    partial = batch_df.groupBy(*grain).agg(*_partial_aggs(specs))
+    current = spark.read.parquet(path)
+    merge_aggs = [F.sum("rollup_count__").alias("rollup_count__")]
+    for out, (fn, _src) in specs.items():
+        if fn in ("sum", "count"):
+            merge_aggs.append(F.sum(out).alias(out))
+        else:
+            merge_aggs.append(getattr(F, fn)(out).alias(out))
+    merged = (
+        current.unionByName(partial, allowMissingColumns=False)
+        .groupBy(*grain)
+        .agg(*merge_aggs)
+    )
+    tmp = path.rstrip("/") + "._rollup_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    # the swap replaces the parquet dir; re-attach the meta sidecar
+    meta_json = json.dumps(meta)
+    _swap_dir(path, tmp, "rollup")
+    with open(_os.path.join(path, _META), "w") as fh:
+        fh.write(meta_json)

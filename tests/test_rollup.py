@@ -109,3 +109,39 @@ def test_materialize_rejects_non_algebraic(spark, sf_dir, tmp_path):
             li, str(tmp_path / "bad"), ["l_returnflag"],
             {"d": ("count_distinct", "l_orderkey")},
         )
+
+
+def test_update_rollup_fold_equals_recompute(spark, sf_dir, tmp_path):
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    specs = {
+        "sum_qty": ("sum", "l_quantity"),
+        "cnt_qty": ("count", "l_quantity"),
+        "min_price": ("min", "l_extendedprice"),
+        "max_price": ("max", "l_extendedprice"),
+    }
+    grain = ["l_returnflag", "l_linestatus"]
+    # incremental: seed with a third of the data, fold the rest in 2 batches
+    inc = str(tmp_path / "inc")
+    R.materialize_rollup(li.filter(F.col("l_orderkey") % 3 == 0), inc, grain, specs)
+    R.update_rollup(li.filter(F.col("l_orderkey") % 3 == 1), inc)
+    R.update_rollup(li.filter(F.col("l_orderkey") % 3 == 2), inc)
+    # recompute: the whole table at once
+    full = str(tmp_path / "full")
+    R.materialize_rollup(li, full, grain, specs)
+
+    q = {
+        "sum_qty": ("sum", "l_quantity"),
+        "avg_qty": ("avg", "l_quantity"),
+        "min_price": ("min", "l_extendedprice"),
+        "max_price": ("max", "l_extendedprice"),
+    }
+    a = {(r.l_returnflag, r.l_linestatus): (r.sum_qty, r.avg_qty, r.min_price, r.max_price)
+         for r in R.query_rollup(spark, inc, grain, q).collect()}
+    b = {(r.l_returnflag, r.l_linestatus): (r.sum_qty, r.avg_qty, r.min_price, r.max_price)
+         for r in R.query_rollup(spark, full, grain, q).collect()}
+    assert a == b  # decimal partials: the fold is EXACT, not approximate
+
+    # meta sidecar survives the swap; served queries still route correctly
+    assert R.rollup_meta(inc)["group_cols"] == grain
