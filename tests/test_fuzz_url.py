@@ -1,0 +1,111 @@
+"""Differential fuzzing of the URL canonicalizer: seeded random messy URLs
+(case noise, default/odd ports, duplicate and trailing slashes, shuffled
+query params, tracking params, fragments, empty components) canonicalized
+by BOTH engines — Spark's expression tree (functions/web.py) vs the DuckDB
+SQL mirror the oracle uses — and compared exactly."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.functions.web import (
+    canonicalize_url,
+    registrable_domain,
+    url_hostport,
+)
+
+N_CASES = 200
+N_CI = 60  # per-run subset; full sweep via SPARK_GRAFT_FUZZ_ALL=1
+
+
+def _messy_url(rng: random.Random) -> str:
+    scheme = rng.choice(["http", "https", "HTTP", "HtTpS"])
+    host_base = rng.choice(
+        ["example.com", "Sub.Example.COM", "news.bbc.co.uk", "x.GitHub.io", "a.b.c.org"]
+    )
+    port = rng.choice(["", ":80", ":443", ":8080", ":8443"])
+    segs = rng.randint(0, 3)
+    path = ""
+    for _ in range(segs):
+        path += rng.choice(["/", "//", "///"]) + rng.choice(
+            ["a", "B", "long-segment", "x1", "CaseSeg"]
+        )
+    path += rng.choice(["", "/", "//"])
+    params = []
+    for _ in range(rng.randint(0, 4)):
+        params.append(
+            rng.choice(
+                ["id=%d" % rng.randint(0, 99), "q=abc", "sort=Desc", "page=2",
+                 "utm_source=feed", "utm_campaign=x", "fbclid=zzz", "gclid=123"]
+            )
+        )
+    rng.shuffle(params)
+    query = ("?" + "&".join(params)) if params else rng.choice(["", "?"])
+    frag = rng.choice(["", "#top", "#a/b?c=1"])
+    return f"{scheme}://{host_base}{port}{path}{query}{frag}"
+
+
+@pytest.fixture(scope="module")
+def _canon_sql():
+    # reuse the exact oracle mirror from the driver contract
+    import __spark_entry__ as entry_mod
+
+    return entry_mod._canon_url_sql("u"), entry_mod._reg_domain_sql("h")
+
+
+def test_url_canonicalizer_differential_sweep(spark, _canon_sql):
+    import os
+
+    n = N_CASES if os.environ.get("SPARK_GRAFT_FUZZ_ALL") else N_CI
+    canon_sql, dom_sql = _canon_sql
+    urls = [_messy_url(random.Random(1000 + i)) for i in range(n)]
+    sdf = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = (
+        sdf.select(
+            "u",
+            canonicalize_url(F.col("u")).alias("c"),
+            registrable_domain(url_hostport(canonicalize_url(F.col("u")))).alias("d"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    want = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute(
+            f"""
+            WITH c AS (SELECT u, {canon_sql} AS canon FROM t),
+            h AS (SELECT u, canon,
+                  regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS h
+                  FROM c)
+            SELECT u, canon, {dom_sql} FROM h
+            """
+        ).fetchall()
+    )
+    for r in got:
+        wc, wd = want[r.u]
+        assert r.c == wc, f"{r.u!r}: spark {r.c!r} != duck {wc!r}"
+        assert r.d == wd, f"{r.u!r}: spark domain {r.d!r} != duck {wd!r}"
+
+
+def test_url_canonicalizer_idempotent():
+    # canonicalize(canonicalize(u)) == canonicalize(u) — a canonical form
+    # must be a fixed point, else dedup keys drift across passes
+    import random as _r
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    urls = [_messy_url(_r.Random(5000 + i)) for i in range(40)]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonicalize_url(F.col("u")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, r
