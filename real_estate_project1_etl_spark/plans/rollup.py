@@ -148,7 +148,9 @@ def _partial_aggs(specs: dict) -> list:
     return aggs
 
 
-def update_rollup(batch_df: DataFrame, path: str) -> None:
+def update_rollup(
+    batch_df: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
     """Fold a NEW batch of base-table rows into an existing rollup without
     touching the base table — the maintenance loop that keeps summary
     tables fresh under continuous ingest.  Work is O(batch + |rollup|):
@@ -157,6 +159,13 @@ def update_rollup(batch_df: DataFrame, path: str) -> None:
     (sum/count partials add — decimal, so the fold is exact and
     order-independent; min/max fold by min/max).  Fold-in-any-order
     equals full recompute (tested).
+
+    ``txn=(app_id, batch_id)`` makes the fold EXACTLY-ONCE under
+    micro-batch replay: a batch at or below the app's recorded watermark
+    is skipped, and the watermark rides in the meta sidecar WRITTEN INTO
+    the temp dir before the swap — data and watermark publish atomically,
+    so a crash never leaves a folded batch unrecorded (the double-count
+    window of a sidecar-after-swap design).
 
     Crash safety: the merged summary lands in a temp dir and swaps in via
     the sinks' crash-tolerant local-FS swap (old kept until new is in
@@ -169,6 +178,11 @@ def update_rollup(batch_df: DataFrame, path: str) -> None:
 
     _recover_swap(path, "rollup")
     meta = rollup_meta(path)
+    if txn is not None:
+        app_id, batch_id = txn
+        if int(batch_id) <= meta.get("txn", {}).get(app_id, -1):
+            return  # replayed micro-batch: already folded
+        meta = {**meta, "txn": {**meta.get("txn", {}), app_id: int(batch_id)}}
     specs = meta["specs"]
     grain = meta["group_cols"]
     spark = batch_df.sparkSession
@@ -187,8 +201,22 @@ def update_rollup(batch_df: DataFrame, path: str) -> None:
     )
     tmp = path.rstrip("/") + "._rollup_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    # the swap replaces the parquet dir; re-attach the meta sidecar
-    meta_json = json.dumps(meta)
+    # meta (incl. the advanced watermark) goes INTO tmp so the swap
+    # publishes data + watermark as one unit
+    with open(_os.path.join(tmp, _META), "w") as fh:
+        json.dump(meta, fh)
     _swap_dir(path, tmp, "rollup")
-    with open(_os.path.join(path, _META), "w") as fh:
-        fh.write(meta_json)
+
+
+def rollup_stream_sink(path: str, app_id: str):
+    """A ``foreachBatch`` sink that keeps a rollup fresh from a stream with
+    exactly-once folding: Structured Streaming replays an unacknowledged
+    batch with the SAME batch_id after a crash, and :func:`update_rollup`'s
+    watermark makes the replayed fold a no-op.  Pair with
+    ``streaming/file_pipeline.start_foreach_batch_load`` or any
+    ``writeStream.foreachBatch``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        update_rollup(batch_df, path, txn=(app_id, int(batch_id)))
+
+    return sink

@@ -145,3 +145,33 @@ def test_update_rollup_fold_equals_recompute(spark, sf_dir, tmp_path):
 
     # meta sidecar survives the swap; served queries still route correctly
     assert R.rollup_meta(inc)["group_cols"] == grain
+
+
+def test_rollup_stream_sink_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    from real_estate_project1_etl_spark.plans.rollup import rollup_stream_sink
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    specs = {"sum_qty": ("sum", "l_quantity"), "cnt_qty": ("count", "l_quantity")}
+    grain = ["l_returnflag"]
+    path = str(tmp_path / "stream_rollup")
+    R.materialize_rollup(li.filter(F.col("l_orderkey") % 2 == 0), path, grain, specs)
+    sink = rollup_stream_sink(path, app_id="loader-1")
+    batch = li.filter(F.col("l_orderkey") % 2 == 1)
+    sink(batch, 0)
+    before = {r.l_returnflag: r.sum_qty for r in
+              R.query_rollup(spark, path, grain, {"sum_qty": ("sum", "l_quantity")}).collect()}
+    # crash-replay of the SAME micro-batch: must be a no-op
+    sink(batch, 0)
+    after = {r.l_returnflag: r.sum_qty for r in
+             R.query_rollup(spark, path, grain, {"sum_qty": ("sum", "l_quantity")}).collect()}
+    assert before == after
+    # and the folded total equals a full recompute
+    full = str(tmp_path / "full2")
+    R.materialize_rollup(li, full, grain, specs)
+    want = {r.l_returnflag: r.sum_qty for r in
+            R.query_rollup(spark, full, grain, {"sum_qty": ("sum", "l_quantity")}).collect()}
+    assert after == want
+    # a LATER batch still folds (watermark advances, doesn't stick)
+    sink(li.limit(0), 1)   # empty fold advances watermark harmlessly
+    assert R.rollup_meta(path)["txn"] == {"loader-1": 1}
