@@ -3959,6 +3959,64 @@ def q_near_dup_components(spark, sf_dir):
 
 
 @_q(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(0.6)},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ),
+    assign AS (
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    )
+    SELECT doc_id, comp,
+           CASE WHEN ('0x' || substr(md5(cast(comp AS varchar)), 1, 2))::INT
+                     % 10 = 0
+                THEN 'test' ELSE 'train' END AS split
+    FROM assign
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    # Contamination-safe train/test split: hash the DUP-CLUSTER id, not
+    # the document id, so a near-dup pair can never straddle the split
+    # (the classic eval-leakage bug: test doc has a train twin).  Cluster
+    # = connected components over minhash near-dup pairs; singletons are
+    # their own cluster.  ~10% test via the first md5 byte of the cluster
+    # id — deterministic, engine-identical, and stable as the corpus
+    # grows (a cluster's split never changes when unrelated docs arrive).
+    from real_estate_project1_etl_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", round_digits=None, hash_fn="md5_60"
+    )
+    labels = connected_components(pairs, "id_a", "id_b", max_iter=10)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("comp").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 10
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("doc_id")))
+        .select(
+            "doc_id",
+            "comp",
+            F.when(bucket == 0, "test").otherwise("train").alias("split"),
+        )
+    )
+
+
+@_q(
     "documents_curation_pipeline",
     r"""
     WITH cleaned AS (

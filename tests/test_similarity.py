@@ -271,3 +271,27 @@ def test_projected_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     for r_ in projected_lsh_topk(emb, q, dim=64, proj_dim=16, k=5).collect():
         assert r_.query_id != r_.neighbor_id
         assert 1 <= r_.rank <= 5
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    # the whole point of the operator: no near-dup pair may have one side
+    # in train and the other in test
+    import __spark_entry__ as entry_mod
+    from real_estate_project1_etl_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    split = {
+        r.doc_id: r.split
+        for r in entry_mod.queries()["leakage_safe_split"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", round_digits=None, hash_fn="md5_60"
+    ).collect()
+    assert pairs, "expected planted near-dup pairs in testdata"
+    for p in pairs:
+        assert split[p.id_a] == split[p.id_b], (p.id_a, p.id_b)
+    # both splits are non-empty (the hash actually divides the corpus)
+    assert {"train", "test"} == set(split.values())
