@@ -408,7 +408,7 @@ def q_price_per_unit(spark, sf_dir):
     r"""
     SELECT p_partkey,
            CASE WHEN len(w) >= 2
-                THEN regexp_replace(array_to_string(w[-2:], ' '), ',$', '')
+                THEN regexp_replace(array_to_string(w[-2:], ' '), ',+$', '')
                 ELSE '' END AS last_two
     FROM (
         SELECT p_partkey,
@@ -445,14 +445,14 @@ def q_last_two_words(spark, sf_dir):
     SELECT p_partkey, address,
            CASE WHEN contains(lower(address), 'kraj')
                 THEN CASE WHEN len(w) >= 2
-                          THEN regexp_replace(array_to_string(w[-2:], ' '), ',$', '')
+                          THEN regexp_replace(array_to_string(w[-2:], ' '), ',+$', '')
                           ELSE '' END
                 ELSE 'Praha' END AS region,
            CASE WHEN contains(lower(address), 'kraj')
                 THEN CASE WHEN len(w) > 2
                           THEN regexp_replace(
                                  array_to_string(list_slice(w, 1, len(w) - 2), ' '),
-                                 ',$', '')
+                                 ',+$', '')
                           ELSE '' END
                 ELSE address END AS address_clean
     FROM words
@@ -941,6 +941,8 @@ _P_PURPOSE = [
     "Prodej domu",
     "Byt k pron\u00e1jmu",
     "Prodej gar\u00e1\u017ee",
+    "Pron\u00e1jem nebytov\u00e9ho prostoru",  # rent keyword (transform.py:45)
+    "Prodej chaty, chalupy",                   # sale keyword (transform.py:57)
 ]
 _P_PRICE = [
     "450 EUR",                                  # F1
@@ -962,13 +964,15 @@ def _bronze_spark(part_df):
         return c
 
     return part_df.select(
-        pick(6, _P_PURPOSE).alias("purpose"),
-        pick(5, [
+        pick(8, _P_PURPOSE).alias("purpose"),
+        pick(6, [
             F.concat(F.col("p_name"), F.lit(", Praha "), (k % 10).cast("string")),
             F.concat(F.col("p_name"), F.lit(", Jihomoravsk\u00fd kraj")),
             F.concat(F.col("p_name"), F.lit(", \u00dasteck\u00fd kraj")),
             F.concat(F.col("p_name"), F.lit(", Doln\u00fd kraj")),  # non-whitelist (F5)
             F.col("p_name"),                                     # no kraj -> Praha
+            # official inverted form \u2014 'kraj' mid-address (C10/C11 + F5)
+            F.concat(F.col("p_name"), F.lit(", Kraj Vyso\u010dina")),
         ]).alias("address"),
         pick(4, [
             F.concat(((k % 200) + 20).cast("string"), F.lit(" m\u00b2")),  # superscript
@@ -992,14 +996,15 @@ def _pipeline_sql() -> str:
     def q(s: str) -> str:
         return "'" + s + "'"
 
-    purpose = _sql_branches("k", 6, [q(s) for s in _P_PURPOSE])
+    purpose = _sql_branches("k", 8, [q(s) for s in _P_PURPOSE])
     price = _sql_branches("k", 7, [q(s) for s in _P_PRICE])
-    address = _sql_branches("k", 5, [
+    address = _sql_branches("k", 6, [
         "p_name || ', Praha ' || cast(k % 10 AS varchar)",
         "p_name || ', Jihomoravsk\u00fd kraj'",
         "p_name || ', \u00dasteck\u00fd kraj'",
         "p_name || ', Doln\u00fd kraj'",
         "p_name",
+        "p_name || ', Kraj Vyso\u010dina'",
     ])
     size = _sql_branches("k", 4, [
         "cast((k % 200) + 20 AS varchar) || ' m\u00b2'",
@@ -1055,14 +1060,14 @@ def _pipeline_sql() -> str:
         SELECT *,
             CASE WHEN contains(lower(address), 'kraj')
                  THEN CASE WHEN len(w) >= 2
-                           THEN regexp_replace(array_to_string(w[-2:], ' '), ',$', '')
+                           THEN regexp_replace(array_to_string(w[-2:], ' '), ',+$', '')
                            ELSE '' END
                  ELSE 'Praha' END AS region,
             CASE WHEN contains(lower(address), 'kraj')
                  THEN CASE WHEN len(w) > 2
                            THEN regexp_replace(
                                   array_to_string(list_slice(w, 1, len(w) - 2), ' '),
-                                  ',$', '')
+                                  ',+$', '')
                            ELSE '' END
                  ELSE address END AS address_clean
         FROM words

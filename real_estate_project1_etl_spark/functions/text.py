@@ -69,23 +69,25 @@ def _words(col: Column | str) -> Column:
 
 
 def last_two_words(col: Column | str) -> Column:
-    """C10 — last two whitespace-separated tokens joined by a space, with a
-    trailing comma stripped; '' when fewer than two words
-    (transform.py:81-87)."""
+    """C10 — last two whitespace-separated tokens joined by a space, with
+    trailing commas stripped; '' when fewer than two words
+    (transform.py:85-91). ``,+$`` mirrors the reference's ``rstrip(',')``,
+    which removes *all* trailing commas, not just one."""
     w = _words(col)
     return F.when(
         F.size(w) >= 2,
-        F.regexp_replace(F.concat_ws(" ", F.slice(w, -2, 2)), ",$", ""),
+        F.regexp_replace(F.concat_ws(" ", F.slice(w, -2, 2)), ",+$", ""),
     ).otherwise(F.lit(""))
 
 
 def drop_last_two_words(col: Column | str) -> Column:
-    """C12 helper — the string minus its last two words, trailing comma
-    stripped (transform.py:91 strips the region suffix from the address)."""
+    """C12 helper — the string minus its last two words, trailing commas
+    stripped (transform.py:95 strips the region suffix from the address;
+    ``,+$`` = Python ``rstrip(',')``)."""
     w = _words(col)
     return F.when(
         F.size(w) > 2,
-        F.regexp_replace(F.concat_ws(" ", F.slice(w, 1, F.size(w) - 2)), ",$", ""),
+        F.regexp_replace(F.concat_ws(" ", F.slice(w, 1, F.size(w) - 2)), ",+$", ""),
     ).otherwise(F.lit(""))
 
 

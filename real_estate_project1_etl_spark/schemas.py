@@ -59,8 +59,13 @@ PROPERTIES_CLEAN = _st(
     ("file_name", StringType()),
 )
 
-#: the 14-region whitelist (reference: transform.py:26-41), post-unidecode.
+#: the 14-region whitelist, transcribed verbatim from the reference
+#: (transform.py:26-41), post-unidecode. Note the official inverted form
+#: "Kraj Vysocina" — which is also what C10 (last-two-words) produces from a
+#: real "..., Kraj Vysocina" address, so any other spelling would silently
+#: drop every Vysocina listing. Pinned by tests/test_reference_fidelity.py.
 CZECH_REGIONS = [
+    "Praha",
     "Jihocesky kraj",
     "Jihomoravsky kraj",
     "Karlovarsky kraj",
@@ -70,10 +75,9 @@ CZECH_REGIONS = [
     "Olomoucky kraj",
     "Pardubicky kraj",
     "Plzensky kraj",
-    "Praha",
     "Stredocesky kraj",
     "Ustecky kraj",
-    "Vysocina kraj",
+    "Kraj Vysocina",
     "Zlinsky kraj",
 ]
 
