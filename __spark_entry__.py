@@ -2474,7 +2474,8 @@ def _luhn_sum_sql(expr: str, shift: int) -> str:
         FROM card
     ), c AS (
         SELECT doc_id, planted,
-               regexp_extract_all(planted, '[0-9]{{13,19}}') AS cands
+               list_filter(regexp_extract_all(planted, '[0-9]+|[^0-9]+'),
+                           s -> regexp_matches(s, '^[0-9]{{13,19}}$')) AS cands
         FROM p
     ), v AS (
         SELECT doc_id, planted, cands,
@@ -2484,18 +2485,21 @@ def _luhn_sum_sql(expr: str, shift: int) -> str:
     SELECT doc_id,
            cast(len(cands) AS bigint) AS n_cands,
            cast(len(valids) AS bigint) AS n_valid,
-           md5(list_reduce(list_prepend(planted, valids),
-                           (acc, x) -> replace(acc, x, '<CARD>'))) AS scrub_fp
+           md5(array_to_string(
+               list_transform(regexp_extract_all(planted, '[0-9]+|[^0-9]+'),
+                   s -> CASE WHEN regexp_matches(s, '^[0-9]{{13,19}}$')
+                                  AND {_luhn_sum_sql('s', 0)} % 10 = 0
+                             THEN '<CARD>' ELSE s END), '')) AS scrub_fp
     FROM v
     """,
 )
 def q_luhn_card_audit(spark, sf_dir):
     # payment-card PII pass: mint one Luhn-VALID and one Luhn-INVALID
     # 16-digit number per doc (check digit computed by the same expression
-    # tree on both engines), then extract digit-run candidates, keep the
-    # Luhn-valid ones, and fold them back over the text as <CARD>.  The
+    # tree on both engines), then extract MAXIMAL-digit-run candidates,
+    # keep the Luhn-valid ones, and rewrite them token-wise as <CARD>.  The
     # oracle mirrors the whole chain — checksum arithmetic, RE2-safe
-    # candidate regex, conditional fold-replace — so the scrub transcript
+    # tokenization, conditional token rewrite — so the scrub transcript
     # (md5) is compared verbatim, not just the counts.
     docs = _t(spark, sf_dir, "documents")
     body = F.concat(F.lit("4"), F.lpad(F.col("doc_id").cast("string"), 14, "0"))
@@ -2506,7 +2510,10 @@ def q_luhn_card_audit(spark, sf_dir):
         F.concat(body, cd.cast("string")),
         F.concat(body, ((cd + 1) % 10).cast("string")),
     )
-    cands = F.regexp_extract_all(planted, F.lit(r"[0-9]{13,19}"), 0)
+    cands = F.filter(
+        F.regexp_extract_all(planted, F.lit(r"[0-9]+|[^0-9]+"), 0),
+        lambda c: c.rlike(r"^[0-9]{13,19}$"),
+    )
     valids = T.find_payment_cards(planted)
     return docs.select(
         "doc_id",
@@ -2541,9 +2548,14 @@ def _canon_url_sql(u: str) -> str:
         "regexp_extract(" + u + ", '\\?([^#]*)', 1), '&'),"
         " kv -> kv <> '' AND NOT regexp_matches(kv, '^(utm_|fbclid|gclid)'))), '&')"
     )
+    # scheme-less inputs pass through unchanged (same guard as
+    # functions/web.canonicalize_url — without it every relative/malformed
+    # URL would collapse to one degenerate '://...' key)
     return (
-        scheme + " || '://' || " + host + " || " + path
+        "CASE WHEN " + scheme + " = '' THEN " + u + " ELSE "
+        + scheme + " || '://' || " + host + " || " + path
         + " || CASE WHEN " + query + " <> '' THEN '?' || " + query + " ELSE '' END"
+        + " END"
     )
 
 

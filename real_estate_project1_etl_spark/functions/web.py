@@ -87,7 +87,13 @@ def canonicalize_url(url: Column | str) -> Column:
     (``:80`` http / ``:443`` https), duplicate slashes collapsed and
     trailing slash dropped from the path, tracking params removed and the
     rest sorted, fragment dropped.  ``https://WWW.X.com:443/a//b/?utm_s=1&
-    id=2#top`` -> ``https://www.x.com/a/b?id=2``."""
+    id=2#top`` -> ``https://www.x.com/a/b?id=2``.
+
+    Inputs without a ``scheme://`` prefix (relative paths, bare hostnames,
+    garbage) pass through UNCHANGED: the component regexes all anchor on the
+    scheme, so without this guard every such input would collapse to a
+    degenerate shared key like ``://?id=2`` — merging unrelated documents
+    into one dedup cluster (silent document loss on real crawl data)."""
     u = _c(url)
     scheme = url_scheme(u)
     hostport = url_hostport(u)
@@ -102,12 +108,14 @@ def canonicalize_url(url: Column | str) -> Column:
         F.regexp_replace(url_path(u), r"/{2,}", "/"), r"/+$", ""
     )
     query = strip_tracking_params(url_query(u))
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    return F.when(scheme == "", u).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+        )
     )
 
 

@@ -677,35 +677,64 @@ def luhn_valid(digits: Column) -> Column:
     return luhn_checksum(digits) % 10 == 0
 
 
-_CARD_RUN_RX = r"[0-9]{13,19}"
+# tokenize text into alternating maximal digit / non-digit runs: candidates
+# are then MAXIMAL digit runs only.  A bare [0-9]{13,19} extract had two
+# false-positive modes (ADVICE round 2): a 20+-digit id yields its first 19
+# digits as a candidate (Luhn-passing ~10% of the time -> '<CARD>' spliced
+# mid-number), and a real card abutting other digits is absorbed into a
+# longer run yet still "found" via its prefix.  RE2-safe (no lookarounds).
+_TOKEN_RUN_RX = r"[0-9]+|[^0-9]+"
+_CARD_EXACT_RX = r"^[0-9]{13,19}$"
 # separator-tolerant form: 13-19 digits with single spaces/dashes between
 # groups ("4111 1111 1111 1111"); RE2-safe (no lookarounds) but only the
 # contiguous form is oracle-mirrored.
 _CARD_SEP_RX = r"[0-9](?:[ -]?[0-9]){11,17}[0-9]"
 
 
+def _card_tokens(t: Column) -> Column:
+    return F.regexp_extract_all(t, F.lit(_TOKEN_RUN_RX), 0)
+
+
 def find_payment_cards(text: Column | str, tolerate_separators: bool = False) -> Column:
     """Array of Luhn-valid card-number candidates found in free text.
-    Candidates are digit runs of card-plausible length (13-19); Luhn
-    filters the overwhelming majority of incidental numbers (ids,
+    Candidates are *maximal* digit runs of card-plausible length (13-19);
+    Luhn filters the overwhelming majority of incidental numbers (ids,
     timestamps) — doubling precision is exactly why scrubbers use it."""
     t = F.col(text) if isinstance(text, str) else text
-    rx = _CARD_SEP_RX if tolerate_separators else _CARD_RUN_RX
-    cands = F.regexp_extract_all(t, F.lit(rx), 0)
+    if tolerate_separators:
+        cands = F.regexp_extract_all(t, F.lit(_CARD_SEP_RX), 0)
+        return F.filter(
+            cands, lambda c: luhn_valid(F.regexp_replace(c, r"[ -]", ""))
+        )
     return F.filter(
-        cands, lambda c: luhn_valid(F.regexp_replace(c, r"[ -]", ""))
+        _card_tokens(t),
+        lambda c: c.rlike(_CARD_EXACT_RX) & luhn_valid(c),
     )
 
 
 def scrub_payment_cards(text: Column | str, tolerate_separators: bool = False) -> Column:
-    """Replace every Luhn-valid card number with ``<CARD>`` — fold the
-    validated candidate array back over the text with ``replace`` (a
-    conditional replacement no single regexp_replace can express).  Stays
-    entirely in codegen: extract + filter + fold are all native
-    higher-order functions."""
+    """Replace every Luhn-valid card number with ``<CARD>``.  The contiguous
+    form rewrites token-wise — split into digit/non-digit runs, map card
+    runs to the placeholder, rejoin — so a candidate's digit string is never
+    rewritten where it occurs *inside* another number, and the same card
+    appearing twice in a row is caught both times.  Stays entirely in
+    codegen: extract + transform + join are all native higher-order
+    functions."""
     t = F.col(text) if isinstance(text, str) else text
-    return F.aggregate(
-        find_payment_cards(t, tolerate_separators),
-        t,
-        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+    if tolerate_separators:
+        # fold-replace form (non-mirrored): separator-tolerant candidates
+        # can't be reassembled token-wise
+        return F.aggregate(
+            find_payment_cards(t, tolerate_separators=True),
+            t,
+            lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+        )
+    return F.array_join(
+        F.transform(
+            _card_tokens(t),
+            lambda c: F.when(
+                c.rlike(_CARD_EXACT_RX) & luhn_valid(c), F.lit("<CARD>")
+            ).otherwise(c),
+        ),
+        "",
     )

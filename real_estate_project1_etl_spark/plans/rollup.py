@@ -173,6 +173,48 @@ def update_rollup(
     writes a new versioned-table commit instead.
     """
     import os as _os
+    import time as _time
+
+    from ..sinks.writers import _recover_swap, _swap_dir
+
+    # Writer mutual exclusion: the fold is read-merge-swap, so two
+    # concurrent folders (the per-app txn watermark invites multiple apps)
+    # would silently lose one fold and collide on the tmp dir.  An
+    # exclusive-create lock file serializes folders on the same rollup;
+    # a stale lock (crashed holder) expires after 10 min.
+    lock = path.rstrip("/") + "._rollup_lock"
+    deadline = _time.monotonic() + 120.0
+    while True:
+        try:
+            fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if _time.time() - _os.path.getmtime(lock) > 600:
+                    _os.unlink(lock)  # stale holder
+                    continue
+            except OSError:
+                continue  # lock vanished between checks
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"rollup lock held too long: {lock} — another folder "
+                    "crashed? remove the lock file to recover"
+                )
+            _time.sleep(0.1)
+    try:
+        _update_rollup_locked(batch_df, path, txn)
+    finally:
+        try:
+            _os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _update_rollup_locked(
+    batch_df: DataFrame, path: str, txn: tuple[str, int] | None
+) -> None:
+    import os as _os
 
     from ..sinks.writers import _recover_swap, _swap_dir
 

@@ -50,6 +50,14 @@ def write_training_shards(
     (wrapped 64-bit) — order-sensitive (a swap changes it) and computable
     as one aggregate after the same exchange the write needs anyway.
     """
+    if "shard" in df.columns:
+        # 'shard' is the export's partition column; silently clobbering a
+        # user column of that name would drop it from row hashes AND the
+        # re-read data — a corrupted export with a passing manifest
+        raise ValueError(
+            "df already has a 'shard' column — rename it before export "
+            "('shard' is reserved for the shard partition key)"
+        )
     shard = (F.xxhash64(F.col(id_col)) % n_shards + n_shards) % n_shards
     prepared = df.withColumn("shard", shard.cast("int"))
     (

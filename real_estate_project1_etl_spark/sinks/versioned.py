@@ -180,6 +180,12 @@ def set_bloom_columns(
     512 B).  False-positive rate ~ (1-e^{-kn/m})^k — at 4096 bits / 5
     hashes, <1% up to ~400 distinct values per file; oversize ``n_bits``
     for bigger files.  Applies to commits made AFTER the call."""
+    # fail fast at config time: bit positions index a bytearray(n_bits//8),
+    # so a non-multiple-of-8 n_bits would crash every subsequent commit
+    if n_bits <= 0 or n_bits % 8 != 0:
+        raise ValueError(f"n_bits must be a positive multiple of 8, got {n_bits}")
+    if n_hashes <= 0:
+        raise ValueError(f"n_hashes must be positive, got {n_hashes}")
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _BLOOM_CFG), "w") as fh:
         json.dump({"cols": list(cols), "n_bits": n_bits, "k": n_hashes}, fh)

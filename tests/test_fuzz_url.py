@@ -46,6 +46,18 @@ def _messy_url(rng: random.Random) -> str:
     rng.shuffle(params)
     query = ("?" + "&".join(params)) if params else rng.choice(["", "?"])
     frag = rng.choice(["", "#top", "#a/b?c=1"])
+    # 1 in 5: scheme-less / malformed input — must pass through unchanged,
+    # never collapse to a shared degenerate key (ADVICE round 2)
+    if rng.random() < 0.2:
+        return rng.choice(
+            [
+                f"{path or '/x'}{query}",              # relative path
+                f"www.{host_base}{path}{query}",       # bare host, no scheme
+                f"//{host_base}{path}",                # protocol-relative
+                "not a url at all",
+                "",
+            ]
+        )
     return f"{scheme}://{host_base}{port}{path}{query}{frag}"
 
 

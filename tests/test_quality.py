@@ -263,3 +263,43 @@ def test_scrub_payment_cards_no_candidates_is_identity(spark):
     df = spark.createDataFrame([("no digits here", ), ("short 123456", )], "text string")
     out = [r.s for r in df.select(scrub_payment_cards(F.col("text")).alias("s")).collect()]
     assert out == ["no digits here", "short 123456"]
+
+
+def test_card_candidates_are_maximal_digit_runs(spark):
+    # ADVICE round 2: a 20+-digit id must yield NO candidate (its 19-digit
+    # prefix may pass Luhn by chance); a real card glued to other digits is
+    # one long run, not a card; the same card twice with single-char
+    # separators is caught both times; and a card's digit string embedded
+    # inside a longer number elsewhere is never rewritten there.
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        find_payment_cards,
+        scrub_payment_cards,
+    )
+
+    card = "4532015112830366"  # Luhn-valid
+    cases = [
+        # 26-digit order id containing a Luhn-valid 19-digit prefix zone
+        (f"order 12345678901234567890123456 end", []),
+        # card absorbed into a longer run -> not found
+        (f"ref 99{card} end", []),
+        # same card twice, single space apart -> both found + scrubbed
+        (f"{card} {card}", [card, card]),
+        # valid card AND its digits inside a longer number elsewhere
+        (f"pay {card} trace 00{card}11", [card]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = df.select(
+        "text",
+        find_payment_cards(F.col("text")).alias("found"),
+        scrub_payment_cards(F.col("text")).alias("scrubbed"),
+    ).collect()
+    by_text = {r.text: r for r in got}
+    for text, want in cases:
+        assert list(by_text[text].found) == want, text
+    assert by_text[f"{card} {card}"].scrubbed == "<CARD> <CARD>"
+    assert (
+        by_text[f"pay {card} trace 00{card}11"].scrubbed
+        == f"pay <CARD> trace 00{card}11"
+    )

@@ -175,3 +175,47 @@ def test_rollup_stream_sink_replay_is_exactly_once(spark, sf_dir, tmp_path):
     # a LATER batch still folds (watermark advances, doesn't stick)
     sink(li.limit(0), 1)   # empty fold advances watermark harmlessly
     assert R.rollup_meta(path)["txn"] == {"loader-1": 1}
+
+
+def test_update_rollup_excluded_while_lock_held(spark, sf_dir, tmp_path):
+    # ADVICE round 2: the fold is read-merge-swap; concurrent folders must
+    # serialize on the lock file.  Simulate a live holder and assert the
+    # second folder waits (here: times out fast via a short deadline patch),
+    # then folds fine once the lock is released.
+    import os
+    import time
+
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    specs = {"sum_qty": ("sum", "l_quantity")}
+    path = str(tmp_path / "locked")
+    R.materialize_rollup(li.filter(F.col("l_orderkey") % 2 == 0), path, ["l_returnflag"], specs)
+
+    lock = path.rstrip("/") + "._rollup_lock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    t0 = time.monotonic()
+    import threading
+
+    done = threading.Event()
+
+    def folder():
+        R.update_rollup(li.filter(F.col("l_orderkey") % 2 == 1), path)
+        done.set()
+
+    t = threading.Thread(target=folder, daemon=True)
+    t.start()
+    time.sleep(0.6)
+    assert not done.is_set(), "folder must block while the lock is held"
+    os.unlink(lock)
+    t.join(timeout=60)
+    assert done.is_set(), "folder must proceed after release"
+    assert time.monotonic() - t0 > 0.5
+    # and the fold actually happened (lock released + data merged)
+    assert not os.path.exists(lock)
+    got = R.query_rollup(spark, path, ["l_returnflag"], {"sum_qty": ("sum", "l_quantity")})
+    want = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("sum_qty"))
+    assert {
+        (r["l_returnflag"], float(r["sum_qty"])) for r in got.collect()
+    } == {(r["l_returnflag"], float(r["sum_qty"])) for r in want.collect()}

@@ -54,3 +54,15 @@ def test_shards_verify_detects_tamper(spark, sf_dir, tmp_path):
         os.remove(f)
     with pytest.raises(ValueError):
         verify_training_shards(spark, path)
+
+
+def test_shards_reject_preexisting_shard_column(spark, tmp_path):
+    import pytest
+
+    from real_estate_project1_etl_spark.sinks.shards import write_training_shards
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id").withColumn(
+        "shard", F.lit("user-data")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        write_training_shards(df, str(tmp_path / "x"), 2, "doc_id")

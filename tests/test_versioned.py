@@ -476,3 +476,16 @@ def test_bloom_unsupported_type_never_prunes(spark, tmp_path):
     # floats never participate in blooms; min/max may still prune the
     # second file (2.5 < 3.5) but the matching row must always survive
     assert [r.v for r in out.collect()] == [2]
+
+
+def test_set_bloom_columns_rejects_bad_n_bits(tmp_path):
+    import pytest
+
+    from real_estate_project1_etl_spark.sinks.versioned import set_bloom_columns
+
+    for bad in (0, -8, 12, 4097):
+        with pytest.raises(ValueError):
+            set_bloom_columns(str(tmp_path / "t"), ["k"], n_bits=bad)
+    with pytest.raises(ValueError):
+        set_bloom_columns(str(tmp_path / "t"), ["k"], n_hashes=0)
+    set_bloom_columns(str(tmp_path / "t"), ["k"], n_bits=4096)  # valid

@@ -65,3 +65,16 @@ def test_registrable_domain(spark):
     got = [r.d for r in df.select(registrable_domain(F.col("h")).alias("d")).collect()]
     for (h, want), g in zip(cases.items(), got):
         assert g == want, f"{h!r}: {g!r} != {want!r}"
+
+
+def test_schemeless_urls_pass_through_unchanged(spark):
+    # ADVICE round 2: without the scheme guard, '/x?id=1' and '/y?id=1'
+    # both canonicalized to '://?id=1' — unrelated documents merged into
+    # one dedup cluster. Scheme-less inputs must keep distinct keys.
+    from real_estate_project1_etl_spark.functions.web import canonicalize_url
+
+    raw = ["/x?id=1", "/y?id=1", "www.a.com/x", "www.b.com/x", "", "not a url"]
+    df = spark.createDataFrame([(u,) for u in raw], "u string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == raw  # identity on unparseable inputs
+    assert len(set(got)) == len(raw)
