@@ -24,11 +24,21 @@ from real_estate_project1_etl_spark.functions.numeric import guarded_ratio_int
 from real_estate_project1_etl_spark.functions.text import (
     _DIACRITICS_DST,
     _DIACRITICS_SRC,
+    _MULTI_PAIRS,
     digits_only,
     last_two_words,
     nbsp_to_space,
     strip_diacritics,
 )
+
+
+def _translit_sql(expr: str) -> str:
+    """DuckDB mirror of functions/text.strip_diacritics: the multi-char
+    folds as a literal-replace chain, then the 1:1 block as translate."""
+    out = expr
+    for src, dst in _MULTI_PAIRS:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return f"translate({out}, '{_DIACRITICS_SRC}', '{_DIACRITICS_DST}')"
 from real_estate_project1_etl_spark.operators import relational as R
 from real_estate_project1_etl_spark.operators import textstats as T
 from real_estate_project1_etl_spark.operators.cleaning import (
@@ -483,15 +493,17 @@ def q_region_derive(spark, sf_dir):
     "unidecode_translate",
     f"""
     SELECT c_custkey,
-           translate(c_name || ' Ústí nad Labem čěžýáíé m²',
-                     '{_DIACRITICS_SRC}', '{_DIACRITICS_DST}') AS ascii_name
+           {_translit_sql("c_name || ' Ústí nad Labem čěžýáíé m² "
+                          "Straße Łódź Ærø Þór Ĳssel œuf ŋ'")} AS ascii_name
     FROM customer
     """,
 )
 def q_unidecode_translate(spark, sf_dir):
-    # C1 — transliteration via finite translate map (extract.py:45)
+    # C1 — transliteration: replace-chain (ß,Æ,Œ,Þ,Ĳ,Ŋ) + finite translate
+    # map over Latin-1 Supplement + Latin Extended-A (extract.py:45)
     s = F.concat(
-        F.col("c_name"), F.lit(" Ústí nad Labem čěžýáíé m²")
+        F.col("c_name"),
+        F.lit(" Ústí nad Labem čěžýáíé m² Straße Łódź Ærø Þór Ĳssel œuf ŋ"),
     )
     return _t(spark, sf_dir, "customer").select(
         "c_custkey", strip_diacritics(s).alias("ascii_name")
@@ -1015,7 +1027,6 @@ def _pipeline_sql() -> str:
     rent_rx = "|".join(RENT_KEYWORDS)
     sale_rx = "|".join(SALE_KEYWORDS)
     regions = ",".join(q(r) for r in CZECH_REGIONS)
-    tr = f"'{_DIACRITICS_SRC}', '{_DIACRITICS_DST}'"
     return f"""
     WITH raw AS (
         SELECT p_partkey AS k, p_name FROM part
@@ -1029,12 +1040,12 @@ def _pipeline_sql() -> str:
                '/nemovitost/' || cast(k % 150 AS varchar) AS link
         FROM raw
     ), bronze AS (
-        SELECT trim(translate(purpose, {tr})) AS purpose,
-               trim(translate(address, {tr})) AS address,
-               trim(translate(size_m2, {tr})) AS size_m2,
-               trim(translate(design, {tr})) AS design,
-               trim(translate(price_czk, {tr})) AS price_czk,
-               trim(translate(link, {tr})) AS link
+        SELECT trim({_translit_sql('purpose')}) AS purpose,
+               trim({_translit_sql('address')}) AS address,
+               trim({_translit_sql('size_m2')}) AS size_m2,
+               trim({_translit_sql('design')}) AS design,
+               trim({_translit_sql('price_czk')}) AS price_czk,
+               trim({_translit_sql('link')}) AS link
         FROM bronze0
     ), dedup AS (
         SELECT * FROM (

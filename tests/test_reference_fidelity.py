@@ -289,3 +289,90 @@ def test_pandas_differential(spark):
         f"first diffs: {[x for x in exp_c if x not in got_c][:3]} | "
         f"{[x for x in got_c if x not in exp_c][:3]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Transliteration breadth (round-2 verdict item 3): the reference unidecodes
+# ANY Unicode (extract.py:45); strip_diacritics must cover at least every
+# Latin-1 Supplement + Latin Extended-A letter with unidecode-identical
+# output, so a German/Polish/Nordic character in an address never passes
+# through untouched where the reference would ASCII-fold it.
+# ---------------------------------------------------------------------------
+
+# real-text samples with hand-transcribed unidecode outputs (vendored — the
+# unidecode package is not a runtime dep; if it IS importable the full
+# per-char parity test below runs too)
+_TRANSLIT_SAMPLES = {
+    "Łódź": "Lodz",
+    "Kraków": "Krakow",
+    "Ærøskøbing": "AEroskobing",
+    "Großstraße": "Grossstrasse",
+    "İstanbul": "Istanbul",
+    "Þingvellir": "Thingvellir",
+    "François": "Francois",
+    "Señor Ñandú": "Senor Nandu",
+    "œuvre d'Œdipe": "oeuvre d'OEdipe",
+    "Ĳsselmeer": "IJsselmeer",
+    "ďáblův mlýn": "dabluv mlyn",
+    "Tübingen–Gauß": "Tübingen–Gauss".replace("ü", "u"),  # dash outside blocks passes through
+    "ʒoker": "ʒoker",  # IPA block NOT covered — documented pass-through
+}
+
+
+def test_transliteration_parity_samples(spark):
+    from real_estate_project1_etl_spark.functions.text import strip_diacritics
+
+    df = spark.createDataFrame([(s,) for s in _TRANSLIT_SAMPLES], "s string")
+    got = {r.s: r.t for r in df.select("s", strip_diacritics(F.col("s")).alias("t")).collect()}
+    for s, want in _TRANSLIT_SAMPLES.items():
+        assert got[s] == want, (s, got[s], want)
+
+
+def test_transliteration_covers_every_latin_letter(spark):
+    import unicodedata
+
+    from real_estate_project1_etl_spark.functions.text import (
+        _DIACRITIC_PAIRS,
+        _MULTI_PAIRS,
+        strip_diacritics,
+    )
+
+    covered = {src for src, _ in _DIACRITIC_PAIRS} | {s for s, _ in _MULTI_PAIRS}
+    missing = []
+    for cp in range(0xC0, 0x180):  # Latin-1 letters + Latin Extended-A
+        ch = chr(cp)
+        if not unicodedata.category(ch).startswith("L"):
+            continue
+        if ch == "ŉ":  # ŉ — deprecated codepoint, unidecode "'n"; excluded
+            continue
+        if ch not in covered:
+            missing.append(f"U+{cp:04X} {ch}")
+    assert not missing, missing
+
+    # and every covered char folds to pure ASCII through the real expression
+    chars = sorted(covered)
+    df = spark.createDataFrame([(c,) for c in chars], "c string")
+    rows = df.select("c", strip_diacritics(F.col("c")).alias("t")).collect()
+    for r in rows:
+        assert r.t.isascii() and r.t != "", (r.c, r.t)
+
+
+def test_transliteration_matches_unidecode_if_available(spark):
+    import pytest
+
+    try:
+        from unidecode import unidecode
+    except ImportError:
+        pytest.skip("unidecode not installed; vendored-sample parity covers")
+    from real_estate_project1_etl_spark.functions.text import (
+        _DIACRITIC_PAIRS,
+        _MULTI_PAIRS,
+        strip_diacritics,
+    )
+
+    chars = [src for src, _ in _DIACRITIC_PAIRS if src not in (" ", " ")]
+    chars += [s for s, _ in _MULTI_PAIRS]
+    df = spark.createDataFrame([(c,) for c in chars], "c string")
+    got = {r.c: r.t for r in df.select("c", strip_diacritics(F.col("c")).alias("t")).collect()}
+    for c in chars:
+        assert got[c] == unidecode(c), (hex(ord(c)), got[c], unidecode(c))
