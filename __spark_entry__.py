@@ -2554,19 +2554,29 @@ def _canon_url_sql(u: str) -> str:
         + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
         " '/{2,}', '/', 'g'), '/+$', '')"
     )
+    # the ? must precede any # — a ? inside the fragment is fragment text,
+    # not a query (mirrors functions/web.url_query's anchored regex)
     query = (
         "array_to_string(list_sort(list_filter(string_split("
-        "regexp_extract(" + u + ", '\\?([^#]*)', 1), '&'),"
+        "regexp_extract(" + u + ", '^[^#?]*\\?([^#]*)', 1), '&'),"
         " kv -> kv <> '' AND NOT regexp_matches(kv, '^(utm_|fbclid|gclid)'))), '&')"
     )
-    # scheme-less inputs pass through unchanged (same guard as
-    # functions/web.canonicalize_url — without it every relative/malformed
-    # URL would collapse to one degenerate '://...' key)
+    qsfx = "CASE WHEN " + query + " <> '' THEN '?' || " + query + " ELSE '' END"
+    # protocol-relative (//host/path) branch — mirrors canonicalize_url
+    rel_host = "lower(regexp_extract(" + u + ", '^//([^/?#]*)', 1))"
+    rel_path = (
+        "regexp_replace(regexp_replace(regexp_extract(" + u
+        + ", '^//[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g'), '/+$', '')"
+    )
+    # scheme-less non-protocol-relative inputs pass through unchanged (same
+    # guard as functions/web.canonicalize_url — without it every relative/
+    # malformed URL would collapse to one degenerate '://...' key)
     return (
-        "CASE WHEN " + scheme + " = '' THEN " + u + " ELSE "
-        + scheme + " || '://' || " + host + " || " + path
-        + " || CASE WHEN " + query + " <> '' THEN '?' || " + query + " ELSE '' END"
-        + " END"
+        "CASE WHEN " + scheme + " <> '' THEN "
+        + scheme + " || '://' || " + host + " || " + path + " || " + qsfx
+        + " WHEN regexp_matches(" + u + ", '^//[^/]') THEN "
+        + "'//' || " + rel_host + " || " + rel_path + " || " + qsfx
+        + " ELSE " + u + " END"
     )
 
 
@@ -2580,19 +2590,27 @@ def _reg_domain_sql(h: str) -> str:
 
 _MESSY_URL_SQL = """
         CASE
-          WHEN doc_id % 4 = 0 THEN
+          WHEN doc_id % 6 = 0 THEN
             'https://WWW.Src' || cast((doc_id % 150) % 20 AS varchar)
               || '.Example.COM:443/a//b' || cast(doc_id % 150 AS varchar)
               || '/?utm_source=feed&id=' || cast(doc_id % 150 AS varchar) || '#top'
-          WHEN doc_id % 4 = 1 THEN
+          WHEN doc_id % 6 = 1 THEN
             'https://www.src' || cast((doc_id % 150) % 20 AS varchar)
               || '.example.com/a/b' || cast(doc_id % 150 AS varchar)
               || '?id=' || cast(doc_id % 150 AS varchar) || '&utm_campaign=x'
-          WHEN doc_id % 4 = 2 THEN
+          WHEN doc_id % 6 = 2 THEN
             'HTTPS://www.SRC' || cast((doc_id % 150) % 20 AS varchar)
               || '.example.com/a/b' || cast(doc_id % 150 AS varchar)
               || '/?fbclid=z' || cast(doc_id AS varchar)
               || '&id=' || cast(doc_id % 150 AS varchar)
+          WHEN doc_id % 6 = 3 THEN
+            'https://www.src' || cast((doc_id % 150) % 20 AS varchar)
+              || '.example.com:443/a/b' || cast(doc_id % 150 AS varchar)
+              || '#f?gclid=1&id=' || cast(doc_id AS varchar)
+          WHEN doc_id % 6 = 4 THEN
+            '//WWW.src' || cast((doc_id % 150) % 20 AS varchar)
+              || '.example.com/a//b' || cast(doc_id % 150 AS varchar)
+              || '/?id=' || cast(doc_id % 150 AS varchar) || '&utm_z=1#frag'
           ELSE
             'https://www.src' || cast((doc_id % 150) % 20 AS varchar)
               || '.example.com:443/a/b' || cast(doc_id % 150 AS varchar)
@@ -2636,7 +2654,7 @@ def q_url_canonical_dedup(spark, sf_dir):
     p = (F.col("doc_id") % 150).cast("string")
     d = ((F.col("doc_id") % 150) % 20).cast("string")
     ids = F.col("doc_id").cast("string")
-    v = F.col("doc_id") % 4
+    v = F.col("doc_id") % 6
     messy = (
         F.when(
             v == 0,
@@ -2657,6 +2675,24 @@ def q_url_canonical_dedup(spark, sf_dir):
             F.concat(
                 F.lit("HTTPS://www.SRC"), d, F.lit(".example.com/a/b"), p,
                 F.lit("/?fbclid=z"), ids, F.lit("&id="), p,
+            ),
+        )
+        .when(
+            v == 3,
+            # the ONLY '?' is inside the fragment: must parse as no-query
+            # (round-3 verdict item 2 — the old unanchored regex read
+            # 'gclid=1&id=...' as the query)
+            F.concat(
+                F.lit("https://www.src"), d, F.lit(".example.com:443/a/b"), p,
+                F.lit("#f?gclid=1&id="), ids,
+            ),
+        )
+        .when(
+            v == 4,
+            # protocol-relative spelling (ADVICE round 3)
+            F.concat(
+                F.lit("//WWW.src"), d, F.lit(".example.com/a//b"), p,
+                F.lit("/?id="), p, F.lit("&utm_z=1#frag"),
             ),
         )
         .otherwise(

@@ -45,7 +45,7 @@ def _messy_url(rng: random.Random) -> str:
         )
     rng.shuffle(params)
     query = ("?" + "&".join(params)) if params else rng.choice(["", "?"])
-    frag = rng.choice(["", "#top", "#a/b?c=1"])
+    frag = rng.choice(["", "#top", "#a/b?c=1", "#f?x=1", "#?", "#b?c"])
     # 1 in 5: scheme-less / malformed input — must pass through unchanged,
     # never collapse to a shared degenerate key (ADVICE round 2)
     if rng.random() < 0.2:

@@ -46,12 +46,28 @@ def test_hypothesis_digits_only_matches_model(spark, strings):
             assert o == int(expected), (s, o, expected)
 
 
+def _strip_diacritics_model(s: str) -> str:
+    # pure-python twin of strip_diacritics: multi-char folds first, then the
+    # 1:1 translate block — same constant tables the expression tree uses
+    from real_estate_project1_etl_spark.functions.text import (
+        _DIACRITIC_PAIRS,
+        _MULTI_PAIRS,
+    )
+
+    for src, dst in _MULTI_PAIRS:
+        s = s.replace(src, dst)
+    return s.translate(str.maketrans(dict(_DIACRITIC_PAIRS)))
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(TEXT, min_size=1, max_size=30))
-def test_hypothesis_strip_diacritics_length_preserving(spark, strings):
+def test_hypothesis_strip_diacritics_model_and_monotone(spark, strings):
+    # 1:N folds (Œ→OE, ß→ss) mean the output can only GROW — the old
+    # length-preserving invariant was a round-1 artifact of the 1:1-only map
     out = _batch(spark, strings, strip_diacritics)
     for s, o in zip(strings, out):
-        assert len(s) == len(o), (s, o)
+        assert len(o) >= len(s), (s, o)
+        assert o == _strip_diacritics_model(s), (s, o)
     assert _batch(spark, out, strip_diacritics) == out  # idempotent
 
 
@@ -92,7 +108,7 @@ def test_strip_diacritics_idempotent_and_ascii_fixed(spark):
     twice = _batch(spark, once, strip_diacritics)
     assert once == twice  # idempotent
     for s, o in zip(strings, once):
-        assert len(s) == len(o)  # translate is 1:1, length-preserving
+        assert len(s) == len(o)  # these strings use only 1:1 foldings
         if s.isascii():
             assert s == o
 

@@ -6,7 +6,9 @@ Replicates the grading driver: run ``entry(spark)`` (smoke), then every
 comparing sorted column names + the multiset of stringified rows
 (NaN/None -> "NULL"). Exit code 0 iff everything matches.
 
-Usage: python tools/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/driver_sim.py [sf_dir] [name_substr ...]
+(default sf_dir /root/testdata/sf0.01; optional substrings restrict the run
+to matching query names — fast single-query oracle checks while iterating)
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filters = sys.argv[2:]
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
@@ -79,6 +82,12 @@ def main() -> int:
         )
 
     queries, oracles = mod.queries(), mod.oracle_sql()
+    if name_filters:
+        queries = {
+            n: q for n, q in queries.items()
+            if any(f in n for f in name_filters)
+        }
+        oracles = {n: o for n, o in oracles.items() if n in queries}
     bad: list[str] = []
     t0 = time.time()
     for name in sorted(queries):
