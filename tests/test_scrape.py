@@ -54,7 +54,9 @@ def test_scrape_to_dataframe_distributed(spark):
     def local_fetch(page: int) -> str:
         return tmpl.format(i=page % 9, page=page)
 
-    df = scrape_to_dataframe(spark, local_fetch, pages=6, fetch_partitions=3)
+    df = scrape_to_dataframe(
+        spark, local_fetch, pages=6, fetch_partitions=3, min_interval_s=0.0
+    )
     assert df.count() == 12
     assert df.columns == ["purpose", "address", "size_m2", "design", "price_czk", "link"]
     bronze = scraped_rows_to_bronze(df)
@@ -62,3 +64,107 @@ def test_scrape_to_dataframe_distributed(spark):
     # transliteration applied (extract.py:45): č -> c, ² -> 2
     assert got["/nemovitost/3-3"].price_czk == "5 300 000 Kc"
     assert got["/nemovitost/3-3"].size_m2 == "43 m2"
+
+
+class FakeClock:
+    """Deterministic clock: time advances ONLY via sleep()."""
+
+    def __init__(self) -> None:
+        self.now = 0.0
+        self.sleeps: list[float] = []
+
+    def clock(self) -> float:
+        return self.now
+
+    def sleep(self, s: float) -> None:
+        self.sleeps.append(s)
+        self.now += s
+
+
+def test_rate_limiter_spacing_fake_clock():
+    # reference politeness: >= 2 s between page fetches (extract.py:64).
+    # With a fake clock the limiter must space 5 acquires 2 s apart —
+    # zero sleep for the first, exactly the shortfall for the rest.
+    from real_estate_project1_etl_spark.sources.scrape import RateLimiter
+
+    fc = FakeClock()
+    rl = RateLimiter(2.0, clock=fc.clock, sleep=fc.sleep)
+    times = []
+    for _ in range(5):
+        rl.acquire()
+        times.append(fc.now)
+    for a, b in zip(times, times[1:]):
+        assert b - a >= 2.0, times
+    assert fc.sleeps == [2.0, 2.0, 2.0, 2.0]  # first acquire is free
+
+    # work BETWEEN acquires counts against the interval: 1.5 s of parsing
+    # means only 0.5 s of sleep is owed
+    fc2 = FakeClock()
+    rl2 = RateLimiter(2.0, clock=fc2.clock, sleep=fc2.sleep)
+    rl2.acquire()
+    fc2.now += 1.5
+    rl2.acquire()
+    assert fc2.sleeps == [0.5]
+
+
+def test_fetch_with_retry_backoff_and_exhaustion():
+    from real_estate_project1_etl_spark.sources.scrape import fetch_with_retry
+
+    calls = []
+    fails = {"n": 2}
+
+    def flaky(page: int) -> str:
+        calls.append(page)
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise ConnectionError("boom")
+        return f"<html>{page}</html>"
+
+    fc = FakeClock()
+    out = fetch_with_retry(flaky, 7, max_retries=3, backoff_s=1.0, sleep=fc.sleep)
+    assert out == "<html>7</html>"
+    assert calls == [7, 7, 7]          # 2 failures + 1 success
+    assert fc.sleeps == [1.0, 2.0]     # exponential backoff
+
+    def dead(page: int) -> str:
+        raise ConnectionError("down")
+
+    fc2 = FakeClock()
+    try:
+        fetch_with_retry(dead, 1, max_retries=2, backoff_s=1.0, sleep=fc2.sleep)
+        raise AssertionError("expected ConnectionError")
+    except ConnectionError:
+        pass
+    assert fc2.sleeps == [1.0, 2.0]    # retried exactly max_retries times
+
+
+def test_scrape_throttle_spacing_per_partition(spark, tmp_path):
+    # integration: executors really space fetches >= min_interval_s apart
+    # WITHIN each partition (partitions are concurrent by design — the
+    # aggregate-rate knob is fetch_partitions, see scrape_to_dataframe).
+    # Fetch timestamps are recorded to a shared dir because executor
+    # workers are separate processes.
+    import time as _t
+
+    tmpl = PAGE_TMPL
+    rec = str(tmp_path)
+    interval = 0.2
+
+    def recording_fetch(page: int) -> str:
+        with open(f"{rec}/{page}.ts", "w") as fh:
+            fh.write(repr(_t.monotonic()))
+        return tmpl.format(i=page % 9, page=page)
+
+    df = scrape_to_dataframe(
+        spark, recording_fetch, pages=6, fetch_partitions=2,
+        min_interval_s=interval,
+    )
+    assert df.count() == 12
+    stamps = {
+        int(p.stem): float(p.read_text()) for p in tmp_path.glob("*.ts")
+    }
+    # spark.range(1, 7, numPartitions=2) splits contiguously: {1,2,3}, {4,5,6}
+    for part in ([1, 2, 3], [4, 5, 6]):
+        ts = sorted(stamps[p] for p in part)
+        for a, b in zip(ts, ts[1:]):
+            assert b - a >= interval * 0.9, (part, ts)
