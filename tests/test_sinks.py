@@ -34,6 +34,50 @@ def _props_df(spark):
     )
 
 
+def _scan_metrics(df) -> dict[str, int]:
+    """Executed-plan FileSourceScan metrics (run an action first)."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    out: dict[str, int] = {}
+    it = leaves.apply(0).metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2().value()
+    return out
+
+
+def test_write_silver_partition_pruning(spark, tmp_path):
+    # round-2 item 8 / round-3 verdict item 5: the date-partitioned silver
+    # layout must actually PRUNE — a single-date query reads ONE partition
+    # (and one file), not the table. Asserted from the executed scan's
+    # numPartitions/numFiles metrics, the same counters the SQL UI shows.
+    from real_estate_project1_etl_spark.sinks.writers import write_silver
+
+    path = str(tmp_path / "silver")
+    base = _props_df(spark)  # dump_date spans 2024-01-01 and 2024-01-02
+    write_silver(base, path)
+    # a third day via a second append — pruning must hold across appends
+    write_silver(
+        base.withColumn(
+            "dump_date", F.col("dump_date") + F.expr("interval 2 days")
+        ),
+        path,
+    )
+    table = spark.read.parquet(path)
+    assert table.select("ingest_date").distinct().count() == 4
+
+    one_day = table.filter(F.col("ingest_date") == "2024-01-02")
+    rows = one_day.collect()
+    assert {r.ingest_date.isoformat() for r in rows} == {"2024-01-02"}
+    m = _scan_metrics(one_day)
+    assert m["numPartitions"] == 1, m
+    assert m["numFiles"] == 1, m  # repartition("ingest_date") -> 1 file/day
+
+    # unfiltered control: all four date partitions scanned
+    all_days = spark.read.parquet(path).select("purpose")
+    all_days.collect()
+    assert _scan_metrics(all_days)["numPartitions"] == 4
+
+
 def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     # K4 exercised against a REAL database (embedded Derby ships on
     # Spark's classpath): write via createTableColumnTypes, read back via
