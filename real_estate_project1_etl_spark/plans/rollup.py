@@ -149,7 +149,10 @@ def _partial_aggs(specs: dict) -> list:
 
 
 def update_rollup(
-    batch_df: DataFrame, path: str, txn: tuple[str, int] | None = None
+    batch_df: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
+    wait_timeout_s: float = 900.0,
 ) -> None:
     """Fold a NEW batch of base-table rows into an existing rollup without
     touching the base table — the maintenance loop that keeps summary
@@ -172,43 +175,45 @@ def update_rollup(
     place; recovery on next entry).  At cluster scale the same merge
     writes a new versioned-table commit instead.
     """
+    import fcntl as _fcntl
     import os as _os
     import time as _time
-
-    from ..sinks.writers import _recover_swap, _swap_dir
 
     # Writer mutual exclusion: the fold is read-merge-swap, so two
     # concurrent folders (the per-app txn watermark invites multiple apps)
     # would silently lose one fold and collide on the tmp dir.  An
-    # exclusive-create lock file serializes folders on the same rollup;
-    # a stale lock (crashed holder) expires after 10 min.
+    # ``fcntl.flock`` on a PERSISTENT lock file is held for the whole fold
+    # (ADVICE round 3): the kernel releases it the instant a holder
+    # crashes, so there is no staleness window to misjudge, no mtime to
+    # refresh, and — because the file is never unlinked — no
+    # steal/double-unlink race between waiters.  Waiters poll
+    # non-blockingly up to ``wait_timeout_s`` (default 15 min >= any
+    # healthy fold; a parameter, not a constant, so long folds don't crash
+    # a streaming foreachBatch caller).  Like the plain-parquet swap sinks
+    # this is the LOCAL-FS tier; on an object store the versioned-table
+    # commit (sinks/versioned.py) provides the mutual exclusion instead.
     lock = path.rstrip("/") + "._rollup_lock"
-    deadline = _time.monotonic() + 120.0
-    while True:
-        try:
-            fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
-            _os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if _time.time() - _os.path.getmtime(lock) > 600:
-                    _os.unlink(lock)  # stale holder
-                    continue
-            except OSError:
-                continue  # lock vanished between checks
-            if _time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"rollup lock held too long: {lock} — another folder "
-                    "crashed? remove the lock file to recover"
-                )
-            _time.sleep(0.1)
+    fd = _os.open(lock, _os.O_CREAT | _os.O_RDWR)
+    deadline = _time.monotonic() + float(wait_timeout_s)
     try:
-        _update_rollup_locked(batch_df, path, txn)
-    finally:
+        while True:
+            try:
+                _fcntl.flock(fd, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+                break
+            except OSError:
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"rollup lock busy for >{wait_timeout_s}s: {lock} — "
+                        "another folder is (still) running; raise "
+                        "wait_timeout_s if its folds legitimately take longer"
+                    )
+                _time.sleep(0.1)
         try:
-            _os.unlink(lock)
-        except OSError:
-            pass
+            _update_rollup_locked(batch_df, path, txn)
+        finally:
+            _fcntl.flock(fd, _fcntl.LOCK_UN)
+    finally:
+        _os.close(fd)
 
 
 def _update_rollup_locked(

@@ -178,11 +178,16 @@ def test_rollup_stream_sink_replay_is_exactly_once(spark, sf_dir, tmp_path):
 
 
 def test_update_rollup_excluded_while_lock_held(spark, sf_dir, tmp_path):
-    # ADVICE round 2: the fold is read-merge-swap; concurrent folders must
-    # serialize on the lock file.  Simulate a live holder and assert the
-    # second folder waits (here: times out fast via a short deadline patch),
-    # then folds fine once the lock is released.
+    # ADVICE rounds 2+3: concurrent folders serialize on an fcntl.flock
+    # held for the WHOLE fold (not an exclusive-create file whose mtime a
+    # newcomer could misjudge as stale and unlink from under a live
+    # holder).  Simulate a live holder by flocking the persistent lock
+    # file; the second folder must block until the flock releases, then
+    # fold correctly.  flock treats separately-opened fds in one process
+    # as independent holders, so the simulation is faithful.
+    import fcntl
     import os
+    import threading
     import time
 
     from real_estate_project1_etl_spark.sources.parquet import load_table
@@ -193,11 +198,9 @@ def test_update_rollup_excluded_while_lock_held(spark, sf_dir, tmp_path):
     R.materialize_rollup(li.filter(F.col("l_orderkey") % 2 == 0), path, ["l_returnflag"], specs)
 
     lock = path.rstrip("/") + "._rollup_lock"
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.close(fd)
+    holder_fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(holder_fd, fcntl.LOCK_EX)
     t0 = time.monotonic()
-    import threading
-
     done = threading.Event()
 
     def folder():
@@ -207,15 +210,54 @@ def test_update_rollup_excluded_while_lock_held(spark, sf_dir, tmp_path):
     t = threading.Thread(target=folder, daemon=True)
     t.start()
     time.sleep(0.6)
-    assert not done.is_set(), "folder must block while the lock is held"
-    os.unlink(lock)
+    assert not done.is_set(), "folder must block while the flock is held"
+    # a waiter never unlinks a LIVE holder's lock (the round-3 steal bug):
+    # the lock file must still exist and the holder's flock still be valid
+    assert os.path.exists(lock)
+    fcntl.flock(holder_fd, fcntl.LOCK_UN)
+    os.close(holder_fd)
     t.join(timeout=60)
     assert done.is_set(), "folder must proceed after release"
     assert time.monotonic() - t0 > 0.5
-    # and the fold actually happened (lock released + data merged)
-    assert not os.path.exists(lock)
     got = R.query_rollup(spark, path, ["l_returnflag"], {"sum_qty": ("sum", "l_quantity")})
     want = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("sum_qty"))
     assert {
         (r["l_returnflag"], float(r["sum_qty"])) for r in got.collect()
     } == {(r["l_returnflag"], float(r["sum_qty"])) for r in want.collect()}
+
+
+def test_update_rollup_wait_deadline_is_a_parameter(spark, sf_dir, tmp_path):
+    # ADVICE round 3: the old 120 s hard-coded deadline could crash a
+    # streaming foreachBatch while a HEALTHY long fold ran.  The deadline
+    # is now a parameter; a short one raises TimeoutError while the lock
+    # is legitimately held, and the holder's lock survives the timeout.
+    import fcntl
+    import os
+
+    import pytest
+
+    from real_estate_project1_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    specs = {"sum_qty": ("sum", "l_quantity")}
+    path = str(tmp_path / "deadline")
+    R.materialize_rollup(li.limit(10), path, ["l_returnflag"], specs)
+
+    lock = path.rstrip("/") + "._rollup_lock"
+    holder_fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(holder_fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError):
+            R.update_rollup(li.limit(5), path, wait_timeout_s=0.5)
+        # the holder's flock was not disturbed by the timed-out waiter
+        probe = os.open(lock, os.O_RDWR)
+        try:
+            with pytest.raises(OSError):
+                fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        finally:
+            os.close(probe)
+    finally:
+        fcntl.flock(holder_fd, fcntl.LOCK_UN)
+        os.close(holder_fd)
+    # after release the fold goes through with the default deadline
+    R.update_rollup(li.limit(5), path)
