@@ -685,14 +685,40 @@ def luhn_valid(digits: Column) -> Column:
 # longer run yet still "found" via its prefix.  RE2-safe (no lookarounds).
 _TOKEN_RUN_RX = r"[0-9]+|[^0-9]+"
 _CARD_EXACT_RX = r"^[0-9]{13,19}$"
-# separator-tolerant form: 13-19 digits with single spaces/dashes between
-# groups ("4111 1111 1111 1111"); RE2-safe (no lookarounds) but only the
-# contiguous form is oracle-mirrored.
-_CARD_SEP_RX = r"[0-9](?:[ -]?[0-9]){11,17}[0-9]"
+# separator-tolerant form (ADVICE round 3 — mirrors the maximal-run fix):
+# tokenize into maximal [0-9 -] runs, so a candidate can never sit inside
+# a longer digit sequence (its neighbors are non-digit non-separator by
+# construction) and the rewrite is token-wise, never a substring splice.
+# A run is a candidate iff its separator-trimmed core has a plausible card
+# grouping (1-6 groups of >=2 digits joined by SINGLE separators — rules
+# out scattered number columns like '12 34 56 78 90 12 3') and its digits
+# are 13-19 long and Luhn-valid.  RE2-safe; only the contiguous form is
+# oracle-mirrored.
+_SEP_RUN_RX = r"[0-9 -]+|[^0-9 -]+"
+_CARD_GROUPED_RX = r"^[0-9]{2,}(?:[ -][0-9]{2,}){0,5}$"
 
 
 def _card_tokens(t: Column) -> Column:
     return F.regexp_extract_all(t, F.lit(_TOKEN_RUN_RX), 0)
+
+
+def _sep_tokens(t: Column) -> Column:
+    return F.regexp_extract_all(t, F.lit(_SEP_RUN_RX), 0)
+
+
+def _sep_core(tok: Column) -> Column:
+    """A digit-ish run minus leading/trailing separators."""
+    return F.regexp_replace(tok, r"^[ -]+|[ -]+$", "")
+
+
+def _sep_is_card(tok: Column) -> Column:
+    core = _sep_core(tok)
+    digits = F.regexp_replace(core, r"[ -]", "")
+    return (
+        core.rlike(_CARD_GROUPED_RX)
+        & F.length(digits).between(13, 19)
+        & luhn_valid(digits)
+    )
 
 
 def find_payment_cards(text: Column | str, tolerate_separators: bool = False) -> Column:
@@ -702,9 +728,8 @@ def find_payment_cards(text: Column | str, tolerate_separators: bool = False) ->
     timestamps) — doubling precision is exactly why scrubbers use it."""
     t = F.col(text) if isinstance(text, str) else text
     if tolerate_separators:
-        cands = F.regexp_extract_all(t, F.lit(_CARD_SEP_RX), 0)
-        return F.filter(
-            cands, lambda c: luhn_valid(F.regexp_replace(c, r"[ -]", ""))
+        return F.transform(
+            F.filter(_sep_tokens(t), _sep_is_card), _sep_core
         )
     return F.filter(
         _card_tokens(t),
@@ -722,12 +747,24 @@ def scrub_payment_cards(text: Column | str, tolerate_separators: bool = False) -
     functions."""
     t = F.col(text) if isinstance(text, str) else text
     if tolerate_separators:
-        # fold-replace form (non-mirrored): separator-tolerant candidates
-        # can't be reassembled token-wise
-        return F.aggregate(
-            find_payment_cards(t, tolerate_separators=True),
-            t,
-            lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+        # token-wise rewrite over maximal [0-9 -] runs (ADVICE round 3 —
+        # the old aggregate/replace form could splice '<CARD>' into a
+        # DIFFERENT longer number containing the same digit string);
+        # leading/trailing separators of the run are preserved so spacing
+        # around the scrubbed card survives
+        return F.array_join(
+            F.transform(
+                _sep_tokens(t),
+                lambda tok: F.when(
+                    _sep_is_card(tok),
+                    F.concat(
+                        F.regexp_extract(tok, r"^[ -]*", 0),
+                        F.lit("<CARD>"),
+                        F.regexp_extract(tok, r"[ -]*$", 0),
+                    ),
+                ).otherwise(tok),
+            ),
+            "",
         )
     return F.array_join(
         F.transform(

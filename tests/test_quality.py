@@ -253,6 +253,45 @@ def test_scrub_payment_cards_conditional_and_separator_tolerant(spark):
     assert tolerant == "pay <CARD> not 4532015112830367 also <CARD> end"
 
 
+def test_separator_tolerant_scrub_uses_maximal_runs(spark):
+    # ADVICE round 3: the tolerant path must mirror the contiguous fix —
+    # candidates are maximal [0-9 -] runs, never 13-19-digit WINDOWS inside
+    # longer runs, and the rewrite is token-wise, never a substring splice.
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        find_payment_cards,
+        scrub_payment_cards,
+    )
+
+    cases = [
+        # 23-digit id: the old _CARD_SEP_RX matched its first 19 digits
+        ("ref 12345678901234567890123 x", "ref 12345678901234567890123 x"),
+        # 24 digits WITH separators: grouping plausible but too many digits
+        ("n 1234 5678 9012 3456 7890 1234 e", "n 1234 5678 9012 3456 7890 1234 e"),
+        # valid card digits EMBEDDED in a longer separated run (trailing
+        # ' 7' group): one maximal run, not a card — the old fold-replace
+        # found the window and spliced '<CARD> 7' into the longer number
+        ("q 4111 1111 1111 1111 7 z", "q 4111 1111 1111 1111 7 z"),
+        # scattered number column: 13 digits but 7 groups / 1-digit groups
+        ("scores 12 34 56 78 90 12 3 end", "scores 12 34 56 78 90 12 3 end"),
+        # the real thing still scrubs, spacing around it preserved
+        ("pay 4111 1111 1111 1111 now", "pay <CARD> now"),
+        ("pay 4111-1111-1111-1111.", "pay <CARD>."),
+        # same card twice, both caught
+        ("a 4111 1111 1111 1111 b 4111 1111 1111 1111 c", "a <CARD> b <CARD> c"),
+    ]
+    df = spark.createDataFrame(cases, "text string, want string")
+    rows = df.select(
+        "text", "want",
+        scrub_payment_cards(F.col("text"), tolerate_separators=True).alias("got"),
+        find_payment_cards(F.col("text"), tolerate_separators=True).alias("found"),
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, (r.text, r.got)
+        assert len(r.found) == r.want.count("<CARD>"), (r.text, r.found)
+
+
 def test_scrub_payment_cards_no_candidates_is_identity(spark):
     from pyspark.sql import functions as F
 
