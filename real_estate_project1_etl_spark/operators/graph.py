@@ -30,15 +30,34 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = 50,
+    algorithm: str = "doubling",
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id reachable from it. Returns ``(id, comp)`` — one row
     per distinct vertex; ``comp`` is the component representative.
 
-    ``max_iter`` bounds rounds (propagation distance doubles nothing —
-    it moves one hop per round, so components wider than ``max_iter``
-    hops would split; raise it for long-chain graphs).
+    ``algorithm``:
+
+    - ``"doubling"`` (default): min-label propagation PLUS pointer
+      doubling — after the one-hop min, every label is shortcut to its
+      label's label (``comp <- comp(comp)``, the path-halving step of
+      MapReduce connected-components algorithms à la large-star/small-star,
+      Kiveris et al. SoCC'14). Distance-to-representative roughly halves
+      per round, so convergence takes O(log d) rounds instead of O(d) —
+      on a 1024-vertex chain that is ~11 rounds, not 1024 (each round is
+      a full shuffle + a driver job for the convergence probe, so at
+      cluster scale round count IS the cost). Two shuffles per round
+      (neighbor min + shortcut join) vs one — the extra exchange pays for
+      itself the moment diameter exceeds ~2.
+    - ``"label"``: plain one-hop min-label propagation (one shuffle per
+      round, O(diameter) rounds) — marginally cheaper per round for
+      known-shallow graphs like near-dup clusters.
+
+    ``max_iter`` bounds rounds; with ``"doubling"`` the default 50 covers
+    graphs of diameter ~2**49.  ``_stats`` (tests/diagnostics): when a
+    dict is passed, ``_stats["rounds"]`` records the rounds executed.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -50,6 +69,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
         msgs = und.join(labels, und.a == labels.id).select(
             F.col("b").alias("id"), F.col("comp")
@@ -59,8 +79,27 @@ def connected_components(
             .union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
+        if algorithm == "doubling":
+            # shortcut: comp <- min(comp, comp(comp)) over the post-hop
+            # labels; labels always point at same-component vertices, so
+            # the shortcut preserves the invariant while halving pointer
+            # depth. Left join: every comp IS a vertex id, but stay
+            # NULL-safe under AQE re-planning.
+            lookup = new.select(
+                F.col("id").alias("_c"), F.col("comp").alias("_cc")
+            )
+            new = (
+                new.join(lookup, new.comp == F.col("_c"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("_cc"), F.col("comp"))
+                    ).alias("comp"),
+                )
+            )
+        new = new.localCheckpoint(eager=True)
+        rounds += 1
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")
@@ -71,6 +110,8 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return labels
 
 
