@@ -2617,7 +2617,11 @@ _MESSY_URL_SQL = """
               || '?id=' || cast(doc_id % 150 AS varchar)
         END"""
 
-_CANON_HOST_SQL = "regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
+# scheme-OPTIONAL (mirrors functions/web.url_hostport): protocol-relative
+# '//host/...' canon keys yield their host (and so a real domain) too
+_CANON_HOST_SQL = (
+    "regexp_extract(canon, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1)"
+)
 
 
 @_q(
@@ -2715,6 +2719,104 @@ def q_url_canonical_dedup(spark, sf_dir):
             "n_docs",
             "first_doc",
         )
+    )
+
+
+# vendored PSL fixture for the url_domain_psl gate: plain multi-part rules
+# beyond the embedded 8-suffix sample, one wildcard rule, one exception —
+# the three rule kinds of the published Public Suffix List format
+_PSL_RULES = (
+    "com", "org", "net", "io", "cn", "in", "uk", "cz",
+    "co.uk", "com.cn", "co.in", "org.in", "github.io",
+    "*.ck", "!www.ck",
+)
+
+_PSL_ORACLE_SQL = """
+    WITH m AS (
+        SELECT doc_id, CASE doc_id % 6
+          WHEN 0 THEN 'shop' || cast(doc_id % 40 AS varchar) || '.tmall.com.cn'
+          WHEN 1 THEN 'mail' || cast(doc_id % 40 AS varchar) || '.Rediff.co.in'
+          WHEN 2 THEN 'x' || cast(doc_id % 40 AS varchar) || '.www.ck'
+          WHEN 3 THEN 'a' || cast(doc_id % 40 AS varchar) || '.b.kobe.ck'
+          WHEN 4 THEN 'www' || cast(doc_id % 40 AS varchar) || '.Example.COM'
+          ELSE 'host' || cast(doc_id % 40 AS varchar) || '.internal' END AS h
+        FROM documents
+    ),
+    rules(rule) AS (VALUES ('com'),('org'),('net'),('io'),('cn'),('in'),
+                           ('uk'),('cz'),('co.uk'),('com.cn'),('co.in'),
+                           ('org.in'),('github.io'),('*.ck'),('!www.ck')),
+    r2 AS (SELECT CASE WHEN rule LIKE '!%' THEN substring(rule, 2)
+                       ELSE rule END AS rule_key,
+                  (rule LIKE '!%') AS is_exc
+           FROM rules),
+    hosts AS (SELECT DISTINCT lower(h) AS _h FROM m),
+    lab AS (SELECT _h, string_split(_h, '.') AS ls FROM hosts),
+    cexp AS (SELECT _h, ls,
+                    unnest(generate_series(1, len(ls))) AS start
+             FROM lab),
+    cand AS (SELECT _h, start,
+                    array_to_string(ls[start:], '.') AS sfx,
+                    '*' || CASE WHEN start < len(ls)
+                                THEN '.' || array_to_string(ls[start+1:], '.')
+                                ELSE '' END AS wfx
+             FROM cexp),
+    matched AS (SELECT c._h, c.start, r.is_exc
+                FROM cand c
+                JOIN r2 r ON r.rule_key = c.sfx OR r.rule_key = c.wfx),
+    best AS (SELECT _h,
+                    min(CASE WHEN is_exc THEN start END) AS exc_start,
+                    min(CASE WHEN NOT is_exc THEN start END) AS pub_start
+             FROM matched GROUP BY _h),
+    mapping AS (
+        SELECT h._h,
+               CASE
+                 WHEN b._h IS NULL THEN
+                   CASE WHEN len(string_split(h._h, '.')) >= 2
+                        THEN regexp_extract(h._h, '([^.]+\\.[^.]+)$', 1) END
+                 WHEN coalesce(b.exc_start, b.pub_start - 1) >= 1 THEN
+                   array_to_string(
+                     string_split(h._h, '.')[coalesce(b.exc_start, b.pub_start - 1):],
+                     '.')
+               END AS domain
+        FROM hosts h LEFT JOIN best b USING (_h)
+    ),
+    j AS (SELECT m.doc_id, mp.domain
+          FROM m JOIN mapping mp ON lower(m.h) = mp._h)
+    SELECT domain, count(*) AS n_hosts, min(doc_id) AS first_doc
+    FROM j GROUP BY domain
+"""
+
+
+@_q("url_domain_psl", _PSL_ORACLE_SQL)
+def q_url_domain_psl(spark, sf_dir):
+    # registrable-domain (eTLD+1) aggregation under a FULL Public Suffix
+    # List (functions/web.registrable_domain_psl — broadcast rule table,
+    # in-row candidate suffixes, published PSL semantics incl. wildcard
+    # *.ck and exception !www.ck). Hosts exercise all three rule kinds
+    # plus the default '*' rule; the oracle re-implements the same
+    # matching algorithm in DuckDB SQL, so the compare checks the PSL
+    # logic itself, not just counts.
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 40).cast("string")
+    v = F.col("doc_id") % 6
+    host = (
+        F.when(v == 0, F.concat(F.lit("shop"), k, F.lit(".tmall.com.cn")))
+        .when(v == 1, F.concat(F.lit("mail"), k, F.lit(".Rediff.co.in")))
+        .when(v == 2, F.concat(F.lit("x"), k, F.lit(".www.ck")))
+        .when(v == 3, F.concat(F.lit("a"), k, F.lit(".b.kobe.ck")))
+        .when(v == 4, F.concat(F.lit("www"), k, F.lit(".Example.COM")))
+        .otherwise(F.concat(F.lit("host"), k, F.lit(".internal")))
+    )
+    out = registrable_domain_psl(
+        docs.withColumn("h", host), "h", list(_PSL_RULES)
+    )
+    return out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.min("doc_id").alias("first_doc"),
     )
 
 

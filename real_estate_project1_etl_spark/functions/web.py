@@ -50,9 +50,13 @@ def url_scheme(url: Column | str) -> Column:
 
 def url_hostport(url: Column | str) -> Column:
     """Lower-cased ``host[:port]`` as spelled (ports stripped by
-    :func:`canonicalize_url`, which knows the scheme's default)."""
+    :func:`canonicalize_url`, which knows the scheme's default).  The
+    scheme is OPTIONAL so protocol-relative ``//host/...`` spellings
+    yield their host too ('' for inputs with neither form)."""
     return F.lower(
-        F.regexp_extract(_c(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+        F.regexp_extract(
+            _c(url), r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)", 1
+        )
     )
 
 
@@ -126,8 +130,9 @@ def canonicalize_url(url: Column | str) -> Column:
     query = strip_tracking_params(url_query(u))
     q_suffix = F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit(""))
 
-    # protocol-relative components (//host[/path][?q][#f])
-    rel_host = F.lower(F.regexp_extract(u, r"^//([^/?#]*)", 1))
+    # protocol-relative components (//host[/path][?q][#f]);
+    # url_hostport's scheme-optional regex covers the host
+    rel_host = url_hostport(u)
     rel_path = F.regexp_replace(
         F.regexp_replace(
             F.regexp_extract(u, r"^//[^/?#]*([^?#]*)", 1), r"/{2,}", "/"

@@ -93,7 +93,8 @@ def test_url_canonicalizer_differential_sweep(spark, _canon_sql):
             f"""
             WITH c AS (SELECT u, {canon_sql} AS canon FROM t),
             h AS (SELECT u, canon,
-                  regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS h
+                  regexp_extract(canon,
+                    '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1) AS h
                   FROM c)
             SELECT u, canon, {dom_sql} FROM h
             """
