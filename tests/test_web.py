@@ -168,6 +168,25 @@ def test_registrable_domain_psl_matches_embedded_sample(spark):
     assert got == want
 
 
+def test_registrable_domain_psl_plan_shape(spark):
+    # scale guard: the rule lookup must be an equi BROADCAST-HASH join
+    # (the exact+wildcard keys are melted to rows precisely so the OR of
+    # two equalities never degrades to a broadcast nested-loop join)
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+
+    df = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.co.uk")).alias("h")
+    )
+    out = registrable_domain_psl(df, "h", _PSL_FIXTURE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # pure expressions + joins, no UDF
+
+
 def test_schemeless_urls_pass_through_unchanged(spark):
     # ADVICE round 2: without the scheme guard, '/x?id=1' and '/y?id=1'
     # both canonicalized to '://?id=1' — unrelated documents merged into
