@@ -203,6 +203,41 @@ def save_minhash_signatures(
     write_bucketed(sig, table, "id", num_buckets=num_buckets, sort_col="id")
 
 
+def lsh_candidate_probability(jaccard: float, bands: int, rows: int) -> float:
+    """P(a pair with true Jaccard ``jaccard`` becomes an LSH candidate)
+    under ``bands`` bands of ``rows`` rows: ``1 - (1 - j**r)**b`` (the
+    S-curve; Mining of Massive Datasets §3.4.2)."""
+    return 1.0 - (1.0 - jaccard ** rows) ** bands
+
+
+def tune_lsh_bands(num_hashes: int, jaccard_threshold: float) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` for a target Jaccard threshold.
+
+    The S-curve's midpoint sits at ``(1/b)**(1/r)``; pairs above it are
+    mostly candidates, pairs below mostly not.  Rule: among band counts
+    that divide ``num_hashes``, choose the LARGEST midpoint that is still
+    <= the threshold — the tightest candidate filter whose recall at the
+    threshold stays above ½ (then well above: e.g. 32 hashes at t=0.9 ->
+    b=4, r=8, recall 0.89 at t but only 3e-4 at j=0.3, where the naive
+    widest banding (b=32, r=1) would pass >99.99% of j=0.3 pairs into the
+    exact-verify join).  At 100 TB the verify join is the expensive step
+    — candidate volume, not signature width, is what this knob controls.
+    Falls back to ``(num_hashes, 1)`` when every midpoint exceeds the
+    threshold (very low thresholds need max recall).
+    """
+    best: tuple[float, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        if mid <= jaccard_threshold and (best is None or mid > best[0]):
+            best = (mid, b)
+    if best is None:
+        return num_hashes, 1
+    return best[1], num_hashes // best[1]
+
+
 def minhash_pairs_from_signatures(
     sig: DataFrame,
     num_hashes: int = 32,
@@ -344,7 +379,10 @@ def minhash_near_duplicates(
     With bands == num_hashes (r=1), P = 1-(1-J)^b — e.g. >= 1-0.6^32 ~
     1-8e-9 at J=0.6 — so the verified output equals the exact all-pairs
     Jaccard>=threshold set with near-certainty; the default (r=4) trades
-    recall near the threshold for smaller buckets.
+    recall near the threshold for smaller buckets.  Use
+    :func:`tune_lsh_bands` to pick ``bands`` from a target threshold —
+    at 100 TB candidate volume into the exact-verify join, not signature
+    width, is the cost that matters.
 
     ``round_digits=None`` emits the raw int/int division (bit-identical
     across engines; preferred for differential testing).

@@ -127,6 +127,78 @@ def test_connected_components_chain_and_islands(spark):
     assert sizes == {1: 5, 10: 3, 20: 2}
 
 
+def test_tune_lsh_bands_s_curve_properties():
+    # pure math, no Spark: the chosen banding must (a) divide num_hashes,
+    # (b) keep recall at the threshold > 1/2, (c) be the TIGHTEST such
+    # filter (next-wider banding overshoots the threshold midpoint), and
+    # the S-curve itself must be monotone in j
+    from real_estate_project1_etl_spark.operators.dedup import (
+        lsh_candidate_probability,
+        tune_lsh_bands,
+    )
+
+    for num_hashes in (16, 32, 64, 128):
+        for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+            b, r = tune_lsh_bands(num_hashes, t)
+            assert b * r == num_hashes
+            assert lsh_candidate_probability(t, b, r) > 0.5, (num_hashes, t, b)
+            if b > 1:
+                # the midpoint rule: this banding's midpoint <= t
+                assert (1.0 / b) ** (1.0 / r) <= t + 1e-12
+            # next-narrower banding (fewer bands, more rows) would have a
+            # midpoint above t -> recall at t below ~1/2: we are tightest
+            wider = [
+                bb for bb in range(1, b)
+                if num_hashes % bb == 0
+                and (1.0 / bb) ** (bb / num_hashes) <= t
+            ]
+            assert not wider, (num_hashes, t, b, wider)
+    # known values: 32 hashes at 0.9 -> (4, 8); at 0.5 -> (16, 2)
+    assert tune_lsh_bands(32, 0.9) == (4, 8)
+    assert tune_lsh_bands(32, 0.5) == (16, 2)
+    # very low threshold: fall back to widest banding (r=1, max recall)
+    assert tune_lsh_bands(32, 0.02) == (32, 1)
+    # monotone S-curve
+    b, r = tune_lsh_bands(32, 0.8)
+    probs = [lsh_candidate_probability(j / 20, b, r) for j in range(21)]
+    assert probs == sorted(probs)
+    assert probs[0] == 0.0 and probs[-1] == 1.0
+
+
+def test_tuned_bands_cut_candidate_volume_not_recall(spark):
+    # end-to-end: same corpus, same signatures — the tuned banding for a
+    # high threshold must emit FEWER candidate pairs than the widest
+    # banding while keeping every verified pair (recall preserved because
+    # verification is exact; only candidate volume changes)
+    from real_estate_project1_etl_spark.operators.dedup import (
+        minhash_pairs_from_signatures,
+        minhash_signature_table,
+        tune_lsh_bands,
+    )
+
+    docs = []
+    for i in range(40):
+        base = f"the quick brown fox {i} jumps over the lazy dog number {i}"
+        docs.append((2 * i, base))
+        docs.append((2 * i + 1, base + " extra"))  # near-dup partner
+    df = spark.createDataFrame(docs, "id long, text string")
+    sig = minhash_signature_table(df, "text", "id", num_hashes=32).cache()
+
+    b_tuned, _ = tune_lsh_bands(32, 0.6)
+    tuned = minhash_pairs_from_signatures(
+        sig, 32, bands=b_tuned, jaccard_threshold=0.6
+    )
+    widest = minhash_pairs_from_signatures(
+        sig, 32, bands=32, jaccard_threshold=0.6
+    )
+    t_pairs = {(r.id_a, r.id_b) for r in tuned.collect()}
+    w_pairs = {(r.id_a, r.id_b) for r in widest.collect()}
+    sig.unpersist()
+    # exact verify makes both precise; tuned must not lose true pairs
+    assert t_pairs, "planted near-dups must be found"
+    assert t_pairs == w_pairs
+
+
 def test_connected_components_doubling_is_log_rounds(spark):
     # round-3 verdict item 7: one-hop label propagation needs O(diameter)
     # rounds (a shuffle + a convergence-probe job EACH) — a 64-chain took
