@@ -106,6 +106,71 @@ def test_url_canonicalizer_differential_sweep(spark, _canon_sql):
         assert r.d == wd, f"{r.u!r}: spark domain {r.d!r} != duck {wd!r}"
 
 
+def _psl_model(host: str, rules: list[str]) -> str | None:
+    """Independent pure-python implementation of the published PSL
+    algorithm (publicsuffix.org/list): all matching rules found,
+    exceptions win, else longest, else the default rule '*'. Written
+    label-wise from the spec — deliberately NOT the candidate-suffix
+    construction the Spark operator and its DuckDB oracle share, so this
+    differential can catch bugs they would agree on."""
+    labels = host.lower().split(".")
+
+    def matches(rule: str) -> bool:
+        rl = rule.split(".")
+        if len(rl) > len(labels):
+            return False
+        return all(
+            a == "*" or a == b
+            for a, b in zip(reversed(rl), reversed(labels))
+        )
+
+    exc = [r[1:] for r in rules if r.startswith("!") and matches(r[1:])]
+    plain = [r for r in rules if not r.startswith("!") and matches(r)]
+    if exc:
+        # public suffix = exception minus leftmost label; the registrable
+        # domain is therefore the exception-matched suffix itself
+        k = max(len(r.split(".")) for r in exc)
+        return ".".join(labels[-k:])
+    if plain:
+        k = max(len(r.split(".")) for r in plain)
+        if k >= len(labels):
+            return None  # host IS a public suffix
+        return ".".join(labels[-(k + 1):])
+    if len(labels) >= 2:  # default rule '*'
+        return ".".join(labels[-2:])
+    return None
+
+
+def test_registrable_domain_psl_differential_fuzz(spark):
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+
+    rules = [
+        "com", "org", "net", "io", "cn", "in", "uk",
+        "co.uk", "com.cn", "co.in", "org.in", "github.io",
+        "*.ck", "!www.ck", "*.kobe.jp", "!city.kobe.jp", "jp",
+    ]
+    pool = [
+        "www", "a", "b", "kobe", "city", "example", "shop", "tmall",
+        "com", "cn", "ck", "uk", "co", "io", "github", "internal", "x",
+        "jp", "in", "org",
+    ]
+    hosts = []
+    for i in range(300):
+        rng = random.Random(9000 + i)
+        hosts.append(".".join(rng.choice(pool) for _ in range(rng.randint(1, 5))))
+    hosts = sorted(set(hosts))
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    got = {
+        r.h: r.domain
+        for r in registrable_domain_psl(df, "h", rules).collect()
+    }
+    for h in hosts:
+        want = _psl_model(h, rules)
+        assert got[h] == want, (h, got[h], want)
+
+
 def test_url_canonicalizer_idempotent():
     # canonicalize(canonicalize(u)) == canonicalize(u) — a canonical form
     # must be a fixed point, else dedup keys drift across passes

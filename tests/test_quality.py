@@ -292,6 +292,102 @@ def test_separator_tolerant_scrub_uses_maximal_runs(spark):
         assert len(r.found) == r.want.count("<CARD>"), (r.text, r.found)
 
 
+def _luhn_model(digits: str) -> bool:
+    s = 0
+    for i, ch in enumerate(reversed(digits)):
+        v = int(ch)
+        if i % 2 == 1:
+            v = v * 2
+            if v > 9:
+                v -= 9
+        s += v
+    return s % 10 == 0
+
+
+def _scrub_model(text: str) -> str:
+    # independent python twin of the separator-tolerant scrub: maximal
+    # [0-9 -] runs, plausible grouping, 13-19 Luhn-valid digits
+    import re as _re
+
+    out = []
+    for tok in _re.findall(r"[0-9 -]+|[^0-9 -]+", text):
+        core = tok.strip(" -")
+        digits = _re.sub(r"[ -]", "", core)
+        if (
+            _re.fullmatch(r"[0-9]{2,}(?:[ -][0-9]{2,}){0,5}", core)
+            and 13 <= len(digits) <= 19
+            and _luhn_model(digits)
+        ):
+            lead = tok[: len(tok) - len(tok.lstrip(" -"))]
+            trail = tok[len(tok.rstrip(" -")):] if tok.strip(" -") else ""
+            out.append(lead + "<CARD>" + trail)
+        else:
+            out.append(tok)
+    return "".join(out)
+
+
+def _mint_card(rng, n_digits: int, sep: str) -> str:
+    # build a Luhn-VALID number: random body + computed check digit
+    body = "".join(str(rng.randint(0, 9)) for _ in range(n_digits - 1))
+    for cd in range(10):
+        if _luhn_model(body + str(cd)):
+            break
+    num = body + str(cd)
+    if not sep:
+        return num
+    groups = [num[i:i + 4] for i in range(0, len(num), 4)]
+    return sep.join(groups)
+
+
+def test_separator_tolerant_scrub_differential_fuzz(spark):
+    # randomized texts mixing words, ids, minted valid cards (contiguous /
+    # spaced / dashed), invalid near-cards and punctuation — Spark
+    # expression tree vs the independent python model, exact string
+    # compare. Catches agreement-breaking regex/HOF drift the handful of
+    # hand-picked cases cannot.
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        scrub_payment_cards,
+    )
+
+    texts = []
+    for i in range(120):
+        rng = _r.Random(7000 + i)
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            kind = rng.randint(0, 6)
+            if kind == 0:
+                parts.append(rng.choice(["pay", "ref", "order", "tel:", "#", ",", "-"]))
+            elif kind == 1:
+                parts.append("".join(str(rng.randint(0, 9)) for _ in range(rng.randint(1, 25))))
+            elif kind == 2:
+                parts.append(_mint_card(rng, rng.choice([13, 15, 16, 19]), rng.choice(["", " ", "-"])))
+            elif kind == 3:
+                # corrupt a minted card (usually Luhn-invalid)
+                c = _mint_card(rng, 16, " ")
+                parts.append(c[:-1] + str((int(c[-1]) + 1) % 10))
+            elif kind == 4:
+                parts.append(" ".join(str(rng.randint(0, 99)) for _ in range(rng.randint(3, 8))))
+            elif kind == 5:
+                parts.append(_mint_card(rng, 16, " ") + " " + str(rng.randint(0, 9)))
+            else:
+                parts.append(rng.choice(["x-1", "a--b", " - ", "12-34", "2024-01-02"]))
+        texts.append(" ".join(parts))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r.text: r.s
+        for r in df.select(
+            "text",
+            scrub_payment_cards(F.col("text"), tolerate_separators=True).alias("s"),
+        ).collect()
+    }
+    for t in texts:
+        assert got[t] == _scrub_model(t), (t, got[t], _scrub_model(t))
+
+
 def test_scrub_payment_cards_no_candidates_is_identity(spark):
     from pyspark.sql import functions as F
 
