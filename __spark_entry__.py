@@ -2821,6 +2821,57 @@ def q_url_domain_psl(spark, sf_dir):
 
 
 @_q(
+    "domain_capped_corpus",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 < 5 THEN 'megasite.com'
+                    WHEN doc_id % 10 < 8 THEN
+                        'mid' || cast(doc_id % 3 AS varchar) || '.org'
+                    ELSE 'tail' || cast(doc_id % 50 AS varchar) || '.net'
+               END AS domain
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, domain,
+               row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id) AS rn
+        FROM m
+    )
+    SELECT doc_id, domain FROM r WHERE rn <= 20
+    """,
+)
+def q_domain_capped_corpus(spark, sf_dir):
+    # C4/RefinedWeb-style per-domain document cap (quality.cap_per_key):
+    # a heavily-skewed synthetic domain mix (one megasite holding half
+    # the corpus, a few mid sites, a long tail) capped at 20 docs per
+    # domain, ranked by the 60-bit content hash + id tiebreak so the
+    # kept set is a pure function of row content. The row_number filter
+    # compiles to WindowGroupLimit with a PARTIAL stage — map tasks
+    # pre-prune to local top-20 per domain BEFORE the exchange, so the
+    # megasite never ships its full row set anywhere.
+    from real_estate_project1_etl_spark.operators.quality import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k10 = F.col("doc_id") % 10
+    domain = (
+        F.when(k10 < 5, F.lit("megasite.com"))
+        .when(
+            k10 < 8,
+            F.concat(F.lit("mid"), (F.col("doc_id") % 3).cast("string"), F.lit(".org")),
+        )
+        .otherwise(
+            F.concat(F.lit("tail"), (F.col("doc_id") % 50).cast("string"), F.lit(".net"))
+        )
+    )
+    return cap_per_key(
+        docs.withColumn("domain", domain), ["domain"], 20, ["doc_id"]
+    )
+
+
+@_q(
     "markup_strip",
     r"""
     SELECT doc_id,

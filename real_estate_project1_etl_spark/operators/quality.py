@@ -112,6 +112,44 @@ def stratified_hash_sample(
     return df.filter(cond)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key — the C4/RefinedWeb-style
+    per-domain document cap (a handful of hosts contribute millions of
+    near-boilerplate pages; capping per registrable domain is a standard
+    corpus-balancing step before training).
+
+    Determinism: rows are ranked by the 60-bit content hash of
+    ``order_key_cols`` (default: ``key_cols`` + every other column is NOT
+    used — pass an id) with the raw order key as tiebreak, so the kept
+    set is a pure function of row content — stable under retries,
+    repartitioning, and engine changes, and exactly mirrorable in SQL
+    (same md5 arithmetic as the hash samplers above).
+
+    Scale shape: ONE shuffle on the key. The ``row_number() <= n`` filter
+    compiles to Spark's WindowGroupLimit with a PARTIAL stage — each map
+    task pre-prunes to its local top-``n`` per key BEFORE the exchange,
+    so a 10M-page domain ships ``n * map_tasks`` rows, never 10M, and the
+    final per-key sort is over pre-pruned slivers (asserted in
+    tests/test_sampling.py).
+    """
+    from pyspark.sql import Window
+
+    order_key_cols = order_key_cols or key_cols
+    h = _hash60(order_key_cols)
+    tiebreak = [F.col(c) for c in order_key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(h, *tiebreak)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def mixture_hash_sample(
     df: DataFrame,
     source_col: str,

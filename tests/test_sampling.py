@@ -98,3 +98,36 @@ def test_mixture_sample_hits_target_proportions(spark, sf_dir):
     # deterministic for a fixed seed
     again = mixture_sample(docs, "source", weights, seed=7)
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_cap_per_key_deterministic_and_plan(spark):
+    # C4-style per-domain cap: at most n rows per key, kept set a pure
+    # function of row content (stable under repartitioning), and the
+    # row_number filter must compile to WindowGroupLimit with a PARTIAL
+    # stage so a skewed key pre-prunes map-side before the exchange.
+    from real_estate_project1_etl_spark.operators.quality import cap_per_key
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("doc")
+    )
+    out = cap_per_key(df, ["k"], 5, ["doc"])
+    rows = out.collect()
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r.k, []).append(r.doc)
+    assert set(per_key) == set(range(7))
+    assert all(len(v) == 5 for v in per_key.values())
+
+    # under-populated keys keep everything
+    small = spark.range(3).select(F.lit(0).alias("k"), F.col("id").alias("doc"))
+    assert cap_per_key(small, ["k"], 5, ["doc"]).count() == 3
+
+    # content-deterministic: a different physical layout keeps the SAME set
+    re_out = cap_per_key(df.repartition(13, "doc"), ["k"], 5, ["doc"])
+    assert {(r.k, r.doc) for r in re_out.collect()} == {
+        (r.k, r.doc) for r in rows
+    }
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side pre-prune before the shuffle
