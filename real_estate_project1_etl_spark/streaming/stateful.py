@@ -342,6 +342,83 @@ def silent_user_detector(events: DataFrame, timeout_ms: int = 2000) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# streaming per-key admission cap (stream twin of quality.cap_per_key)
+# --------------------------------------------------------------------------
+
+
+def _cap_update(n: int, key_col: str, id_col: str):
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cnt = state.get[0] if state.exists else 0
+        ids: list[int] = []
+        for pdf in pdfs:
+            if cnt >= n:
+                break
+            # deterministic within-batch admission order: content hash,
+            # then id (same rank key as the batch cap)
+            pdf = pdf.sort_values(["_h", id_col], kind="mergesort")
+            for i in pdf[id_col]:
+                if cnt >= n:
+                    break
+                ids.append(int(i))
+                cnt += 1
+        state.update((cnt,))
+        if ids:
+            yield pd.DataFrame({key_col: [key[0]] * len(ids), id_col: ids})
+
+    return update
+
+
+def capped_corpus_stream(
+    df: DataFrame, key_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Streaming per-key admission cap: emit a ``(key, id)`` row for a
+    document iff fewer than ``n`` documents of its key have been admitted
+    so far — the ingest-time form of the C4-style per-domain cap
+    (``operators/quality.cap_per_key``).  State is ONE counter per key,
+    forever — the cheapest stateful op; admitted ids need no state
+    because admission is append-only (an id emitted once is never
+    revoked).
+
+    Semantics vs the batch cap (documented, inherent): a stream admits
+    the FIRST ``n`` arrivals per key (deterministic within a micro-batch
+    by content hash + id, arrival-ordered across batches) — admission
+    control; the batch cap selects the globally smallest-hash ``n`` —
+    content selection.  They coincide when the data arrives in one batch
+    (asserted in tests), and the stream always emits exactly
+    ``min(n, seen)`` rows per key.
+
+    ``key_col`` must be a string column and ``id_col`` an integer id (the
+    declared state/output schemas). Batch DataFrames take the
+    :func:`~..operators.quality.cap_per_key` fallback.
+    """
+    if not df.isStreaming:
+        from real_estate_project1_etl_spark.operators.quality import (
+            cap_per_key,
+        )
+
+        return cap_per_key(df, [key_col], n, [id_col]).select(key_col, id_col)
+
+    from pyspark.sql import functions as F
+
+    hashed = df.select(
+        key_col,
+        id_col,
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("_h"),
+    )
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        _cap_update(n, key_col, id_col),
+        outputStructType=f"{key_col} string, {id_col} long",
+        stateStructType="admitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
 # streaming KMV distinct sketch (stream twin of operators/sketch.kmv_distinct)
 # --------------------------------------------------------------------------
 

@@ -134,6 +134,67 @@ def test_stateful_running_user_stats(spark, events_batch, tmp_path):
     assert got == exp
 
 
+def test_streaming_per_key_cap_admission_and_restart(spark, tmp_path):
+    # stream twin of quality.cap_per_key: at most n admissions per key,
+    # O(1) counter state per key, exactly min(n, seen) rows emitted, and
+    # the admission count survives a query restart via the checkpoint.
+    import pandas as pd
+
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        capped_corpus_stream,
+    )
+
+    src = str(tmp_path / "cap_src")
+    ck = str(tmp_path / "cap_ck")
+    out = str(tmp_path / "cap_out")
+    schema = "source string, doc_id long"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # file 1: 5 docs per key -> fills the n=3 cap for both keys
+    write_file([("a", i) for i in range(5)] + [("b", 100 + i) for i in range(5)])
+
+    def run_once():
+        # parquet sink: supports checkpoint RECOVERY (the memory sink does
+        # not), so the second run genuinely restarts the same query
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            capped_corpus_stream(stream, "source", "doc_id", n=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    first = {(r.source, r.doc_id) for r in spark.read.parquet(out).collect()}
+    counts = pd.Series([k for k, _ in first]).value_counts().to_dict()
+    assert counts == {"a": 3, "b": 3}
+
+    # single-batch equivalence: all data arrived in one batch, so the
+    # stream's admitted set equals the batch cap's selected set
+    batch = spark.read.parquet(src)
+    want = {
+        (r.source, r.doc_id)
+        for r in capped_corpus_stream(batch, "source", "doc_id", n=3).collect()
+    }
+    assert first == want
+
+    # file 2 after restart: keys a/b are already at the cap (the counter
+    # state persisted in the checkpoint -> ZERO new emissions for them),
+    # while the unseen key c admits both its docs
+    write_file([("a", 50), ("b", 150), ("c", 200), ("c", 201)])
+    run_once()
+    after = {(r.source, r.doc_id) for r in spark.read.parquet(out).collect()}
+    assert after == first | {("c", 200), ("c", 201)}
+
+
 def test_stream_static_enrichment(spark, events_batch, tmp_path):
     from real_estate_project1_etl_spark.sources.parquet import load_table
     from real_estate_project1_etl_spark.streaming.windows import enrich_with_dim
