@@ -180,6 +180,12 @@ def registrable_domain_psl(
     """
     from pyspark.sql import functions as _F
 
+    if out_col in df.columns:
+        raise ValueError(
+            f"registrable_domain_psl: df already has a column {out_col!r} "
+            "— pass a different out_col (a duplicate name would make "
+            "every later reference ambiguous)"
+        )
     spark = df.sparkSession
     if not hasattr(psl_rules, "columns"):
         psl_rules = spark.createDataFrame(

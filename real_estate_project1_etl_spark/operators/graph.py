@@ -59,6 +59,13 @@ def connected_components(
     graphs of diameter ~2**49.  ``_stats`` (tests/diagnostics): when a
     dict is passed, ``_stats["rounds"]`` records the rounds executed.
     """
+    if algorithm not in ("doubling", "label"):
+        # a typo must not silently fall back to one-hop propagation, which
+        # can exhaust max_iter on a deep graph and return SPLIT components
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(expected 'doubling' or 'label')"
+        )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.localCheckpoint(eager=True)

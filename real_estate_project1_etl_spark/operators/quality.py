@@ -116,7 +116,7 @@ def cap_per_key(
     df: DataFrame,
     key_cols: list[str],
     n: int,
-    order_key_cols: list[str] | None = None,
+    order_key_cols: list[str],
 ) -> DataFrame:
     """Keep at most ``n`` rows per key — the C4/RefinedWeb-style
     per-domain document cap (a handful of hosts contribute millions of
@@ -124,11 +124,14 @@ def cap_per_key(
     corpus-balancing step before training).
 
     Determinism: rows are ranked by the 60-bit content hash of
-    ``order_key_cols`` (default: ``key_cols`` + every other column is NOT
-    used — pass an id) with the raw order key as tiebreak, so the kept
+    ``order_key_cols`` with the raw order key as tiebreak, so the kept
     set is a pure function of row content — stable under retries,
     repartitioning, and engine changes, and exactly mirrorable in SQL
     (same md5 arithmetic as the hash samplers above).
+    ``order_key_cols`` is REQUIRED and must distinguish rows within a
+    key (an id column): ranking by the key itself would be a constant
+    per window and silently degrade to physical row order — exactly the
+    retry-nondeterminism this operator exists to prevent.
 
     Scale shape: ONE shuffle on the key. The ``row_number() <= n`` filter
     compiles to Spark's WindowGroupLimit with a PARTIAL stage — each map
@@ -139,7 +142,12 @@ def cap_per_key(
     """
     from pyspark.sql import Window
 
-    order_key_cols = order_key_cols or key_cols
+    if set(order_key_cols) <= set(key_cols):
+        raise ValueError(
+            "cap_per_key: order_key_cols must include a column outside "
+            "key_cols (an id) — ordering by the key alone is constant per "
+            "window, making the kept set depend on physical row order"
+        )
     h = _hash60(order_key_cols)
     tiebreak = [F.col(c) for c in order_key_cols]
     w = Window.partitionBy(*key_cols).orderBy(h, *tiebreak)

@@ -737,6 +737,26 @@ def find_payment_cards(text: Column | str, tolerate_separators: bool = False) ->
     )
 
 
+def has_suspicious_digit_run(text: Column | str, min_digits: int = 13) -> Column:
+    """True when the text carries a maximal digit-ish run of
+    ``min_digits``+ digits — the QUARANTINE predicate for the scrubbers'
+    deliberate fail-open direction.
+
+    Both scrub paths trade recall for splice-safety: a Luhn-valid card
+    that ABUTS other digits (``total 12 34 4111 1111 1111 1111``) merges
+    into one >19-digit run, fails the card gates, and ships UNSCRUBBED.
+    Run this predicate on the *scrubbed* output: any surviving run with
+    card-scale digit mass marks a row for quarantine/manual review, so
+    the precision-first scrub never silently leaks — rows it could not
+    decide are flagged instead of passed.  Pure expression, zero shuffle.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    return F.exists(
+        _sep_tokens(t),
+        lambda tok: F.length(F.regexp_replace(tok, r"[^0-9]", "")) >= min_digits,
+    )
+
+
 def scrub_payment_cards(text: Column | str, tolerate_separators: bool = False) -> Column:
     """Replace every Luhn-valid card number with ``<CARD>``.  The contiguous
     form rewrites token-wise — split into digit/non-digit runs, map card
@@ -744,7 +764,14 @@ def scrub_payment_cards(text: Column | str, tolerate_separators: bool = False) -
     rewritten where it occurs *inside* another number, and the same card
     appearing twice in a row is caught both times.  Stays entirely in
     codegen: extract + transform + join are all native higher-order
-    functions."""
+    functions.
+
+    FAIL-OPEN BY DESIGN: a card that abuts other digits (or digit groups,
+    in the separator-tolerant form) merges into a run that fails the card
+    gates and passes through UNSCRUBBED — the price of never splicing
+    ``<CARD>`` into a different number.  Pair with
+    :func:`has_suspicious_digit_run` on the scrubbed output to quarantine
+    exactly those undecidable rows instead of silently shipping them."""
     t = F.col(text) if isinstance(text, str) else text
     if tolerate_separators:
         # token-wise rewrite over maximal [0-9 -] runs (ADVICE round 3 —

@@ -200,7 +200,10 @@ def update_rollup(
             try:
                 _fcntl.flock(fd, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
                 break
-            except OSError:
+            # only lock-held (EAGAIN/EWOULDBLOCK) and interrupt retry; an
+            # unsupported-flock filesystem (ENOTSUP on some NFS/FUSE)
+            # must fail FAST, not busy-poll to a misleading timeout
+            except (BlockingIOError, InterruptedError):
                 if _time.monotonic() > deadline:
                     raise TimeoutError(
                         f"rollup lock busy for >{wait_timeout_s}s: {lock} — "

@@ -60,8 +60,13 @@ def get_spark(
         # sessionization state of billions of keys OOMs; RocksDB spills to
         # local disk with bounded memory and ships changelogs to the
         # checkpoint. Batch-only jobs never touch it; override with
-        # SPARK_GRAFT_STATE_STORE=hdfs (or extra_conf) if RocksDB's native
-        # lib can't load on some platform.
+        # SPARK_GRAFT_STATE_STORE=hdfs (exactly that string; or extra_conf)
+        # if RocksDB's native lib can't load on some platform.
+        # MIGRATION: the provider is baked into a checkpoint's state
+        # layout — a stateful query whose checkpoint predates this default
+        # CANNOT restart under RocksDB; run it with
+        # SPARK_GRAFT_STATE_STORE=hdfs until its state is drained (or its
+        # checkpoint rebuilt). New checkpoints are RocksDB from birth.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
             (

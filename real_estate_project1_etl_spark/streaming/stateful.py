@@ -351,18 +351,18 @@ def _cap_update(n: int, key_col: str, id_col: str):
         import pandas as pd
 
         cnt = state.get[0] if state.exists else 0
-        ids: list[int] = []
-        for pdf in pdfs:
-            if cnt >= n:
-                break
-            # deterministic within-batch admission order: content hash,
-            # then id (same rank key as the batch cap)
-            pdf = pdf.sort_values(["_h", id_col], kind="mergesort")
-            for i in pdf[id_col]:
-                if cnt >= n:
-                    break
-                ids.append(int(i))
-                cnt += 1
+        # concat the WHOLE group before sorting: pdfs is an iterator of
+        # Arrow chunks (maxRecordsPerBatch-sized), and a chunk-local sort
+        # would admit a chunk's smallest hashes while a later chunk holds
+        # globally smaller ones — breaking the documented deterministic
+        # admission order and the single-batch == cap_per_key equivalence
+        # (same whole-group pattern as _transitions_update)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["_h", id_col], kind="mergesort"
+        )
+        take = max(0, n - cnt)
+        ids = [int(i) for i in batch[id_col].head(take)]
+        cnt += len(ids)
         state.update((cnt,))
         if ids:
             yield pd.DataFrame({key_col: [key[0]] * len(ids), id_col: ids})

@@ -388,6 +388,50 @@ def test_separator_tolerant_scrub_differential_fuzz(spark):
         assert got[t] == _scrub_model(t), (t, got[t], _scrub_model(t))
 
 
+def test_suspicious_digit_run_quarantines_fail_open_rows(spark):
+    # the scrub is fail-open by design (a card abutting digits merges into
+    # an undecidable run and ships unscrubbed); the quarantine predicate
+    # on the SCRUBBED output must flag exactly those rows
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        has_suspicious_digit_run,
+        scrub_payment_cards,
+    )
+
+    cases = [
+        # clean scrub -> placeholder only, nothing suspicious remains
+        ("pay 4111 1111 1111 1111 now", False),
+        # card glued to digit groups: unscrubbed 20+-digit run -> flagged
+        ("total 12 34 4111 1111 1111 1111", True),
+        # long id, no card: still card-scale digit mass -> flagged (review)
+        ("ref 12345678901234567890123", True),
+        # ordinary text and small numbers: clean
+        ("order 1234 qty 56", False),
+        ("no digits at all", False),
+    ]
+    df = spark.createDataFrame(cases, "text string, want boolean")
+    rows = df.select(
+        "want",
+        has_suspicious_digit_run(
+            scrub_payment_cards(F.col("text"), tolerate_separators=True)
+        ).alias("got"),
+        "text",
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, r.text
+
+
+def test_cap_per_key_rejects_key_only_ordering(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.quality import cap_per_key
+
+    df = spark.range(10).select(F.lit("k").alias("k"), F.col("id"))
+    with pytest.raises(ValueError, match="order_key_cols"):
+        cap_per_key(df, ["k"], 3, ["k"])
+
+
 def test_scrub_payment_cards_no_candidates_is_identity(spark):
     from pyspark.sql import functions as F
 

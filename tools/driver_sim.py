@@ -88,6 +88,10 @@ def main() -> int:
             if any(f in n for f in name_filters)
         }
         oracles = {n: o for n, o in oracles.items() if n in queries}
+        if not queries:
+            # a typo'd filter must not report success having run nothing
+            print(f"RESULT: FAIL no query matches filters {name_filters}")
+            return 1
     bad: list[str] = []
     t0 = time.time()
     for name in sorted(queries):
