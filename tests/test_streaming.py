@@ -195,6 +195,52 @@ def test_streaming_per_key_cap_admission_and_restart(spark, tmp_path):
     assert after == first | {("c", 200), ("c", 201)}
 
 
+def test_streaming_cap_admission_spans_arrow_chunks(spark, tmp_path):
+    # regression (round-4 review): applyInPandasWithState delivers a key's
+    # rows as an ITERATOR of Arrow chunks; a chunk-local sort admitted the
+    # first chunk's smallest hashes while later chunks held globally
+    # smaller ones. Force 3-row chunks and assert the admitted set equals
+    # the batch cap's globally-smallest-hash set.
+    from real_estate_project1_etl_spark.operators.quality import cap_per_key
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        capped_corpus_stream,
+    )
+
+    src = str(tmp_path / "chunk_src")
+    schema = "source string, doc_id long"
+    rows = [("a", i) for i in range(40)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            capped_corpus_stream(stream, "source", "doc_id", n=4)
+            .writeStream.format("memory")
+            .queryName("mem_chunk_cap")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chunk_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {r.doc_id for r in spark.table("mem_chunk_cap").collect()}
+    want = {
+        r.doc_id
+        for r in cap_per_key(
+            spark.createDataFrame(rows, schema), ["source"], 4, ["doc_id"]
+        ).collect()
+    }
+    assert got == want and len(got) == 4
+
+
 def test_stream_static_enrichment(spark, events_batch, tmp_path):
     from real_estate_project1_etl_spark.sources.parquet import load_table
     from real_estate_project1_etl_spark.streaming.windows import enrich_with_dim
