@@ -81,6 +81,8 @@ HEADLINE = [
     # bigram LM-coverage quality, JL projection geometry
     "incremental_dedup_docs",
     "url_canonical_dedup",
+    "url_domain_psl",
+    "domain_capped_corpus",
     "luhn_card_audit",
     "bigram_coverage_quality",
     "jl_projection_pairs",
@@ -123,6 +125,8 @@ COST = {
     "histogram_quantiles": "1 stats agg + 1 bucket-count agg (additive sketch) + rank pass for the exact comparison values",
     "incremental_dedup_docs": "batch signatures + banding joins vs base; O(batch+collisions), corpus side is banding keys only",
     "url_canonical_dedup": "scan-stage regex/HOF canonicalization + 1 groupBy exchange on the canonical key",
+    "url_domain_psl": "in-row candidate suffixes + broadcast-hash PSL rule join on the distinct-host set only",
+    "domain_capped_corpus": "WindowGroupLimit partial pre-prune per map task, one exchange on the domain key",
     "luhn_card_audit": "scan-stage regexp extract + Luhn fold + replace fold; zero shuffles",
     "bigram_coverage_quality": "per-row bigram expression + Zipf count agg + semi-join back (2 exchanges)",
     "jl_projection_pairs": "16 dot-product folds per row (codegen) + adjacent-id self-join shuffle",
