@@ -186,14 +186,21 @@ def registrable_domain_psl(
             "— pass a different out_col (a duplicate name would make "
             "every later reference ambiguous)"
         )
+    if "__psl_h" in df.columns:
+        raise ValueError(
+            "registrable_domain_psl: df already has a column '__psl_h' — "
+            "rename it; this name is reserved for the internal join key"
+        )
     spark = df.sparkSession
     if not hasattr(psl_rules, "columns"):
         psl_rules = spark.createDataFrame(
             [(r,) for r in psl_rules], "rule string"
         )
     rule = _F.col(psl_rules.columns[0])
+    # column object, not an interpolated-name expr — rule columns whose
+    # names need backticks would break (or mis-parse) inside F.expr
     rules = psl_rules.select(
-        _F.when(rule.startswith("!"), _F.expr(f"substring({psl_rules.columns[0]}, 2)"))
+        _F.when(rule.startswith("!"), _F.substring(rule, 2, 2147483647))
         .otherwise(rule)
         .alias("rule_key"),
         rule.startswith("!").alias("is_exc"),

@@ -148,13 +148,21 @@ def cap_per_key(
             "key_cols (an id) — ordering by the key alone is constant per "
             "window, making the kept set depend on physical row order"
         )
+    # collision-proof internal rank column (ADVICE round 4: a caller `_rn`
+    # column was silently overwritten and destroyed by the old name)
+    rn = "__cap_rn"
+    if rn in df.columns:
+        raise ValueError(
+            f"cap_per_key: df already has a column {rn!r} — rename it; "
+            "this name is reserved for the internal rank column"
+        )
     h = _hash60(order_key_cols)
     tiebreak = [F.col(c) for c in order_key_cols]
     w = Window.partitionBy(*key_cols).orderBy(h, *tiebreak)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n)
+        .drop(rn)
     )
 
 

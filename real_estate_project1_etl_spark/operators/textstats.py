@@ -696,6 +696,10 @@ _CARD_EXACT_RX = r"^[0-9]{13,19}$"
 # oracle-mirrored.
 _SEP_RUN_RX = r"[0-9 -]+|[^0-9 -]+"
 _CARD_GROUPED_RX = r"^[0-9]{2,}(?:[ -][0-9]{2,}){0,5}$"
+# quarantine-only run class: digits grouped by ANY common separator
+# (space/dash/dot/underscore) count as one run for the digit-mass flag —
+# wider than the scrub classes on purpose; see has_suspicious_digit_run
+_QUARANTINE_RUN_RX = r"[0-9 ._-]+"
 
 
 def _card_tokens(t: Column) -> Column:
@@ -749,10 +753,19 @@ def has_suspicious_digit_run(text: Column | str, min_digits: int = 13) -> Column
     card-scale digit mass marks a row for quarantine/manual review, so
     the precision-first scrub never silently leaks — rows it could not
     decide are flagged instead of passed.  Pure expression, zero shuffle.
+
+    The quarantine's run class is WIDER than the scrubbers' (``[0-9 ._-]``
+    vs ``[0-9 -]``): a card grouped by separators the scrubber does not
+    recognize (``4111.1111.1111.1111``, ``4111_1111_1111_1111``) is not
+    scrubbable, so it MUST at least be flagged — with the scrubber's own
+    class each dot-separated group would be a short independent run and
+    the card would leak silently (ADVICE round 4).  The widening is
+    review-side only (flags a few more version-string-like rows for
+    review); it never changes what gets scrubbed.
     """
     t = F.col(text) if isinstance(text, str) else text
     return F.exists(
-        _sep_tokens(t),
+        F.regexp_extract_all(t, F.lit(_QUARANTINE_RUN_RX), 0),
         lambda tok: F.length(F.regexp_replace(tok, r"[^0-9]", "")) >= min_digits,
     )
 

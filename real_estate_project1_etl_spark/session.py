@@ -28,6 +28,33 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _state_store_provider_class() -> str:
+    """Resolve ``SPARK_GRAFT_STATE_STORE`` to a provider class.
+
+    Case/whitespace-insensitive ('hdfs', 'HDFS', ' Hdfs ' all select the
+    HDFS-backed provider); an UNRECOGNIZED value raises instead of
+    silently defaulting to RocksDB — a typo in the escape hatch would
+    otherwise make a stateful query restarting on a pre-existing
+    HDFS-provider checkpoint fail at runtime with an opaque state-format
+    error (ADVICE round 4)."""
+    raw = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    norm = raw.strip().lower() if raw is not None else None
+    if norm in (None, "", "rocksdb"):
+        return (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    if norm == "hdfs":
+        return (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        )
+    raise ValueError(
+        f"SPARK_GRAFT_STATE_STORE={raw!r} is not recognized — expected "
+        "'rocksdb' (default) or 'hdfs'"
+    )
+
+
 def get_spark(
     app_name: str = "real-estate-etl-spark",
     cpus: int | None = None,
@@ -69,15 +96,7 @@ def get_spark(
         # checkpoint rebuilt). New checkpoints are RocksDB from birth.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
-            (
-                "org.apache.spark.sql.execution.streaming.state."
-                "HDFSBackedStateStoreProvider"
-            )
-            if os.environ.get("SPARK_GRAFT_STATE_STORE") == "hdfs"
-            else (
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider"
-            ),
+            _state_store_provider_class(),
         )
     )
     for k, v in (extra_conf or {}).items():

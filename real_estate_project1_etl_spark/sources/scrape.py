@@ -113,17 +113,25 @@ def fetch_with_retry(
     max_retries: int = 3,
     backoff_s: float = 2.0,
     sleep: Callable[[float], None] = time.sleep,
+    retryable: tuple[type[BaseException], ...] = (OSError, TimeoutError),
 ) -> str:
     """Call ``fetch(page)`` with exponential backoff: ``max_retries``
     re-attempts after the first failure, sleeping ``backoff_s * 2**i``
     before retry ``i``.  Re-raises the last error when exhausted — a page
     that stays down should fail the task (Spark's task retry then
-    re-schedules the whole partition) rather than silently drop rows."""
+    re-schedules the whole partition) rather than silently drop rows.
+
+    Only ``retryable`` exception types are retried (default: the
+    transient network family — OSError covers ConnectionError/socket
+    errors; TimeoutError listed for pre-3.10 clarity).  Anything else
+    (a bug in ``fetch``, a permanent 404-style ValueError) surfaces
+    IMMEDIATELY instead of burning the full backoff schedule (~14 s at
+    defaults) per page per task retry (ADVICE round 4)."""
     attempt = 0
     while True:
         try:
             return fetch(page)
-        except Exception:
+        except retryable:
             if attempt >= max_retries:
                 raise
             sleep(backoff_s * (2 ** attempt))
@@ -140,6 +148,7 @@ def scrape_to_dataframe(
     backoff_s: float = 2.0,
     clock: Callable[[], float] = time.monotonic,
     sleep: Callable[[float], None] = time.sleep,
+    retryable: tuple[type[BaseException], ...] = (OSError, TimeoutError),
 ) -> DataFrame:
     """Distributed scrape: partition the page range, fetch+parse per
     partition, assemble the bronze DataFrame. ``fetch_page`` must be
@@ -165,6 +174,7 @@ def scrape_to_dataframe(
             html = fetch_with_retry(
                 fetch_page, int(page),
                 max_retries=max_retries, backoff_s=backoff_s, sleep=sleep,
+                retryable=retryable,
             )
             yield from parse_listing_page(html)
 

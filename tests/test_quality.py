@@ -482,3 +482,58 @@ def test_card_candidates_are_maximal_digit_runs(spark):
         by_text[f"pay {card} trace 00{card}11"].scrubbed
         == f"pay <CARD> trace 00{card}11"
     )
+
+
+def test_cap_per_key_preserves_caller_rn_column(spark):
+    # ADVICE round 4: the old internal rank column was named `_rn`, so a
+    # caller DataFrame carrying its own _rn was silently destroyed
+    from real_estate_project1_etl_spark.operators.quality import cap_per_key
+
+    df = spark.range(20).select(
+        (F.col("id") % 4).alias("k"), F.col("id"), (F.col("id") * 10).alias("_rn")
+    )
+    out = cap_per_key(df, ["k"], 2, ["id"])
+    assert "_rn" in out.columns
+    rows = out.collect()
+    assert all(r._rn == r.id * 10 for r in rows)  # values intact
+    assert len(rows) == 8  # 4 keys x cap 2
+
+
+def test_cap_per_key_rejects_reserved_internal_name(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.quality import cap_per_key
+
+    df = spark.range(5).select(
+        F.lit("k").alias("k"), F.col("id"), F.lit(1).alias("__cap_rn")
+    )
+    with pytest.raises(ValueError, match="__cap_rn"):
+        cap_per_key(df, ["k"], 2, ["id"])
+
+
+def test_suspicious_digit_run_tolerates_other_separators(spark):
+    # ADVICE round 4: dot/underscore-grouped cards are not scrubbable
+    # (scrubber classes are space/dash only) but MUST be quarantined —
+    # each dot-separated group alone is a 4-digit run below min_digits
+    from real_estate_project1_etl_spark.operators.textstats import (
+        has_suspicious_digit_run,
+        scrub_payment_cards,
+    )
+
+    cases = [
+        ("pay 4111.1111.1111.1111 now", True),
+        ("pay 4111_1111_1111_1111 now", True),
+        ("v1.2.3 build 2026.08.14", False),       # low digit mass
+        ("ip 192.168.100.200 port 8080", False),  # 12 digits < 13
+        ("pay 4111 1111 1111 1111 now", False),   # scrubbable -> clean after scrub
+    ]
+    df = spark.createDataFrame(cases, "text string, want boolean")
+    rows = df.select(
+        "want",
+        has_suspicious_digit_run(
+            scrub_payment_cards(F.col("text"), tolerate_separators=True)
+        ).alias("got"),
+        "text",
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, r.text

@@ -168,3 +168,41 @@ def test_scrape_throttle_spacing_per_partition(spark, tmp_path):
         ts = sorted(stamps[p] for p in part)
         for a, b in zip(ts, ts[1:]):
             assert b - a >= interval * 0.9, (part, ts)
+
+
+def test_fetch_with_retry_surfaces_nonretryable_immediately():
+    # ADVICE round 4: a permanent error (bug / 404-as-ValueError) must not
+    # burn the backoff schedule before surfacing
+    from real_estate_project1_etl_spark.sources.scrape import fetch_with_retry
+
+    calls = []
+
+    def broken(page: int) -> str:
+        calls.append(page)
+        raise ValueError("permanent")
+
+    fc = FakeClock()
+    try:
+        fetch_with_retry(broken, 3, max_retries=3, backoff_s=1.0, sleep=fc.sleep)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert calls == [3]      # exactly one attempt
+    assert fc.sleeps == []   # no backoff burned
+
+    # caller-widened retryable tuple still retries the custom type
+    fails = {"n": 1}
+
+    def flaky_value(page: int) -> str:
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise ValueError("transient-in-this-api")
+        return "ok"
+
+    fc2 = FakeClock()
+    out = fetch_with_retry(
+        flaky_value, 1, max_retries=2, backoff_s=1.0, sleep=fc2.sleep,
+        retryable=(ValueError,),
+    )
+    assert out == "ok"
+    assert fc2.sleeps == [1.0]

@@ -620,3 +620,29 @@ def test_streaming_kmv_matches_batch_sketch(spark, events_batch, tmp_path):
         for r in kmv_distinct(ev, ["event_type"], "user_id", k=32).collect()
     }
     assert got == exp
+
+
+def test_state_store_env_normalized_and_validated(monkeypatch):
+    # ADVICE round 4: 'HDFS'/' Hdfs ' must select the HDFS provider; an
+    # unrecognized value must raise instead of silently picking RocksDB
+    # (which breaks restarts on pre-existing HDFS-provider checkpoints)
+    from real_estate_project1_etl_spark.session import _state_store_provider_class
+
+    for spelling in ("hdfs", "HDFS", " Hdfs "):
+        monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", spelling)
+        assert _state_store_provider_class().endswith(
+            "HDFSBackedStateStoreProvider"
+        ), spelling
+    for spelling in ("rocksdb", "RocksDB", ""):
+        monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", spelling)
+        assert _state_store_provider_class().endswith(
+            "RocksDBStateStoreProvider"
+        ), spelling
+    monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+    assert _state_store_provider_class().endswith("RocksDBStateStoreProvider")
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "hdsf")  # typo
+    import pytest
+
+    with pytest.raises(ValueError, match="hdsf"):
+        _state_store_provider_class()

@@ -198,3 +198,27 @@ def test_schemeless_urls_pass_through_unchanged(spark):
     got = [r.c for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
     assert got == raw  # identity on unparseable inputs
     assert len(set(got)) == len(raw)
+
+
+def test_registrable_domain_psl_guards_internal_and_rule_names(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.functions.web import registrable_domain_psl
+
+    df = spark.createDataFrame([("a.co.uk", 1)], "h string, __psl_h int")
+    with pytest.raises(ValueError, match="__psl_h"):
+        registrable_domain_psl(df, "h", ["uk", "co.uk"])
+
+    # a rule column whose name needs backticks must not break the
+    # exception-strip (ADVICE round 4: the old interpolated F.expr did)
+    rules = spark.createDataFrame(
+        [("uk",), ("co.uk",), ("*.ck",), ("!www.ck",)], ["rule name"]
+    )
+    hosts = spark.createDataFrame(
+        [("x.co.uk",), ("www.www.ck",)], "h string"
+    )
+    got = {
+        r.h: r.domain
+        for r in registrable_domain_psl(hosts, "h", rules).collect()
+    }
+    assert got == {"x.co.uk": "x.co.uk", "www.www.ck": "www.ck"}
