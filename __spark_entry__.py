@@ -2534,6 +2534,25 @@ def q_luhn_card_audit(spark, sf_dir):
     )
 
 
+def _pct_sql(e: str) -> str:
+    # DuckDB mirror of functions/web.normalize_percent_encoding (RFC 3986
+    # §6.2.2): decode %XX for unreserved chars, uppercase remaining hex,
+    # pass malformed '%' through. Index-lambda keeps `e` referenced once.
+    hx = "'0123456789abcdef'"
+    code = (
+        f"CAST((strpos({hx}, lower(p[1:1]))-1)*16 + "
+        f"(strpos({hx}, lower(p[2:2]))-1) AS INTEGER)"
+    )
+    ch = f"chr({code})"
+    return (
+        "array_to_string(list_transform(string_split(" + e + ", '%'), (p, i) -> "
+        "CASE WHEN i = 1 THEN p "
+        "WHEN NOT regexp_matches(p, '^[0-9A-Fa-f]{2}') THEN '%' || p "
+        f"WHEN regexp_matches({ch}, '^[A-Za-z0-9._~-]$') THEN {ch} || p[3:] "
+        "ELSE '%' || upper(p[1:2]) || p[3:] END), '')"
+    )
+
+
 def _canon_url_sql(u: str) -> str:
     # DuckDB mirror of functions/web.canonicalize_url — same RE2-safe
     # regexes, same HOF pipeline (note: DuckDB regexp_replace needs the 'g'
@@ -2550,23 +2569,30 @@ def _canon_url_sql(u: str) -> str:
         "ELSE " + hostport + " END"
     )
     path = (
-        "regexp_replace(regexp_replace(regexp_extract(" + u
-        + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
-        " '/{2,}', '/', 'g'), '/+$', '')"
+        "regexp_replace(regexp_replace("
+        + _pct_sql(
+            "regexp_extract(" + u
+            + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+        )
+        + ", '/{2,}', '/', 'g'), '/+$', '')"
     )
     # the ? must precede any # — a ? inside the fragment is fragment text,
-    # not a query (mirrors functions/web.url_query's anchored regex)
+    # not a query (mirrors functions/web.url_query's anchored regex);
+    # percent-normalization precedes the '&' split (decoding unreserved
+    # chars never mints '&'/'=', so the split is unaffected)
     query = (
         "array_to_string(list_sort(list_filter(string_split("
-        "regexp_extract(" + u + ", '^[^#?]*\\?([^#]*)', 1), '&'),"
+        + _pct_sql("regexp_extract(" + u + ", '^[^#?]*\\?([^#]*)', 1)")
+        + ", '&'),"
         " kv -> kv <> '' AND NOT regexp_matches(kv, '^(utm_|fbclid|gclid)'))), '&')"
     )
     qsfx = "CASE WHEN " + query + " <> '' THEN '?' || " + query + " ELSE '' END"
     # protocol-relative (//host/path) branch — mirrors canonicalize_url
     rel_host = "lower(regexp_extract(" + u + ", '^//([^/?#]*)', 1))"
     rel_path = (
-        "regexp_replace(regexp_replace(regexp_extract(" + u
-        + ", '^//[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g'), '/+$', '')"
+        "regexp_replace(regexp_replace("
+        + _pct_sql("regexp_extract(" + u + ", '^//[^/?#]*([^?#]*)', 1)")
+        + ", '/{2,}', '/', 'g'), '/+$', '')"
     )
     # scheme-less non-protocol-relative inputs pass through unchanged (same
     # guard as functions/web.canonicalize_url — without it every relative/
@@ -2592,15 +2618,15 @@ _MESSY_URL_SQL = """
         CASE
           WHEN doc_id % 6 = 0 THEN
             'https://WWW.Src' || cast((doc_id % 150) % 20 AS varchar)
-              || '.Example.COM:443/a//b' || cast(doc_id % 150 AS varchar)
+              || '.Example.COM:443/%7Eu/a//b' || cast(doc_id % 150 AS varchar)
               || '/?utm_source=feed&id=' || cast(doc_id % 150 AS varchar) || '#top'
           WHEN doc_id % 6 = 1 THEN
             'https://www.src' || cast((doc_id % 150) % 20 AS varchar)
-              || '.example.com/a/b' || cast(doc_id % 150 AS varchar)
+              || '.example.com/~u/a/b' || cast(doc_id % 150 AS varchar)
               || '?id=' || cast(doc_id % 150 AS varchar) || '&utm_campaign=x'
           WHEN doc_id % 6 = 2 THEN
             'HTTPS://www.SRC' || cast((doc_id % 150) % 20 AS varchar)
-              || '.example.com/a/b' || cast(doc_id % 150 AS varchar)
+              || '.example.com/%7eu/a/b' || cast(doc_id % 150 AS varchar)
               || '/?fbclid=z' || cast(doc_id AS varchar)
               || '&id=' || cast(doc_id % 150 AS varchar)
           WHEN doc_id % 6 = 3 THEN
@@ -2609,12 +2635,12 @@ _MESSY_URL_SQL = """
               || '#f?gclid=1&id=' || cast(doc_id AS varchar)
           WHEN doc_id % 6 = 4 THEN
             '//WWW.src' || cast((doc_id % 150) % 20 AS varchar)
-              || '.example.com/a//b' || cast(doc_id % 150 AS varchar)
+              || '.example.com/%7Eu/a//b' || cast(doc_id % 150 AS varchar)
               || '/?id=' || cast(doc_id % 150 AS varchar) || '&utm_z=1#frag'
           ELSE
             'https://www.src' || cast((doc_id % 150) % 20 AS varchar)
               || '.example.com:443/a/b' || cast(doc_id % 150 AS varchar)
-              || '?id=' || cast(doc_id % 150 AS varchar)
+              || '%2f?id=' || cast(doc_id % 150 AS varchar)
         END"""
 
 # scheme-OPTIONAL (mirrors functions/web.url_hostport): protocol-relative
@@ -2662,22 +2688,24 @@ def q_url_canonical_dedup(spark, sf_dir):
     messy = (
         F.when(
             v == 0,
+            # %7E spelling of '~' (round-4 verdict item 1): must share a
+            # key with v1's raw '~u' and v2's lowercase-hex '%7eu'
             F.concat(
-                F.lit("https://WWW.Src"), d, F.lit(".Example.COM:443/a//b"), p,
+                F.lit("https://WWW.Src"), d, F.lit(".Example.COM:443/%7Eu/a//b"), p,
                 F.lit("/?utm_source=feed&id="), p, F.lit("#top"),
             ),
         )
         .when(
             v == 1,
             F.concat(
-                F.lit("https://www.src"), d, F.lit(".example.com/a/b"), p,
+                F.lit("https://www.src"), d, F.lit(".example.com/~u/a/b"), p,
                 F.lit("?id="), p, F.lit("&utm_campaign=x"),
             ),
         )
         .when(
             v == 2,
             F.concat(
-                F.lit("HTTPS://www.SRC"), d, F.lit(".example.com/a/b"), p,
+                F.lit("HTTPS://www.SRC"), d, F.lit(".example.com/%7eu/a/b"), p,
                 F.lit("/?fbclid=z"), ids, F.lit("&id="), p,
             ),
         )
@@ -2693,16 +2721,19 @@ def q_url_canonical_dedup(spark, sf_dir):
         )
         .when(
             v == 4,
-            # protocol-relative spelling (ADVICE round 3)
+            # protocol-relative spelling (ADVICE round 3) + %7E decode
             F.concat(
-                F.lit("//WWW.src"), d, F.lit(".example.com/a//b"), p,
+                F.lit("//WWW.src"), d, F.lit(".example.com/%7Eu/a//b"), p,
                 F.lit("/?id="), p, F.lit("&utm_z=1#frag"),
             ),
         )
         .otherwise(
+            # lowercase-hex RESERVED escape: %2f must stay encoded but
+            # canonicalize to uppercase %2F (it is a literal '/' inside
+            # the segment — decoding would change the path structure)
             F.concat(
                 F.lit("https://www.src"), d, F.lit(".example.com:443/a/b"), p,
-                F.lit("?id="), p,
+                F.lit("%2f?id="), p,
             )
         )
     )

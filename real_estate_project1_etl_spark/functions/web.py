@@ -77,6 +77,44 @@ def url_query(url: Column | str) -> Column:
     return F.regexp_extract(_c(url), r"^[^#?]*\?([^#]*)", 1)
 
 
+def normalize_percent_encoding(s: Column | str) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure expressions:
+
+    - a ``%XX`` whose decoded byte is an UNRESERVED character
+      (``A-Z a-z 0-9 - . _ ~``) is decoded (``%7E`` -> ``~``,
+      ``%41`` -> ``A``) — encoding an unreserved char never changes
+      meaning, so the decoded spelling is the canonical one;
+    - every other valid ``%XX`` keeps its encoding with UPPERCASE hex
+      (``%2f`` -> ``%2F``) — reserved chars (``%2F`` = ``/`` in a path
+      segment) must stay encoded or the URL's structure changes;
+    - a ``%`` not followed by two hex digits passes through verbatim
+      (malformed, but real crawl data has them — don't destroy).
+
+    Real crawls spell the same page both ways (``%7Euser`` vs ``~user``),
+    which silently splits dedup groups (round-4 verdict item 1).  Shape:
+    one split + one in-row transform — stays in codegen, zero shuffle.
+    Decoding only unreserved characters can never mint a new ``%``, ``&``,
+    ``=`` or ``/``, so this composes safely with the query-param split and
+    duplicate-slash collapse in :func:`canonicalize_url` in either order.
+    """
+    c = _c(s)
+    parts = F.split(c, "%", -1)
+    head = F.element_at(parts, 1)
+
+    def fix(p: Column) -> Column:
+        hex2 = F.substring(p, 1, 2)
+        rest = F.substring(p, 3, 2147483647)
+        ch = F.char(F.conv(hex2, 16, 10).cast("int"))
+        return (
+            F.when(~p.rlike(r"^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), p))
+            .when(ch.rlike(r"^[A-Za-z0-9._~-]$"), F.concat(ch, rest))
+            .otherwise(F.concat(F.lit("%"), F.upper(hex2), rest))
+        )
+
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+
+
 def strip_tracking_params(query: Column | str) -> Column:
     """Drop tracking params (utm_*, fbclid, gclid) and SORT the rest — param
     order is not semantic, and a sorted canonical query collapses reordered
@@ -123,11 +161,17 @@ def canonicalize_url(url: Column | str) -> Column:
         F.regexp_replace(hostport, r":80$", ""),
     ).otherwise(hostport)
     path = F.regexp_replace(
-        F.regexp_replace(url_path(u), r"/{2,}", "/"), r"/+$", ""
+        F.regexp_replace(
+            normalize_percent_encoding(url_path(u)), r"/{2,}", "/"
+        ),
+        r"/+$",
+        "",
     )
     # query regex is scheme-agnostic (anchored on "no #/? before the ?"),
-    # so it serves the scheme-ful AND protocol-relative branches
-    query = strip_tracking_params(url_query(u))
+    # so it serves the scheme-ful AND protocol-relative branches; percent
+    # normalization runs BEFORE the param split — decoding unreserved
+    # chars never mints '&'/'=', so the split is unaffected
+    query = strip_tracking_params(normalize_percent_encoding(url_query(u)))
     q_suffix = F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit(""))
 
     # protocol-relative components (//host[/path][?q][#f]);
@@ -135,7 +179,11 @@ def canonicalize_url(url: Column | str) -> Column:
     rel_host = url_hostport(u)
     rel_path = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_extract(u, r"^//[^/?#]*([^?#]*)", 1), r"/{2,}", "/"
+            normalize_percent_encoding(
+                F.regexp_extract(u, r"^//[^/?#]*([^?#]*)", 1)
+            ),
+            r"/{2,}",
+            "/",
         ),
         r"/+$",
         "",

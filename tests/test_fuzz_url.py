@@ -32,7 +32,12 @@ def _messy_url(rng: random.Random) -> str:
     path = ""
     for _ in range(segs):
         path += rng.choice(["/", "//", "///"]) + rng.choice(
-            ["a", "B", "long-segment", "x1", "CaseSeg"]
+            ["a", "B", "long-segment", "x1", "CaseSeg",
+             # percent-encoding material (round-4 verdict item 1):
+             # unreserved decodes (%7E/%7e -> ~, %41 -> A), reserved
+             # hex-case folds (%2f -> %2F), malformed passthrough
+             "%7Eu", "%7eu", "~u", "a%2Fb", "a%2fb", "%41bc", "Abc",
+             "x%zz", "%4", "100%", "a%25b"]
         )
     path += rng.choice(["", "/", "//"])
     params = []
@@ -40,7 +45,8 @@ def _messy_url(rng: random.Random) -> str:
         params.append(
             rng.choice(
                 ["id=%d" % rng.randint(0, 99), "q=abc", "sort=Desc", "page=2",
-                 "utm_source=feed", "utm_campaign=x", "fbclid=zzz", "gclid=123"]
+                 "utm_source=feed", "utm_campaign=x", "fbclid=zzz", "gclid=123",
+                 "a=%7E", "a=~", "b=%62x", "c=%2Fv", "c=%2fv"]
             )
         )
     rng.shuffle(params)

@@ -222,3 +222,39 @@ def test_registrable_domain_psl_guards_internal_and_rule_names(spark):
         for r in registrable_domain_psl(hosts, "h", rules).collect()
     }
     assert got == {"x.co.uk": "x.co.uk", "www.www.ck": "www.ck"}
+
+
+def test_percent_encoding_normalization(spark):
+    # round-4 verdict item 1: %-hex case and percent-encoded unreserved
+    # chars must canonicalize identically; reserved escapes stay encoded
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.functions.web import canonicalize_url
+
+    pairs = [
+        # the verdict's exact done-criterion pair
+        ("https://x.com/%7Eu%2Fa", "https://x.com/~u%2fa"),
+        # unreserved alpha decode vs raw
+        ("https://x.com/%41bc", "https://x.com/Abc"),
+        # query-side: encoded key decodes, params re-sort identically
+        ("https://x.com/a?%62=1&a=%7E", "https://x.com/a?b=1&a=~"),
+        # protocol-relative path gets the same treatment
+        ("//x.com/%7Eu/p", "//x.com/~u/p"),
+    ]
+    df = spark.createDataFrame(pairs, "u1 string, u2 string")
+    rows = df.select(
+        canonicalize_url(F.col("u1")).alias("c1"),
+        canonicalize_url(F.col("u2")).alias("c2"),
+        "u1",
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, (r.u1, r.c1, r.c2)
+
+    singles = [
+        ("https://x.com/a/b%2f", "https://x.com/a/b%2F"),  # hex uppercased
+        ("https://x.com/x%zz/%4", "https://x.com/x%zz/%4"),  # malformed kept
+        ("https://x.com/a%25b", "https://x.com/a%25b"),  # '%' stays encoded
+    ]
+    df2 = spark.createDataFrame(singles, "u string, want string")
+    for r in df2.select(canonicalize_url(F.col("u")).alias("c"), "want", "u").collect():
+        assert r.c == r.want, (r.u, r.c, r.want)
