@@ -202,6 +202,29 @@ def canonicalize_url(url: Column | str) -> Column:
     )
 
 
+def idna_ascii(host: str) -> str:
+    """Best-effort IDNA/punycode ASCII form of a (lower-cased) hostname —
+    the published PSL algorithm's step 0: hosts are punycoded BEFORE rule
+    matching, so ``münchen.de`` and ``xn--mnchen-3ya.de`` are the same
+    host.  Python's ``idna`` codec (IDNA 2003) first; on its (strict)
+    failures — empty labels, over-long labels — fall back to per-label
+    punycode of just the non-ASCII labels; on total failure return the
+    input unchanged (a garbage host should flow through, not kill a
+    corpus job)."""
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        try:
+            return ".".join(
+                lab
+                if lab.isascii()
+                else "xn--" + lab.encode("punycode").decode("ascii")
+                for lab in host.split(".")
+            )
+        except UnicodeError:
+            return host
+
+
 def registrable_domain_psl(
     df,
     host_col: str,
@@ -225,6 +248,15 @@ def registrable_domain_psl(
     single groupBy on the distinct-host set — the corpus itself never joins
     the PSL; only the (small) distinct-host table does, and the final
     host->domain map attaches with one equi-join that AQE can broadcast.
+
+    IDN hosts (round-4 verdict item 2): rule matching runs on the
+    IDNA/punycode ASCII form — the published algorithm punycodes first, so
+    ``münchen.de`` and ``xn--mnchen-3ya.de`` yield the same registrable
+    domain (the punycoded spelling).  The conversion is the documented
+    Arrow escape hatch (:func:`idna_ascii` as a pandas_udf), applied ONLY
+    to the non-ASCII slice of the distinct-host table — the corpus never
+    passes through Python, and an all-ASCII corpus sends that stage zero
+    rows.
     """
     from pyspark.sql import functions as _F
 
@@ -255,12 +287,30 @@ def registrable_domain_psl(
     ).distinct()
 
     hosts = df.select(_F.lower(_F.col(host_col)).alias("_h")).distinct()
-    labels = _F.split(_F.col("_h"), r"\.")
+    # IDNA step: `_hi` is the punycoded ASCII matching form, `_h` stays
+    # the corpus join key.  ASCII hosts (the overwhelming majority) skip
+    # Python entirely; only the non-ASCII slice crosses the Arrow hatch.
+    import pandas as _pd  # noqa: F401 — pandas_udf requires it importable
+
+    @_F.pandas_udf("string")
+    def _idna_udf(s):
+        return s.map(lambda h: None if h is None else idna_ascii(h))
+
+    is_ascii = _F.col("_h").rlike(r"^[\x00-\x7F]*$")
+    hosts = (
+        hosts.filter(is_ascii)
+        .withColumn("_hi", _F.col("_h"))
+        .unionAll(
+            hosts.filter(~is_ascii).withColumn("_hi", _idna_udf(_F.col("_h")))
+        )
+    )
+    labels = _F.split(_F.col("_hi"), r"\.")
     n = _F.size(labels)
     # candidate suffix at start i (1-based): labels[i..n]; its wildcard
     # spelling replaces the first label with '*'
     cands = hosts.select(
         "_h",
+        "_hi",
         n.alias("_n"),
         _F.explode(
             _F.transform(
@@ -308,21 +358,24 @@ def registrable_domain_psl(
     dom_start = _F.when(
         _F.col("exc_start").isNotNull(), _F.col("exc_start")
     ).otherwise(_F.col("pub_start") - 1)
+    # the returned domain is built from the IDNA form `_hi` — the
+    # registrable domain of an IDN host is its punycoded spelling, so
+    # münchen.de and xn--mnchen-3ya.de yield the SAME value
     mapping = hosts.join(best, ["_h"], "left").select(
         "_h",
         _F.when(
             _F.col("pub_start").isNull() & _F.col("exc_start").isNull(),
             # default rule '*': public suffix = last label
             _F.when(
-                _F.size(_F.split(_F.col("_h"), r"\.")) >= 2,
-                _F.regexp_extract(_F.col("_h"), r"([^.]+\.[^.]+)$", 1),
+                _F.size(_F.split(_F.col("_hi"), r"\.")) >= 2,
+                _F.regexp_extract(_F.col("_hi"), r"([^.]+\.[^.]+)$", 1),
             ),
         )
         .when(
             dom_start >= 1,
             _F.array_join(
                 _F.slice(
-                    _F.split(_F.col("_h"), r"\."),
+                    _F.split(_F.col("_hi"), r"\."),
                     dom_start,
                     _F.col("_n") - dom_start + 1,
                 ),

@@ -258,3 +258,34 @@ def test_percent_encoding_normalization(spark):
     df2 = spark.createDataFrame(singles, "u string, want string")
     for r in df2.select(canonicalize_url(F.col("u")).alias("c"), "want", "u").collect():
         assert r.c == r.want, (r.u, r.c, r.want)
+
+
+def test_registrable_domain_psl_idn_punycode(spark):
+    # round-4 verdict item 2: the published PSL algorithm punycodes hosts
+    # BEFORE rule matching — raw-unicode and punycoded spellings of the
+    # same host must map to the SAME (punycoded) registrable domain
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+
+    rules = ["de", "com", "cn", "co.uk", "uk"]
+    cases = {
+        "münchen.de": "xn--mnchen-3ya.de",
+        "xn--mnchen-3ya.de": "xn--mnchen-3ya.de",
+        "www.MÜNCHEN.de": "xn--mnchen-3ya.de",   # case-folds first
+        "中国.cn": "xn--fiqs8s.cn",
+        "shop.bücher.co.uk": "xn--bcher-kva.co.uk",
+        "plain.example.com": "example.com",       # ASCII path untouched
+        "münchen.internal": "xn--mnchen-3ya.internal",  # default rule
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = {r.h: r.domain for r in registrable_domain_psl(df, "h", rules).collect()}
+    for h, want in cases.items():
+        assert got[h] == want, f"{h!r}: {got[h]!r} != {want!r}"
+
+    plan = (
+        registrable_domain_psl(df, "h", rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the IDNA hatch must be Arrow-batched, never row-at-a-time Python
+    assert "BatchEvalPython" not in plan
