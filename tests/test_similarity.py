@@ -218,10 +218,21 @@ def test_connected_components_doubling_is_log_rounds(spark):
         [(100 + i, 100 + i + 1) for i in range(d)], "src long, dst long"
     )
     st: dict = {}
-    labels = connected_components(edges, _stats=st)
+    labels = connected_components(edges, algorithm="doubling", _stats=st)
     assert st["rounds"] <= math.ceil(math.log2(d)) + 1, st
+    assert st["doubling_from_round"] == 1, st
     got = {r["id"]: r["comp"] for r in labels.collect()}
     assert got == {100 + i: 100 for i in range(d + 1)}
+
+    # the "auto" DEFAULT (round-4 verdict item 3) still converges the
+    # deep chain in O(log d): a few cheap label probe rounds, then
+    # doubling takes over
+    st_auto: dict = {}
+    labels_auto = connected_components(edges, _stats=st_auto)
+    assert st_auto["doubling_from_round"] == 4, st_auto  # after 3 probes
+    assert st_auto["rounds"] <= 3 + math.ceil(math.log2(d)) + 2, st_auto
+    got_auto = {r["id"]: r["comp"] for r in labels_auto.collect()}
+    assert got_auto == got
 
     # both algorithms agree on a mixed graph (chain + triangle + island)
     mixed = spark.createDataFrame(
@@ -407,3 +418,27 @@ def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
         assert split[p.id_a] == split[p.id_b], (p.id_a, p.id_b)
     # both splits are non-empty (the hash actually divides the corpus)
     assert {"train", "test"} == set(split.values())
+
+
+def test_connected_components_auto_skips_doubling_on_shallow_graphs(spark):
+    # round-4 verdict item 3: near-dup clusters are diameter <= 2; the
+    # auto default must converge them inside the label probe rounds and
+    # never pay the doubling join's second exchange
+    from real_estate_project1_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    # stars + triangles + pairs: all diameter <= 2
+    edges = [(100 * c, 100 * c + i) for c in range(1, 6) for i in range(1, 5)]
+    edges += [(900, 901), (901, 902), (902, 900), (950, 951)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    st: dict = {}
+    labels = connected_components(df, _stats=st)
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert st["doubling_from_round"] is None, st   # never escalated
+    assert st["rounds"] <= 3, st
+    for c in range(1, 6):
+        for i in range(1, 5):
+            assert got[100 * c + i] == 100 * c
+    assert got[900] == got[901] == got[902] == 900
+    assert got[950] == got[951] == 950
