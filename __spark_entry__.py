@@ -1505,9 +1505,16 @@ def _minhash_pairs_ctes(threshold: float) -> str:
     # equi-join on (band, bucket), exact-Jaccard verify — checked
     # bit-for-bit, including which pairs banding surfaces.  Returns the CTE
     # chain ending in ``pairs(id_a, id_b, jaccard)`` so both the pair query
-    # and the connected-components query compose on it.
-    from real_estate_project1_etl_spark.operators.dedup import _perm_constants
+    # and the connected-components query compose on it.  The banding width
+    # comes from the SAME tuner the operator now defaults to (round-4
+    # verdict item 7), so the mirror tracks the production choice — e.g.
+    # threshold 0.4 -> (b=16, r=2), 0.6 -> (b=8, r=4).
+    from real_estate_project1_etl_spark.operators.dedup import (
+        _perm_constants,
+        tune_lsh_bands,
+    )
 
+    _b, rows_per_band = tune_lsh_bands(32, threshold)
     av, bv = _perm_constants(32)
     perms = ",\n            ".join(
         f"({i}, {av[i]}::HUGEINT, {bv[i]}::HUGEINT)" for i in range(32)
@@ -1535,9 +1542,9 @@ def _minhash_pairs_ctes(threshold: float) -> str:
         GROUP BY doc_id, p
     ),
     bands AS (
-        SELECT doc_id, p // 4 AS band,
+        SELECT doc_id, p // {rows_per_band} AS band,
                string_agg(mh::VARCHAR, ',' ORDER BY p) AS bucket
-        FROM mins GROUP BY doc_id, p // 4
+        FROM mins GROUP BY doc_id, p // {rows_per_band}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1561,11 +1568,13 @@ def _minhash_pairs_ctes(threshold: float) -> str:
     f"WITH {_minhash_pairs_ctes(0.4)} SELECT id_a, id_b, jaccard FROM pairs",
 )
 def q_minhash_near_dup(spark, sf_dir):
-    # PRODUCTION banding (num_hashes=32, bands=8, r=4) — the oracle mirrors
-    # the entire LSH construction, so this checks candidate generation too,
-    # not just the verified pair set.  hash_fn='md5_60' makes the shingle
-    # hash engine-reproducible; round_digits=None emits the raw int/int
-    # Jaccard division (bit-identical across engines).
+    # PRODUCTION banding: tuner-chosen from the 0.4 threshold (b=16, r=2 —
+    # round-4 verdict item 7: the candidate-volume knob defaults on) — the
+    # oracle mirrors the entire LSH construction via the same tuner, so
+    # this checks candidate generation too, not just the verified pair
+    # set.  hash_fn='md5_60' makes the shingle hash engine-reproducible;
+    # round_digits=None emits the raw int/int Jaccard division
+    # (bit-identical across engines).
     return minhash_near_duplicates(
         _t(spark, sf_dir, "documents"),
         "text",

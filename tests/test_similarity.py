@@ -442,3 +442,30 @@ def test_connected_components_auto_skips_doubling_on_shallow_graphs(spark):
             assert got[100 * c + i] == 100 * c
     assert got[900] == got[901] == got[902] == 900
     assert got[950] == got[951] == 950
+
+
+def test_minhash_bands_default_to_tuner_choice(spark):
+    # round-4 verdict item 7: bands=None (the default) must derive the
+    # banding from tune_lsh_bands for the target threshold — the
+    # documented examples: 32 hashes at 0.9 -> (b=4, r=8); at 0.6 ->
+    # (b=8, r=4); at 0.4 -> (b=16, r=2)
+    from real_estate_project1_etl_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text base number {i} with words") for i in range(8)],
+        "id long, text string",
+    )
+    for threshold, want in ((0.9, (4, 8)), (0.6, (8, 4)), (0.4, (16, 2))):
+        st: dict = {}
+        minhash_near_duplicates(
+            docs, "text", "id", jaccard_threshold=threshold, _stats=st
+        ).count()
+        assert (st["bands"], st["rows_per_band"]) == want, (threshold, st)
+    # explicit bands still wins over the tuner
+    st2: dict = {}
+    minhash_near_duplicates(
+        docs, "text", "id", bands=32, jaccard_threshold=0.9, _stats=st2
+    ).count()
+    assert st2["bands"] == 32
