@@ -133,6 +133,28 @@ COST = {
 }
 
 
+#: queries whose run-to-run CV at sf0.1 exceeds ~10% (SCALE.md's n=5
+#: variance measurement: the LSH/graph family's persist materialization is
+#: GC-coupled, stdev ~0.6s) — single samples there are noise-dominated, so
+#: these report the MEDIAN of 3 timed runs plus a min/max spread field and
+#: round-over-round comparisons stop chasing GC noise (round-4 verdict
+#: item 4). Everything else keeps best-of-2.
+NOISY = {
+    "minhash_near_dup",
+    "near_dup_components",
+    "semantic_dedup",
+    "lsh_multiprobe_topk",
+    "prefix_filter_jaccard_pairs",
+    "copurchase_triangles",
+    "repeated_kgram_spans",
+    "documents_curation_v2",
+    "incremental_dedup_docs",
+    "phash_doc_neardup",
+    "jl_projection_pairs",
+    "exact_dedup_docs",
+}
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -148,20 +170,35 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    # best-of-2 timed runs per query: steady-state throughput, robust to a
-    # one-off GC pause / JIT recompile landing inside a single sample
+    # best-of-2 timed runs per query (median-of-3 + spread for the NOISY
+    # family): steady-state throughput, robust to a one-off GC pause / JIT
+    # recompile landing inside a single sample
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     total = 0.0
     for name in HEADLINE:
-        best, n = float("inf"), 0
-        for _ in range(2):
+        runs = 3 if name in NOISY else 2
+        samples, n = [], 0
+        for _ in range(runs):
             t0 = time.perf_counter()
             n = queries[name](spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        total += best
+            samples.append(time.perf_counter() - t0)
+        if name in NOISY:
+            val = sorted(samples)[len(samples) // 2]  # median
+            spread[name] = {
+                "min": round(min(samples), 3),
+                "max": round(max(samples), 3),
+                "n": runs,
+            }
+            tag = f" [median of {runs}, {min(samples):.3f}-{max(samples):.3f}]"
+        else:
+            val = min(samples)
+            tag = ""
+        timings[name] = round(val, 3)
+        total += val
         print(
-            f"# {name}: {best:.3f}s ({n} rows) — {COST[name]}", file=sys.stderr
+            f"# {name}: {val:.3f}s ({n} rows){tag} — {COST[name]}",
+            file=sys.stderr,
         )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -176,6 +213,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf_val,
             }
         )

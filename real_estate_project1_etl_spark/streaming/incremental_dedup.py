@@ -110,6 +110,7 @@ def start_incremental_dedup(
     hash_fn: str = "xxhash64",
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    batch_id_offset: int = 0,
 ) -> StreamingQuery:
     """readStream over a JSON inbox -> per-batch near-dup filter against the
     signature store -> append survivors + their signatures.
@@ -120,9 +121,16 @@ def start_incremental_dedup(
     deterministic function of (batch, store-before-batch), and replays see
     the same store state for their own ids because self-pairs are excluded
     by id inside :func:`incremental_minhash_pairs`.
+
+    ``batch_id_offset`` shifts the SINK partition ids: a rebuilt (fresh)
+    checkpoint restarts Spark's batch counter at 0, and without the shift
+    its dynamic-overwrite would clobber the partitions the RETIRED
+    checkpoint already wrote (tools/migrate_state_checkpoint.py passes
+    ``last committed batch + 1``).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_id = batch_id + batch_id_offset
         sess = batch_df.sparkSession
         like = minhash_signature_table(
             batch_df.limit(0), text_col, id_col, num_hashes, shingle_n, hash_fn
