@@ -646,3 +646,62 @@ def test_state_store_env_normalized_and_validated(monkeypatch):
 
     with pytest.raises(ValueError, match="hdsf"):
         _state_store_provider_class()
+
+
+def test_streaming_cap_generic_string_ids_and_composite_keys(spark, tmp_path):
+    # round-4 verdict item 6: the old cap hard-coded `key string, id long`
+    # schemas; crawl corpora key docs by string ids and cap by composite
+    # keys (domain, lang). Schemas now derive from the input DataFrame —
+    # assert admission works and single-batch == batch-cap equivalence
+    # holds for (string, string) composite keys with string doc ids.
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        capped_corpus_stream,
+    )
+
+    src = str(tmp_path / "gcap_src")
+    schema = "domain string, lang string, doc_id string"
+    rows = (
+        [("x.com", "en", f"doc-{i:03d}") for i in range(6)]
+        + [("x.com", "de", f"doc-{100 + i:03d}") for i in range(2)]
+        + [("y.org", "en", f"doc-{200 + i:03d}") for i in range(4)]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        capped_corpus_stream(stream, ["domain", "lang"], "doc_id", n=3)
+        .writeStream.format("memory")
+        .queryName("mem_generic_cap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gcap_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.domain, r.lang, r.doc_id)
+        for r in spark.table("mem_generic_cap").collect()
+    }
+    import pandas as pd
+
+    counts = (
+        pd.Series([(d, lg) for d, lg, _ in got]).value_counts().to_dict()
+    )
+    assert counts == {("x.com", "en"): 3, ("x.com", "de"): 2, ("y.org", "en"): 3}
+
+    # single-batch equivalence against the fully generic batch cap
+    batch = spark.read.parquet(src)
+    want = {
+        (r.domain, r.lang, r.doc_id)
+        for r in capped_corpus_stream(
+            batch, ["domain", "lang"], "doc_id", n=3
+        ).collect()
+    }
+    assert got == want
+
+    # missing column -> loud error, not a silent schema mismatch
+    import pytest
+
+    with pytest.raises(ValueError, match="nope"):
+        capped_corpus_stream(stream, ["domain", "nope"], "doc_id", n=3)
