@@ -289,3 +289,55 @@ def test_registrable_domain_psl_idn_punycode(spark):
     )
     # the IDNA hatch must be Arrow-batched, never row-at-a-time Python
     assert "BatchEvalPython" not in plan
+
+
+def test_registrable_domain_psl_vendored_list(spark):
+    # round-4 verdict item 8: a representative ~280-rule vendored PSL
+    # subset (psl_data.DEFAULT_PSL_RULES) — known answers for every rule
+    # class: plain multi-part, whole-TLD wildcard, nested geographic
+    # wildcard + exception, multi-level PRIVATE-section wildcard
+    from real_estate_project1_etl_spark.functions.psl_data import (
+        DEFAULT_PSL_RULES,
+    )
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+
+    cases = {
+        "www.example.com": "example.com",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "a.b.tokyo.jp": "b.tokyo.jp",
+        # nested geographic wildcard: *.kawasaki.jp makes <x>.kawasaki.jp
+        # a public suffix...
+        "foo.bar.kawasaki.jp": "foo.bar.kawasaki.jp",
+        "bar.kawasaki.jp": None,  # IS a public suffix
+        # ...but the exception !city.kawasaki.jp carves the city site out
+        "city.kawasaki.jp": "city.kawasaki.jp",
+        "www.city.kawasaki.jp": "city.kawasaki.jp",
+        # whole-TLD wildcard + exception
+        "x.foo.ck": "x.foo.ck",
+        "foo.ck": None,
+        "www.ck": "www.ck",
+        "sub.www.ck": "www.ck",
+        # multi-level PRIVATE wildcard: *.compute.amazonaws.com
+        "my-app.ec2-7.compute.amazonaws.com": "my-app.ec2-7.compute.amazonaws.com",
+        "ec2-7.compute.amazonaws.com": None,  # IS a public suffix
+        "x.y.eu-west-1.compute.amazonaws.com": "y.eu-west-1.compute.amazonaws.com",
+        # plain private suffixes
+        "someuser.github.io": "someuser.github.io",
+        "a.b.blogspot.com": "b.blogspot.com",
+        "mysite.netlify.app": "mysite.netlify.app",
+        # plain 3-part registry rule
+        "nsw.edu.au": None,  # IS a public suffix
+        "school.nsw.edu.au": "school.nsw.edu.au",
+        "x.school.nsw.edu.au": "school.nsw.edu.au",
+        # unknown TLD -> default rule
+        "a.b.host.internal": "host.internal",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = {
+        r.h: r.domain
+        for r in registrable_domain_psl(df, "h", list(DEFAULT_PSL_RULES)).collect()
+    }
+    for h, want in cases.items():
+        assert got[h] == want, f"{h!r}: {got[h]!r} != {want!r}"
