@@ -104,7 +104,7 @@ COST = {
     "quality_features": "regex counting over text; scan/CPU-bound, no shuffle",
     "langid_heuristic": "token-set intersects per row; CPU-bound, no shuffle",
     "cosine_topk": "dot products rows*queries (CPU) + global top-k",
-    "minhash_near_dup": "shingle+32-hash fold (CPU), band explode, bucket self-join",
+    "minhash_near_dup": "shingle+32-hash fold (CPU), band explode, bucket self-join; r5: tuner banding b=16/r=2 at t=0.4 (recall>1/2 at threshold) grows candidate volume vs r4's b=8",
     "volume_shipping": "6-way join: pushed date scan + 1 shuffle, 4 broadcasts",
     "hash_sample": "md5-nibble predicate in the scan stage; no shuffle",
     "documents_curation_pipeline": "regex chain + sha256 over text (CPU) + 1 fingerprint exchange",
@@ -123,7 +123,7 @@ COST = {
     "part_skyline": "per-brand distinct-price agg + tiny window + broadcast join back (never the O(n^2) pair space)",
     "phash_doc_neardup": "Arrow hash UDF over 64-byte payload + 4-chunk band self-join + candidate-only hamming",
     "histogram_quantiles": "1 stats agg + 1 bucket-count agg (additive sketch) + rank pass for the exact comparison values",
-    "incremental_dedup_docs": "batch signatures + banding joins vs base; O(batch+collisions), corpus side is banding keys only",
+    "incremental_dedup_docs": "batch signatures + banding joins vs base; O(batch+collisions), corpus side is banding keys only; r5: tuner banding b=16/r=2 at t=0.4 grows candidates vs r4's b=8",
     "url_canonical_dedup": "scan-stage regex/HOF canonicalization + 1 groupBy exchange on the canonical key",
     "url_domain_psl": "in-row candidate suffixes + broadcast-hash PSL rule join on the distinct-host set only",
     "domain_capped_corpus": "WindowGroupLimit partial pre-prune per map task, one exchange on the domain key",
