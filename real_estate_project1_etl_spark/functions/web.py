@@ -214,6 +214,81 @@ def canonicalize_url(url: Column | str) -> Column:
     )
 
 
+def canonicalize_urls(df, url_col: str, out_col: str = "canon_url"):
+    """Table-level URL canonicalization with IDN-safe keys (round-5
+    verdict item 2): :func:`canonicalize_url` plus a punycode pass on the
+    host, so ``http://münchen.de/a`` and ``http://xn--mnchen-3ya.de/a``
+    share ONE dedup key.  The column-level function stays pure-expression
+    (and therefore cannot punycode); this wrapper exists for corpus dedup
+    pipelines, where split IDN spellings mean the same page twice in a
+    "dedup'd" corpus.
+
+    Scale shape — the same pattern as :func:`registrable_domain_psl`'s
+    IDNA stage: the corpus rows never cross into Python.  Hosts are taken
+    from the already-canonical key, the DISTINCT non-ASCII slice (zero
+    rows for an all-ASCII corpus) maps through the Arrow-batched
+    :func:`idna_ascii` hatch with its port split off, and the punycoded
+    host re-attaches with one equi-join that AQE broadcasts (the mapping
+    is at most the distinct-IDN-host count).  ASCII-host rows pass through
+    with their canonical key byte-identical to :func:`canonicalize_url`'s
+    output.
+    """
+    from pyspark.sql import functions as _F
+
+    if out_col in df.columns:
+        raise ValueError(
+            f"canonicalize_urls: df already has a column {out_col!r} — "
+            "pass a different out_col"
+        )
+    for reserved in ("__cu_h", "__cu_hi"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"canonicalize_urls: df already has a column {reserved!r} "
+                "— rename it; this name is reserved for the internal join"
+            )
+    out = df.withColumn(out_col, canonicalize_url(_F.col(url_col)))
+    host = url_hostport(_F.col(out_col))
+    # distinct NON-ASCII hosts only — the Arrow hatch sees nothing else
+    idn_hosts = (
+        out.select(host.alias("__cu_h"))
+        .filter(~_F.col("__cu_h").rlike(r"^[\x00-\x7F]*$"))
+        .distinct()
+    )
+    import pandas as _pd  # noqa: F401 — pandas_udf requires it importable
+
+    @_F.pandas_udf("string")
+    def _idna_udf(s):
+        return s.map(lambda h: None if h is None else idna_ascii(h))
+
+    # punycode the hostname only — a kept non-default port rides along
+    port = _F.regexp_extract(_F.col("__cu_h"), r"(:[0-9]*)$", 1)
+    bare = _F.regexp_replace(_F.col("__cu_h"), r":[0-9]*$", "")
+    mapping = idn_hosts.select(
+        "__cu_h", _F.concat(_idna_udf(bare), port).alias("__cu_hi")
+    )
+    joined = out.join(
+        _F.broadcast(mapping), host == _F.col("__cu_h"), "left"
+    )
+    # rebuild the key: canonical form is <prefix>//<host><rest>, so the
+    # punycoded host splices in by offset — no regex on user-controlled
+    # host strings
+    c = _F.col(out_col)
+    prefix = _F.regexp_extract(c, r"^((?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//)", 1)
+    rest = c.substr(
+        _F.length(prefix) + _F.length(host) + _F.lit(1), _F.length(c)
+    )
+    return (
+        joined.withColumn(
+            out_col,
+            _F.when(
+                _F.col("__cu_hi").isNotNull(),
+                _F.concat(prefix, _F.col("__cu_hi"), rest),
+            ).otherwise(c),
+        )
+        .drop("__cu_h", "__cu_hi")
+    )
+
+
 def idna_ascii(host: str) -> str:
     """Best-effort IDNA/punycode ASCII form of a (lower-cased) hostname —
     the published PSL algorithm's step 0: hosts are punycoded BEFORE rule
