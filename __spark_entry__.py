@@ -2812,8 +2812,13 @@ def _psl_oracle_sql(host_case_sql: str, rules: tuple[str, ...]) -> str:
                        _h, '^.*@', ''), '\\.*(:[0-9]*)?\\.*$', '') AS hn
             FROM hosts),
     hostsn AS (SELECT _h,
-                      CASE WHEN hn = '' OR hn LIKE '.%' OR hn LIKE '%..%'
-                           THEN NULL ELSE hn END AS _hn
+                      -- mirror of the operator's anchored validity extract
+                      -- ^([^.:@]+(?:\\.[^.:@]+)*)$ (round-6 ADVICE: reject
+                      -- leftover ':'/'@' so 'example.com:80:90' yields
+                      -- NULL, not a fabricated 'example.com:80' domain)
+                      CASE WHEN regexp_matches(
+                               hn, '^[^.:@]+(\\.[^.:@]+)*$')
+                           THEN hn END AS _hn
                FROM hn0),
     lab AS (SELECT _h, string_split(_hn, '.') AS ls
             FROM hostsn WHERE _hn IS NOT NULL),

@@ -425,3 +425,92 @@ def test_canonicalize_url_percent_encoded_host(spark):
         "u",
     ).collect():
         assert r.c1 == r.c2, (r.u, r.c1, r.c2)
+
+
+def test_canonicalize_urls_idn_unification(spark):
+    # round-5 verdict item 2 + round-6 ADVICE: the table-level wrapper must
+    # give raw-Unicode, punycode AND percent-encoded-UTF-8 spellings of an
+    # IDN host ONE dedup key (the punycoded spelling)
+    from real_estate_project1_etl_spark.functions.web import canonicalize_urls
+
+    rows = [
+        ("http://münchen.de/a",),
+        ("http://xn--mnchen-3ya.de/a",),
+        ("http://m%C3%BCnchen.de/a",),
+        ("HTTP://MÜNCHEN.DE:80/a",),  # case + default port fold first
+    ]
+    df = spark.createDataFrame(rows, "u string")
+    keys = {
+        r.canon_url
+        for r in canonicalize_urls(df, "u").select("canon_url").collect()
+    }
+    assert keys == {"http://xn--mnchen-3ya.de/a"}, keys
+
+
+def test_canonicalize_urls_protocol_relative_and_port(spark):
+    # a kept non-default port rides along the punycode splice; protocol-
+    # relative spellings keep their '//' prefix and port verbatim
+    from real_estate_project1_etl_spark.functions.web import canonicalize_urls
+
+    rows = [
+        ("https://münchen.de:8443/x", "https://xn--mnchen-3ya.de:8443/x"),
+        ("//münchen.de:8080/x?b=2&a=1", "//xn--mnchen-3ya.de:8080/x?a=1&b=2"),
+        ("//m%C3%BCnchen.de:8080/x", "//xn--mnchen-3ya.de:8080/x"),
+    ]
+    df = spark.createDataFrame(rows, "u string, want string")
+    for r in canonicalize_urls(df, "u").collect():
+        assert r.canon_url == r.want, (r.u, r.canon_url, r.want)
+
+
+def test_canonicalize_urls_ascii_passthrough_and_nulls(spark):
+    # ASCII-host rows must come out byte-identical to the column-level
+    # canonicalize_url; scheme-less garbage passes through; NULLs stay NULL
+    from real_estate_project1_etl_spark.functions.web import (
+        canonicalize_url,
+        canonicalize_urls,
+    )
+
+    rows = [
+        ("https://WWW.X.com:443/a//b/?utm_source=1&id=2#top",),
+        ("relative/path/only",),
+        ("not a url at all",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "u string")
+    got = canonicalize_urls(df, "u").withColumn(
+        "col_level", canonicalize_url(F.col("u"))
+    )
+    for r in got.collect():
+        assert r.canon_url == r.col_level, (r.u, r.canon_url, r.col_level)
+    # schema: wrapper adds exactly the out_col, internals dropped
+    assert canonicalize_urls(df, "u").columns == ["u", "canon_url"]
+    assert canonicalize_urls(df, "u", out_col="k").columns == ["u", "k"]
+
+
+def test_canonicalize_urls_reserved_column_errors(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.functions.web import canonicalize_urls
+
+    df = spark.createDataFrame([("http://x.com/",)], "u string")
+    with pytest.raises(ValueError, match="canon_url"):
+        canonicalize_urls(df.withColumn("canon_url", F.lit("t")), "u")
+    with pytest.raises(ValueError, match="__cu_h"):
+        canonicalize_urls(df.withColumn("__cu_h", F.lit("t")), "u")
+    with pytest.raises(ValueError, match="__cu_hi"):
+        canonicalize_urls(df.withColumn("__cu_hi", F.lit("t")), "u")
+
+
+def test_pct_decode_utf8_host_unit():
+    # decode only valid-UTF-8 runs of HIGH-byte escapes; ASCII escapes and
+    # broken runs stay verbatim
+    from real_estate_project1_etl_spark.functions.web import (
+        _pct_decode_utf8_host,
+    )
+
+    assert _pct_decode_utf8_host("m%C3%BCnchen.de") == "münchen.de"
+    assert _pct_decode_utf8_host("plain.com") == "plain.com"
+    # lone continuation byte is not valid UTF-8 -> untouched
+    assert _pct_decode_utf8_host("x%BC.com") == "x%BC.com"
+    # ASCII escape untouched even next to a decoded run
+    assert _pct_decode_utf8_host("a%2Fb%C3%A9.fr") == "a%2Fbé.fr"
