@@ -2675,22 +2675,98 @@ _CANON_HOST_SQL = (
 )
 
 
-@_q(
-    "url_canonical_dedup",
-    f"""
+def _psl_mapping_ctes(rules) -> str:
+    # Reusable DuckDB mirror of functions/web.registrable_domain_psl's
+    # host->domain construction (pre-normalization, candidate/wildcard/
+    # exception matching, default rule).  Emits the CTE chain
+    # `rules .. mapping(_h, domain)`; the caller must have defined a CTE
+    # `hosts(_h)` of DISTINCT lower-cased hosts beforehand, and joins
+    # `mapping` back however its query shape needs (group-by-domain for
+    # the PSL gates, per-canon-key attach for url_canonical_dedup).  The
+    # `hn0`/`hostsn` CTEs mirror the operator's host pre-normalization
+    # (round-5 verdict item 1): strip userinfo (greedy to the LAST '@'),
+    # `:port`, trailing dot(s); hosts left with empty labels or authority
+    # punctuation normalize to NULL and produce a NULL domain.
+    rules_sql = ",".join(f"('{r}')" for r in rules)
+    return f"""rules(rule) AS (VALUES {rules_sql}),
+    r2 AS (SELECT CASE WHEN rule LIKE '!%' THEN substring(rule, 2)
+                       ELSE rule END AS rule_key,
+                  (rule LIKE '!%') AS is_exc
+           FROM rules),
+    hn0 AS (SELECT _h,
+                   regexp_replace(regexp_replace(
+                       _h, '^.*@', ''), '\\.*(:[0-9]*)?\\.*$', '') AS hn
+            FROM hosts),
+    hostsn AS (SELECT _h,
+                      -- mirror of the operator's anchored validity extract
+                      -- ^([^.:@]+(?:\\.[^.:@]+)*)$ (round-6 ADVICE: reject
+                      -- leftover ':'/'@' so 'example.com:80:90' yields
+                      -- NULL, not a fabricated 'example.com:80' domain)
+                      CASE WHEN regexp_matches(
+                               hn, '^[^.:@]+(\\.[^.:@]+)*$')
+                           THEN hn END AS _hn
+               FROM hn0),
+    lab AS (SELECT _h, string_split(_hn, '.') AS ls
+            FROM hostsn WHERE _hn IS NOT NULL),
+    cexp AS (SELECT _h, ls,
+                    unnest(generate_series(1, len(ls))) AS start
+             FROM lab),
+    cand AS (SELECT _h, start,
+                    array_to_string(ls[start:], '.') AS sfx,
+                    '*' || CASE WHEN start < len(ls)
+                                THEN '.' || array_to_string(ls[start+1:], '.')
+                                ELSE '' END AS wfx
+             FROM cexp),
+    matched AS (SELECT c._h, c.start, r.is_exc
+                FROM cand c
+                JOIN r2 r ON r.rule_key = c.sfx OR r.rule_key = c.wfx),
+    best AS (SELECT _h,
+                    min(CASE WHEN is_exc THEN start END) AS exc_start,
+                    min(CASE WHEN NOT is_exc THEN start END) AS pub_start
+             FROM matched GROUP BY _h),
+    mapping AS (
+        SELECT h._h,
+               CASE
+                 WHEN b._h IS NULL THEN
+                   CASE WHEN len(string_split(h._hn, '.')) >= 2
+                        THEN regexp_extract(h._hn, '([^.]+\\.[^.]+)$', 1) END
+                 WHEN coalesce(b.exc_start, b.pub_start - 1) >= 1 THEN
+                   array_to_string(
+                     string_split(h._hn, '.')[coalesce(b.exc_start, b.pub_start - 1):],
+                     '.')
+               END AS domain
+        FROM hostsn h LEFT JOIN best b USING (_h)
+    )"""
+
+
+def _url_canonical_dedup_oracle() -> str:
+    # group-by-canon first, then attach the PSL-derived domain to each
+    # canon key via the shared mapping template over the DISTINCT canon
+    # hosts (round-5 verdict item 3: the flagship URL-dedup query now
+    # derives `domain` from the vendored PSL tier, not the 8-suffix
+    # embedded sample — a blogspot.com-class host gets its platform
+    # suffix eTLD+1, not the sample's naive last-two-labels)
+    from real_estate_project1_etl_spark.functions.psl_data import (
+        DEFAULT_PSL_RULES,
+    )
+
+    return f"""
     WITH m AS (
         SELECT doc_id, {_MESSY_URL_SQL} AS u FROM documents
     ), c AS (
         SELECT doc_id, {_canon_url_sql('u')} AS canon FROM m
-    )
-    SELECT canon,
-           {_reg_domain_sql(_CANON_HOST_SQL)} AS domain,
-           count(*) AS n_docs,
-           min(doc_id) AS first_doc
-    FROM c
-    GROUP BY 1, 2
-    """,
-)
+    ), g AS (
+        SELECT canon, count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM c GROUP BY canon
+    ),
+    hosts AS (SELECT DISTINCT lower({_CANON_HOST_SQL}) AS _h FROM g),
+    {_psl_mapping_ctes(DEFAULT_PSL_RULES)}
+    SELECT g.canon, mp.domain, g.n_docs, g.first_doc
+    FROM g LEFT JOIN mapping mp ON lower({_CANON_HOST_SQL}) = mp._h
+"""
+
+
+@_q("url_canonical_dedup", _url_canonical_dedup_oracle())
 def q_url_canonical_dedup(spark, sf_dir):
     # Crawl-corpus URL dedup: each doc mints a "messy" spelling of its
     # page's URL (case noise, default port, duplicate/trailing slashes,
@@ -2699,9 +2775,12 @@ def q_url_canonical_dedup(spark, sf_dir):
     # group key.  The oracle mirrors the full canonicalizer (regex
     # component split, port/slash rules, tracking-param filter + sort), so
     # the compare checks the construction, not just group counts.
+    from real_estate_project1_etl_spark.functions.psl_data import (
+        DEFAULT_PSL_RULES,
+    )
     from real_estate_project1_etl_spark.functions.web import (
         canonicalize_url,
-        registrable_domain,
+        registrable_domain_psl,
         url_hostport,
     )
 
@@ -2762,20 +2841,22 @@ def q_url_canonical_dedup(spark, sf_dir):
             )
         )
     )
-    return (
+    agg = (
         docs.withColumn("canon", canonicalize_url(messy))
         .groupBy("canon")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
         )
-        .select(
-            "canon",
-            registrable_domain(url_hostport(F.col("canon"))).alias("domain"),
-            "n_docs",
-            "first_doc",
-        )
+        .withColumn("__host", url_hostport(F.col("canon")))
     )
+    # the broadcast PSL rule join runs on the already-aggregated distinct
+    # canon keys (round-5 verdict item 3) — the corpus-side exchange is
+    # untouched, and a blogspot.com-class host gets its platform-suffix
+    # eTLD+1 instead of the embedded sample's naive last-two-labels
+    return registrable_domain_psl(
+        agg, "__host", list(DEFAULT_PSL_RULES)
+    ).select("canon", "domain", "n_docs", "first_doc")
 
 
 # vendored PSL fixture for the url_domain_psl gate: plain multi-part rules
@@ -2788,69 +2869,16 @@ _PSL_RULES = (
 )
 
 def _psl_oracle_sql(host_case_sql: str, rules: tuple[str, ...]) -> str:
-    # parameterized DuckDB mirror of functions/web.registrable_domain_psl
-    # (candidate/wildcard/exception construction with the rule table +
-    # host generator injected) — serves the 15-rule gate, the vendored-
-    # subset gate, and any future rule set from ONE template.  The `hn` /
-    # `hostsn` CTEs mirror the operator's host pre-normalization (round-5
-    # verdict item 1): strip userinfo (greedy to the LAST '@'), `:port`,
-    # trailing dot(s); empty-label hosts normalize to NULL and therefore
-    # produce a NULL domain via the left join.
-    rules_sql = ",".join(f"('{r}')" for r in rules)
+    # parameterized DuckDB mirror of the PSL gate queries — host generator
+    # -> distinct hosts -> shared _psl_mapping_ctes construction -> group
+    # by domain.  Serves the 15-rule gate, the vendored-subset gate, and
+    # any future rule set from ONE template.
     return f"""
     WITH m AS (
         SELECT doc_id, {host_case_sql} AS h FROM documents
     ),
-    rules(rule) AS (VALUES {rules_sql}),
-    r2 AS (SELECT CASE WHEN rule LIKE '!%' THEN substring(rule, 2)
-                       ELSE rule END AS rule_key,
-                  (rule LIKE '!%') AS is_exc
-           FROM rules),
     hosts AS (SELECT DISTINCT lower(h) AS _h FROM m),
-    hn0 AS (SELECT _h,
-                   regexp_replace(regexp_replace(
-                       _h, '^.*@', ''), '\\.*(:[0-9]*)?\\.*$', '') AS hn
-            FROM hosts),
-    hostsn AS (SELECT _h,
-                      -- mirror of the operator's anchored validity extract
-                      -- ^([^.:@]+(?:\\.[^.:@]+)*)$ (round-6 ADVICE: reject
-                      -- leftover ':'/'@' so 'example.com:80:90' yields
-                      -- NULL, not a fabricated 'example.com:80' domain)
-                      CASE WHEN regexp_matches(
-                               hn, '^[^.:@]+(\\.[^.:@]+)*$')
-                           THEN hn END AS _hn
-               FROM hn0),
-    lab AS (SELECT _h, string_split(_hn, '.') AS ls
-            FROM hostsn WHERE _hn IS NOT NULL),
-    cexp AS (SELECT _h, ls,
-                    unnest(generate_series(1, len(ls))) AS start
-             FROM lab),
-    cand AS (SELECT _h, start,
-                    array_to_string(ls[start:], '.') AS sfx,
-                    '*' || CASE WHEN start < len(ls)
-                                THEN '.' || array_to_string(ls[start+1:], '.')
-                                ELSE '' END AS wfx
-             FROM cexp),
-    matched AS (SELECT c._h, c.start, r.is_exc
-                FROM cand c
-                JOIN r2 r ON r.rule_key = c.sfx OR r.rule_key = c.wfx),
-    best AS (SELECT _h,
-                    min(CASE WHEN is_exc THEN start END) AS exc_start,
-                    min(CASE WHEN NOT is_exc THEN start END) AS pub_start
-             FROM matched GROUP BY _h),
-    mapping AS (
-        SELECT h._h,
-               CASE
-                 WHEN b._h IS NULL THEN
-                   CASE WHEN len(string_split(h._hn, '.')) >= 2
-                        THEN regexp_extract(h._hn, '([^.]+\\.[^.]+)$', 1) END
-                 WHEN coalesce(b.exc_start, b.pub_start - 1) >= 1 THEN
-                   array_to_string(
-                     string_split(h._hn, '.')[coalesce(b.exc_start, b.pub_start - 1):],
-                     '.')
-               END AS domain
-        FROM hostsn h LEFT JOIN best b USING (_h)
-    ),
+    {_psl_mapping_ctes(rules)},
     j AS (SELECT m.doc_id, mp.domain
           FROM m JOIN mapping mp ON lower(m.h) = mp._h)
     SELECT domain, count(*) AS n_hosts, min(doc_id) AS first_doc
