@@ -27,7 +27,21 @@ def _messy_url(rng: random.Random) -> str:
     host_base = rng.choice(
         ["example.com", "Sub.Example.COM", "news.bbc.co.uk", "x.GitHub.io", "a.b.c.org"]
     )
-    port = rng.choice(["", ":80", ":443", ":8080", ":8443"])
+    # host-shape arm (round-5 verdict item 6): userinfo, FQDN trailing
+    # dot(s), IDN labels, and %-escapes in the HOST — the canonical key
+    # keeps these spellings (only lowercased/percent-normalized); the PSL
+    # domain tier strips them.  Both mirrors must agree on every shape.
+    r = rng.random()
+    if r < 0.10:
+        host_base = rng.choice(["user@", "U.ser@", "a@b@"]) + host_base
+    elif r < 0.20:
+        host_base = host_base + rng.choice([".", "..", "."])
+    elif r < 0.30:
+        host_base = rng.choice(
+            ["MÜnchen.de", "münchen.de", "xn--mnchen-3ya.de", "café.fr.",
+             "ex%41mple.com", "m%C3%BCnchen.de", "x%zz.com", "a%2Fb.com"]
+        )
+    port = rng.choice(["", ":80", ":443", ":8080", ":8443", ":", ":80:90"])
     segs = rng.randint(0, 3)
     path = ""
     for _ in range(segs):
@@ -112,14 +126,55 @@ def test_url_canonicalizer_differential_sweep(spark, _canon_sql):
         assert r.d == wd, f"{r.u!r}: spark domain {r.d!r} != duck {wd!r}"
 
 
+def _decorate_host(rng: random.Random, host: str) -> str:
+    """Host-shape fuzz arm (round-5 verdict item 6): sprinkle the
+    authority decorations real crawls carry — userinfo, ports (including
+    the degenerate ':' and the double ':80:90' the round-6 ADVICE fix
+    rejects), FQDN trailing dots, IDN labels, and %-escapes."""
+    r = rng.random()
+    if r < 0.12:
+        host = rng.choice(["user@", "a@b@", "U@"]) + host
+    elif r < 0.24:
+        host = host + rng.choice([":8080", ":", ":443", ":80:90"])
+    elif r < 0.34:
+        host = host + rng.choice([".", "..", "."])
+    elif r < 0.44:
+        host = rng.choice(["münchen", "MÜnchen", "café", "xn--mnchen-3ya"]) \
+            + "." + host
+    elif r < 0.50:
+        host = rng.choice(["ex%41mple", "m%C3%BCnchen", "x%zz"]) + "." + host
+    elif r < 0.56:  # stacked decorations: userinfo + IDN + port + dot
+        host = "u@" + rng.choice(["münchen.", "café."]) + host + \
+            rng.choice([":8080.", ".", ":443"])
+    return host
+
+
 def _psl_model(host: str, rules: list[str]) -> str | None:
     """Independent pure-python implementation of the published PSL
     algorithm (publicsuffix.org/list): all matching rules found,
     exceptions win, else longest, else the default rule '*'. Written
     label-wise from the spec — deliberately NOT the candidate-suffix
     construction the Spark operator and its DuckDB oracle share, so this
-    differential can catch bugs they would agree on."""
-    labels = host.lower().split(".")
+    differential can catch bugs they would agree on.
+
+    Mirrors the operator's authority pre-normalization (round-5 verdict
+    item 1 + round-6 ADVICE) independently: userinfo to the LAST '@',
+    one combined dots/:port/dots tail strip, then hostname validity
+    (non-empty labels, no leftover ':'/'@') — invalid hosts have no
+    registrable domain.  IDN labels punycode per-label (the registrable
+    domain of an IDN host is its ASCII spelling)."""
+    import re as _re
+
+    h = host.lower()
+    h = _re.sub(r"^.*@", "", h)
+    h = _re.sub(r"\.*(:[0-9]*)?\.*$", "", h)
+    if not _re.fullmatch(r"[^.:@]+(\.[^.:@]+)*", h):
+        return None
+    h = ".".join(
+        lab if lab.isascii() else "xn--" + lab.encode("punycode").decode()
+        for lab in h.split(".")
+    )
+    labels = h.split(".")
 
     def matches(rule: str) -> bool:
         rl = rule.split(".")
@@ -165,7 +220,11 @@ def test_registrable_domain_psl_differential_fuzz(spark):
     hosts = []
     for i in range(300):
         rng = random.Random(9000 + i)
-        hosts.append(".".join(rng.choice(pool) for _ in range(rng.randint(1, 5))))
+        hosts.append(
+            _decorate_host(
+                rng, ".".join(rng.choice(pool) for _ in range(rng.randint(1, 5)))
+            )
+        )
     hosts = sorted(set(hosts))
     df = spark.createDataFrame([(h,) for h in hosts], "h string")
     got = {
@@ -218,7 +277,11 @@ def test_registrable_domain_psl_vendored_differential_fuzz(spark):
     hosts = set()
     for i in range(400):
         rng = random.Random(42000 + i)
-        hosts.add(".".join(rng.choice(pool) for _ in range(rng.randint(1, 6))))
+        hosts.add(
+            _decorate_host(
+                rng, ".".join(rng.choice(pool) for _ in range(rng.randint(1, 6)))
+            )
+        )
     hosts = sorted(hosts)
     df = spark.createDataFrame([(h,) for h in hosts], "h string")
     got = {
