@@ -346,11 +346,18 @@ def silent_user_detector(events: DataFrame, timeout_ms: int = 2000) -> DataFrame
 # --------------------------------------------------------------------------
 
 
-def _cap_update(n: int, key_cols: list[str], id_col: str):
+def _cap_update(
+    n: int, key_cols: list[str], id_col: str, initial: dict | None = None
+):
+    initial = initial or {}
+
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        cnt = state.get[0] if state.exists else 0
+        # a key's FIRST sighting under a fresh checkpoint seeds from the
+        # migration bootstrap (drained-sink counts) instead of 0 — the
+        # counter-state leg of the drain-and-rebuild runbook
+        cnt = state.get[0] if state.exists else initial.get(key, 0)
         # concat the WHOLE group before sorting: pdfs is an iterator of
         # Arrow chunks (maxRecordsPerBatch-sized), and a chunk-local sort
         # would admit a chunk's smallest hashes while a later chunk holds
@@ -373,7 +380,11 @@ def _cap_update(n: int, key_cols: list[str], id_col: str):
 
 
 def capped_corpus_stream(
-    df: DataFrame, key_cols: str | list[str], id_col: str, n: int
+    df: DataFrame,
+    key_cols: str | list[str],
+    id_col: str,
+    n: int,
+    initial_counts: dict | None = None,
 ) -> DataFrame:
     """Streaming per-key admission cap: emit a ``(*keys, id)`` row for a
     document iff fewer than ``n`` documents of its key have been admitted
@@ -399,6 +410,19 @@ def capped_corpus_stream(
     (``quality._hash60``), so single-batch equivalence holds for every
     type.  Batch DataFrames take the
     :func:`~..operators.quality.cap_per_key` fallback.
+
+    ``initial_counts`` seeds the per-key admitted counter for a FRESH
+    checkpoint — the counter-state leg of the drain-and-rebuild
+    provider-migration runbook (tools/migrate_state_checkpoint.py,
+    round-5 verdict item 8): unlike the incremental-dedup pipeline the
+    cap's state lives ONLY in the state store, but it is exactly
+    reconstructable from the drained sink (admitted rows per key =
+    counter), so migration passes
+    ``admitted_counts(spark.read.parquet(sink), key_cols)`` here and the
+    rebuilt query refuses no one it shouldn't.  Keys are tuples of key
+    values (single-key tuples for one key column).  The dict rides the
+    task closure — one int per DISTINCT key ever admitted (the domain
+    set, not the corpus), the same small-side scale as a broadcast dim.
     """
     from real_estate_project1_etl_spark.operators.quality import (
         _hash60,
@@ -407,7 +431,23 @@ def capped_corpus_stream(
 
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    if initial_counts is not None:
+        bad = [
+            k for k in initial_counts
+            if not isinstance(k, tuple) or len(k) != len(key_cols)
+        ]
+        if bad:
+            raise ValueError(
+                "capped_corpus_stream: initial_counts keys must be "
+                f"{len(key_cols)}-tuples of key values; got e.g. {bad[0]!r}"
+            )
     if not df.isStreaming:
+        if initial_counts:
+            raise ValueError(
+                "capped_corpus_stream: initial_counts is a streaming-"
+                "checkpoint migration bootstrap; the batch fallback has "
+                "no prior-admission state to seed"
+            )
         return cap_per_key(df, key_cols, n, [id_col]).select(*key_cols, id_col)
 
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -418,7 +458,7 @@ def capped_corpus_stream(
 
     hashed = df.select(*key_cols, id_col, _hash60([id_col]).alias("_h"))
     return hashed.groupBy(*key_cols).applyInPandasWithState(
-        _cap_update(n, key_cols, id_col),
+        _cap_update(n, key_cols, id_col, initial_counts),
         outputStructType=out_schema,
         stateStructType="admitted long",
         outputMode="append",
