@@ -116,3 +116,89 @@ DEFAULT_PSL_RULES: tuple[str, ...] = (
     "fastlylb.net", "onrender.com", "fly.dev", "deno.dev", "repl.co",
 )
 # fmt: on
+
+
+def parse_psl(text: str) -> tuple[str, ...]:
+    """Parse the official Public Suffix List file format
+    (publicsuffix.org/list/public_suffix_list.dat) into the rule-string
+    tuple :func:`..web.registrable_domain_psl` consumes — the drop-in
+    path for vendoring the COMPLETE ~9k-rule list: download the file,
+    ``parse_psl(open(...).read())``, done.  Format rules per the spec:
+    ``//`` comment lines and blank lines are ignored, each remaining
+    line's FIRST whitespace-separated token is the rule, and both ICANN
+    and PRIVATE sections are kept (section markers are comments).  IDN
+    rules (the list spells them in Unicode) are punycoded per label,
+    because the operator matches hosts in their IDNA/ASCII form."""
+    rules = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0]
+        neg = rule.startswith("!")
+        body = rule[1:] if neg else rule
+        if not body.isascii():
+            body = ".".join(
+                lab
+                if lab.isascii()
+                else "xn--" + lab.encode("punycode").decode("ascii")
+                for lab in body.split(".")
+            )
+        rules.append(("!" + body) if neg else body)
+    return tuple(rules)
+
+
+def synth_full_psl(n_rules: int = 9000, seed: int = 7) -> tuple[str, ...]:
+    """Deterministic SYNTHETIC rule set at the real list's scale and
+    shape, for measuring that rule count does not bend the PSL join's
+    cost curve (round-5 verdict item 4).  The genuine list cannot be
+    fetched in this offline sandbox, so this generates ~``n_rules``
+    rules matching the published list's structure: a superset of
+    :data:`DEFAULT_PSL_RULES`, plus synthetic ccTLD second-level
+    registries (the bulk of the real list), nested geographic rules
+    (the *.jp pattern), a realistic sprinkle of wildcards + exceptions,
+    and PRIVATE-section platform suffixes.  Swapping in the real file is
+    a data update through :func:`parse_psl`, not a code change —
+    nothing in the operator depends on which rules these are."""
+    import random
+
+    rng = random.Random(seed)
+    rules = list(DEFAULT_PSL_RULES)
+    seen = set(rules)
+
+    def add(r: str) -> None:
+        if r not in seen:
+            seen.add(r)
+            rules.append(r)
+
+    # ~1.4k single-label TLDs (the gTLD explosion in the real list);
+    # 2-3 syllables give 16^2 + 16^3 = 4352 possible spellings, safely
+    # above the 1400 target (1-2 syllables had only 272 — a hang)
+    syll = ["foo", "bar", "zap", "qux", "lem", "vor", "tek", "mun",
+            "ria", "sol", "nav", "pix", "dor", "kel", "tam", "wex"]
+    while len(rules) < len(DEFAULT_PSL_RULES) + 1400:
+        add("".join(rng.choice(syll) for _ in range(rng.randint(2, 3))))
+    tlds = [r for r in rules if "." not in r and "*" not in r]
+    # second-level registries under random ccTLD-ish tails (the bulk)
+    second = ["co", "com", "net", "org", "edu", "gov", "ac", "go", "or",
+              "ne", "mil", "int", "web", "info", "biz", "name", "sch"]
+    while len(rules) < n_rules - 300:
+        add(f"{rng.choice(second)}.{rng.choice(tlds)}")
+    # nested geographic rules + wildcards + exceptions (~2%: the real
+    # list's *.jp / *.ck neighborhoods)
+    geo = ["kita", "minami", "naka", "higashi", "nishi", "chuo", "sakai"]
+    for _ in range(150):
+        base = f"{rng.choice(geo)}{rng.randint(1, 99)}.{rng.choice(tlds)}"
+        add(base)
+        if rng.random() < 0.4:
+            add(f"*.{base}")
+            if rng.random() < 0.5:
+                add(f"!city.{base}")
+    # PRIVATE-section platform suffixes
+    plat = ["pages", "sites", "apps", "cdn", "static", "users", "hosted"]
+    while len(rules) < n_rules:
+        add(
+            f"{rng.choice(plat)}{rng.randint(1, 999)}."
+            f"{rng.choice(['com', 'net', 'io', 'dev', 'app'])}"
+        )
+    return tuple(rules)

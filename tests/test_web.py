@@ -514,3 +514,49 @@ def test_pct_decode_utf8_host_unit():
     assert _pct_decode_utf8_host("x%BC.com") == "x%BC.com"
     # ASCII escape untouched even next to a decoded run
     assert _pct_decode_utf8_host("a%2Fb%C3%A9.fr") == "a%2Fbé.fr"
+
+
+def test_parse_psl_format():
+    # official file format: // comments, blank lines, first token, IDN
+    # rules punycoded, exceptions preserved
+    from real_estate_project1_etl_spark.functions.psl_data import parse_psl
+
+    text = """// this is a comment
+com
+
+// ===BEGIN PRIVATE DOMAINS===
+*.ck
+!www.ck
+münchen.museum
+co.uk
+"""
+    assert parse_psl(text) == (
+        "com", "*.ck", "!www.ck", "xn--mnchen-3ya.museum", "co.uk"
+    )
+
+
+def test_synth_full_psl_shape(spark):
+    # deterministic, a superset of the vendored subset, at the real
+    # list's scale, with all three structural rule classes represented;
+    # and the operator accepts it (scale probe uses it at 1M hosts —
+    # tools/psl_scale_probe.py, measured entry in SCALE.md)
+    from real_estate_project1_etl_spark.functions.psl_data import (
+        DEFAULT_PSL_RULES,
+        synth_full_psl,
+    )
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+
+    rules = synth_full_psl(9000)
+    assert rules == synth_full_psl(9000)  # deterministic
+    assert len(rules) == 9000
+    assert set(DEFAULT_PSL_RULES) <= set(rules)
+    assert any(r.startswith("*.") for r in rules)
+    assert any(r.startswith("!") for r in rules)
+    df = spark.createDataFrame(
+        [("www.example.com",), ("a.b.kobe.ck",)], "h string"
+    )
+    got = {r.h: r.domain for r in registrable_domain_psl(df, "h", rules).collect()}
+    assert got["www.example.com"] == "example.com"
+    assert got["a.b.kobe.ck"] == "b.kobe.ck"  # *.ck wildcard intact
