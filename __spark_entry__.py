@@ -2849,6 +2849,13 @@ def q_url_canonical_dedup(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
         )
         .withColumn("__host", url_hostport(F.col("canon")))
+        # registrable_domain_psl derives its distinct-host table from the
+        # input df, so without a cut the corpus scan+aggregation would
+        # re-execute for the hosts path AND the final attach join;
+        # checkpointing the (tiny: one row per distinct canon key)
+        # aggregate runs the corpus exchange exactly once — same pattern
+        # as documents_curation_v2's multi-consumer survivors
+        .localCheckpoint()
     )
     # the broadcast PSL rule join runs on the already-aggregated distinct
     # canon keys (round-5 verdict item 3) — the corpus-side exchange is
