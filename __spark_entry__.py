@@ -805,6 +805,156 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+_WS_TOKENS_SQL = r"""cast(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0
+                THEN 0
+                ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                END AS bigint)"""
+
+
+@_q(
+    "sequence_packing_plan",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_WS_TOKENS_SQL} AS n_tokens FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ph
+        FROM t WHERE n_tokens > 0
+    ),
+    s AS (SELECT doc_id, n_tokens, ph, cast(ph % 8 AS int) AS shard FROM p),
+    o AS (
+        SELECT doc_id, n_tokens, shard,
+               cast(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY ph, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS bigint) AS "offset"
+        FROM s
+    )
+    SELECT doc_id, n_tokens, shard, "offset",
+           cast(floor("offset" / 512) AS bigint) AS first_seq,
+           cast(floor(("offset" + n_tokens - 1) / 512) AS bigint) AS last_seq,
+           cast(floor(("offset" + n_tokens - 1) / 512)
+                - floor("offset" / 512) + 1 AS bigint) AS n_seqs
+    FROM o
+    """,
+)
+def q_sequence_packing_plan(spark, sf_dir):
+    # concat-and-chunk sequence packing (operators/packing.pack_sequences):
+    # deterministic training layout — shard = hash60(doc_id) % 8, in-shard
+    # order (hash, id), offsets by window cumsum, and the seq_len=512
+    # sequences each doc spans.  The oracle re-runs the identical md5
+    # arithmetic and window in DuckDB, so the compare checks the layout
+    # construction (offsets and boundary spans), not just counts.
+    from real_estate_project1_etl_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.whitespace_token_count("text").cast("long").alias("n_toks"),
+    )
+    return pack_sequences(docs, "doc_id", "n_toks", seq_len=512, n_shards=8)
+
+
+@_q(
+    "sequence_packing_summary",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_WS_TOKENS_SQL} AS n_tokens FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ph
+        FROM t WHERE n_tokens > 0
+    ),
+    s AS (SELECT doc_id, n_tokens, ph, cast(ph % 8 AS int) AS shard FROM p),
+    o AS (
+        SELECT doc_id, n_tokens, shard,
+               cast(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY ph, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS bigint) AS "offset"
+        FROM s
+    ),
+    plan AS (
+        SELECT shard, n_tokens,
+               cast(floor(("offset" + n_tokens - 1) / 512)
+                    - floor("offset" / 512) + 1 AS bigint) AS n_seqs
+        FROM o
+    )
+    SELECT shard,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS total_tokens,
+           cast(floor((sum(n_tokens) + 511) / 512) AS bigint) AS n_seqs,
+           cast(floor((sum(n_tokens) + 511) / 512) * 512 - sum(n_tokens)
+                AS bigint) AS pad_tokens,
+           cast(sum(n_tokens) AS double)
+               / (cast(floor((sum(n_tokens) + 511) / 512) AS double) * 512)
+               AS efficiency,
+           cast(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS bigint)
+               AS boundary_docs
+    FROM plan GROUP BY shard
+    """,
+)
+def q_sequence_packing_summary(spark, sf_dir):
+    # per-shard packing economics (operators/packing.packing_summary):
+    # sequence counts, pad waste, efficiency, boundary-crossing docs —
+    # the seq_len tradeoff dashboard for a pretraining export
+    from real_estate_project1_etl_spark.operators.packing import (
+        pack_sequences,
+        packing_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.whitespace_token_count("text").cast("long").alias("n_toks"),
+    )
+    plan = pack_sequences(docs, "doc_id", "n_toks", seq_len=512, n_shards=8)
+    out = packing_summary(plan, seq_len=512)
+    return out.select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("n_seqs").cast("long").alias("n_seqs"),
+        F.col("pad_tokens").cast("long").alias("pad_tokens"),
+        "efficiency",
+        F.col("boundary_docs").cast("long").alias("boundary_docs"),
+    )
+
+
+@_q(
+    "calibrated_quality_gate_docs",
+    """
+    WITH r AS (
+        SELECT doc_id, source, cast(n_chars AS bigint) AS score,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source, score FROM r WHERE rn <= ceil(n * 0.3)
+    """,
+)
+def q_calibrated_quality_gate_docs(spark, sf_dir):
+    # per-source quality-threshold calibration (operators/quality.
+    # calibrated_quality_gate): keep the top 30% of EACH source by score
+    # — scores are not comparable across sources, so a single global
+    # cutoff silently drops whole sources; the oracle mirrors the
+    # rank-vs-ceil(count*frac) rule exactly (ties by doc_id)
+    from real_estate_project1_etl_spark.operators.quality import (
+        calibrated_quality_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+    )
+    return calibrated_quality_gate(
+        docs, "score", ["source"], 0.3, ["doc_id"]
+    )
+
+
 @_q(
     "quality_features",
     r"""

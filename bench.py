@@ -86,6 +86,10 @@ HEADLINE = [
     "luhn_card_audit",
     "bigram_coverage_quality",
     "jl_projection_pairs",
+    # round-7: pretraining export layout (window cumsum per shard) and
+    # per-source quality calibration (rank-vs-count window gate)
+    "sequence_packing_plan",
+    "calibrated_quality_gate_docs",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -130,6 +134,8 @@ COST = {
     "luhn_card_audit": "scan-stage regexp extract + Luhn fold + replace fold; zero shuffles",
     "bigram_coverage_quality": "per-row bigram expression + Zipf count agg + semi-join back (2 exchanges)",
     "jl_projection_pairs": "16 dot-product folds per row (codegen) + adjacent-id self-join shuffle",
+    "sequence_packing_plan": "ws-token count per row (scan CPU) + 1 shard exchange + in-shard window cumsum",
+    "calibrated_quality_gate_docs": "1 source exchange; row_number + count share the window partitioning",
 }
 
 

@@ -292,3 +292,66 @@ def mixture_sample(
     return df.filter(F.col(source_col).isin(list(present))).sampleBy(
         source_col, fractions, seed
     )
+
+
+def calibrated_quality_gate(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    keep_frac: float,
+    order_key_cols: list[str],
+) -> DataFrame:
+    """Keep the top ``keep_frac`` fraction of EACH group by score — the
+    per-source quality-threshold calibration step of modern curation
+    recipes (DCLM/FineWeb-style): quality scores are not comparable
+    across sources (a median news page outscores a great forum post), so
+    one global cutoff silently drops whole sources; calibrating the
+    threshold per source keeps the best X% of each.
+
+    Semantics: rank rows within each group by ``score_col`` DESCENDING
+    (ties broken by ``order_key_cols`` — required, an id, so the kept
+    set is a pure function of row content like :func:`cap_per_key`);
+    keep rank <= ceil(keep_frac * group_size).  ceil means every
+    non-empty group keeps at least one row — a tiny source is never
+    silently eliminated by rounding.
+
+    Scale shape: ONE shuffle on the group key serving both the
+    row_number and the count (same window partitioning); the comparison
+    is rank-vs-count inside the window stage, so no second pass and no
+    driver-side threshold table.  At 100 TB the per-group sort is the
+    cost — groups are sources/domains (bounded), and a skewed mega-group
+    pre-prunes nothing here (every row needs its rank), so mega-sources
+    should be domain-capped FIRST (:func:`cap_per_key`), which is the
+    pipeline order the curation recipes use anyway.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(
+            f"calibrated_quality_gate: keep_frac must be in (0, 1], got "
+            f"{keep_frac}"
+        )
+    if set(order_key_cols) <= set(group_cols):
+        raise ValueError(
+            "calibrated_quality_gate: order_key_cols must include a "
+            "column outside group_cols (an id) — score ties broken by "
+            "the group alone depend on physical row order"
+        )
+    from pyspark.sql import Window
+
+    for internal in ("__cqg_rn", "__cqg_n"):
+        if internal in df.columns:
+            raise ValueError(
+                f"calibrated_quality_gate: df already has a column "
+                f"{internal!r} — rename it; this name is reserved"
+            )
+    wp = Window.partitionBy(*group_cols)
+    w = wp.orderBy(
+        F.col(score_col).desc(), *[F.col(c) for c in order_key_cols]
+    )
+    return (
+        df.withColumn("__cqg_rn", F.row_number().over(w))
+        .withColumn("__cqg_n", F.count(F.lit(1)).over(wp))
+        .filter(
+            F.col("__cqg_rn") <= F.ceil(F.col("__cqg_n") * F.lit(keep_frac))
+        )
+        .drop("__cqg_rn", "__cqg_n")
+    )
