@@ -545,3 +545,140 @@ def streaming_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# streaming sequence packing (stream twin of operators/packing.pack_sequences)
+# --------------------------------------------------------------------------
+
+
+def _pack_update(
+    seq_len: int, id_col: str, tokens_col: str, initial: dict | None = None
+):
+    initial = initial or {}
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        # whole-group concat before sorting (same Arrow-chunk rule as
+        # _cap_update: a chunk-local sort would interleave offsets out of
+        # the documented (hash, id) order)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["_ph", id_col], kind="mergesort"
+        )
+        off = state.get[0] if state.exists else initial.get(key, 0)
+        toks = batch[tokens_col].astype("int64")
+        ends = off + toks.cumsum()
+        starts = ends - toks
+        state.update((int(off + toks.sum()),))
+        yield pd.DataFrame(
+            {
+                id_col: batch[id_col].values,
+                "n_tokens": toks.values,
+                "shard": [key[0]] * len(batch),
+                "offset": starts.values,
+                "first_seq": (starts // seq_len).values,
+                "last_seq": ((ends - 1) // seq_len).values,
+                "n_seqs": ((ends - 1) // seq_len - starts // seq_len + 1).values,
+            }
+        )
+
+    return update
+
+
+def packed_corpus_stream(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    n_shards: int,
+    initial_offsets: dict | None = None,
+) -> DataFrame:
+    """Streaming sequence packing: assign every arriving document its
+    position in the per-shard token stream as the corpus lands — the
+    ingest-time form of :func:`~..operators.packing.pack_sequences`,
+    for pipelines that export training shards continuously instead of in
+    one batch pass.  State is ONE long per shard (the next free offset),
+    forever — the same cheapest-stateful-op shape as
+    :func:`capped_corpus_stream`; emitted placements need no state
+    because the stream only ever appends.
+
+    Semantics vs the batch packer (documented, inherent): the stream
+    lays documents out in ARRIVAL order across micro-batches
+    (deterministic within a batch by (hash60(id), id) — the batch
+    packer's order), so a single-batch arrival produces EXACTLY
+    ``pack_sequences``'s layout (asserted in tests), and multi-batch
+    arrivals tile each shard's stream gaplessly in arrival order.
+
+    ``initial_offsets`` seeds each shard's next-offset counter for a
+    FRESH checkpoint — the counter-state migration leg
+    (tools/migrate_state_checkpoint.py): offsets are exactly
+    reconstructable from the drained sink as
+    ``max(offset + n_tokens)`` per shard.  Keys are 1-tuples of the
+    shard int, matching :func:`capped_corpus_stream`'s convention.
+    Batch DataFrames take the :func:`pack_sequences` fallback.
+    """
+    from real_estate_project1_etl_spark.operators.packing import (
+        pack_sequences,
+    )
+    from real_estate_project1_etl_spark.operators.quality import _hash60
+
+    if seq_len <= 0:
+        raise ValueError(
+            f"packed_corpus_stream: seq_len must be > 0, got {seq_len}"
+        )
+    if n_shards <= 0:
+        raise ValueError(
+            f"packed_corpus_stream: n_shards must be > 0, got {n_shards}"
+        )
+    if initial_offsets is not None:
+        bad = [
+            k for k in initial_offsets
+            if not isinstance(k, tuple) or len(k) != 1
+        ]
+        if bad:
+            raise ValueError(
+                "packed_corpus_stream: initial_offsets keys must be "
+                f"(shard,) 1-tuples; got e.g. {bad[0]!r}"
+            )
+    if not df.isStreaming:
+        if initial_offsets:
+            raise ValueError(
+                "packed_corpus_stream: initial_offsets is a streaming-"
+                "checkpoint migration bootstrap; the batch fallback "
+                "packs from offset 0 by construction"
+            )
+        return pack_sequences(df, id_col, tokens_col, seq_len, n_shards)
+
+    from pyspark.sql import functions as _F
+
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in (id_col, tokens_col) if c not in types]
+    if missing:
+        raise ValueError(f"packed_corpus_stream: columns not in df: {missing}")
+    if id_col == tokens_col:
+        raise ValueError(
+            "packed_corpus_stream: id_col and tokens_col must differ"
+        )
+    out_schema = (
+        f"`{id_col}` {types[id_col]}, n_tokens long, shard int, "
+        "offset long, first_seq long, last_seq long, n_seqs long"
+    )
+    hashed = (
+        df.filter(_F.col(tokens_col).cast("long") > 0)
+        .select(
+            id_col,
+            _F.col(tokens_col).cast("long").alias(tokens_col),
+            _hash60([id_col]).alias("_ph"),
+        )
+        .withColumn(
+            "shard", _F.pmod(_F.col("_ph"), _F.lit(n_shards)).cast("int")
+        )
+    )
+    return hashed.groupBy("shard").applyInPandasWithState(
+        _pack_update(seq_len, id_col, tokens_col, initial_offsets),
+        outputStructType=out_schema,
+        stateStructType="next_off long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

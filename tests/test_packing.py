@@ -110,3 +110,174 @@ def test_calibrated_quality_gate_ties_and_errors(spark):
             df.withColumn("__cqg_rn", F.lit(1)),
             "score", ["source"], 0.5, ["doc_id"],
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: packed_corpus_stream
+# ---------------------------------------------------------------------------
+
+
+def _write_src(spark, src, rows):
+    spark.createDataFrame(rows, "doc_id long, n_tokens long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+
+def test_packed_stream_single_batch_equals_batch_packer(spark, tmp_path):
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        packed_corpus_stream,
+    )
+
+    src = str(tmp_path / "pk_src")
+    rows = [(i, (i * 13) % 200 + 1) for i in range(120)]
+    _write_src(spark, src, rows)
+    stream = spark.readStream.schema("doc_id long, n_tokens long").parquet(src)
+    q = (
+        packed_corpus_stream(stream, "doc_id", "n_tokens", 128, 4)
+        .writeStream.format("memory")
+        .queryName("mem_pack_eq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pk_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r) for r in spark.table("mem_pack_eq").collect()
+    }
+    want = {
+        tuple(r)
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, n_tokens long"),
+            "doc_id", "n_tokens", 128, 4,
+        ).collect()
+    }
+    assert got == want  # single-batch arrival == the batch layout
+
+
+def test_packed_stream_offsets_continue_across_batches_and_restart(
+    spark, tmp_path
+):
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        packed_corpus_stream,
+    )
+
+    src = str(tmp_path / "pk2_src")
+    out = str(tmp_path / "pk2_out")
+    ck = str(tmp_path / "pk2_ck")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id long, n_tokens long"
+        ).parquet(src)
+        q = (
+            packed_corpus_stream(stream, "doc_id", "n_tokens", 64, 2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_src(spark, src, [(i, 10 + i) for i in range(40)])
+    run_once()
+    first = spark.read.parquet(out).collect()
+    # file 2 after a RESTART: the next-offset state must persist in the
+    # checkpoint, so new docs continue each shard's stream gaplessly
+    _write_src(spark, src, [(100 + i, 5 + i) for i in range(20)])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 60 and len(first) == 40
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.offset)
+        expect = 0
+        for r in shard_rows:
+            assert r.offset == expect, (r, expect)
+            expect += r.n_tokens
+            assert r.first_seq == r.offset // 64
+            assert r.last_seq == (r.offset + r.n_tokens - 1) // 64
+
+
+def test_packed_stream_migration_bootstrap_and_validation(spark, tmp_path):
+    # initial_offsets seeds a FRESH checkpoint at the drained sink's
+    # high-water mark: max(offset + n_tokens) per shard — the
+    # counter-state migration recipe
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        packed_corpus_stream,
+    )
+
+    src1 = str(tmp_path / "pk3_src1")
+    _write_src(spark, src1, [(i, 7) for i in range(30)])
+    stream = spark.readStream.schema(
+        "doc_id long, n_tokens long"
+    ).parquet(src1)
+    q = (
+        packed_corpus_stream(stream, "doc_id", "n_tokens", 32, 2)
+        .writeStream.format("memory")
+        .queryName("mem_pack_mig1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pk3_ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    drained = spark.table("mem_pack_mig1").collect()
+    offsets: dict[tuple, int] = {}
+    for r in drained:
+        offsets[(r.shard,)] = max(
+            offsets.get((r.shard,), 0), r.offset + r.n_tokens
+        )
+    # rebuilt life: fresh checkpoint + fresh inbox, offsets seeded
+    src2 = str(tmp_path / "pk3_src2")
+    _write_src(spark, src2, [(1000 + i, 3) for i in range(10)])
+    stream2 = spark.readStream.schema(
+        "doc_id long, n_tokens long"
+    ).parquet(src2)
+    q2 = (
+        packed_corpus_stream(
+            stream2, "doc_id", "n_tokens", 32, 2, initial_offsets=offsets
+        )
+        .writeStream.format("memory")
+        .queryName("mem_pack_mig2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pk3_ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    rebuilt = spark.table("mem_pack_mig2").collect()
+    assert rebuilt
+    # each shard's rebuilt stream starts exactly at the drained sink's
+    # high-water mark and tiles gaplessly from there
+    by_shard: dict[int, list] = {}
+    for r in rebuilt:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, shard_rows in by_shard.items():
+        shard_rows.sort(key=lambda r: r.offset)
+        expect = offsets[(shard,)]
+        for r in shard_rows:
+            assert r.offset == expect, (shard, r, expect)
+            expect += r.n_tokens
+
+    batch = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="batch fallback"):
+        packed_corpus_stream(
+            batch, "doc_id", "n_tokens", 32, 2, initial_offsets={(0,): 1}
+        )
+    with pytest.raises(ValueError, match="1-tuples"):
+        packed_corpus_stream(
+            stream2, "doc_id", "n_tokens", 32, 2, initial_offsets={0: 1}
+        )
+    with pytest.raises(ValueError, match="seq_len"):
+        packed_corpus_stream(stream2, "doc_id", "n_tokens", 0, 2)
+    with pytest.raises(ValueError, match="columns not in df"):
+        packed_corpus_stream(stream2, "doc_id", "nope", 32, 2)
+    # batch fallback delegates to pack_sequences
+    assert packed_corpus_stream(batch, "doc_id", "n_tokens", 32, 2).columns \
+        == ["doc_id", "n_tokens", "shard", "offset", "first_seq",
+            "last_seq", "n_seqs"]
