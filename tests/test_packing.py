@@ -281,3 +281,34 @@ def test_packed_stream_migration_bootstrap_and_validation(spark, tmp_path):
     assert packed_corpus_stream(batch, "doc_id", "n_tokens", 32, 2).columns \
         == ["doc_id", "n_tokens", "shard", "offset", "first_seq",
             "last_seq", "n_seqs"]
+
+
+def test_pack_sequences_plan_has_single_exchange(spark):
+    # scale shape: ONE exchange (on shard) + the in-shard window sort —
+    # no second shuffle, no driver funnel.  Executed plan, AQE collapsed.
+    rows = [(i, i % 40 + 1) for i in range(500)]
+    df = pack_sequences(_docs(spark, rows), "doc_id", "n_tokens", 128, 8)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-plan
+    import re
+
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_calibrated_quality_gate_plan_shares_one_partitioning(spark):
+    # the row_number and count windows share ONE group-key exchange
+    rows = [("s%d" % (i % 5), i, float(i % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+    out = calibrated_quality_gate(df, "score", ["source"], 0.3, ["doc_id"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-plan
+    import re
+
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan
+    assert "Exchange SinglePartition" not in plan
