@@ -782,6 +782,45 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 @_q(
+    "scrape_source_bronze",
+    """
+    WITH pages AS (SELECT unnest(range(1, 7)) AS p),
+    cards AS (SELECT unnest(range(0, 4)) AS i),
+    k AS (SELECT (p * 100 + i) AS k FROM pages, cards)
+    SELECT CASE WHEN k % 2 = 1 THEN 'Prodej' ELSE 'Pronájem' END AS purpose,
+           'Ulice ' || k || ', Praha' AS address,
+           cast(40 + k % 60 AS varchar) || ' m²' AS size_m2,
+           cast(1 + k % 4 AS varchar) || '+kk' AS design,
+           cast(9000 + k * 13 AS varchar) || ' Kč' AS price_czk,
+           '/ad/' || k AS link
+    FROM k
+    """,
+)
+def q_scrape_source_bronze(spark, sf_dir):
+    # the Python DataSource surface under the oracle gate: spark.read
+    # .format("listing_scrape") in deterministic synthetic mode (6 pages,
+    # reference-shaped ad cards) runs the FULL source machinery —
+    # registration, option parsing, round-robin partition planning,
+    # executor-side fetch+regex DOM extraction — and the oracle rebuilds
+    # the expected bronze rows arithmetically, so the compare checks the
+    # generator AND the card parser end-to-end (sf_dir unused: the source
+    # is its own fixture, like the reference's hard-coded listing URL)
+    from real_estate_project1_etl_spark.sources.scrape_datasource import (
+        ScrapeDataSource,
+    )
+
+    spark.dataSource.register(ScrapeDataSource)
+    return (
+        spark.read.format("listing_scrape")
+        .option("pages", "6")
+        .option("fetch_partitions", "3")
+        .option("mode", "synthetic")
+        .option("min_interval_s", "0")
+        .load()
+    )
+
+
+@_q(
     "token_counts",
     r"""
     SELECT doc_id,

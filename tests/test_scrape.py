@@ -206,3 +206,87 @@ def test_fetch_with_retry_surfaces_nonretryable_immediately():
     )
     assert out == "ok"
     assert fc2.sleeps == [1.0]
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource API surface (sources/scrape_datasource.py)
+# ---------------------------------------------------------------------------
+
+
+def _register(spark):
+    from real_estate_project1_etl_spark.sources.scrape_datasource import (
+        ScrapeDataSource,
+    )
+
+    spark.dataSource.register(ScrapeDataSource)
+
+
+def test_listing_scrape_format_synthetic_end_to_end(spark):
+    from real_estate_project1_etl_spark.schemas import PROPERTIES_RAW
+    from real_estate_project1_etl_spark.sources.scrape_datasource import (
+        parse_listing_page,
+        synthetic_listing_page,
+    )
+
+    _register(spark)
+    df = (
+        spark.read.format("listing_scrape")
+        .option("pages", "6")
+        .option("fetch_partitions", "3")
+        .option("mode", "synthetic")
+        .option("min_interval_s", "0")
+        .load()
+    )
+    assert df.schema == PROPERTIES_RAW
+    got = {tuple(r) for r in df.collect()}
+    want = {
+        tuple(row)
+        for p in range(1, 7)
+        for row in parse_listing_page(synthetic_listing_page(p))
+    }
+    # every page fetched exactly once across the round-robin partitions
+    assert got == want and len(got) == 24
+
+
+def test_listing_scrape_format_dotted_path_fetcher(spark):
+    # fetcher injection is by dotted path (options are strings); resolve
+    # the synthetic generator through the real machinery
+    _register(spark)
+    df = (
+        spark.read.format("listing_scrape")
+        .option("pages", "2")
+        .option(
+            "fetcher",
+            "real_estate_project1_etl_spark.sources."
+            "scrape_datasource:synthetic_listing_page",
+        )
+        .option("min_interval_s", "0")
+        .load()
+    )
+    assert df.count() == 8
+
+
+def test_listing_scrape_option_validation(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    _register(spark)
+
+    def load(**opts):
+        r = spark.read.format("listing_scrape")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load().collect()
+
+    for bad in (
+        dict(pages="0", mode="synthetic"),
+        dict(pages="3", mode="nonsense"),
+        dict(pages="3"),  # fetcher mode without a fetcher
+        dict(pages="3", fetch_partitions="0", mode="synthetic"),
+    ):
+        with pytest.raises((Py4JJavaError, PythonException, Exception)):
+            load(**bad)
+    # bad dotted path surfaces executor-side
+    with pytest.raises(Exception, match="module:callable|not callable|No module"):
+        load(pages="1", fetcher="nodots", min_interval_s="0")
