@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from real_estate_project1_etl_spark.schemas import PROPERTIES_RAW
@@ -162,3 +163,91 @@ class ScrapeDataSource(DataSource):
 
     def reader(self, schema) -> ScrapeDataSourceReader:
         return ScrapeDataSourceReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "ScrapeSimpleStreamReader":
+        return ScrapeSimpleStreamReader(self.options)
+
+
+class ScrapeSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the listing scrape: ``spark.readStream.format(
+    "listing_scrape")`` — a page-frontier source.  The offset is the
+    highest page fetched so far (``{"page": N}``); each micro-batch
+    fetches the pages that appeared since, so a crawl keeps up with a
+    growing listing site instead of re-snapshotting it.
+
+    Page availability comes from ``pages`` (static count — the batch
+    case degenerates to one micro-batch) or ``pages_file`` (a path whose
+    integer content is the CURRENT page count — the growing-site test
+    hook and the real-deployment pattern: a frontier sidecar publishes
+    how far the site extends).  Replay (``readBetweenOffsets``) re-fetches
+    the exact page range, which is exactly-once for the deterministic
+    synthetic mode and at-least-once-per-page for a live site (same
+    contract as any re-fetchable source).
+    """
+
+    def __init__(self, options: dict):
+        self.mode = options.get("mode", "fetcher")
+        self.fetcher_path = options.get("fetcher")
+        self.pages_file = options.get("pages_file")
+        self.static_pages = int(options.get("pages", "0"))
+        self.min_interval_s = float(options.get("min_interval_s", "2.0"))
+        self.max_retries = int(options.get("max_retries", "3"))
+        self.backoff_s = float(options.get("backoff_s", "2.0"))
+        if self.mode not in ("fetcher", "synthetic"):
+            raise ValueError(
+                f"listing_scrape: unknown mode {self.mode!r} "
+                "(expected 'fetcher' or 'synthetic')"
+            )
+        if self.mode == "fetcher" and not self.fetcher_path:
+            raise ValueError(
+                "listing_scrape: pass fetcher='package.module:callable' "
+                "or mode='synthetic'"
+            )
+        if not self.pages_file and self.static_pages <= 0:
+            raise ValueError(
+                "listing_scrape streaming: pass pages=<N> or "
+                "pages_file=<path holding the current page count>"
+            )
+
+    def _available(self) -> int:
+        if self.pages_file:
+            try:
+                with open(self.pages_file) as f:
+                    return int(f.read().strip() or "0")
+            except FileNotFoundError:
+                return 0
+        return self.static_pages
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _fetch_range(self, lo: int, hi: int):
+        fetch = (
+            synthetic_listing_page
+            if self.mode == "synthetic"
+            else _resolve_fetcher(self.fetcher_path)
+        )
+        limiter = RateLimiter(self.min_interval_s)
+        for page in range(lo + 1, hi + 1):
+            limiter.acquire()
+            html = fetch_with_retry(
+                fetch, page,
+                max_retries=self.max_retries, backoff_s=self.backoff_s,
+            )
+            for row in parse_listing_page(html):
+                yield tuple(row)
+
+    def read(self, start: dict):
+        lo = int(start.get("page", 0))
+        hi = max(lo, self._available())
+        # materialized, not a generator: the simple-reader harness caches
+        # the prefetched rows by PICKLING them (generators can't pickle);
+        # a micro-batch is only the frontier delta, so the list is small
+        return list(self._fetch_range(lo, hi)), {"page": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(
+            self._fetch_range(
+                int(start.get("page", 0)), int(end.get("page", 0))
+            )
+        )

@@ -290,3 +290,43 @@ def test_listing_scrape_option_validation(spark):
     # bad dotted path surfaces executor-side
     with pytest.raises(Exception, match="module:callable|not callable|No module"):
         load(pages="1", fetcher="nodots", min_interval_s="0")
+
+
+def test_listing_scrape_streaming_page_frontier(spark, tmp_path):
+    # streaming form: the offset is the highest fetched page; a growing
+    # pages_file (the frontier) yields only the NEW pages each run, and
+    # restart resumes from the checkpointed offset — no page re-fetched
+    _register(spark)
+    frontier = tmp_path / "frontier.txt"
+    out = str(tmp_path / "scrape_out")
+    ck = str(tmp_path / "scrape_ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("listing_scrape")
+            .option("mode", "synthetic")
+            .option("pages_file", str(frontier))
+            .option("min_interval_s", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    frontier.write_text("3")
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 12  # pages 1-3, 4 cards each
+
+    frontier.write_text("5")  # the site grew by two pages
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 20
+    links = [r.link for r in rows]
+    assert len(links) == len(set(links))  # no page fetched twice
+    want = {f"/ad/{p * 100 + i}" for p in range(1, 6) for i in range(4)}
+    assert set(links) == want
