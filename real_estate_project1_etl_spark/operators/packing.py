@@ -34,6 +34,7 @@ def pack_sequences(
     tokens_col: str,
     seq_len: int,
     n_shards: int,
+    epoch: int = 0,
 ) -> DataFrame:
     """Packing plan: one row per document with its position in the
     deterministic token stream.
@@ -52,6 +53,13 @@ def pack_sequences(
     Documents with ``tokens_col <= 0`` (or NULL) occupy no stream space
     and are dropped from the plan — emitting them would pin a zero-width
     position that shifts nothing and means nothing to the trainer.
+
+    ``epoch`` reshuffles the layout per training epoch: a non-zero epoch
+    salts the hash (``id#epoch``), giving every epoch a fresh
+    deterministic global order (shard assignment AND in-shard order both
+    move) with zero RNG — re-running epoch ``e`` always reproduces epoch
+    ``e``'s layout.  ``epoch=0`` is bit-identical to the unsalted form
+    (the oracle-gated construction).
     """
     if seq_len <= 0:
         raise ValueError(f"pack_sequences: seq_len must be > 0, got {seq_len}")
@@ -59,10 +67,17 @@ def pack_sequences(
         raise ValueError(
             f"pack_sequences: n_shards must be > 0, got {n_shards}"
         )
+    if epoch == 0:
+        ph = _hash60([id_col])
+    else:
+        key = F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.lit(str(int(epoch)))
+        )
+        ph = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     toks = F.col(tokens_col).cast("long")
     d = (
         df.filter(toks > 0)
-        .withColumn("_ph", _hash60([id_col]))
+        .withColumn("_ph", ph)
         .withColumn("shard", F.pmod(F.col("_ph"), F.lit(n_shards)).cast("int"))
     )
     w = (
