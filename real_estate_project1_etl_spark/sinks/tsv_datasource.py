@@ -1,0 +1,242 @@
+"""Spark 4 Python DataSource with a WRITER: transactional TSV export —
+``df.write.format("tsv_manifest").save(path)`` (reference: K1/K2, the
+TSV sink of transform.py:60-62, re-expressed as a first-class format
+with a commit protocol instead of a helper).
+
+Why a manifest: a plain file sink is only as atomic as its directory
+listing — a reader that lists files mid-job sees partial output, and a
+crashed job leaves orphans that later reads silently include.  This
+format implements the DataSource V2 commit protocol in the Python API:
+
+1. **write(partition)** (executor): rows stream to a uniquely-named
+   ``_tmp-*`` file; the commit message carries (name, rows, md5).
+2. **commit(messages)** (driver, exactly once): temp files rename to
+   their final names and ``_MANIFEST.json`` is written LAST with the
+   schema DDL, per-file row counts + content checksums, and totals.
+   The manifest IS the commit marker.
+3. **abort(messages)**: temp files are deleted; the directory is as if
+   the job never ran.
+
+Reads are MANIFEST-GATED: ``spark.read.format("tsv_manifest")`` plans
+one partition per manifest entry and ignores every file the manifest
+doesn't name — uncommitted/orphan files are invisible, and a checksum
+mismatch fails the read loudly (tamper/corruption detection, same
+contract as sinks/shards.verify_training_shards).
+
+Values must not contain the separator or newlines (rejected loudly —
+silent mangling of a training corpus is the failure mode this sink
+exists to prevent); NULL encodes as the ``null_marker`` option
+(default empty string — which means an ACTUAL empty string reads back
+as NULL; exports that must distinguish them set a marker that cannot
+occur in the data, e.g. ``null_marker=\\N``, the classic dump
+convention).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+MANIFEST = "_MANIFEST.json"
+
+_PARSERS = {
+    "string": lambda s: s,
+    "bigint": int,
+    "int": int,
+    "double": float,
+    "float": float,
+    "boolean": lambda s: s == "true",
+}
+
+
+class TsvCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str, final_name: str, n_rows: int, md5: str):
+        self.tmp_name = tmp_name
+        self.final_name = final_name
+        self.n_rows = n_rows
+        self.md5 = md5
+
+
+class TsvManifestWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tsv_manifest: a save path is required")
+        self.sep = options.get("sep", "\t")
+        self.null_marker = options.get("null_marker", "")
+        self.schema = schema
+        self.overwrite = overwrite
+        for f in schema.fields:
+            if f.dataType.simpleString() not in _PARSERS:
+                raise ValueError(
+                    "tsv_manifest: unsupported column type "
+                    f"{f.dataType.simpleString()!r} for {f.name!r} — "
+                    f"supported: {sorted(_PARSERS)}"
+                )
+
+    def write(self, iterator: Iterator) -> TsvCommit:
+        os.makedirs(self.path, exist_ok=True)
+        token = uuid.uuid4().hex
+        tmp_name = f"_tmp-{token}.tsv"
+        digest = hashlib.md5()
+        n = 0
+        with open(os.path.join(self.path, tmp_name), "w") as f:
+            for row in iterator:
+                cells = []
+                for v in row:
+                    if v is None:
+                        cells.append(self.null_marker)
+                        continue
+                    s = str(v)
+                    if self.sep in s or "\n" in s or "\r" in s:
+                        raise ValueError(
+                            "tsv_manifest: value contains the separator "
+                            f"or a newline and would corrupt the file: {s!r}"
+                        )
+                    cells.append(s)
+                line = self.sep.join(cells) + "\n"
+                f.write(line)
+                digest.update(line.encode("utf-8"))
+                n += 1
+        return TsvCommit(tmp_name, f"part-{token}.tsv", n, digest.hexdigest())
+
+    def commit(self, messages) -> None:
+        files = []
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == MANIFEST:
+                    os.remove(os.path.join(self.path, name))
+        else:
+            # append onto an existing commit: the new manifest must carry
+            # the prior files forward (entries the manifest doesn't name
+            # are invisible to readers — dropping them would silently
+            # orphan the earlier commit's data)
+            mpath = os.path.join(self.path, MANIFEST)
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    old = json.load(f)
+                if (
+                    old["schema"] != self.schema.simpleString()
+                    or old["sep"] != self.sep
+                    or old["null_marker"] != self.null_marker
+                ):
+                    raise ValueError(
+                        "tsv_manifest: append onto a commit with a "
+                        "different schema/sep/null_marker — use "
+                        "mode('overwrite') or a new path"
+                    )
+                files.extend(old["files"])
+        for m in messages:
+            if m is None:
+                continue
+            os.rename(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, m.final_name),
+            )
+            files.append(
+                {"name": m.final_name, "n_rows": m.n_rows, "md5": m.md5}
+            )
+        manifest = {
+            "schema": self.schema.simpleString(),
+            "sep": self.sep,
+            "null_marker": self.null_marker,
+            "files": sorted(files, key=lambda x: x["name"]),
+            "total_rows": sum(x["n_rows"] for x in files),
+        }
+        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, entry: dict):
+        self.entry = entry
+
+
+class TsvManifestReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tsv_manifest: a load path is required")
+        with open(os.path.join(self.path, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.schema = schema
+
+    def partitions(self) -> list[InputPartition]:
+        return [_FilePartition(e) for e in self.manifest["files"]]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        entry = partition.entry
+        sep = self.manifest["sep"]
+        null_marker = self.manifest["null_marker"]
+        parsers = [
+            _PARSERS[f.dataType.simpleString()] for f in self.schema.fields
+        ]
+        digest = hashlib.md5()
+        n = 0
+        out = []
+        with open(os.path.join(self.path, entry["name"])) as f:
+            for line in f:
+                digest.update(line.encode("utf-8"))
+                n += 1
+                cells = line.rstrip("\n").split(sep)
+                out.append(
+                    tuple(
+                        None if c == null_marker else p(c)
+                        for p, c in zip(parsers, cells)
+                    )
+                )
+        if n != entry["n_rows"] or digest.hexdigest() != entry["md5"]:
+            raise ValueError(
+                f"tsv_manifest: {entry['name']} fails verification "
+                f"(rows {n} vs {entry['n_rows']}, md5 mismatch="
+                f"{digest.hexdigest() != entry['md5']}) — the file was "
+                "modified after commit"
+            )
+        return iter(out)
+
+
+class TsvManifestDataSource(DataSource):
+    """Register with ``spark.dataSource.register(TsvManifestDataSource)``;
+    then ``df.write.format("tsv_manifest").mode(...).save(path)`` and
+    ``spark.read.format("tsv_manifest").load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tsv_manifest"
+
+    def schema(self):
+        # reads recover the schema from the manifest (written at commit)
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tsv_manifest: a load path is required")
+        with open(os.path.join(path, MANIFEST)) as f:
+            return json.load(f)["schema"]
+
+    def reader(self, schema) -> TsvManifestReader:
+        return TsvManifestReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> TsvManifestWriter:
+        return TsvManifestWriter(self.options, schema, overwrite)

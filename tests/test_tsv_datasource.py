@@ -1,0 +1,133 @@
+"""tsv_manifest Python DataSource (sinks/tsv_datasource.py): commit
+protocol, manifest-gated reads, tamper detection, option/edge paths."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from real_estate_project1_etl_spark.sinks.tsv_datasource import (
+    MANIFEST,
+    TsvManifestDataSource,
+    TsvManifestWriter,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(TsvManifestDataSource)
+    return spark
+
+
+def _df(spark):
+    rows = [(i, f"s{i}" if i % 3 else None, i * 1.5 if i % 4 else None)
+            for i in range(50)]
+    return spark.createDataFrame(rows, "id bigint, s string, v double")
+
+
+def test_roundtrip_with_manifest(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t1")
+    df = _df(spark)
+    df.repartition(4).write.format("tsv_manifest").mode("append").save(path)
+    m = json.load(open(os.path.join(path, MANIFEST)))
+    assert m["total_rows"] == 50
+    assert m["schema"] == "struct<id:bigint,s:string,v:double>"
+    assert sum(f["n_rows"] for f in m["files"]) == 50
+    back = spark.read.format("tsv_manifest").load(path)
+    assert back.schema.simpleString() == "struct<id:bigint,s:string,v:double>"
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_reads_are_manifest_gated(registered, tmp_path):
+    # an orphan part file (crashed concurrent job, stray copy) is
+    # INVISIBLE: only files the manifest names are planned
+    spark = registered
+    path = str(tmp_path / "t2")
+    _df(spark).write.format("tsv_manifest").mode("append").save(path)
+    with open(os.path.join(path, "part-orphan.tsv"), "w") as f:
+        f.write("999\torphan\t0.0\n")
+    back = spark.read.format("tsv_manifest").load(path)
+    assert back.count() == 50
+    assert not [r for r in back.collect() if r.id == 999]
+
+
+def test_tamper_detection_fails_read(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t3")
+    _df(spark).write.format("tsv_manifest").mode("append").save(path)
+    victim = json.load(open(os.path.join(path, MANIFEST)))["files"][0]["name"]
+    with open(os.path.join(path, victim), "a") as f:
+        f.write("51\tinjected\t0.0\n")
+    with pytest.raises(Exception, match="verification|modified after commit"):
+        spark.read.format("tsv_manifest").load(path).collect()
+
+
+def test_overwrite_mode_replaces_prior_commit(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t4")
+    _df(spark).write.format("tsv_manifest").mode("append").save(path)
+    small = spark.createDataFrame([(1, "only", 1.0)],
+                                  "id bigint, s string, v double")
+    small.coalesce(1).write.format("tsv_manifest").mode("overwrite").save(path)
+    back = spark.read.format("tsv_manifest").load(path)
+    assert [tuple(r) for r in back.collect()] == [(1, "only", 1.0)]
+    # no stale part files left behind
+    parts = [n for n in os.listdir(path) if n.startswith("part-")]
+    assert len(parts) == 1
+
+
+def test_abort_leaves_no_temp_files(registered, tmp_path, spark):
+    path = str(tmp_path / "t5")
+    schema = _df(spark).schema
+    w = TsvManifestWriter({"path": path}, schema, overwrite=False)
+    msg = w.write(iter([(1, "a", 1.0), (2, "b", 2.0)]))
+    assert os.path.exists(os.path.join(path, msg.tmp_name))
+    w.abort([msg, None])
+    assert os.listdir(path) == []  # as if the job never ran
+
+
+def test_separator_in_value_rejected(registered, tmp_path, spark):
+    path = str(tmp_path / "t6")
+    bad = spark.createDataFrame([(1, "tab\there", 0.0)],
+                                "id bigint, s string, v double")
+    with pytest.raises(Exception, match="separator|corrupt"):
+        bad.write.format("tsv_manifest").mode("append").save(path)
+    # the failed job must not leave a manifest (nothing committed)
+    assert not os.path.exists(os.path.join(path, MANIFEST))
+
+
+def test_custom_null_marker_distinguishes_empty_string(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t7")
+    df = spark.createDataFrame([(1, ""), (2, None)], "id bigint, s string")
+    df.coalesce(1).write.format("tsv_manifest").option(
+        "null_marker", "\\N"
+    ).mode("append").save(path)
+    got = {r.id: r.s for r in
+           spark.read.format("tsv_manifest").load(path).collect()}
+    assert got == {1: "", 2: None}
+
+
+def test_unsupported_type_rejected(registered, tmp_path, spark):
+    path = str(tmp_path / "t8")
+    df = spark.createDataFrame([([1, 2],)], "a array<bigint>")
+    with pytest.raises(Exception, match="unsupported column type"):
+        df.write.format("tsv_manifest").mode("append").save(path)
+
+
+def test_append_merges_prior_commit(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t9")
+    _df(spark).write.format("tsv_manifest").mode("append").save(path)
+    _df(spark).write.format("tsv_manifest").mode("append").save(path)
+    m = json.load(open(os.path.join(path, MANIFEST)))
+    assert m["total_rows"] == 100  # both commits visible
+    assert spark.read.format("tsv_manifest").load(path).count() == 100
+    # appending with a different schema is refused, prior commit intact
+    other = spark.createDataFrame([(1,)], "x bigint")
+    with pytest.raises(Exception, match="different schema"):
+        other.write.format("tsv_manifest").mode("append").save(path)
+    assert spark.read.format("tsv_manifest").load(path).count() == 100
