@@ -43,6 +43,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -240,3 +241,72 @@ class TsvManifestDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> TsvManifestWriter:
         return TsvManifestWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return TsvManifestStreamWriter(self.options, schema)
+
+
+class TsvManifestStreamWriter(DataSourceStreamWriter):
+    """Streaming leg of the commit protocol — ``writeStream.format(
+    "tsv_manifest")``: each micro-batch's files rename into place and
+    the manifest updates atomically with the batch id recorded in
+    ``committed_batches``.  A REPLAYED batch (same id after a crash
+    between sink-commit and checkpoint-commit) is detected there and
+    skipped — its temp files are deleted, nothing double-appends — so
+    the export is exactly-once end to end, the same guarantee the
+    foreachBatch batch_id-partition pattern gives parquet sinks
+    (streaming/incremental_dedup.py), delivered through the public
+    DataSource API instead of a custom sink function."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self._w = TsvManifestWriter(options, schema, overwrite=False)
+        self.path = self._w.path
+
+    def write(self, iterator: Iterator) -> TsvCommit:
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        mpath = os.path.join(self.path, MANIFEST)
+        old = None
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                old = json.load(f)
+        if old is not None and (
+            old["schema"] != self._w.schema.simpleString()
+            or old["sep"] != self._w.sep
+            or old["null_marker"] != self._w.null_marker
+        ):
+            raise ValueError(
+                "tsv_manifest: streaming onto a commit with a different "
+                "schema/sep/null_marker — use a new path"
+            )
+        done = set(old.get("committed_batches", [])) if old else set()
+        if batchId in done:  # replay: drop the re-written temps, change nothing
+            self.abort(messages, batchId)
+            return
+        files = list(old["files"]) if old else []
+        for m in messages:
+            if m is None:
+                continue
+            os.rename(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, m.final_name),
+            )
+            files.append(
+                {"name": m.final_name, "n_rows": m.n_rows, "md5": m.md5}
+            )
+        manifest = {
+            "schema": self._w.schema.simpleString(),
+            "sep": self._w.sep,
+            "null_marker": self._w.null_marker,
+            "files": sorted(files, key=lambda x: x["name"]),
+            "total_rows": sum(x["n_rows"] for x in files),
+            "committed_batches": sorted(done | {batchId}),
+        }
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort(messages)

@@ -131,3 +131,60 @@ def test_append_merges_prior_commit(registered, tmp_path):
     with pytest.raises(Exception, match="different schema"):
         other.write.format("tsv_manifest").mode("append").save(path)
     assert spark.read.format("tsv_manifest").load(path).count() == 100
+
+
+def test_streaming_writer_exactly_once(registered, tmp_path):
+    # writeStream.format('tsv_manifest'): per-batch manifest update with
+    # the batch id recorded; a replayed batch id is skipped (no double
+    # append), and the export continues across restarts
+    spark = registered
+    src = str(tmp_path / "s_src")
+    path = str(tmp_path / "s_out")
+    ck = str(tmp_path / "s_ck")
+
+    def feed(rows):
+        spark.createDataFrame(rows, "id bigint, s string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id bigint, s string").parquet(src)
+            .writeStream.format("tsv_manifest")
+            .option("path", path)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    feed([(1, "a"), (2, "b")])
+    run_once()
+    m1 = json.load(open(os.path.join(path, MANIFEST)))
+    assert m1["total_rows"] == 2 and m1["committed_batches"] == [0]
+
+    feed([(3, "c")])
+    run_once()
+    m2 = json.load(open(os.path.join(path, MANIFEST)))
+    assert m2["total_rows"] == 3
+    assert m2["committed_batches"] == [0, 1]
+    back = spark.read.format("tsv_manifest").load(path)
+    assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "c")}
+
+    # simulate a replay of batch 1: commit again with the same id — the
+    # manifest must not change and the temps must be cleaned up
+    from real_estate_project1_etl_spark.sinks.tsv_datasource import (
+        TsvManifestStreamWriter,
+    )
+    from pyspark.sql.types import StructType
+
+    w = TsvManifestStreamWriter(
+        {"path": path}, StructType.fromDDL("id bigint, s string")
+    )
+    msg = w.write(iter([(3, "c")]))
+    w.commit([msg], batchId=1)
+    m3 = json.load(open(os.path.join(path, MANIFEST)))
+    assert m3 == m2  # unchanged
+    assert not [n for n in os.listdir(path) if n.startswith("_tmp-")]
+    assert spark.read.format("tsv_manifest").load(path).count() == 3
