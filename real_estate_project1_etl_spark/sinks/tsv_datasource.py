@@ -9,13 +9,19 @@ crashed job leaves orphans that later reads silently include.  This
 format implements the DataSource V2 commit protocol in the Python API:
 
 1. **write(partition)** (executor): rows stream to a uniquely-named
-   ``_tmp-*`` file; the commit message carries (name, rows, md5).
-2. **commit(messages)** (driver, exactly once): temp files rename to
-   their final names and ``_MANIFEST.json`` is written LAST with the
-   schema DDL, per-file row counts + content checksums, and totals.
-   The manifest IS the commit marker.
-3. **abort(messages)**: temp files are deleted; the directory is as if
-   the job never ran.
+   ``part-*`` file; the commit message carries (name, rows, md5).
+   Files are written under their FINAL names — no rename pass: because
+   visibility is manifest-gated, an unpublished file is as invisible as
+   a temp file, and skipping the rename removes the driver-side
+   N-renames step that object stores turn into N copies (the
+   Iceberg-style manifest design).
+2. **commit(messages)** (driver, exactly once): ``_MANIFEST.json`` is
+   written LAST (atomic tmp+replace) with the schema DDL, per-file row
+   counts + content checksums, and totals.  The manifest IS the commit
+   marker — nothing else changes on disk.
+3. **abort(messages)**: the written files are deleted; the committed
+   state is untouched (a crashed job can also just be left — its files
+   are invisible and GC-able by comparing the listing to the manifest).
 
 Reads are MANIFEST-GATED: ``spark.read.format("tsv_manifest")`` plans
 one partition per manifest entry and ignores every file the manifest
@@ -63,9 +69,8 @@ _PARSERS = {
 
 
 class TsvCommit(WriterCommitMessage):
-    def __init__(self, tmp_name: str, final_name: str, n_rows: int, md5: str):
-        self.tmp_name = tmp_name
-        self.final_name = final_name
+    def __init__(self, name: str, n_rows: int, md5: str):
+        self.name = name
         self.n_rows = n_rows
         self.md5 = md5
 
@@ -90,10 +95,10 @@ class TsvManifestWriter(DataSourceWriter):
     def write(self, iterator: Iterator) -> TsvCommit:
         os.makedirs(self.path, exist_ok=True)
         token = uuid.uuid4().hex
-        tmp_name = f"_tmp-{token}.tsv"
+        name = f"part-{token}.tsv"
         digest = hashlib.md5()
         n = 0
-        with open(os.path.join(self.path, tmp_name), "w") as f:
+        with open(os.path.join(self.path, name), "w") as f:
             for row in iterator:
                 cells = []
                 for v in row:
@@ -111,20 +116,30 @@ class TsvManifestWriter(DataSourceWriter):
                 f.write(line)
                 digest.update(line.encode("utf-8"))
                 n += 1
-        return TsvCommit(tmp_name, f"part-{token}.tsv", n, digest.hexdigest())
+        return TsvCommit(name, n, digest.hexdigest())
 
     def commit(self, messages) -> None:
         files = []
+        mpath = os.path.join(self.path, MANIFEST)
         if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.startswith("part-") or name == MANIFEST:
-                    os.remove(os.path.join(self.path, name))
+            # retire exactly the PRIOR COMMIT's files (the manifest's
+            # list), not every part-* in the listing — a concurrent
+            # writer's unpublished files are not ours to delete, and
+            # they are invisible anyway
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    old = json.load(f)
+                for entry in old["files"]:
+                    try:
+                        os.remove(os.path.join(self.path, entry["name"]))
+                    except FileNotFoundError:
+                        pass
+                os.remove(mpath)
         else:
             # append onto an existing commit: the new manifest must carry
             # the prior files forward (entries the manifest doesn't name
             # are invisible to readers — dropping them would silently
             # orphan the earlier commit's data)
-            mpath = os.path.join(self.path, MANIFEST)
             if os.path.exists(mpath):
                 with open(mpath) as f:
                     old = json.load(f)
@@ -142,12 +157,8 @@ class TsvManifestWriter(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            os.rename(
-                os.path.join(self.path, m.tmp_name),
-                os.path.join(self.path, m.final_name),
-            )
             files.append(
-                {"name": m.final_name, "n_rows": m.n_rows, "md5": m.md5}
+                {"name": m.name, "n_rows": m.n_rows, "md5": m.md5}
             )
         manifest = {
             "schema": self.schema.simpleString(),
@@ -156,17 +167,17 @@ class TsvManifestWriter(DataSourceWriter):
             "files": sorted(files, key=lambda x: x["name"]),
             "total_rows": sum(x["n_rows"] for x in files),
         }
-        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))
+        os.replace(tmp, mpath)
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is None:
                 continue
             try:
-                os.remove(os.path.join(self.path, m.tmp_name))
+                os.remove(os.path.join(self.path, m.name))
             except FileNotFoundError:
                 pass
 
@@ -288,12 +299,8 @@ class TsvManifestStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is None:
                 continue
-            os.rename(
-                os.path.join(self.path, m.tmp_name),
-                os.path.join(self.path, m.final_name),
-            )
             files.append(
-                {"name": m.final_name, "n_rows": m.n_rows, "md5": m.md5}
+                {"name": m.name, "n_rows": m.n_rows, "md5": m.md5}
             )
         manifest = {
             "schema": self._w.schema.simpleString(),

@@ -84,7 +84,7 @@ def test_abort_leaves_no_temp_files(registered, tmp_path, spark):
     schema = _df(spark).schema
     w = TsvManifestWriter({"path": path}, schema, overwrite=False)
     msg = w.write(iter([(1, "a", 1.0), (2, "b", 2.0)]))
-    assert os.path.exists(os.path.join(path, msg.tmp_name))
+    assert os.path.exists(os.path.join(path, msg.name))
     w.abort([msg, None])
     assert os.listdir(path) == []  # as if the job never ran
 
@@ -185,6 +185,8 @@ def test_streaming_writer_exactly_once(registered, tmp_path):
     msg = w.write(iter([(3, "c")]))
     w.commit([msg], batchId=1)
     m3 = json.load(open(os.path.join(path, MANIFEST)))
-    assert m3 == m2  # unchanged
-    assert not [n for n in os.listdir(path) if n.startswith("_tmp-")]
+    assert m3 == m2  # unchanged — and the replay's re-written file is gone
+    committed = {f["name"] for f in m3["files"]}
+    on_disk = {n for n in os.listdir(path) if n.startswith("part-")}
+    assert on_disk == committed
     assert spark.read.format("tsv_manifest").load(path).count() == 3
