@@ -27,7 +27,13 @@ Reads are MANIFEST-GATED: ``spark.read.format("tsv_manifest")`` plans
 one partition per manifest entry and ignores every file the manifest
 doesn't name — uncommitted/orphan files are invisible, and a checksum
 mismatch fails the read loudly (tamper/corruption detection, same
-contract as sinks/shards.verify_training_shards).
+contract as sinks/shards.verify_training_shards).  Writers also record
+per-file numeric min/max STATS in the manifest; with
+``option("prune", "true")`` (plus the session's
+``spark.sql.python.filterPushdown.enabled``) comparison predicates
+prune whole files at planning time through ``pushFilters`` — every
+filter is still re-applied by Spark, so skipping is an optimization,
+never the correctness path (the parquet row-group model).
 
 Values must not contain the separator or newlines (rejected loudly —
 silent mangling of a training corpus is the failure mode this sink
@@ -69,10 +75,11 @@ _PARSERS = {
 
 
 class TsvCommit(WriterCommitMessage):
-    def __init__(self, name: str, n_rows: int, md5: str):
+    def __init__(self, name: str, n_rows: int, md5: str, stats: dict | None = None):
         self.name = name
         self.n_rows = n_rows
         self.md5 = md5
+        self.stats = stats or {}
 
 
 class TsvManifestWriter(DataSourceWriter):
@@ -98,6 +105,13 @@ class TsvManifestWriter(DataSourceWriter):
         name = f"part-{token}.tsv"
         digest = hashlib.md5()
         n = 0
+        numeric = [
+            (i, f.name)
+            for i, f in enumerate(self.schema.fields)
+            if f.dataType.simpleString() in ("bigint", "int", "double", "float")
+        ]
+        lo: dict = {}
+        hi: dict = {}
         with open(os.path.join(self.path, name), "w") as f:
             for row in iterator:
                 cells = []
@@ -112,11 +126,19 @@ class TsvManifestWriter(DataSourceWriter):
                             f"or a newline and would corrupt the file: {s!r}"
                         )
                     cells.append(s)
+                for i, col in numeric:
+                    v = row[i]
+                    if v is not None:
+                        if col not in lo or v < lo[col]:
+                            lo[col] = v
+                        if col not in hi or v > hi[col]:
+                            hi[col] = v
                 line = self.sep.join(cells) + "\n"
                 f.write(line)
                 digest.update(line.encode("utf-8"))
                 n += 1
-        return TsvCommit(name, n, digest.hexdigest())
+        stats = {c: [lo[c], hi[c]] for c in lo}
+        return TsvCommit(name, n, digest.hexdigest(), stats)
 
     def commit(self, messages) -> None:
         files = []
@@ -158,7 +180,8 @@ class TsvManifestWriter(DataSourceWriter):
             if m is None:
                 continue
             files.append(
-                {"name": m.name, "n_rows": m.n_rows, "md5": m.md5}
+                {"name": m.name, "n_rows": m.n_rows, "md5": m.md5,
+                 "stats": m.stats}
             )
         manifest = {
             "schema": self.schema.simpleString(),
@@ -195,9 +218,24 @@ class TsvManifestReader(DataSourceReader):
         with open(os.path.join(self.path, MANIFEST)) as f:
             self.manifest = json.load(f)
         self.schema = schema
+        self._pruners: list = []
+
+    def _keep(self, entry: dict) -> bool:
+        stats = entry.get("stats") or {}
+        for col, ok in self._pruners:
+            if col in stats:
+                lo, hi = stats[col]
+                if not ok(lo, hi):
+                    return False
+        return True
 
     def partitions(self) -> list[InputPartition]:
-        return [_FilePartition(e) for e in self.manifest["files"]]
+        return [
+            _FilePartition(e)
+            for e in self.manifest["files"]
+            if self._keep(e)
+        ]
+
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         entry = partition.entry
@@ -229,6 +267,46 @@ class TsvManifestReader(DataSourceReader):
             )
         return iter(out)
 
+class TsvManifestPruningReader(TsvManifestReader):
+    """Opt-in reader variant (``option("prune", "true")``) that also
+    implements ``pushFilters`` — separate because the Python DataSource
+    API makes merely IMPLEMENTING pushFilters an error unless
+    ``spark.sql.python.filterPushdown.enabled`` is true; the default
+    reader must stay usable under default session conf."""
+
+    def pushFilters(self, filters):
+        """Stats-based FILE pruning: comparison filters on columns with
+        manifest min/max stats prune whole files at planning time.  Every
+        filter is returned as unsupported — stats can only exclude files,
+        not filter rows inside kept files, so Spark re-applies them all
+        (pruning-only pushdown, the parquet row-group model: skipping is
+        an optimization, never the correctness path)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual,
+                 LessThan, LessThanOrEqual),
+            ) and len(f.attribute) == 1:
+                col = f.attribute[0]
+                v = f.value
+                if isinstance(f, EqualTo):
+                    keep = lambda lo, hi, v=v: lo <= v <= hi  # noqa: E731
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    keep = lambda lo, hi, v=v: hi >= v  # noqa: E731
+                else:
+                    keep = lambda lo, hi, v=v: lo <= v  # noqa: E731
+                self._pruners.append((col, keep))
+        return filters  # all re-applied by Spark
+
+
 
 class TsvManifestDataSource(DataSource):
     """Register with ``spark.dataSource.register(TsvManifestDataSource)``;
@@ -248,6 +326,8 @@ class TsvManifestDataSource(DataSource):
             return json.load(f)["schema"]
 
     def reader(self, schema) -> TsvManifestReader:
+        if self.options.get("prune") == "true":
+            return TsvManifestPruningReader(self.options, schema)
         return TsvManifestReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> TsvManifestWriter:
@@ -300,7 +380,8 @@ class TsvManifestStreamWriter(DataSourceStreamWriter):
             if m is None:
                 continue
             files.append(
-                {"name": m.name, "n_rows": m.n_rows, "md5": m.md5}
+                {"name": m.name, "n_rows": m.n_rows, "md5": m.md5,
+                 "stats": m.stats}
             )
         manifest = {
             "schema": self._w.schema.simpleString(),

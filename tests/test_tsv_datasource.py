@@ -190,3 +190,58 @@ def test_streaming_writer_exactly_once(registered, tmp_path):
     on_disk = {n for n in os.listdir(path) if n.startswith("part-")}
     assert on_disk == committed
     assert spark.read.format("tsv_manifest").load(path).count() == 3
+
+
+def test_stats_pruning_skips_files_at_planning(registered, tmp_path):
+    # per-file min/max stats in the manifest + option('prune') + the
+    # pushFilters session flag prune whole files at PLANNING time.
+    # Proof is behavioral: a file outside the predicate's range is
+    # tampered post-commit (reading it would fail verification loudly),
+    # so a pruned read succeeds while an unpruned one fails.
+    spark = registered
+    path = str(tmp_path / "t10")
+    df = spark.range(100).selectExpr("id", "cast(id * 1.5 as double) AS v")
+    # range-partition so each file holds a disjoint id range with stats
+    df.repartitionByRange(4, "id").write.format("tsv_manifest").mode(
+        "append"
+    ).save(path)
+    m = json.load(open(os.path.join(path, MANIFEST)))
+    assert all("id" in f["stats"] and "v" in f["stats"] for f in m["files"])
+    # default reader (no option) under default conf: full scan works
+    assert (
+        spark.read.format("tsv_manifest").load(path).filter("id < 10").count()
+        == 10
+    )
+    # tamper with the file holding id=99 (the top range)
+    victim = max(m["files"], key=lambda f: f["stats"]["id"][1])["name"]
+    with open(os.path.join(path, victim), "a") as f:
+        f.write("999\t0.0\n")
+
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pruned = (
+            spark.read.format("tsv_manifest")
+            .option("prune", "true")
+            .load(path)
+            .filter("id < 10")
+        )
+        assert pruned.count() == 10  # tampered file never planned
+        with pytest.raises(Exception, match="verification|modified"):
+            (
+                spark.read.format("tsv_manifest")
+                .option("prune", "true")
+                .load(path)
+                .filter("id >= 90")  # overlaps the tampered file
+                .collect()
+            )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+    # the default reader plans EVERY file (no pruning), so the tampered
+    # file is read and verification fails loudly — the pruned success
+    # above really did come from planning-time file skipping
+    with pytest.raises(Exception, match="verification|modified"):
+        spark.read.format("tsv_manifest").load(path).filter("id < 10").collect()
