@@ -70,7 +70,7 @@ _PARSERS = {
     "int": int,
     "double": float,
     "float": float,
-    "boolean": lambda s: s == "true",
+    "boolean": lambda s: s.lower() == "true",
 }
 
 
@@ -119,7 +119,10 @@ class TsvManifestWriter(DataSourceWriter):
                     if v is None:
                         cells.append(self.null_marker)
                         continue
-                    s = str(v)
+                    # canonical serialization: booleans as true/false
+                    # (str(True) is "True", which the parser would read
+                    # back as False — the classic asymmetric-case bug)
+                    s = ("true" if v else "false") if isinstance(v, bool) else str(v)
                     if self.sep in s or "\n" in s or "\r" in s:
                         raise ValueError(
                             "tsv_manifest: value contains the separator "

@@ -245,3 +245,17 @@ def test_stats_pruning_skips_files_at_planning(registered, tmp_path):
     # above really did come from planning-time file skipping
     with pytest.raises(Exception, match="verification|modified"):
         spark.read.format("tsv_manifest").load(path).filter("id < 10").collect()
+
+
+def test_boolean_roundtrip(registered, tmp_path):
+    # str(True) is "True" but the parser's marker is lowercase — the
+    # writer serializes booleans canonically so the roundtrip holds
+    spark = registered
+    path = str(tmp_path / "t11")
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], "id bigint, b boolean"
+    )
+    df.coalesce(1).write.format("tsv_manifest").mode("append").save(path)
+    got = {r.id: r.b for r in
+           spark.read.format("tsv_manifest").load(path).collect()}
+    assert got == {1: True, 2: False, 3: None}
