@@ -296,11 +296,22 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     tri = eadj.select(
         "src", "dst", F.array_intersect("nu", "nv").alias("ws")
     ).where(F.size("ws") > 0)
-    contrib = (
-        tri.select(F.col("src").alias("id"), F.size("ws").alias("c"))
-        .unionAll(tri.select(F.col("dst").alias("id"), F.size("ws").alias("c")))
-        .unionAll(tri.select(F.explode("ws").alias("id"), F.lit(1).alias("c")))
+    # ONE consumption of the triangle stream: the src/dst/witness
+    # contributions explode from an in-row struct array.  The previous
+    # 3-way unionAll re-executed the whole explode + broadcast join +
+    # intersect pipeline per branch (exchange reuse only dedupes the
+    # adjacency shuffle, not the post-exchange compute) — the dominant
+    # CPU paid three times.  Row volume is unchanged (2E' + T).
+    entries = F.concat(
+        F.array(
+            F.struct(F.col("src").alias("id"), F.size("ws").alias("c")),
+            F.struct(F.col("dst").alias("id"), F.size("ws").alias("c")),
+        ),
+        F.transform(
+            "ws", lambda w: F.struct(w.alias("id"), F.lit(1).alias("c"))
+        ),
     )
+    contrib = tri.select(F.explode(entries).alias("e")).select("e.id", "e.c")
     return contrib.groupBy("id").agg(F.sum("c").cast("long").alias("n_tri"))
 
 
