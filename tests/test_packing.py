@@ -341,3 +341,81 @@ def test_pack_sequences_epoch_reshuffle(spark):
         for r in shard_rows:
             assert r.offset == expect
             expect += r.n_tokens
+
+
+def test_packed_stream_matches_python_model_across_batch_splits(
+    spark, tmp_path
+):
+    # independent differential: a pure-python simulation of the stream's
+    # documented semantics (per micro-batch, docs sort by (md5-hash60,
+    # id) and append to their shard's stream) vs the real stateful
+    # operator over a random multi-batch arrival — catches bugs the
+    # batch-equivalence test can't (cross-batch state, arrival order)
+    import hashlib
+    import random
+
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        packed_corpus_stream,
+    )
+
+    rng = random.Random(77)
+    rows = [(i, rng.randint(1, 300)) for i in range(150)]
+    # random contiguous split into 4 arrival batches
+    cuts = sorted(rng.sample(range(1, len(rows)), 3))
+    batches = [rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])]
+
+    def h60(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    seq_len, n_shards = 128, 4
+    offsets = {s: 0 for s in range(n_shards)}
+    model = {}
+    for batch in batches:
+        per_shard: dict[int, list] = {}
+        for doc_id, toks in batch:
+            per_shard.setdefault(h60(doc_id) % n_shards, []).append(
+                (doc_id, toks)
+            )
+        for shard, docs in per_shard.items():
+            for doc_id, toks in sorted(docs, key=lambda d: (h60(d[0]), d[0])):
+                off = offsets[shard]
+                model[doc_id] = (
+                    toks, shard, off, off // seq_len,
+                    (off + toks - 1) // seq_len,
+                )
+                offsets[shard] = off + toks
+
+    src = str(tmp_path / "pkm_src")
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(
+            batch, "doc_id long, n_tokens long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        # one file per arrival batch; maxFilesPerTrigger makes each file
+        # its own micro-batch below
+        import os as _os, time as _time
+        f = sorted(
+            _os.path.join(src, n) for n in _os.listdir(src)
+            if n.endswith(".parquet")
+        )
+        _os.utime(f[-1], (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        packed_corpus_stream(stream, "doc_id", "n_tokens", seq_len, n_shards)
+        .writeStream.format("memory")
+        .queryName("mem_pack_model")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pkm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        r.doc_id: (r.n_tokens, r.shard, r.offset, r.first_seq, r.last_seq)
+        for r in spark.table("mem_pack_model").collect()
+    }
+    assert got == model
