@@ -859,7 +859,7 @@ _WS_TOKENS_SQL = r"""cast(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ',
     p AS (
         SELECT doc_id, n_tokens,
                ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ph
-        FROM t WHERE n_tokens > 0
+        FROM t WHERE n_tokens > 0 AND doc_id IS NOT NULL
     ),
     s AS (SELECT doc_id, n_tokens, ph, cast(ph % 8 AS int) AS shard FROM p),
     o AS (
@@ -905,7 +905,7 @@ def q_sequence_packing_plan(spark, sf_dir):
     p AS (
         SELECT doc_id, n_tokens,
                ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ph
-        FROM t WHERE n_tokens > 0
+        FROM t WHERE n_tokens > 0 AND doc_id IS NOT NULL
     ),
     s AS (SELECT doc_id, n_tokens, ph, cast(ph % 8 AS int) AS shard FROM p),
     o AS (

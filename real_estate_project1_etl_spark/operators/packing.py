@@ -53,6 +53,11 @@ def pack_sequences(
     Documents with ``tokens_col <= 0`` (or NULL) occupy no stream space
     and are dropped from the plan — emitting them would pin a zero-width
     position that shifts nothing and means nothing to the trainer.
+    Documents with a NULL id are dropped too: every NULL id hashes to
+    the SAME placement key and ties in the ordering, so their offsets
+    would depend on physical partition order — exactly the
+    nondeterminism this operator exists to prevent (a corpus with NULL
+    ids needs :func:`~.util.assign_global_ids` first).
 
     ``epoch`` reshuffles the layout per training epoch: a non-zero epoch
     salts the hash (``id#epoch``), giving every epoch a fresh
@@ -77,6 +82,7 @@ def pack_sequences(
     toks = F.col(tokens_col).cast("long")
     d = (
         df.filter(toks > 0)
+        .filter(F.col(id_col).isNotNull())
         .withColumn("_ph", ph)
         .withColumn("shard", F.pmod(F.col("_ph"), F.lit(n_shards)).cast("int"))
     )

@@ -313,7 +313,10 @@ def calibrated_quality_gate(
     set is a pure function of row content like :func:`cap_per_key`);
     keep rank <= ceil(keep_frac * group_size).  ceil means every
     non-empty group keeps at least one row — a tiny source is never
-    silently eliminated by rounding.
+    silently eliminated by rounding.  NULL scores rank BELOW every real
+    score (Spark desc = NULLS LAST): an unscored row survives only when
+    the group's quota reaches past all scored rows, and NULL-vs-NULL
+    order is still content-deterministic via the id tiebreak.
 
     Scale shape: ONE shuffle on the group key serving both the
     row_number and the count (same window partitioning); the comparison

@@ -666,6 +666,7 @@ def packed_corpus_stream(
     )
     hashed = (
         df.filter(_F.col(tokens_col).cast("long") > 0)
+        .filter(_F.col(id_col).isNotNull())  # same rule as pack_sequences
         .select(
             id_col,
             _F.col(tokens_col).cast("long").alias(tokens_col),

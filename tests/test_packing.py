@@ -419,3 +419,29 @@ def test_packed_stream_matches_python_model_across_batch_splits(
         for r in spark.table("mem_pack_model").collect()
     }
     assert got == model
+
+
+def test_pack_sequences_null_ids_dropped(spark):
+    # NULL ids hash identically and tie in the ordering — their offsets
+    # would be partition-order-dependent, so they are dropped like
+    # zero-token docs (assign ids first)
+    df = spark.createDataFrame(
+        [(None, 10), (None, 20), (1, 5), (2, 7)],
+        "doc_id long, n_tokens long",
+    )
+    got = pack_sequences(df, "doc_id", "n_tokens", 16, 2).collect()
+    assert sorted(r.doc_id for r in got) == [1, 2]
+
+
+def test_calibrated_gate_null_scores_rank_last(spark):
+    rows = [("A", 1, None), ("A", 2, 5.0), ("A", 3, None), ("A", 4, 1.0)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+    kept = {r.doc_id for r in
+            calibrated_quality_gate(df, "score", ["source"], 0.5, ["doc_id"]
+                                    ).collect()}
+    assert kept == {2, 4}  # scored rows beat NULLs
+    # quota past the scored rows: NULLs admitted in id order
+    kept75 = {r.doc_id for r in
+              calibrated_quality_gate(df, "score", ["source"], 0.75,
+                                      ["doc_id"]).collect()}
+    assert kept75 == {2, 4, 1}
