@@ -42,6 +42,13 @@ exists to prevent); NULL encodes as the ``null_marker`` option
 as NULL; exports that must distinguish them set a marker that cannot
 occur in the data, e.g. ``null_marker=\\N``, the classic dump
 convention).
+
+Paths are plain ``os`` filesystem paths — local disk in this sandbox,
+NFS/FUSE mounts on a cluster (driver and executors must see the same
+tree).  An object-store deployment keeps the identical protocol (write
+final-named objects, publish the manifest last) through its client
+library; nothing here depends on rename, which is why the commit step
+is manifest-only.
 """
 
 from __future__ import annotations

@@ -179,7 +179,11 @@ class ScrapeSimpleStreamReader(SimpleDataSourceStreamReader):
     case degenerates to one micro-batch) or ``pages_file`` (a path whose
     integer content is the CURRENT page count — the growing-site test
     hook and the real-deployment pattern: a frontier sidecar publishes
-    how far the site extends).  Replay (``readBetweenOffsets``) re-fetches
+    how far the site extends).  Per the SimpleDataSourceStreamReader
+    contract this reader prefetches ON THE DRIVER — right for a
+    politeness-limited frontier (a few pages per trigger; the rate limit
+    serializes fetches anyway); a high-volume backfill should use the
+    BATCH reader, whose partitions fetch on executors.  Replay (``readBetweenOffsets``) re-fetches
     the exact page range, which is exactly-once for the deterministic
     synthetic mode and at-least-once-per-page for a live site (same
     contract as any re-fetchable source).
