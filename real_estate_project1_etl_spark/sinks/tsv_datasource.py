@@ -96,6 +96,15 @@ class TsvManifestWriter(DataSourceWriter):
             raise ValueError("tsv_manifest: a save path is required")
         self.sep = options.get("sep", "\t")
         self.null_marker = options.get("null_marker", "")
+        if (
+            self.sep in self.null_marker
+            or "\n" in self.null_marker
+            or "\r" in self.null_marker
+        ):
+            raise ValueError(
+                "tsv_manifest: null_marker must not contain the separator "
+                "or newlines — it would corrupt the file structure"
+            )
         self.schema = schema
         self.overwrite = overwrite
         for f in schema.fields:
@@ -135,10 +144,20 @@ class TsvManifestWriter(DataSourceWriter):
                             "tsv_manifest: value contains the separator "
                             f"or a newline and would corrupt the file: {s!r}"
                         )
+                    if self.null_marker and s == self.null_marker:
+                        raise ValueError(
+                            f"tsv_manifest: value {s!r} collides with the "
+                            "null_marker and would silently read back as "
+                            "NULL — pick a marker that cannot occur in "
+                            "the data"
+                        )
                     cells.append(s)
                 for i, col in numeric:
                     v = row[i]
-                    if v is not None:
+                    # NaN never compares, so folding it would freeze the
+                    # stats at [NaN, NaN] and pruning would wrongly drop
+                    # the file — silent row loss; skip it (v == v)
+                    if v is not None and v == v:
                         if col not in lo or v < lo[col]:
                             lo[col] = v
                         if col not in hi or v > hi[col]:
@@ -150,42 +169,35 @@ class TsvManifestWriter(DataSourceWriter):
         stats = {c: [lo[c], hi[c]] for c in lo}
         return TsvCommit(name, n, digest.hexdigest(), stats)
 
-    def commit(self, messages) -> None:
-        files = []
+    def _load_prior(self) -> dict | None:
         mpath = os.path.join(self.path, MANIFEST)
-        if self.overwrite:
-            # retire exactly the PRIOR COMMIT's files (the manifest's
-            # list), not every part-* in the listing — a concurrent
-            # writer's unpublished files are not ours to delete, and
-            # they are invisible anyway
-            if os.path.exists(mpath):
-                with open(mpath) as f:
-                    old = json.load(f)
-                for entry in old["files"]:
-                    try:
-                        os.remove(os.path.join(self.path, entry["name"]))
-                    except FileNotFoundError:
-                        pass
-                os.remove(mpath)
-        else:
-            # append onto an existing commit: the new manifest must carry
-            # the prior files forward (entries the manifest doesn't name
-            # are invisible to readers — dropping them would silently
-            # orphan the earlier commit's data)
-            if os.path.exists(mpath):
-                with open(mpath) as f:
-                    old = json.load(f)
-                if (
-                    old["schema"] != self.schema.simpleString()
-                    or old["sep"] != self.sep
-                    or old["null_marker"] != self.null_marker
-                ):
-                    raise ValueError(
-                        "tsv_manifest: append onto a commit with a "
-                        "different schema/sep/null_marker — use "
-                        "mode('overwrite') or a new path"
-                    )
-                files.extend(old["files"])
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            old = json.load(f)
+        if (
+            old["schema"] != self.schema.simpleString()
+            or old["sep"] != self.sep
+            or old["null_marker"] != self.null_marker
+        ):
+            raise ValueError(
+                "tsv_manifest: writing onto a commit with a different "
+                "schema/sep/null_marker — use mode('overwrite') or a "
+                "new path"
+            )
+        return old
+
+    def _publish(
+        self,
+        prior_files: list,
+        messages,
+        committed_batches: list | None = None,
+    ) -> None:
+        """Single manifest-publish path shared by the batch and streaming
+        commits: assemble the file list and os.replace the manifest —
+        the ONLY mutation; everything before it is invisible, everything
+        after it is committed."""
+        files = list(prior_files)
         for m in messages:
             if m is None:
                 continue
@@ -200,10 +212,49 @@ class TsvManifestWriter(DataSourceWriter):
             "files": sorted(files, key=lambda x: x["name"]),
             "total_rows": sum(x["n_rows"] for x in files),
         }
+        if committed_batches is not None:
+            manifest["committed_batches"] = committed_batches
+        mpath = os.path.join(self.path, MANIFEST)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, mpath)
+
+    def commit(self, messages) -> None:
+        old = self._load_prior() if not self.overwrite else None
+        if self.overwrite:
+            # crash-atomic overwrite: PUBLISH the new manifest first
+            # (os.replace atomically supersedes the old one), then GC
+            # the prior commit's files — a crash before the replace
+            # leaves the old commit fully intact, a crash after it
+            # leaves the new commit live with some unreferenced (and
+            # therefore invisible) old files for later GC.  Only the
+            # prior manifest's files are deleted, never a sweep of
+            # part-* — a concurrent writer's unpublished files are not
+            # ours to touch
+            mpath = os.path.join(self.path, MANIFEST)
+            prior = None
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    prior = json.load(f)
+            self._publish([], messages)
+            if prior is not None:
+                for entry in prior["files"]:
+                    try:
+                        os.remove(os.path.join(self.path, entry["name"]))
+                    except FileNotFoundError:
+                        pass
+            return
+        # append: carry the prior commit forward — files AND the
+        # streaming writer's committed_batches marker (dropping it would
+        # break replay detection for a stream sharing this path)
+        self._publish(
+            old["files"] if old else [],
+            messages,
+            committed_batches=(
+                old.get("committed_batches") if old else None
+            ),
+        )
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -349,12 +400,14 @@ class TsvManifestDataSource(DataSource):
 
 class TsvManifestStreamWriter(DataSourceStreamWriter):
     """Streaming leg of the commit protocol — ``writeStream.format(
-    "tsv_manifest")``: each micro-batch's files rename into place and
-    the manifest updates atomically with the batch id recorded in
-    ``committed_batches``.  A REPLAYED batch (same id after a crash
-    between sink-commit and checkpoint-commit) is detected there and
-    skipped — its temp files are deleted, nothing double-appends — so
-    the export is exactly-once end to end, the same guarantee the
+    "tsv_manifest")``: each micro-batch publishes an updated manifest
+    (the batch's final-named files + the batch id recorded in
+    ``committed_batches``) through the same single
+    :meth:`TsvManifestWriter._publish` path the batch writer uses.  A
+    REPLAYED batch (same id after a crash between sink-commit and
+    checkpoint-commit) is detected in ``committed_batches`` and skipped
+    — its re-written files are deleted, nothing double-appends — so the
+    export is exactly-once end to end, the same guarantee the
     foreachBatch batch_id-partition pattern gives parquet sinks
     (streaming/incremental_dedup.py), delivered through the public
     DataSource API instead of a custom sink function."""
@@ -367,44 +420,16 @@ class TsvManifestStreamWriter(DataSourceStreamWriter):
         return self._w.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        mpath = os.path.join(self.path, MANIFEST)
-        old = None
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                old = json.load(f)
-        if old is not None and (
-            old["schema"] != self._w.schema.simpleString()
-            or old["sep"] != self._w.sep
-            or old["null_marker"] != self._w.null_marker
-        ):
-            raise ValueError(
-                "tsv_manifest: streaming onto a commit with a different "
-                "schema/sep/null_marker — use a new path"
-            )
+        old = self._w._load_prior()
         done = set(old.get("committed_batches", [])) if old else set()
-        if batchId in done:  # replay: drop the re-written temps, change nothing
+        if batchId in done:  # replay: drop the re-written files, change nothing
             self.abort(messages, batchId)
             return
-        files = list(old["files"]) if old else []
-        for m in messages:
-            if m is None:
-                continue
-            files.append(
-                {"name": m.name, "n_rows": m.n_rows, "md5": m.md5,
-                 "stats": m.stats}
-            )
-        manifest = {
-            "schema": self._w.schema.simpleString(),
-            "sep": self._w.sep,
-            "null_marker": self._w.null_marker,
-            "files": sorted(files, key=lambda x: x["name"]),
-            "total_rows": sum(x["n_rows"] for x in files),
-            "committed_batches": sorted(done | {batchId}),
-        }
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, mpath)
+        self._w._publish(
+            old["files"] if old else [],
+            messages,
+            committed_batches=sorted(done | {batchId}),
+        )
 
     def abort(self, messages, batchId: int) -> None:
         self._w.abort(messages)

@@ -259,3 +259,101 @@ def test_boolean_roundtrip(registered, tmp_path):
     got = {r.id: r.b for r in
            spark.read.format("tsv_manifest").load(path).collect()}
     assert got == {1: True, 2: False, 3: None}
+
+
+def test_nan_values_never_poison_stats_pruning(registered, tmp_path):
+    # NaN comparisons are always False: folding NaN would freeze a
+    # file's stats at [NaN, NaN] and pruning would wrongly drop it —
+    # silent row loss. NaN is skipped in the fold; real rows survive.
+    spark = registered
+    path = str(tmp_path / "t12")
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 1.0), (3, 5.0)], "id bigint, v double"
+    )
+    df.coalesce(1).write.format("tsv_manifest").mode("append").save(path)
+    m = json.load(open(os.path.join(path, MANIFEST)))
+    assert m["files"][0]["stats"]["v"] == [1.0, 5.0]  # NaN skipped
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("tsv_manifest").option("prune", "true")
+            .load(path).filter("v > 0").count()
+        )
+        # the file is NOT pruned (the pre-fix [NaN, NaN] stats dropped
+        # it wholesale); Spark's NaN ordering treats NaN as larger than
+        # every double, so the NaN row itself also passes v > 0 -> 3
+        assert got == 3
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_null_marker_validation(registered, tmp_path, spark):
+    # a value equal to the marker would silently read back as NULL
+    path = str(tmp_path / "t13")
+    df = spark.createDataFrame([(1, "\\N")], "id bigint, s string")
+    with pytest.raises(Exception, match="collides with the null_marker"):
+        df.write.format("tsv_manifest").option("null_marker", "\\N").mode(
+            "append"
+        ).save(path)
+    # a marker containing the separator would corrupt the file structure
+    with pytest.raises(Exception, match="null_marker must not contain"):
+        df.write.format("tsv_manifest").option("null_marker", "a\tb").mode(
+            "append"
+        ).save(path)
+
+
+def test_batch_append_preserves_stream_replay_marker(registered, tmp_path):
+    # a one-off batch append between stream commits must carry
+    # committed_batches forward, else a stream replay double-appends
+    spark = registered
+    from pyspark.sql.types import StructType
+
+    from real_estate_project1_etl_spark.sinks.tsv_datasource import (
+        TsvManifestStreamWriter,
+    )
+
+    path = str(tmp_path / "t14")
+    schema = StructType.fromDDL("id bigint, s string")
+    sw = TsvManifestStreamWriter({"path": path}, schema)
+    sw.commit([sw.write(iter([(1, "a")]))], batchId=0)
+    # batch append in between
+    spark.createDataFrame([(2, "b")], "id bigint, s string").coalesce(
+        1
+    ).write.format("tsv_manifest").mode("append").save(path)
+    m = json.load(open(os.path.join(path, MANIFEST)))
+    assert m["committed_batches"] == [0]  # marker survived the batch write
+    # stream replay of batch 0 is still detected and skipped
+    sw2 = TsvManifestStreamWriter({"path": path}, schema)
+    sw2.commit([sw2.write(iter([(1, "a")]))], batchId=0)
+    assert spark.read.format("tsv_manifest").load(path).count() == 2
+
+
+def test_overwrite_crash_before_publish_preserves_prior_commit(
+    registered, tmp_path, monkeypatch
+):
+    # overwrite publishes the NEW manifest first, then GCs old files — a
+    # crash anywhere before the publish leaves the prior commit intact
+    spark = registered
+    from real_estate_project1_etl_spark.sinks import tsv_datasource as mod
+
+    path = str(tmp_path / "t15")
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    df.coalesce(1).write.format("tsv_manifest").mode("append").save(path)
+
+    w = mod.TsvManifestWriter(
+        {"path": path}, df.schema, overwrite=True
+    )
+    msg = w.write(iter([(9, "z")]))
+    monkeypatch.setattr(
+        mod.TsvManifestWriter, "_publish",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("crash")),
+    )
+    with pytest.raises(OSError):
+        w.commit([msg])
+    monkeypatch.undo()
+    back = spark.read.format("tsv_manifest").load(path)
+    assert [tuple(r) for r in back.collect()] == [(1, "a")]  # intact
