@@ -8052,6 +8052,143 @@ def q_orders_quality_audit(spark, sf_dir):
     return audit_constraints(od, rules)
 
 
+@_q(
+    "quality_canonical_docs",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(0.6)},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ),
+    comp AS (
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster, d.n_chars,
+               l.comp IS NOT NULL AS clustered
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+    reps AS (
+        SELECT cluster, doc_id AS canonical_id FROM (
+            SELECT cluster, doc_id,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM comp) WHERE rn = 1),
+    sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+    SELECT c.doc_id, r.canonical_id,
+           c.doc_id = r.canonical_id AS keep,
+           cast(s.cluster_size AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN reps r ON c.cluster = r.cluster
+    JOIN sizes s ON c.cluster = s.cluster
+    """,
+)
+def q_quality_canonical_docs(spark, sf_dir):
+    # quality-aware dedup decision table: each near-dup cluster keeps its
+    # HIGHEST-quality member (n_chars here — "keep the longest copy", the
+    # standard curation rule when one scrape is truncated), tiebreak
+    # lowest id; singletons keep themselves. Complements the min-id
+    # near_dup_canonical_map. The ranking window + size count run over
+    # the clustered docs ONLY (the dup set, tiny vs the corpus), sharing
+    # one exchange on the component key; singletons never shuffle. The
+    # oracle mirrors the full pipeline: same mirrored-LSH pair
+    # construction, recursive-CTE closure, then the same (n_chars DESC,
+    # id) argmax — note the oracle windows over ALL docs (singleton
+    # clusters rank trivially), which is value-identical to the engine's
+    # clustered-only split.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        canonical_by_quality,
+    )
+    from real_estate_project1_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", round_digits=None, hash_fn="md5_60"
+    )
+    labels = connected_components(pairs, "id_a", "id_b", max_iter=10)
+    return canonical_by_quality(docs, labels, "n_chars")
+
+
+@_q(
+    "boilerplate_line_removal",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                            ' ') AS ts
+        FROM documents),
+    l AS (
+        SELECT doc_id,
+               list_transform(range((len(ts) + 2) // 3),
+                              i -> array_to_string(ts[i*3+1:i*3+3], ' ')) AS lines
+        FROM w),
+    d AS (SELECT doc_id, unnest(list_distinct(lines)) AS line FROM l),
+    f AS (SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS h,
+                 count(*) AS df
+          FROM d GROUP BY 1),
+    s AS (SELECT coalesce(list(h), []) AS stop FROM f WHERE df >= 3),
+    k AS (
+        SELECT doc_id,
+               list_filter(lines,
+                   x -> NOT list_contains(
+                            s.stop,
+                            ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS kept,
+               len(lines) AS n_lines
+        FROM l, s)
+    SELECT doc_id,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+           cast(len(kept) AS BIGINT) AS n_kept,
+           cast(n_lines - len(kept) AS BIGINT) AS n_removed
+    FROM k
+    """,
+)
+def q_boilerplate_line_removal(spark, sf_dir):
+    # CCNet/RefinedWeb-style line-level boilerplate removal: drop every
+    # LINE whose exact text occurs in >= 3 documents corpus-wide
+    # (navigation bars, cookie banners, licence footers), reassemble each
+    # document from its surviving lines in order. The testdata documents
+    # are single-line, so the query first derives a deterministic
+    # multi-line layout (lines of 3 whitespace tokens) with pure
+    # expressions — the operator under test is corpus.remove_frequent_lines
+    # (default "inline" strategy: the frequent set is the Zipf head,
+    # collapsed to one broadcast row; document text NEVER shuffles — the
+    # df agg carries 60-bit digests only and the rewrite is a scan-stage
+    # higher-order function). Output is digest-sized: md5 of the cleaned
+    # text plus kept/removed line counts.
+    from real_estate_project1_etl_spark.functions.text import collapse_whitespace
+    from real_estate_project1_etl_spark.operators.corpus import (
+        remove_frequent_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
+    n = F.size(ts)
+    nl = F.floor((n + F.lit(2)) / F.lit(3)).cast("int")
+    lines = F.when(
+        nl >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(F.slice(ts, i * 3 + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    layout = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    out = remove_frequent_lines(layout, min_df=3)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+        "n_removed",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -29,6 +29,8 @@ textbook log-idf) as a multiplicative factor.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -329,5 +331,110 @@ def bigram_coverage(
             )
             .otherwise(F.lit(0.0))
             .alias("coverage"),
+        )
+    )
+
+
+def line_document_frequency(
+    docs: DataFrame, text_col: str = "text", delim: str = "\n"
+) -> DataFrame:
+    """Corpus-wide document frequency of exact LINES — ``(line_hash, df)``
+    where ``line_hash`` is the 60-bit md5 content hash of the line and
+    ``df`` counts DOCUMENTS containing it (per-doc repeats count once).
+
+    The line text itself never shuffles: each row contributes the
+    DISTINCT hashes of its lines (an in-row ``array_distinct`` +
+    ``transform`` — so the exchange carries ``(doc, hash)`` digests
+    only), and the df aggregation is Zipf-collapsed by map-side partial
+    aggregation exactly like token df.
+    """
+    lines = F.split(F.col(text_col), re.escape(delim), -1)
+    hashes = F.array_distinct(
+        F.transform(
+            lines, lambda l: F.conv(F.substring(F.md5(l), 1, 15), 16, 10).cast("long")
+        )
+    )
+    return (
+        docs.select(F.explode(hashes).alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def remove_frequent_lines(
+    docs: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    delim: str = "\n",
+    strategy: str = "inline",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb curation
+    step): drop every line whose exact text appears in >= ``min_df``
+    distinct documents corpus-wide — navigation bars, cookie banners,
+    licence footers — and reassemble each document from its surviving
+    lines in original order.
+
+    Returns ``(doc_id, clean_text, n_kept, n_removed)`` for every input
+    document (a document whose every line is boilerplate keeps a row
+    with empty text — the downstream length gate decides its fate).
+
+    Two physical strategies, same result:
+
+    * ``"inline"`` (default): the frequent-line set — by construction the
+      Zipf HEAD of the line distribution, so small at any corpus size —
+      is collapsed to ONE row (``collect_set`` of 60-bit hashes) and
+      broadcast-crossJoined back; each document filters its own lines
+      with an in-row higher-order function. The corpus text never
+      shuffles: one digest-only df aggregation, then a scan-stage
+      rewrite. This is the 100 TB shape.
+    * ``"join"``: posexplode lines, broadcast LEFT ANTI against the
+      frequent set, reassemble per doc (struct-sort, one doc_id
+      exchange). Escape hatch for a degenerate corpus whose frequent set
+      outgrows a single in-row array (hundreds of thousands of distinct
+      boilerplate lines).
+    """
+    if strategy not in ("inline", "join"):
+        raise ValueError(f"remove_frequent_lines: unknown strategy {strategy!r}")
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    freq = line_document_frequency(docs, text_col, delim).filter(
+        F.col("df") >= min_df
+    )
+    lines = F.split(F.col(text_col), re.escape(delim), -1)
+    if strategy == "inline":
+        stop = freq.agg(F.collect_set("line_hash").alias("_stop"))
+        kept = F.filter(
+            lines, lambda l: ~F.array_contains(F.col("_stop"), h60(l))
+        )
+        base = docs.crossJoin(F.broadcast(stop))
+        return base.select(
+            "doc_id",
+            F.concat_ws(delim, kept).alias("clean_text"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            (F.size(lines) - F.size(kept)).cast("bigint").alias("n_removed"),
+        )
+    pos = docs.select(
+        "doc_id", F.posexplode(lines).alias("pos", "line")
+    ).withColumn("line_hash", h60(F.col("line")))
+    surv = pos.join(F.broadcast(freq.select("line_hash")), "line_hash", "left_anti")
+    per_doc = surv.groupBy("doc_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_lines = docs.select("doc_id", F.size(lines).cast("bigint").alias("_n"))
+    return (
+        n_lines.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_n") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias(
+                "n_removed"
+            ),
         )
     )

@@ -948,3 +948,62 @@ def remove_repeated_spans(
         clean.alias("clean_text"),
         F.coalesce(F.col("_removed"), F.lit(0)).cast("long").alias("n_removed_chars"),
     )
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    labels: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection for near-duplicate clusters:
+    within every dup component keep the HIGHEST-quality document (ties
+    broken by the smallest id), not the arbitrary lowest-id one.
+
+    ``labels`` is ``(id, comp)`` from :func:`graph.connected_components`
+    over the near-dup pair list — i.e. one row per CLUSTERED document.
+    Documents absent from ``labels`` are singletons and canonicalize to
+    themselves. This is the curation-grade version of the min-id
+    decision table (``near_dup_canonical_map``): when a page exists as a
+    truncated scrape and a full scrape, min-id keeps whichever was
+    crawled first; ranking by a quality signal (length, LM score, ...)
+    keeps the best copy.
+
+    Returns ``(id_col, canonical_id, keep, cluster_size)`` for every
+    input document.
+
+    Scale shape: the ranking window and the size aggregate run over the
+    CLUSTERED docs only — the dup set, orders of magnitude smaller than
+    the corpus — sharing one exchange on the component key; singletons
+    stream through the scan stage untouched (no window, no shuffle).
+    Determinism: (quality DESC, id ASC) is a total order.
+    """
+    lab = labels.select(F.col("id").alias(id_col), "comp")
+    base = docs.select(id_col, quality_col).join(lab, id_col, "left")
+    clustered = base.filter(F.col("comp").isNotNull())
+    w = Window.partitionBy("comp").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    wa = Window.partitionBy("comp")
+    ranked = clustered.select(
+        id_col,
+        "comp",
+        F.row_number().over(w).alias("_rn"),
+        F.first(F.col(id_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("canonical_id"),
+        F.count(F.lit(1)).over(wa).alias("cluster_size"),
+    )
+    out_clustered = ranked.select(
+        id_col,
+        "canonical_id",
+        (F.col("_rn") == 1).alias("keep"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+    singles = base.filter(F.col("comp").isNull()).select(
+        id_col,
+        F.col(id_col).alias("canonical_id"),
+        F.lit(True).alias("keep"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+    )
+    return out_clustered.unionByName(singles)

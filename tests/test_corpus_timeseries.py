@@ -305,3 +305,77 @@ def test_bigram_coverage_discriminates_fluent_from_gibberish(spark):
     assert out[100].n_bigrams == 0 and out[100].coverage == 0.0
     # n_bigrams is occurrences: len(words)-1
     assert out[0].n_bigrams == len(common.split()) - 1
+
+
+def test_remove_frequent_lines_strategies_agree_and_preserve_order(spark):
+    from real_estate_project1_etl_spark.operators.corpus import (
+        remove_frequent_lines,
+    )
+
+    rows = [
+        (i, "\n".join(
+            (["cookie banner"] if i % 2 == 0 else [])
+            + [f"body {i} alpha", f"body {i} beta"]
+            + ["footer rights"]
+        ))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = remove_frequent_lines(df, min_df=3).orderBy("doc_id").collect()
+    join = (
+        remove_frequent_lines(df, min_df=3, strategy="join")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert inline == join
+    r0 = inline[0]
+    # both frequent lines removed, body order preserved
+    assert r0["clean_text"] == "body 0 alpha\nbody 0 beta"
+    assert r0["n_kept"] == 2 and r0["n_removed"] == 2
+    # odd docs never had the banner
+    assert inline[1]["n_removed"] == 1
+
+
+def test_remove_frequent_lines_all_boilerplate_doc_kept_empty(spark):
+    from real_estate_project1_etl_spark.operators.corpus import (
+        remove_frequent_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same line") for i in range(4)] + [(9, "unique content")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_frequent_lines(df, min_df=3).collect()
+    }
+    assert out[0]["clean_text"] == "" and out[0]["n_kept"] == 0
+    assert out[9]["clean_text"] == "unique content" and out[9]["n_removed"] == 0
+    # no frequent set at a higher threshold -> everything survives
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_frequent_lines(df, min_df=99).collect()
+    }
+    assert out2[0] == "same line"
+
+
+def test_remove_frequent_lines_inline_plan_never_shuffles_text(spark):
+    # the 100 TB contract of the default strategy: the document text
+    # reaches no Exchange — only 60-bit line digests shuffle (df agg),
+    # and the rewrite happens in the scan stage via a higher-order
+    # function after a single-row broadcast of the frequent set.
+    from real_estate_project1_etl_spark.operators.corpus import (
+        remove_frequent_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"common line\nbody {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = remove_frequent_lines(df, min_df=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

@@ -469,3 +469,38 @@ def test_minhash_bands_default_to_tuner_choice(spark):
         docs, "text", "id", bands=32, jaccard_threshold=0.9, _stats=st2
     ).count()
     assert st2["bands"] == 32
+
+
+def test_canonical_by_quality_keeps_best_copy(spark):
+    from real_estate_project1_etl_spark.operators.dedup import (
+        canonical_by_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100),  # cluster A: 1-2-3, doc 2 is longest
+            (2, 500),
+            (3, 500),  # ties with 2 on quality -> lower id 2 wins
+            (7, 50),   # singleton
+            (8, 10),   # cluster B: 8-9, doc 9 longer
+            (9, 20),
+        ],
+        "doc_id long, n_chars long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)], "id long, comp long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in canonical_by_quality(docs, labels, "n_chars").collect()
+    }
+    assert out[1]["canonical_id"] == 2 and not out[1]["keep"]
+    assert out[2]["keep"] and out[2]["cluster_size"] == 3
+    assert out[3]["canonical_id"] == 2 and not out[3]["keep"]
+    assert out[7]["keep"] and out[7]["canonical_id"] == 7
+    assert out[7]["cluster_size"] == 1
+    assert out[8]["canonical_id"] == 9 and not out[8]["keep"]
+    assert out[9]["keep"] and out[9]["cluster_size"] == 2
+    # exactly one keeper per cluster
+    keepers = [r for r in out.values() if r["keep"]]
+    assert len(keepers) == 3
