@@ -8053,6 +8053,46 @@ def q_orders_quality_audit(spark, sf_dir):
 
 
 @_q(
+    "temperature_mixture_sample",
+    """
+    WITH c AS (SELECT source, count(*) AS n_total
+               FROM documents GROUP BY source),
+    m AS (SELECT min(n_total) AS nmin FROM c),
+    t AS (SELECT source, n_total,
+                 cast(floor(sqrt(cast(nmin AS double) / cast(n_total AS double))
+                            * 1152921504606846976.0) AS BIGINT) AS thr
+          FROM c, m)
+    SELECT d.source, t.n_total,
+           count(*) AS n_kept,
+           cast(sum(d.doc_id) AS BIGINT) AS kept_id_sum
+    FROM documents d JOIN t ON d.source = t.source
+    WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 15))::BIGINT < t.thr
+    GROUP BY d.source, t.n_total
+    """,
+)
+def q_temperature_mixture_sample(spark, sf_dir):
+    # temperature sampling (count^alpha source rebalancing, alpha=0.5 —
+    # the standard multilingual-pretraining upweighting of small
+    # sources): per-source keep rate sqrt(n_min/n_s) realized as a
+    # deterministic 60-bit content-hash threshold, so the kept SET (not
+    # just its size) is a pure function of row content — the oracle
+    # reproduces membership exactly (kept_id_sum pins it), because sqrt
+    # and the power-of-two scale are both correctly rounded IEEE ops.
+    # One sources-sized agg + broadcast thresholds + scan-stage filter;
+    # the corpus never shuffles.
+    from real_estate_project1_etl_spark.operators.quality import (
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "source", ["doc_id"], alpha=0.5)
+    return kept.groupBy("source", "n_total").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
+
+
+@_q(
     "quality_canonical_docs",
     f"""
     WITH RECURSIVE {_minhash_pairs_ctes(0.6)},

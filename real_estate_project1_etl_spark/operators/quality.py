@@ -294,6 +294,55 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_cols: list[str],
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source rebalancing: down-sample each source so
+    kept counts are proportional to ``count^alpha`` (``alpha=1`` keeps
+    the natural mix, ``alpha=0`` flattens to uniform; ``alpha≈0.3-0.7``
+    is the standard multilingual/multi-source pretraining upweighting of
+    small sources — without up-sampling, so no row is ever duplicated).
+
+    Per-source keep rate ``r_s = (n_min / n_s)^(1-alpha)`` — the
+    smallest source keeps everything, larger sources thin toward it.
+    Rows are kept by the deterministic 60-bit content-hash threshold
+    ``hash60(key) < floor(r_s * 2^60)`` (same primitive as
+    :func:`stratified_hash_sample`): a pure row-local predicate, stable
+    under retries and repartitioning, no RNG.
+
+    Determinism note: at the default ``alpha=0.5`` the rate is computed
+    with ``sqrt`` (IEEE correctly-rounded, so the integer threshold is
+    bit-identical in any engine — differentially checkable); other
+    alphas go through ``pow``, which is deterministic within Spark but
+    not guaranteed to the last ulp across engines.
+
+    Scale shape: one sources-sized count aggregate, thresholds broadcast
+    back, filter runs in the scan's codegen stage — the corpus never
+    shuffles and nothing collects to the driver.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_total"))
+    nmin = counts.agg(F.min("n_total").alias("_nmin"))
+    ratio = F.col("_nmin").cast("double") / F.col("n_total").cast("double")
+    rate = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col,
+        "n_total",
+        F.floor(rate * F.lit(float(_HASH_SPACE))).cast("long").alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(_hash60(key_cols) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def calibrated_quality_gate(
     df: DataFrame,
     score_col: str,

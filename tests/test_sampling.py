@@ -131,3 +131,52 @@ def test_cap_per_key_deterministic_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan  # map-side pre-prune before the shuffle
+
+
+def test_temperature_sample_rebalances_toward_small_sources(spark):
+    from real_estate_project1_etl_spark.operators.quality import (
+        temperature_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(1600)]
+        + [(10_000 + i, "mid") for i in range(400)]
+        + [(20_000 + i, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = (
+        temperature_sample(df, "source", ["doc_id"], alpha=0.5)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    by = {r["source"]: r["count"] for r in kept}
+    # smallest source keeps everything (rate 1.0)
+    assert by["small"] == 100
+    # kept counts ~ sqrt(n): big -> sqrt(100*1600)=400, mid -> 200
+    assert abs(by["big"] - 400) < 60
+    assert abs(by["mid"] - 200) < 45
+    # deterministic: repartitioned input keeps the identical row set
+    kept_ids = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df, "source", ["doc_id"]).collect()
+    )
+    kept_ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            df.repartition(7), "source", ["doc_id"]
+        ).collect()
+    )
+    assert kept_ids == kept_ids2
+
+
+def test_temperature_sample_alpha_one_keeps_everything(spark):
+    from real_estate_project1_etl_spark.operators.quality import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(10)],
+        "doc_id long, source string",
+    )
+    assert temperature_sample(df, "source", ["doc_id"], alpha=1.0).count() == 60
