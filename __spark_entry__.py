@@ -8053,6 +8053,50 @@ def q_orders_quality_audit(spark, sf_dir):
 
 
 @_q(
+    "variant_event_props",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           cast(sum(k) AS BIGINT) AS sum_k,
+           cast(min(k) AS BIGINT) AS min_k,
+           cast(max(k) AS BIGINT) AS max_k,
+           cast(count(k) AS BIGINT) AS n_with_k
+    FROM (SELECT event_type,
+                 cast(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_variant_event_props(spark, sf_dir):
+    # Spark 4 VARIANT lane for semi-structured payloads: parse each JSON
+    # props document ONCE into the binary variant encoding
+    # (try_parse_json — NULL, never a task failure, on malformed rows),
+    # then typed field extraction via try_variant_get. At 100 TB this
+    # replaces per-field get_json_object string re-parses with one decode
+    # + cheap field lookups; everything stays in whole-stage codegen
+    # (static_invoke(parseJson) + VariantGet — no Python). The oracle
+    # uses DuckDB's json_extract over the same column.
+    from real_estate_project1_etl_spark.functions.semistructured import (
+        extract_typed,
+        to_variant,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = extract_typed(to_variant(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+        )
+    )
+
+
+@_q(
     "temperature_mixture_sample",
     """
     WITH c AS (SELECT source, count(*) AS n_total
