@@ -8052,6 +8052,90 @@ def q_orders_quality_audit(spark, sf_dir):
     return audit_constraints(od, rules)
 
 
+_BLOCKLIST_DOMAINS = (
+    "tracker0.com",
+    "tracker1.com",
+    "tracker2.com",
+    "blog0.blogspot.com",
+    "news0.co.uk",
+)
+
+_BLOCK_HOST_SQL = """
+        CASE
+          WHEN doc_id % 5 = 0 THEN 'ads.tracker' || cast((doc_id // 5) % 3 AS varchar) || '.com'
+          WHEN doc_id % 5 = 1 THEN 'blog' || cast((doc_id // 5) % 10 AS varchar) || '.blogspot.com'
+          WHEN doc_id % 5 = 2 THEN 'www.news' || cast((doc_id // 5) % 5 AS varchar) || '.co.uk'
+          WHEN doc_id % 5 = 3 THEN 'cdn.site' || cast((doc_id // 5) % 20 AS varchar) || '.example.org'
+          ELSE 'shop' || cast((doc_id // 5) % 4 AS varchar) || '.xyz'
+        END"""
+
+
+def _blocklist_oracle() -> str:
+    from real_estate_project1_etl_spark.functions.psl_data import (
+        DEFAULT_PSL_RULES,
+    )
+
+    block_sql = ",".join(f"('{d}')" for d in _BLOCKLIST_DOMAINS)
+    return f"""
+    WITH m AS (SELECT doc_id, {_BLOCK_HOST_SQL} AS host FROM documents),
+    hosts AS (SELECT DISTINCT lower(host) AS _h FROM m),
+    {_psl_mapping_ctes(DEFAULT_PSL_RULES)},
+    block(domain) AS (VALUES {block_sql}),
+    dd AS (SELECT m.doc_id, mp.domain
+           FROM m JOIN mapping mp ON lower(m.host) = mp._h)
+    SELECT domain, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM dd
+    WHERE domain IS NOT NULL
+      AND domain NOT IN (SELECT domain FROM block)
+    GROUP BY domain
+    """
+
+
+@_q("blocklist_filtered_corpus", _blocklist_oracle())
+def q_blocklist_filtered_corpus(spark, sf_dir):
+    # URL blocklist filtering — the curation gate every web corpus runs
+    # (spam/ad/tracker domain lists): derive each page's REGISTRABLE
+    # domain through the vendored-PSL tier (so platform subdomains like
+    # blogN.blogspot.com are each their own blockable domain, and
+    # www.newsN.co.uk blocks at newsN.co.uk — naive last-two-labels gets
+    # both wrong), then drop pages whose domain is on the list via a
+    # broadcast LEFT ANTI join. Scale shape: the PSL join touches only
+    # the distinct-host set, the blocklist is broadcast, and the corpus
+    # passes through one scan + one anti join — no shuffle of page rows
+    # on a low-cardinality key. Hosts are synthesized deterministically
+    # from doc_id across 5 domain families (tracker/.com, blogspot
+    # platform, .co.uk, deep example.org subdomains, .xyz).
+    from real_estate_project1_etl_spark.functions.psl_data import (
+        DEFAULT_PSL_RULES,
+    )
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 5
+    s = lambda n: ((F.col("doc_id") / 5).cast("long") % n).cast("string")  # noqa: E731
+    host = (
+        F.when(v == 0, F.concat(F.lit("ads.tracker"), s(3), F.lit(".com")))
+        .when(v == 1, F.concat(F.lit("blog"), s(10), F.lit(".blogspot.com")))
+        .when(v == 2, F.concat(F.lit("www.news"), s(5), F.lit(".co.uk")))
+        .when(v == 3, F.concat(F.lit("cdn.site"), s(20), F.lit(".example.org")))
+        .otherwise(F.concat(F.lit("shop"), s(4), F.lit(".xyz")))
+    )
+    pages = docs.select("doc_id", host.alias("host"))
+    dom = registrable_domain_psl(pages, "host", DEFAULT_PSL_RULES)
+    block = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST_DOMAINS], "domain string"
+    )
+    kept = dom.filter(F.col("domain").isNotNull()).join(
+        F.broadcast(block), "domain", "left_anti"
+    )
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 @_q(
     "variant_event_props",
     """

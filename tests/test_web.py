@@ -560,3 +560,22 @@ def test_synth_full_psl_shape(spark):
     got = {r.h: r.domain for r in registrable_domain_psl(df, "h", rules).collect()}
     assert got["www.example.com"] == "example.com"
     assert got["a.b.kobe.ck"] == "b.kobe.ck"  # *.ck wildcard intact
+
+
+def test_blocklist_filtered_corpus_blocks_platform_subdomains(spark):
+    # the blocklist gate operates on PSL registrable domains: one
+    # blogspot subdomain is blocked without touching its siblings, the
+    # www.newsN.co.uk family blocks at newsN.co.uk, and every
+    # trackerN.com page disappears regardless of its ads. subdomain
+    import __spark_entry__ as entry_mod
+
+    out = {
+        r["domain"]
+        for r in entry_mod.queries()["blocklist_filtered_corpus"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert "blog0.blogspot.com" not in out and "blog1.blogspot.com" in out
+    assert "news0.co.uk" not in out and "news1.co.uk" in out
+    assert not any(d.startswith("tracker") for d in out)
+    assert "example.org" in out
