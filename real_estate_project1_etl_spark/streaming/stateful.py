@@ -683,3 +683,26 @@ def packed_corpus_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def read_admission_state(spark, checkpoint: str) -> DataFrame:
+    """LIVE introspection of a :func:`capped_corpus_stream` checkpoint via
+    Spark 4's ``statestore`` data source: one row per key with its
+    current admission counter — ``(<key columns...>, admitted)``.
+
+    This is the operability complement to
+    ``tools/migrate_state_checkpoint.admitted_counts`` (which
+    RECONSTRUCTS the counters from the drained sink for cross-provider
+    migration): the state source reads the store files directly — any
+    provider, no sink scan, no running query — so an operator can answer
+    "which domains are at their cap right now?" against a live
+    checkpoint. Distributed read (one task per state partition); the
+    typed ``value.groupState`` schema is recovered from the operator's
+    state schema recorded in the checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    st = spark.read.format("statestore").load(checkpoint)
+    return st.select(
+        "key.*", F.col("value.groupState.admitted").alias("admitted")
+    )

@@ -705,3 +705,64 @@ def test_streaming_cap_generic_string_ids_and_composite_keys(spark, tmp_path):
 
     with pytest.raises(ValueError, match="nope"):
         capped_corpus_stream(stream, ["domain", "nope"], "doc_id", n=3)
+
+
+def test_statestore_reader_exposes_admission_counters(spark, tmp_path):
+    # Spark 4 state data source: the per-key admission counters of a
+    # capped_corpus_stream checkpoint are directly queryable — no sink
+    # reconstruction, no running query — and track the cap across
+    # incremental batches.
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        capped_corpus_stream,
+        read_admission_state,
+    )
+
+    src = str(tmp_path / "ss_src")
+    ck = str(tmp_path / "ss_ck")
+    out = str(tmp_path / "ss_out")
+    schema = "source string, doc_id long"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            capped_corpus_stream(stream, "source", "doc_id", n=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", 100 + i) for i in range(2)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    state = {
+        r["source"]: r["admitted"]
+        for r in read_admission_state(spark, ck).collect()
+    }
+    # a hit the cap, b admitted everything it saw
+    assert state == {"a": 3, "b": 2}
+
+    # next batch: b tops up to the cap, new key c appears in state
+    spark.createDataFrame(
+        [("b", 102), ("b", 103), ("c", 200)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    state2 = {
+        r["source"]: r["admitted"]
+        for r in read_admission_state(spark, ck).collect()
+    }
+    assert state2 == {"a": 3, "b": 3, "c": 1}
+    # the counters agree with what the sink actually holds
+    sink_counts = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sink_counts == state2
