@@ -8052,6 +8052,69 @@ def q_orders_quality_audit(spark, sf_dir):
     return audit_constraints(od, rules)
 
 
+#: ordered BPE merge table over the corpus vocabulary — topologically
+#: ordered like a trained merges.txt (each side is a base char or the
+#: product of a strictly earlier merge), so the single-pass rank-order
+#: fold in textstats.bpe_segment is exact
+_BPE_MERGES = (
+    ("t", "h"), ("th", "e"),
+    ("i", "n"), ("j", "o"), ("jo", "in"),
+    ("e", "r"),
+    ("s", "t"), ("st", "r"), ("str", "e"), ("stre", "a"), ("strea", "m"),
+    ("a", "r"), ("p", "ar"), ("par", "t"),
+    ("o", "w"), ("r", "ow"),
+    ("w", "in"), ("win", "d"), ("wind", "ow"),
+    ("d", "a"), ("da", "t"), ("dat", "a"),
+)
+
+
+def _bpe_oracle() -> str:
+    pats = ",".join(f"'{l} {r}'" for l, r in _BPE_MERGES)
+    return rf"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                            ' ') AS ws
+        FROM documents),
+    seg AS (
+        SELECT doc_id,
+               flatten(list_transform(ws, wd ->
+                   string_split(
+                       list_reduce(
+                           list_prepend(
+                               array_to_string(string_split(wd, ''), ' '),
+                               [{pats}]),
+                           (acc, m) -> replace(acc, m, replace(m, ' ', ''))),
+                       ' '))) AS toks
+        FROM w),
+    t AS (SELECT unnest(toks) AS token FROM seg),
+    c AS (SELECT token, count(*) AS n_occurrences FROM t GROUP BY token)
+    SELECT token, n_occurrences, rank FROM (
+        SELECT token, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+        FROM c) WHERE rank <= 20
+    """
+
+
+@_q("bpe_token_stats", _bpe_oracle())
+def q_bpe_token_stats(spark, sf_dir):
+    # real subword segmentation as pure JVM expressions: apply an ordered
+    # BPE merge table (chars joined by a separator; each merge = one
+    # left-to-right non-overlapping replace, folded in rank order by the
+    # aggregate higher-order function — leftmost-greedy, single pass per
+    # rank, exact for trained/topologically-ordered tables), then report
+    # the top-20 subword tokens by corpus frequency. The oracle mirrors
+    # the encoder with DuckDB's list_reduce over the same merge strings —
+    # the segmentation itself is differentially checked, not just counts.
+    # Entirely scan-stage until one Zipf-collapsed count agg + top-k.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_token_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_frequencies(docs, list(_BPE_MERGES), top_k=20)
+
+
 _BLOCKLIST_DOMAINS = (
     "tracker0.com",
     "tracker1.com",

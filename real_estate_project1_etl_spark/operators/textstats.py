@@ -13,7 +13,7 @@ implementations differ across engines on knife-edge values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import collapse_whitespace
@@ -814,4 +814,80 @@ def scrub_payment_cards(text: Column | str, tolerate_separators: bool = False) -
             ).otherwise(c),
         ),
         "",
+    )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-pair-encoding subword segmentation as pure JVM expressions —
+    ``(id_col, tokens)`` where ``tokens`` applies an ordered BPE merge
+    table to every whitespace word.
+
+    Encoder: each word becomes its characters joined by a space
+    separator; each merge ``(l, r)`` is applied as one left-to-right
+    non-overlapping ``replace(acc, 'l r', 'lr')``, folded over the merge
+    table IN RANK ORDER by ``aggregate`` (a higher-order expression — no
+    UDF, no Python). Left-to-right non-overlapping replacement is
+    exactly BPE's leftmost-pair greedy behavior, and a single pass per
+    rank is exact for TRAINED merge tables: a table built by BPE
+    training is topologically ordered (each merge's sides are base
+    characters or products of strictly-earlier merges, and the token a
+    merge creates can only feed LATER-ranked merges), so processing
+    ranks once, in order, reaches the same fixpoint as the
+    rescan-after-every-merge loop.
+
+    This upgrades the whitespace/regex token-count heuristics to the
+    segmentation an actual tokenizer would produce (pass a real
+    ``merges.txt`` as ``[(l, r), ...]``), while staying inside
+    whole-stage codegen and bit-reproducible across engines — the merge
+    fold is string-exact, no model file, no library.
+
+    Scale shape: entirely scan-stage (split -> per-word fold -> split);
+    zero shuffles, zero Python. Merge-table size only grows the folded
+    expression per row (a ~50k-merge production table would instead be
+    passed as an array column via a broadcast literal — same plan).
+    """
+    for l, r in merges:
+        if " " in l or " " in r:
+            raise ValueError("bpe_segment: merge sides cannot contain spaces")
+    pats = F.array(*[F.lit(f"{l} {r}") for l, r in merges])
+    words = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    seg = F.transform(
+        words,
+        lambda w: F.split(
+            F.aggregate(
+                pats,
+                F.array_join(F.split(w, ""), " "),
+                lambda acc, m: F.replace(acc, m, F.replace(m, F.lit(" "), F.lit(""))),
+            ),
+            " ",
+        ),
+    )
+    return docs.select(F.col(id_col), F.flatten(seg).alias("tokens"))
+
+
+def bpe_token_frequencies(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide BPE token frequency census: ``(token, n_occurrences,
+    rank)`` for the ``top_k`` most frequent subword tokens under the
+    given merge table — the vocabulary-coverage report run when fitting
+    or auditing a tokenizer against a corpus. One Zipf-collapsed count
+    agg over the exploded segmentation + TakeOrdered top-k."""
+    toks = bpe_segment(docs, merges, text_col, id_col).select(
+        F.explode("tokens").alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(top_k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n_occurrences", "rank"
     )

@@ -211,3 +211,52 @@ def test_simhash_numpy_path_matches_expression_path(spark):
     }
     fast = {r.id: r.sh for r in simhash_signatures(df, "text", "id").collect()}
     assert expr == fast
+
+
+def test_bpe_segment_matches_reference_encoder(spark):
+    # cross-model check: the expression fold reproduces a faithful python
+    # BPE encoder (rescan-after-every-merge greedy loop) on a trained-
+    # style (topologically ordered) merge table, including multi-word
+    # docs and words untouched by any merge.
+    from real_estate_project1_etl_spark.operators.textstats import bpe_segment
+
+    merges = [
+        ("t", "h"), ("th", "e"),
+        ("i", "n"), ("j", "o"), ("jo", "in"),
+        ("e", "r"),
+    ]
+
+    def ref_bpe(word):
+        ranks = {tuple(m): i for i, m in enumerate(merges)}
+        seq = list(word)
+        while True:
+            best, bi = None, None
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                return seq
+            seq = seq[:bi] + [seq[bi] + seq[bi + 1]] + seq[bi + 2 :]
+
+    texts = ["the joiner joins the join", "zebra quartz", "in the inn thin"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [tok for w in t.split() for tok in ref_bpe(w)]
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_bpe_segment_rejects_space_in_merge(spark):
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.textstats import bpe_segment
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bpe_segment(docs, [("a b", "c")])
