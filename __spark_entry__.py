@@ -8052,6 +8052,72 @@ def q_orders_quality_audit(spark, sf_dir):
     return audit_constraints(od, rules)
 
 
+#: ONE SQL text, two engines: Spark 4's WITH RECURSIVE surface executes
+#: this string verbatim (UNION ALL recursion — Spark does not yet allow
+#: UNION dedup inside a recursive CTE), and the SAME string is the DuckDB
+#: oracle. Path enumeration is bounded by the d < 2 hop cap, so the
+#: UNION ALL blowup stays polynomial in max-degree^2.
+_RECURSIVE_BFS_SQL = """
+    WITH RECURSIVE
+    parts AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM parts x JOIN parts y ON x.ok = y.ok AND x.pk < y.pk),
+    und AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    seeds AS (SELECT DISTINCT a AS id FROM und WHERE a < 10),
+    r(id, d) AS (
+      SELECT id, 0 FROM seeds
+      UNION ALL
+      SELECT und.b, r.d + 1 FROM r JOIN und ON und.a = r.id WHERE r.d < 2
+    )
+    SELECT id, min(d) AS dist, count(*) AS n_paths FROM r GROUP BY id
+"""
+
+
+@_q("recursive_sql_bfs", _RECURSIVE_BFS_SQL)
+def q_recursive_sql_bfs(spark, sf_dir):
+    # Spark 4 recursive-CTE surface: the engine runs the EXACT SQL text
+    # the oracle runs (shared constant — zero translation), proving the
+    # iterative-query dialect itself, not a DataFrame re-expression:
+    # 2-hop BFS path enumeration from seed vertices over the co-purchase
+    # graph, with min-distance AND path counts (the UNION ALL semantics).
+    # Scale note: recursive SQL is the small/medium-graph convenience
+    # lane — graph.nhop_min_distance (frontier expansion with per-round
+    # dedup) remains the 100 TB path, since UNION ALL recursion
+    # re-enumerates paths rather than frontiers.
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_BFS_SQL)
+
+
+@_q(
+    "pipe_sql_quantity_summary",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS total_qty
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def q_pipe_sql_quantity_summary(spark, sf_dir):
+    # Spark 4 SQL pipe-syntax surface (|> operators — the linear dialect
+    # for interactive pipeline building): same logical plan as the
+    # equivalent nested SELECT, so Catalyst optimizations (scan-stage
+    # filter pushdown, partial aggregation) apply identically; the
+    # oracle states the query in standard ANSI form.
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE count(*) AS n_items,
+                     cast(sum(cast(l_quantity AS decimal(18,2))) AS double)
+                         AS total_qty
+           GROUP BY l_returnflag
+        """
+    )
+
+
 #: ordered BPE merge table over the corpus vocabulary — topologically
 #: ordered like a trained merges.txt (each side is a base char or the
 #: product of a strictly earlier merge), so the single-pass rank-order
