@@ -90,6 +90,12 @@ HEADLINE = [
     # per-source quality calibration (rank-vs-count window gate)
     "sequence_packing_plan",
     "calibrated_quality_gate_docs",
+    # round-8: line-level boilerplate removal (digest-only df agg + HOF
+    # rewrite), quality-aware canonical selection (closure + argmax), and
+    # expression-fold BPE segmentation (scan-stage subword tokens)
+    "boilerplate_line_removal",
+    "quality_canonical_docs",
+    "bpe_token_stats",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -127,6 +133,9 @@ COST = {
     "part_skyline": "per-brand distinct-price agg + tiny window + broadcast join back (never the O(n^2) pair space)",
     "phash_doc_neardup": "Arrow hash UDF over 64-byte payload + 4-chunk band self-join + candidate-only hamming",
     "histogram_quantiles": "1 stats agg + 1 bucket-count agg (additive sketch) + rank pass for the exact comparison values",
+    "boilerplate_line_removal": "line-digest df agg (Zipf-collapsed) + single-row broadcast stop set + scan-stage HOF rewrite; text never shuffles",
+    "quality_canonical_docs": "minhash pairs + components + argmax window over the CLUSTERED docs only; singletons stay in the scan stage",
+    "bpe_token_stats": "per-word merge fold (codegen string replaces) + token count agg + top-k; no Python, no shuffle of text",
     "incremental_dedup_docs": "batch signatures + banding joins vs base; O(batch+collisions), corpus side is banding keys only; r5: tuner banding b=16/r=2 at t=0.4 grows candidates vs r4's b=8",
     "url_canonical_dedup": "scan-stage regex/HOF canonicalization + 1 groupBy exchange on the canonical key",
     "url_domain_psl": "in-row candidate suffixes + broadcast-hash PSL rule join on the distinct-host set only",
