@@ -406,11 +406,19 @@ def remove_frequent_lines(
             lines, lambda l: ~F.array_contains(F.col("_stop"), h60(l))
         )
         base = docs.crossJoin(F.broadcast(stop))
-        return base.select(
+        # materialize the filtered array ONCE per row (a flat select would
+        # re-run the per-line hash+membership fold for each of the three
+        # output expressions — measured 2x wall at 4M lines)
+        once = base.select(
             "doc_id",
-            F.concat_ws(delim, kept).alias("clean_text"),
-            F.size(kept).cast("bigint").alias("n_kept"),
-            (F.size(lines) - F.size(kept)).cast("bigint").alias("n_removed"),
+            kept.alias("_kept"),
+            F.size(lines).cast("bigint").alias("_n"),
+        )
+        return once.select(
+            "doc_id",
+            F.concat_ws(delim, "_kept").alias("clean_text"),
+            F.size("_kept").cast("bigint").alias("n_kept"),
+            (F.col("_n") - F.size("_kept")).cast("bigint").alias("n_removed"),
         )
     pos = docs.select(
         "doc_id", F.posexplode(lines).alias("pos", "line")
