@@ -8052,6 +8052,93 @@ def q_orders_quality_audit(spark, sf_dir):
     return audit_constraints(od, rules)
 
 
+@_q(
+    "ngram_novelty_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    s AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM w),
+    g AS (SELECT doc_id, unnest(sh) AS gr FROM s),
+    gh AS (SELECT doc_id,
+                  ('0x' || substr(md5(gr), 1, 15))::BIGINT AS h
+           FROM g),
+    f AS (SELECT h, count(*) AS df FROM gh GROUP BY h)
+    SELECT gh.doc_id,
+           count(*) AS n_grams,
+           cast(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           cast(count(*) - sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                AS double) / count(*) AS novelty
+    FROM gh JOIN f USING (h)
+    GROUP BY gh.doc_id
+    """,
+)
+def q_ngram_novelty_docs(spark, sf_dir):
+    # intra-corpus novelty / memorization-risk score: the fraction of
+    # each doc's distinct 3-gram inventory NOT shared with any other
+    # document (decontaminate's twin, pointed at the corpus itself).
+    # Shingles hash to 60-bit digests in-row — the exchanges carry
+    # (doc, hash) pairs and Zipf-collapsed hash counts, never text; one
+    # digest join + one doc agg produce both counters.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        ngram_novelty_scores,
+    )
+
+    return ngram_novelty_scores(_t(spark, sf_dir, "documents"), n=3)
+
+
+@_q(
+    "documents_curation_funnel",
+    r"""
+    WITH f AS (
+        SELECT (length(text) >= 120) AS a1,
+               (length(text) >= 120 AND lang IN ('en','de','es')) AS a2,
+               (length(text) >= 120 AND lang IN ('en','de','es')
+                AND len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 25) AS a3,
+               (length(text) >= 120 AND lang IN ('en','de','es')
+                AND len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 25
+                AND source IS NOT NULL) AS a4
+        FROM documents),
+    agg AS (
+        SELECT count(*) AS n0,
+               sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS s1,
+               sum(CASE WHEN a2 THEN 1 ELSE 0 END) AS s2,
+               sum(CASE WHEN a3 THEN 1 ELSE 0 END) AS s3,
+               sum(CASE WHEN a4 THEN 1 ELSE 0 END) AS s4
+        FROM f)
+    SELECT 0 AS stage_idx, '__input__' AS stage,
+           cast(n0 AS BIGINT) AS n_in, cast(0 AS BIGINT) AS n_dropped,
+           cast(n0 AS BIGINT) AS n_out FROM agg
+    UNION ALL SELECT 1, 'min_chars', cast(n0 AS BIGINT),
+           cast(n0 - s1 AS BIGINT), cast(s1 AS BIGINT) FROM agg
+    UNION ALL SELECT 2, 'lang_known', cast(s1 AS BIGINT),
+           cast(s1 - s2 AS BIGINT), cast(s2 AS BIGINT) FROM agg
+    UNION ALL SELECT 3, 'min_tokens', cast(s2 AS BIGINT),
+           cast(s2 - s3 AS BIGINT), cast(s3 AS BIGINT) FROM agg
+    UNION ALL SELECT 4, 'source_known', cast(s3 AS BIGINT),
+           cast(s3 - s4 AS BIGINT), cast(s4 AS BIGINT) FROM agg
+    """,
+)
+def q_documents_curation_funnel(spark, sf_dir):
+    # per-stage drop accounting for a sequential curation chain — the
+    # observability report behind every "we started with 10M pages"
+    # table. quality.curation_funnel computes EVERY stage's survivor
+    # count in ONE scan (cumulative conditional sums — no N filters, no
+    # cache), output is stages-sized. The oracle mirrors the cumulative
+    # predicate chain stage by stage.
+    from real_estate_project1_etl_spark.functions.text import collapse_whitespace
+    from real_estate_project1_etl_spark.operators.quality import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(collapse_whitespace(F.col("text"))), " "))
+    stages = [
+        ("min_chars", F.length("text") >= 120),
+        ("lang_known", F.col("lang").isin("en", "de", "es")),
+        ("min_tokens", n_tok >= 25),
+        ("source_known", F.col("source").isNotNull()),
+    ]
+    return curation_funnel(docs, stages)
+
+
 #: ONE SQL text, two engines: Spark 4's WITH RECURSIVE surface executes
 #: this string verbatim (UNION ALL recursion — Spark does not yet allow
 #: UNION dedup inside a recursive CTE), and the SAME string is the DuckDB

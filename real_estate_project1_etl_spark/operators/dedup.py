@@ -1007,3 +1007,51 @@ def canonical_by_quality(
         F.lit(1).cast("bigint").alias("cluster_size"),
     )
     return out_clustered.unionByName(singles)
+
+
+def ngram_novelty_scores(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-corpus n-gram novelty — the memorization-risk twin of
+    benchmark decontamination: for each document, how much of its
+    distinct n-gram inventory also occurs in at least one OTHER
+    document. Low novelty flags template/boilerplate-heavy documents a
+    model would effectively see many times; the per-doc score is the
+    standard input to novelty-weighted sampling.
+
+    Returns ``(id_col, n_grams, n_shared, novelty)`` where ``novelty =
+    (n_grams - n_shared) / n_grams`` over the document's DISTINCT
+    n-grams (``n_shared`` counts those with corpus document-frequency
+    >= 2).
+
+    Scale shape: shingles hash to 60-bit digests IN-ROW, so the only
+    exchanges carry ``(doc, hash)`` pairs and hash counts — never text;
+    the gram-frequency aggregation is Zipf-collapsed by map-side
+    partials, and one digest equi-join + one doc aggregation produce
+    both counters in a single pass.
+    """
+    h60 = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("g")
+    ).select(id_col, h60.alias("h"))
+    freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        grams.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_grams",
+        "n_shared",
+        (
+            (F.col("n_grams") - F.col("n_shared")).cast("double")
+            / F.col("n_grams")
+        ).alias("novelty"),
+    )

@@ -407,3 +407,63 @@ def calibrated_quality_gate(
         )
         .drop("__cqg_rn", "__cqg_n")
     )
+
+
+def curation_funnel(
+    df: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Per-stage drop accounting for a sequential filter pipeline — the
+    observability report every curation chain needs ("we started with
+    10M pages; the length gate dropped 2M, the quality gate 1.5M, dedup
+    800k, ...").
+
+    ``stages`` is the ordered ``(name, keep_predicate)`` list; a row
+    reaches stage ``i`` iff it passed every earlier predicate (the same
+    short-circuit semantics as chaining ``.filter`` calls). Returns one
+    row per stage plus an ``__input__`` row:
+    ``(stage_idx, stage, n_in, n_dropped, n_out)``.
+
+    Scale shape: ONE scan — each stage's survival is a conditional
+    expression over the row, the per-stage counts are a single
+    conditional-sum aggregate (no N passes, no N filters, no cache),
+    and the output is stages-sized. NULL predicate results drop the row
+    (filter semantics).
+    """
+    if not stages:
+        raise ValueError("curation_funnel: stages must be non-empty")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError("curation_funnel: stage names must be unique")
+    alive = F.lit(True)
+    survived: list[Column] = []
+    for _, pred in stages:
+        alive = alive & F.coalesce(pred, F.lit(False))
+        survived.append(alive)
+    aggs = [F.count(F.lit(1)).alias("_n0")] + [
+        F.sum(s.cast("bigint")).alias(f"_s{i}") for i, s in enumerate(survived)
+    ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(0).alias("stage_idx"),
+            F.lit("__input__").alias("stage"),
+            F.col("_n0").alias("n_in"),
+            F.lit(0).cast("bigint").alias("n_dropped"),
+            F.col("_n0").alias("n_out"),
+        )
+    ]
+    for i, name in enumerate(names):
+        prev = F.col("_n0") if i == 0 else F.col(f"_s{i-1}")
+        cur = F.col(f"_s{i}")
+        rows.append(
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                prev.alias("n_in"),
+                (prev - cur).alias("n_dropped"),
+                cur.alias("n_out"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")

@@ -537,3 +537,54 @@ def test_suspicious_digit_run_tolerates_other_separators(spark):
     ).collect()
     for r in rows:
         assert r.got == r.want, r.text
+
+
+def test_curation_funnel_single_scan_and_short_circuit(spark):
+    from real_estate_project1_etl_spark.operators.quality import curation_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 200, "en"), (3, 300, None), (4, 400, "de"),
+         (5, 50, "de")],
+        "id long, n long, lang string",
+    )
+    out = {
+        r["stage"]: r
+        for r in curation_funnel(
+            df,
+            [
+                ("long_enough", F.col("n") >= 100),
+                # NULL lang must DROP (filter semantics), not pass
+                ("lang_known", F.col("lang").isNotNull()),
+                ("is_en", F.col("lang") == "en"),
+            ],
+        ).collect()
+    }
+    assert out["__input__"]["n_out"] == 5
+    assert out["long_enough"]["n_in"] == 5 and out["long_enough"]["n_dropped"] == 2
+    assert out["lang_known"]["n_in"] == 3 and out["lang_known"]["n_dropped"] == 1
+    assert out["is_en"]["n_out"] == 1
+    # cumulative semantics == chained .filter calls
+    chained = df.filter(F.col("n") >= 100).filter(
+        F.col("lang").isNotNull()
+    ).filter(F.col("lang") == "en")
+    assert out["is_en"]["n_out"] == chained.count()
+    # one scan: a single aggregate, no Exchange beyond the final agg
+    plan = (
+        curation_funnel(df, [("a", F.col("n") > 0), ("b", F.col("n") > 1)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan") == 1
+
+
+def test_curation_funnel_rejects_bad_stage_lists(spark):
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.quality import curation_funnel
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        curation_funnel(df, [])
+    with _pytest.raises(ValueError):
+        curation_funnel(df, [("x", F.lit(True)), ("x", F.lit(False))])

@@ -504,3 +504,23 @@ def test_canonical_by_quality_keeps_best_copy(spark):
     # exactly one keeper per cluster
     keepers = [r for r in out.values() if r["keep"]]
     assert len(keepers) == 3
+
+
+def test_ngram_novelty_separates_duplicates_from_unique(spark):
+    from real_estate_project1_etl_spark.operators.dedup import (
+        ngram_novelty_scores,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, dup),
+            (2, dup),  # exact twin -> zero novelty
+            (3, "completely unrelated words about spark shuffle exchanges"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty_scores(docs, n=3).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[3]["n_shared"] == 0 and out[1]["n_shared"] == out[1]["n_grams"]
