@@ -8053,6 +8053,54 @@ def q_orders_quality_audit(spark, sf_dir):
 
 
 @_q(
+    "orders_lineitem_join_size_est",
+    """
+    WITH sa AS (
+        SELECT o_orderkey AS k, count(*) AS ma FROM orders
+        WHERE ('0x' || substr(md5(cast(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+              < 72057594037927936
+        GROUP BY o_orderkey),
+    sb AS (
+        SELECT l_orderkey AS k, count(*) AS mb FROM lineitem
+        WHERE ('0x' || substr(md5(cast(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+              < 72057594037927936
+        GROUP BY l_orderkey),
+    est AS (
+        SELECT count(*) AS n_sampled_keys,
+               cast(coalesce(sum(ma * mb), 0) AS BIGINT) AS sampled_pairs
+        FROM sa JOIN sb USING (k)),
+    tru AS (
+        SELECT count(*) AS true_join_size
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT e.n_sampled_keys, e.sampled_pairs,
+           cast(e.sampled_pairs * 16 AS BIGINT) AS join_size_est,
+           cast(t.true_join_size AS BIGINT) AS true_join_size
+    FROM est e CROSS JOIN tru t
+    """,
+)
+def q_orders_lineitem_join_size_est(spark, sf_dir):
+    # join-cardinality estimation BEFORE paying for the join (correlated
+    # key sampling, VLDB'15): both sides keep keys whose shared 60-bit
+    # hash < 2^56 (1/16 of the key space — the SAME keys on both sides),
+    # count multiplicities, scale the matched-pair sum by 16. Power-of-
+    # two fraction makes the estimator integer end-to-end — the oracle
+    # reproduces it bit-for-bit. The true join size rides along so the
+    # estimate's error is on the ledger. This is the pre-flight a
+    # pipeline runs to size shuffle partitions / catch join blowups.
+    from real_estate_project1_etl_spark.operators.sketch import (
+        join_size_estimate,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    est = join_size_estimate(od, "o_orderkey", li, "l_orderkey", log2_frac=4)
+    true = od.join(li, od["o_orderkey"] == li["l_orderkey"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_join_size")
+    )
+    return est.crossJoin(true)
+
+
+@_q(
     "ngram_novelty_docs",
     f"""
     WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),

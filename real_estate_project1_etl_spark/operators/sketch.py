@@ -224,3 +224,61 @@ def cms_estimate(
     return joined.groupBy(value_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    log2_frac: int = 4,
+) -> DataFrame:
+    """Estimate ``|A JOIN B ON key|`` WITHOUT running the join —
+    correlated key sampling (cf. Vengerov et al., VLDB'15): both sides
+    keep only keys whose shared 60-bit content hash falls below
+    ``tau = 2^(60 - log2_frac)`` (the same keys survive on both sides —
+    that correlation is what makes the estimator work for joins), count
+    multiplicities per surviving key, and scale the matched-pair sum
+    back up by ``2^log2_frac``.
+
+    One output row: ``(n_sampled_keys, sampled_pairs, join_size_est)``.
+    Because the sampling fraction is an exact power of two, the
+    estimator is INTEGER arithmetic end-to-end — deterministic, and
+    bit-identical in any engine (no RNG, no float scaling).
+
+    Scale shape: the hash filter runs in each side's scan stage (a
+    1/2^log2_frac fraction of keys survives BEFORE any exchange), the
+    per-key counts aggregate only sampled rows, and the final join is
+    sampled-keys-sized. This is the estimator a pipeline runs to choose
+    shuffle partition counts / detect join blowups before paying for
+    the real join.
+    """
+    if not 0 <= log2_frac < 60:
+        raise ValueError("join_size_estimate: log2_frac must be in [0, 60)")
+    tau = 1 << (60 - log2_frac)
+
+    def sampled_counts(df: DataFrame, key: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return (
+            df.filter(h < F.lit(tau))
+            .groupBy(F.col(key).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_m"))
+        )
+
+    ca = sampled_counts(a, a_key).withColumnRenamed("_m", "_ma")
+    cb = sampled_counts(b, b_key).withColumnRenamed("_m", "_mb")
+    j = ca.join(cb, "_k")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_sampled_keys"),
+        F.coalesce(F.sum(F.col("_ma") * F.col("_mb")), F.lit(0))
+        .cast("bigint")
+        .alias("sampled_pairs"),
+    ).select(
+        "n_sampled_keys",
+        "sampled_pairs",
+        (F.col("sampled_pairs") * F.lit(1 << log2_frac))
+        .cast("bigint")
+        .alias("join_size_est"),
+    )

@@ -209,3 +209,41 @@ def test_cms_partial_sketches_merge_by_summing(spark):
         for r in part:
             merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.cnt
     assert merged == whole
+
+
+def test_join_size_estimate_accuracy_and_determinism(spark):
+    from real_estate_project1_etl_spark.operators.sketch import (
+        join_size_estimate,
+    )
+
+    # 2000 keys; side A has 1-3 rows/key, side B 0-2 rows/key
+    a = spark.createDataFrame(
+        [(k,) for k in range(2000) for _ in range(1 + k % 3)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in range(2000) for _ in range(k % 2)], "k long"
+    )
+    true = a.join(b, "k").count()
+    r = join_size_estimate(a, "k", b, "k", log2_frac=3).collect()[0]
+    assert r["join_size_est"] == r["sampled_pairs"] * 8
+    # 1/8 sampling over 1000 matched keys: well inside 25% relative error
+    assert abs(r["join_size_est"] - true) / true < 0.25
+    # deterministic under repartitioning (content-hash sampling)
+    r2 = join_size_estimate(
+        a.repartition(13), "k", b.repartition(7), "k", log2_frac=3
+    ).collect()[0]
+    assert r == r2
+    # log2_frac=0 degenerates to the exact join size
+    r3 = join_size_estimate(a, "k", b, "k", log2_frac=0).collect()[0]
+    assert r3["join_size_est"] == true
+
+
+def test_join_size_estimate_empty_intersection(spark):
+    from real_estate_project1_etl_spark.operators.sketch import (
+        join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(99,)], "k long")
+    r = join_size_estimate(a, "k", b, "k", log2_frac=0).collect()[0]
+    assert r["sampled_pairs"] == 0 and r["join_size_est"] == 0
