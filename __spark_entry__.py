@@ -8053,6 +8053,57 @@ def q_orders_quality_audit(spark, sf_dir):
 
 
 @_q(
+    "event_value_winsorized",
+    """
+    WITH b AS (
+        SELECT event_type AS g,
+               cast(cast(value AS decimal(18,2)) * 100 AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL),
+    r AS (
+        SELECT g, c,
+               row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM b),
+    k AS (SELECT g, c, rn, n,
+                 (n * 5 + 99) // 100 AS k_lo,
+                 n - (n * 5 + 99) // 100 + 1 AS k_hi
+          FROM r),
+    a AS (
+        SELECT g, max(n) AS n,
+               max(CASE WHEN rn = k_lo THEN c END) AS lo_cents,
+               max(CASE WHEN rn = k_hi THEN c END) AS hi_cents,
+               cast(sum(CASE WHEN rn < k_lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               cast(sum(CASE WHEN rn > k_hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high,
+               sum(CASE WHEN rn >= k_lo AND rn <= k_hi THEN c ELSE 0 END)
+                   AS mid_sum
+        FROM k GROUP BY g)
+    SELECT g AS event_type, n, lo_cents, hi_cents,
+           n_clipped_low, n_clipped_high,
+           cast(mid_sum + n_clipped_low * lo_cents
+                + n_clipped_high * hi_cents AS BIGINT)
+               AS winsorized_sum_cents
+    FROM a
+    """,
+)
+def q_event_value_winsorized(spark, sf_dir):
+    # winsorization (5%/95% order-statistic clipping) per event type —
+    # the outlier treatment run before moment statistics. Boundaries are
+    # rank-SELECTED values (never interpolated) over integer cents, and
+    # the winsorized sum decomposes as mid_sum + n_below*lo + n_above*hi
+    # inside ONE aggregation — integer-exact across engines, one
+    # exchange shared by the ranking window and the agg.
+    from real_estate_project1_etl_spark.operators.stats import (
+        winsorize_per_group,
+    )
+
+    return winsorize_per_group(
+        _t(spark, sf_dir, "events"), "event_type", "value", pct=5
+    )
+
+
+@_q(
     "orders_lineitem_join_size_est",
     """
     WITH sa AS (

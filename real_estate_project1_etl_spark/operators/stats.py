@@ -20,7 +20,7 @@ fact table shuffles at most once, on the grouping key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -145,4 +145,72 @@ def mad_per_group(
         F.min("median_cents").alias("median_cents"),
         F.expr("percentile(adev, 0.5)").alias("mad_cents"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def winsorize_per_group(
+    df: DataFrame, group_col: str, value_col: str, pct: int = 5
+) -> DataFrame:
+    """Winsorization report per group: clip values to the exact
+    ``pct``-th and ``(100-pct)``-th order statistics — the standard
+    outlier treatment before moment-based statistics (unlike trimming,
+    every row survives; the tails are pulled in to the boundary values).
+
+    Returns one row per group: ``(group_col, n, lo_cents, hi_cents,
+    n_clipped_low, n_clipped_high, winsorized_sum_cents)`` — the clipped
+    sum rides along so a downstream mean needs no second pass.
+
+    Exactness: values convert to integer cents first; the boundaries are
+    ORDER STATISTICS selected by rank (``k_lo = ceil(pct*n/100)``,
+    ``k_hi = n - k_lo + 1``), never interpolated. The value at a rank is
+    deterministic even though row_number among ties is not, and the
+    winsorized sum decomposes as
+    ``sum(middle) + n_below*lo + n_above*hi`` — ALL of it integer
+    arithmetic inside ONE aggregation, bit-identical across engines.
+
+    Scale shape: one exchange on the group key shared by the ranking
+    window and the aggregation; output is groups-sized.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), cents.alias("c")
+    )
+    w = Window.partitionBy("g").orderBy("c")
+    wa = Window.partitionBy("g")
+    ranked = base.select(
+        "g",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    k_lo = F.floor((F.col("n") * pct + 99) / 100).cast("long")
+    k_hi = F.col("n") - k_lo + 1
+    r = ranked.withColumn("k_lo", k_lo).withColumn("k_hi", k_hi)
+    agg = r.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("c"))).alias("lo_cents"),
+        F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("c"))).alias("hi_cents"),
+        F.sum((F.col("rn") < F.col("k_lo")).cast("bigint")).alias("n_clipped_low"),
+        F.sum((F.col("rn") > F.col("k_hi")).cast("bigint")).alias("n_clipped_high"),
+        F.sum(
+            F.when(
+                (F.col("rn") >= F.col("k_lo")) & (F.col("rn") <= F.col("k_hi")),
+                F.col("c"),
+            ).otherwise(F.lit(0))
+        ).alias("_mid_sum"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        "lo_cents",
+        "hi_cents",
+        "n_clipped_low",
+        "n_clipped_high",
+        (
+            F.col("_mid_sum")
+            + F.col("n_clipped_low") * F.col("lo_cents")
+            + F.col("n_clipped_high") * F.col("hi_cents")
+        )
+        .cast("bigint")
+        .alias("winsorized_sum_cents"),
     )

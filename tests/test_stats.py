@@ -197,3 +197,29 @@ def test_hypothesis_association_rules_match_integer_model(spark, rows):
                 (10**6 * c * n_orders) // (item[ant] * item[cons]),
             )
     assert got == exp
+
+
+def test_winsorize_per_group_hand_computed(spark):
+    from real_estate_project1_etl_spark.operators.stats import (
+        winsorize_per_group,
+    )
+
+    # group g: 1..20 (cents 100..2000), pct=10 -> k_lo=2, k_hi=19:
+    # clip to [200, 1900]; one row clipped each side
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 21)] + [("h", 5.0)],
+        "k string, v double",
+    )
+    out = {
+        r["k"]: r for r in winsorize_per_group(df, "k", "v", pct=10).collect()
+    }
+    g = out["g"]
+    assert g["n"] == 20 and g["lo_cents"] == 200 and g["hi_cents"] == 1900
+    assert g["n_clipped_low"] == 1 and g["n_clipped_high"] == 1
+    # sum(2..19)*100 + 200 + 1900 = 18900 + 2100
+    assert g["winsorized_sum_cents"] == sum(range(2, 20)) * 100 + 200 + 1900
+    # singleton group: k_lo = k_hi = 1, nothing clipped
+    h = out["h"]
+    assert h["n"] == 1 and h["lo_cents"] == 500 and h["hi_cents"] == 500
+    assert h["n_clipped_low"] == 0 and h["n_clipped_high"] == 0
+    assert h["winsorized_sum_cents"] == 500
