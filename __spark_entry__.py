@@ -8053,6 +8053,41 @@ def q_orders_quality_audit(spark, sf_dir):
 
 
 @_q(
+    "term_posting_lists",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_DOC_WORDS_SQL}) AS w FROM documents),
+    td AS (SELECT w, doc_id, count(*) AS tf FROM t GROUP BY w, doc_id),
+    r AS (SELECT w, doc_id, tf,
+                 row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+          FROM td),
+    a AS (SELECT w, count(*) AS df, cast(sum(tf) AS BIGINT) AS ttf,
+                 array_to_string(
+                     list_sort(list(doc_id) FILTER (rn <= 5)), ',') AS postings
+          FROM r GROUP BY w)
+    SELECT w AS term, df, ttf, postings FROM a WHERE df >= 2
+    """,
+)
+def q_term_posting_lists(spark, sf_dir):
+    # inverted-index export: per term, document frequency, total term
+    # frequency, and the first 5 doc ids ascending — the posting-list
+    # artifact a retrieval service loads. The posting cap compiles to
+    # WindowGroupLimit with a PARTIAL stage, so a stopword's list ships
+    # max_postings rows per map task to the exchange, never its full
+    # corpus-wide postings; df/ttf aggregate Zipf-collapsed.
+    from real_estate_project1_etl_spark.operators.corpus import (
+        term_posting_lists,
+    )
+
+    out = term_posting_lists(_t(spark, sf_dir, "documents"), max_postings=5)
+    return out.select(
+        "term",
+        "df",
+        "ttf",
+        F.array_join("postings", ",").alias("postings"),
+    )
+
+
+@_q(
     "event_value_winsorized",
     """
     WITH b AS (

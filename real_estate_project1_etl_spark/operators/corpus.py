@@ -446,3 +446,46 @@ def remove_frequent_lines(
             ),
         )
     )
+
+
+def term_posting_lists(
+    docs: DataFrame,
+    max_postings: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index export: one row per term with its document
+    frequency, total term frequency, and the first ``max_postings``
+    doc ids ascending — the posting-list artifact a retrieval system
+    loads (BM25 scoring over it already exists: :func:`bm25_topk`).
+
+    Scale shape: the token stream aggregates once per (term, doc) for
+    tf, once per term for df/ttf (both Zipf-collapsed); the posting cap
+    compiles to WindowGroupLimit with a partial stage, so a stop-word
+    term ships ``max_postings * map_tasks`` postings to the exchange,
+    never its full corpus-wide list. Output rows are vocabulary-sized
+    and each carries a bounded array.
+    """
+    toks = tokenize_positions(docs, text_col)
+    td = toks.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("w").orderBy("doc_id")
+    capped = td.withColumn("_rn", F.row_number().over(w))
+    return (
+        capped.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("ttf"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_postings, F.col("doc_id"))
+                )
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            F.col("ttf").cast("bigint").alias("ttf"),
+            "postings",
+        )
+    )
