@@ -8052,6 +8052,124 @@ def q_orders_quality_audit(spark, sf_dir):
     return audit_constraints(od, rules)
 
 
+def _corpus_build_v3_oracle() -> str:
+    from real_estate_project1_etl_spark.functions.psl_data import (
+        DEFAULT_PSL_RULES,
+    )
+
+    block_sql = ",".join(f"('{d}')" for d in _BLOCKLIST_DOMAINS)
+    return rf"""
+    WITH m AS (SELECT doc_id, source, text, {_BLOCK_HOST_SQL} AS host
+               FROM documents),
+    hosts AS (SELECT DISTINCT lower(host) AS _h FROM m),
+    {_psl_mapping_ctes(DEFAULT_PSL_RULES)},
+    block(domain) AS (VALUES {block_sql}),
+    s0 AS (SELECT m.doc_id, m.source, m.text
+           FROM m JOIN mapping mp ON lower(m.host) = mp._h
+           WHERE mp.domain IS NOT NULL
+             AND mp.domain NOT IN (SELECT domain FROM block)),
+    w AS (SELECT doc_id, source,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                              ' ') AS ts
+          FROM s0),
+    l AS (SELECT doc_id, source,
+                 list_transform(range((len(ts) + 2) // 3),
+                                i -> array_to_string(ts[i*3+1:i*3+3], ' ')) AS lines
+          FROM w),
+    d AS (SELECT doc_id, unnest(list_distinct(lines)) AS line FROM l),
+    f AS (SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS h,
+                 count(*) AS df
+          FROM d GROUP BY 1),
+    st AS (SELECT coalesce(list(h), []) AS stop FROM f WHERE df >= 3),
+    k AS (SELECT doc_id, source,
+                 list_filter(lines,
+                     x -> NOT list_contains(
+                              st.stop,
+                              ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS kept0
+          FROM l, st),
+    c AS (SELECT doc_id, source,
+                 md5(coalesce(array_to_string(kept0, chr(10)), '')) AS clean_md5,
+                 len(kept0) AS n_kept
+          FROM k),
+    cnt AS (SELECT source, count(*) AS n_total FROM c GROUP BY source),
+    mn AS (SELECT min(n_total) AS nmin FROM cnt),
+    thr AS (SELECT source,
+                   cast(floor(sqrt(cast(nmin AS double) / cast(n_total AS double))
+                              * 1152921504606846976.0) AS BIGINT) AS t
+            FROM cnt, mn)
+    SELECT c.doc_id, c.source, c.clean_md5,
+           cast(c.n_kept AS BIGINT) AS n_kept_lines
+    FROM c JOIN thr ON c.source = thr.source
+    WHERE ('0x' || substr(md5(cast(c.doc_id AS VARCHAR)), 1, 15))::BIGINT < thr.t
+    """
+
+
+@_q("documents_corpus_build_v3", _corpus_build_v3_oracle())
+def q_documents_corpus_build_v3(spark, sf_dir):
+    # END-TO-END corpus build from the round-8 operator set, one lazy
+    # plan: (1) URL blocklist gate on PSL registrable domains (broadcast
+    # anti-join over the distinct-host map), (2) line-level boilerplate
+    # removal over the survivors' 3-token-line layout (digest-only df
+    # agg, scan-stage HOF rewrite — text never shuffles), (3) temperature
+    # rebalancing (sqrt keep rates as integer hash thresholds) over the
+    # cleaned corpus. The oracle mirrors every stage's construction —
+    # PSL matching, hash membership, sqrt thresholds — so the COMPOSITION
+    # is differentially checked end-to-end, not just each piece alone.
+    from real_estate_project1_etl_spark.functions.psl_data import (
+        DEFAULT_PSL_RULES,
+    )
+    from real_estate_project1_etl_spark.functions.text import collapse_whitespace
+    from real_estate_project1_etl_spark.functions.web import (
+        registrable_domain_psl,
+    )
+    from real_estate_project1_etl_spark.operators.corpus import (
+        remove_frequent_lines,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 5
+    s = lambda n: ((F.col("doc_id") / 5).cast("long") % n).cast("string")  # noqa: E731
+    host = (
+        F.when(v == 0, F.concat(F.lit("ads.tracker"), s(3), F.lit(".com")))
+        .when(v == 1, F.concat(F.lit("blog"), s(10), F.lit(".blogspot.com")))
+        .when(v == 2, F.concat(F.lit("www.news"), s(5), F.lit(".co.uk")))
+        .when(v == 3, F.concat(F.lit("cdn.site"), s(20), F.lit(".example.org")))
+        .otherwise(F.concat(F.lit("shop"), s(4), F.lit(".xyz")))
+    )
+    pages = docs.select("doc_id", "source", "text", host.alias("host"))
+    dom = registrable_domain_psl(pages, "host", DEFAULT_PSL_RULES)
+    block = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST_DOMAINS], "domain string"
+    )
+    s0 = dom.filter(F.col("domain").isNotNull()).join(
+        F.broadcast(block), "domain", "left_anti"
+    )
+    ts = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
+    n = F.size(ts)
+    nl = F.floor((n + F.lit(2)) / F.lit(3)).cast("int")
+    lines = F.when(
+        nl >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(F.slice(ts, i * 3 + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    layout = s0.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    cleaned = remove_frequent_lines(layout, min_df=3).join(
+        s0.select("doc_id", "source"), "doc_id"
+    )
+    samp = temperature_sample(cleaned, "source", ["doc_id"], alpha=0.5)
+    return samp.select(
+        "doc_id",
+        "source",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_kept").alias("n_kept_lines"),
+    )
+
+
 @_q(
     "term_posting_lists",
     f"""
