@@ -8052,6 +8052,24 @@ def q_orders_quality_audit(spark, sf_dir):
     return audit_constraints(od, rules)
 
 
+_BLOCKLIST_DOMAINS = (
+    "tracker0.com",
+    "tracker1.com",
+    "tracker2.com",
+    "blog0.blogspot.com",
+    "news0.co.uk",
+)
+
+_BLOCK_HOST_SQL = """
+        CASE
+          WHEN doc_id % 5 = 0 THEN 'ads.tracker' || cast((doc_id // 5) % 3 AS varchar) || '.com'
+          WHEN doc_id % 5 = 1 THEN 'blog' || cast((doc_id // 5) % 10 AS varchar) || '.blogspot.com'
+          WHEN doc_id % 5 = 2 THEN 'www.news' || cast((doc_id // 5) % 5 AS varchar) || '.co.uk'
+          WHEN doc_id % 5 = 3 THEN 'cdn.site' || cast((doc_id // 5) % 20 AS varchar) || '.example.org'
+          ELSE 'shop' || cast((doc_id // 5) % 4 AS varchar) || '.xyz'
+        END"""
+
+
 def _corpus_build_v3_oracle() -> str:
     from real_estate_project1_etl_spark.functions.psl_data import (
         DEFAULT_PSL_RULES,
@@ -8518,24 +8536,6 @@ def q_bpe_token_stats(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_token_frequencies(docs, list(_BPE_MERGES), top_k=20)
-
-
-_BLOCKLIST_DOMAINS = (
-    "tracker0.com",
-    "tracker1.com",
-    "tracker2.com",
-    "blog0.blogspot.com",
-    "news0.co.uk",
-)
-
-_BLOCK_HOST_SQL = """
-        CASE
-          WHEN doc_id % 5 = 0 THEN 'ads.tracker' || cast((doc_id // 5) % 3 AS varchar) || '.com'
-          WHEN doc_id % 5 = 1 THEN 'blog' || cast((doc_id // 5) % 10 AS varchar) || '.blogspot.com'
-          WHEN doc_id % 5 = 2 THEN 'www.news' || cast((doc_id // 5) % 5 AS varchar) || '.co.uk'
-          WHEN doc_id % 5 = 3 THEN 'cdn.site' || cast((doc_id // 5) % 20 AS varchar) || '.example.org'
-          ELSE 'shop' || cast((doc_id // 5) % 4 AS varchar) || '.xyz'
-        END"""
 
 
 def _blocklist_oracle() -> str:
