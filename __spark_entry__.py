@@ -8492,7 +8492,10 @@ _BPE_MERGES = (
 
 
 def _bpe_oracle() -> str:
-    pats = ",".join(f"'{l} {r}'" for l, r in _BPE_MERGES)
+    # Two-space separator / one-space flank encoding, mirroring
+    # textstats.bpe_segment: ' l  r ' can only match whole adjacent
+    # tokens and a match never consumes a neighbour's flank space.
+    pats = ",".join(f"' {l}  {r} '" for l, r in _BPE_MERGES)
     return rf"""
     WITH w AS (
         SELECT doc_id,
@@ -8503,12 +8506,13 @@ def _bpe_oracle() -> str:
         SELECT doc_id,
                flatten(list_transform(ws, wd ->
                    string_split(
-                       list_reduce(
+                       trim(list_reduce(
                            list_prepend(
-                               array_to_string(string_split(wd, ''), ' '),
+                               ' ' || array_to_string(string_split(wd, ''), '  ')
+                                   || ' ',
                                [{pats}]),
-                           (acc, m) -> replace(acc, m, replace(m, ' ', ''))),
-                       ' '))) AS toks
+                           (acc, m) -> replace(acc, m, replace(m, '  ', '')))),
+                       '  '))) AS toks
         FROM w),
     t AS (SELECT unnest(toks) AS token FROM seg),
     c AS (SELECT token, count(*) AS n_occurrences FROM t GROUP BY token)
@@ -8682,9 +8686,15 @@ def q_temperature_mixture_sample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     kept = temperature_sample(docs, "source", ["doc_id"], alpha=0.5)
-    return kept.groupBy("source", "n_total").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .join(F.broadcast(totals), "source")
+        .select("source", "n_total", "n_kept", "kept_id_sum")
     )
 
 

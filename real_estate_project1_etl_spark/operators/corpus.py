@@ -460,27 +460,34 @@ def term_posting_lists(
     loads (BM25 scoring over it already exists: :func:`bm25_topk`).
 
     Scale shape: the token stream aggregates once per (term, doc) for
-    tf, once per term for df/ttf (both Zipf-collapsed); the posting cap
-    compiles to WindowGroupLimit with a partial stage, so a stop-word
-    term ships ``max_postings * map_tasks`` postings to the exchange,
-    never its full corpus-wide list. Output rows are vocabulary-sized
+    tf, once per term for df/ttf (both Zipf-collapsed). The posting cap
+    is a SEPARATE branch with an explicit ``Filter(_rn <= k)`` directly
+    above the ``row_number`` — the shape Spark's InferWindowGroupLimit
+    requires — so it compiles to WindowGroupLimit with a Partial mode
+    before the exchange: a stop-word term ships ``max_postings *
+    map_tasks`` postings to the shuffle, never its full corpus-wide
+    list (an unfiltered row_number consumed inside the aggregate would
+    sort every posting of every stop word in one partition). Both
+    branches shuffle on the term, so the final join is exchange-free
+    (sort-merge reuses the HashPartitioning); the (term, doc) aggregate
+    subtree is evaluated once per branch — two linear passes beat one
+    pass with unbounded per-term skew. Output rows are vocabulary-sized
     and each carries a bounded array.
     """
     toks = tokenize_positions(docs, text_col)
     td = toks.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = td.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
+    )
     w = Window.partitionBy("w").orderBy("doc_id")
-    capped = td.withColumn("_rn", F.row_number().over(w))
+    posts = (
+        td.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_postings)
+        .groupBy("w")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings"))
+    )
     return (
-        capped.groupBy("w")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("ttf"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("_rn") <= max_postings, F.col("doc_id"))
-                )
-            ).alias("postings"),
-        )
+        stats.join(posts, "w")
         .filter(F.col("df") >= min_df)
         .select(
             F.col("w").alias("term"),

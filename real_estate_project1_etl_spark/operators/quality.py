@@ -319,13 +319,25 @@ def temperature_sample(
     alphas go through ``pow``, which is deterministic within Spark but
     not guaranteed to the last ulp across engines.
 
+    Output schema is exactly the input schema — the internal per-source
+    count and threshold columns are dropped before returning.  Rows with
+    a NULL ``source_col`` are DROPPED: NULL is not a source, it has no
+    count and no principled temperature weight, and the broadcast
+    equi-join that attaches thresholds never matches it (filter NULLs
+    into their own bucket upstream if they must survive).
+
     Scale shape: one sources-sized count aggregate, thresholds broadcast
     back, filter runs in the scan's codegen stage — the corpus never
     shuffles and nothing collects to the driver.
     """
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_total"))
-    nmin = counts.agg(F.min("n_total").alias("_nmin"))
-    ratio = F.col("_nmin").cast("double") / F.col("n_total").cast("double")
+    for c in ("_ts_n_total", "_ts_thr"):
+        if c in df.columns:
+            raise ValueError(
+                f"temperature_sample: input already has internal column {c!r}"
+            )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_ts_n_total"))
+    nmin = counts.agg(F.min("_ts_n_total").alias("_nmin"))
+    ratio = F.col("_nmin").cast("double") / F.col("_ts_n_total").cast("double")
     rate = (
         F.sqrt(ratio)
         if alpha == 0.5
@@ -333,13 +345,13 @@ def temperature_sample(
     )
     rates = counts.crossJoin(F.broadcast(nmin)).select(
         source_col,
-        "n_total",
-        F.floor(rate * F.lit(float(_HASH_SPACE))).cast("long").alias("_thr"),
+        F.floor(rate * F.lit(float(_HASH_SPACE))).cast("long").alias("_ts_thr"),
     )
     return (
         df.join(F.broadcast(rates), source_col)
-        .filter(_hash60(key_cols) < F.col("_thr"))
-        .drop("_thr")
+        .filter(_hash60(key_cols) < F.col("_ts_thr"))
+        .drop("_ts_thr")
+        .select(*df.columns)
     )
 
 

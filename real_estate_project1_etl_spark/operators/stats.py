@@ -170,7 +170,16 @@ def winsorize_per_group(
 
     Scale shape: one exchange on the group key shared by the ranking
     window and the aggregation; output is groups-sized.
+
+    ``pct`` must satisfy ``0 < pct < 50``: at 0 the boundary ranks fall
+    outside [1, n] (both boundaries NULL, sum poisoned), and at >= 50
+    the bounds invert (``k_hi < k_lo``) — both rejected rather than
+    silently returning NULLs.
     """
+    if not 0 < pct < 50:
+        raise ValueError(
+            f"winsorize_per_group: pct must be in (0, 50), got {pct}"
+        )
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("g"), cents.alias("c")

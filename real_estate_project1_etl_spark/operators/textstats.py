@@ -827,18 +827,27 @@ def bpe_segment(
     ``(id_col, tokens)`` where ``tokens`` applies an ordered BPE merge
     table to every whitespace word.
 
-    Encoder: each word becomes its characters joined by a space
-    separator; each merge ``(l, r)`` is applied as one left-to-right
-    non-overlapping ``replace(acc, 'l r', 'lr')``, folded over the merge
-    table IN RANK ORDER by ``aggregate`` (a higher-order expression — no
-    UDF, no Python). Left-to-right non-overlapping replacement is
-    exactly BPE's leftmost-pair greedy behavior, and a single pass per
-    rank is exact for TRAINED merge tables: a table built by BPE
-    training is topologically ordered (each merge's sides are base
-    characters or products of strictly-earlier merges, and the token a
-    merge creates can only feed LATER-ranked merges), so processing
-    ranks once, in order, reaches the same fixpoint as the
-    rescan-after-every-merge loop.
+    Encoder: each word is rendered with a TWO-space separator and
+    one-space flanks — ``" " + join(chars, "  ") + " "`` — so every
+    token owns exactly one flank space on each side and token
+    boundaries are unambiguous in the flat string. Each merge
+    ``(l, r)`` is one left-to-right non-overlapping
+    ``replace(acc, ' l  r ', ' lr ')``, folded over the merge table IN
+    RANK ORDER by ``aggregate`` (a higher-order expression — no UDF,
+    no Python, no regex). The flanked pattern can only match WHOLE
+    adjacent tokens (``l`` as a suffix of a longer token has a
+    non-space char before it, so `` l  `` cannot match), and because a
+    match consumes only the matched pair's own flank spaces, adjacent
+    occurrences in a run (``a a a a`` under merge ``(a,a)``) each
+    still see their neighbours' flanks intact — leftmost-greedy
+    non-overlapping replacement over this encoding is exactly BPE's
+    leftmost-pair behaviour. A single pass per rank is exact for
+    TRAINED merge tables: a table built by BPE training is
+    topologically ordered (each merge's sides are base characters or
+    products of strictly-earlier merges, and the token a merge creates
+    can only feed LATER-ranked merges), so processing ranks once, in
+    order, reaches the same fixpoint as the rescan-after-every-merge
+    loop.
 
     This upgrades the whitespace/regex token-count heuristics to the
     segmentation an actual tokenizer would produce (pass a real
@@ -854,17 +863,23 @@ def bpe_segment(
     for l, r in merges:
         if " " in l or " " in r:
             raise ValueError("bpe_segment: merge sides cannot contain spaces")
-    pats = F.array(*[F.lit(f"{l} {r}") for l, r in merges])
+    pats = F.array(*[F.lit(f" {l}  {r} ") for l, r in merges])
     words = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
     seg = F.transform(
         words,
         lambda w: F.split(
-            F.aggregate(
-                pats,
-                F.array_join(F.split(w, ""), " "),
-                lambda acc, m: F.replace(acc, m, F.replace(m, F.lit(" "), F.lit(""))),
+            F.trim(
+                F.aggregate(
+                    pats,
+                    F.concat(
+                        F.lit(" "), F.array_join(F.split(w, ""), "  "), F.lit(" ")
+                    ),
+                    lambda acc, m: F.replace(
+                        acc, m, F.replace(m, F.lit("  "), F.lit(""))
+                    ),
+                )
             ),
-            " ",
+            "  ",
         ),
     )
     return docs.select(F.col(id_col), F.flatten(seg).alias("tokens"))

@@ -239,7 +239,16 @@ def test_bpe_segment_matches_reference_encoder(spark):
                 return seq
             seq = seq[:bi] + [seq[bi] + seq[bi + 1]] + seq[bi + 2 :]
 
-    texts = ["the joiner joins the join", "zebra quartz", "in the inn thin"]
+    # 'another'/'there'/'other' are boundary-crossing regressions: after
+    # (t,h)+(th,e) the flat encoding contains the substring 'e r' across
+    # the 'the|r' token boundary, which a naive single-space replace for
+    # merge (e,r) would falsely fuse into a token no merge created.
+    texts = [
+        "the joiner joins the join",
+        "zebra quartz",
+        "in the inn thin",
+        "another there other mother",
+    ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )

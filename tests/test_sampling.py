@@ -180,3 +180,29 @@ def test_temperature_sample_alpha_one_keeps_everything(spark):
         "doc_id long, source string",
     )
     assert temperature_sample(df, "source", ["doc_id"], alpha=1.0).count() == 60
+
+
+def test_temperature_sample_schema_and_null_source_contract(spark):
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(50)]
+        + [(100 + i, "b") for i in range(10)]
+        + [(200, None)],
+        "doc_id long, source string",
+    )
+    out = temperature_sample(df, "source", ["doc_id"], alpha=1.0)
+    # output schema is exactly the input schema — no internal columns leak
+    assert out.columns == df.columns
+    # NULL-source rows are dropped (documented inner-join semantics)
+    assert out.filter(out.source.isNull()).count() == 0
+    assert out.count() == 60
+    # internal-name collisions are rejected, not silently shadowed
+    with _pytest.raises(ValueError):
+        temperature_sample(
+            df.withColumn("_ts_thr", df.doc_id), "source", ["doc_id"]
+        )

@@ -223,3 +223,16 @@ def test_winsorize_per_group_hand_computed(spark):
     assert h["n"] == 1 and h["lo_cents"] == 500 and h["hi_cents"] == 500
     assert h["n_clipped_low"] == 0 and h["n_clipped_high"] == 0
     assert h["winsorized_sum_cents"] == 500
+
+
+def test_winsorize_per_group_rejects_out_of_range_pct(spark):
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.stats import (
+        winsorize_per_group,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "k string, v double")
+    for bad in (0, 50, 60, -5):
+        with _pytest.raises(ValueError):
+            winsorize_per_group(df, "k", "v", pct=bad)
