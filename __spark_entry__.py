@@ -8542,6 +8542,36 @@ def q_bpe_token_stats(spark, sf_dir):
     return bpe_token_frequencies(docs, list(_BPE_MERGES), top_k=20)
 
 
+@_q("bpe_token_stats_table", _bpe_oracle())
+def q_bpe_token_stats_table(spark, sf_dir):
+    # the broadcast-merge-TABLE path of the BPE segmenter (production
+    # merges.txt shape: a (rank,left,right) DataFrame instead of folded
+    # literals — the form a 50k-merge table must take to stay inside
+    # codegen limits).  Same oracle as bpe_token_stats: the two encoder
+    # forms must produce the identical top-k census, so this entry
+    # driver-verifies the table plumbing end to end.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_segment_table,
+    )
+
+    merges = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(_BPE_MERGES)],
+        "rank int, left string, right string",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = bpe_segment_table(docs, merges).select(
+        F.explode("tokens").alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(20)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n_occurrences", "rank"
+    )
+
+
 def _blocklist_oracle() -> str:
     from real_estate_project1_etl_spark.functions.psl_data import (
         DEFAULT_PSL_RULES,

@@ -456,6 +456,12 @@ def registrable_domain_psl(
         .alias("rule_key"),
         rule.startswith("!").alias("is_exc"),
     ).distinct()
+    # sentinel row the per-host synthetic default candidate (below) joins
+    # against — realizes the PSL default rule '*' without a second pass
+    # over the host table
+    rules = rules.unionAll(
+        spark.createDataFrame([(":default:", False)], "rule_key string, is_exc boolean")
+    )
 
     hosts = df.select(_F.lower(_F.col(host_col)).alias("_h")).distinct()
     # Host pre-normalization (round-5 verdict item 1): the published PSL
@@ -518,49 +524,76 @@ def registrable_domain_psl(
     n = _F.size(labels)
     # candidate suffix at start i (1-based): labels[i..n]; its wildcard
     # spelling replaces the first label with '*'.  Invalid hosts (`_hi`
-    # NULL) generate no candidates and surface as NULL via the left join.
+    # NULL) generate no candidates, never reach the mapping, and surface
+    # as NULL via the final left join.  One extra SYNTHETIC candidate
+    # per host carries the PSL default rule '*' (public suffix = last
+    # label, start = n) against a sentinel key added to the broadcast
+    # rule table below: with it, every valid host wins ≥ 1 match, so no
+    # join back to `hosts` is needed to recover unmatched hosts — the
+    # old `hosts LEFT JOIN best` re-evaluated the whole distinct-host +
+    # IDNA subtree a second time (visible as a duplicated Union +
+    # ArrowEvalPython in the physical plan) and cost an extra shuffle.
+    # ':default:' cannot collide with a real rule: ':' is stripped from
+    # normalized hosts and no PSL rule contains it.  min(start) still
+    # picks the longest real rule first — a real match has start ≤ n and
+    # the synthetic one exactly n (a real last-label match ties it with
+    # the same value, so the winner is unchanged).
     cands = hosts.filter(_F.col("_hi").isNotNull()).select(
         "_h",
         "_hi",
         n.alias("_n"),
         _F.explode(
-            _F.transform(
-                _F.sequence(_F.lit(1), n),
-                lambda i: _F.struct(
-                    i.alias("start"),
-                    _F.array_join(
-                        _F.slice(labels, i, n - i + 1), "."
-                    ).alias("sfx"),
-                    _F.concat(
-                        _F.lit("*"),
-                        _F.when(
-                            i < n,
-                            _F.concat(
-                                _F.lit("."),
-                                _F.array_join(_F.slice(labels, i + 1, n - i), "."),
-                            ),
-                        ).otherwise(_F.lit("")),
-                    ).alias("wfx"),
+            _F.concat(
+                _F.transform(
+                    _F.sequence(_F.lit(1), n),
+                    lambda i: _F.struct(
+                        i.alias("start"),
+                        _F.array_join(
+                            _F.slice(labels, i, n - i + 1), "."
+                        ).alias("sfx"),
+                        _F.concat(
+                            _F.lit("*"),
+                            _F.when(
+                                i < n,
+                                _F.concat(
+                                    _F.lit("."),
+                                    _F.array_join(
+                                        _F.slice(labels, i + 1, n - i), "."
+                                    ),
+                                ),
+                            ).otherwise(_F.lit("")),
+                        ).alias("wfx"),
+                    ),
+                ),
+                _F.array(
+                    _F.struct(
+                        n.alias("start"),
+                        _F.lit(":default:").alias("sfx"),
+                        _F.lit(None).cast("string").alias("wfx"),
+                    )
                 ),
             )
         ).alias("c"),
     ).select(
-        "_h", "_n", _F.col("c.start").alias("start"),
+        "_h", "_hi", "_n", _F.col("c.start").alias("start"),
         _F.col("c.sfx").alias("sfx"), _F.col("c.wfx").alias("wfx"),
     )
     # melt the exact and wildcard spellings into ROWS so the rule lookup
     # stays an equi broadcast-hash join (an OR of two equalities would
     # degrade to a broadcast nested-loop join)
     melted = cands.select(
-        "_h", "_n", "start",
+        "_h", "_hi", "_n", "start",
         _F.explode(_F.array(_F.col("sfx"), _F.col("wfx"))).alias("key"),
     )
     matched = melted.join(_F.broadcast(rules), _F.col("key") == _F.col("rule_key"))
     # winner per host: exception first, then longest rule (smallest start);
     # an exception rule's PUBLIC SUFFIX is the rule minus its leftmost
-    # label, so the registrable domain is the exception match itself
+    # label, so the registrable domain is the exception match itself.
+    # `_hi`/`_n` are functionally dependent on `_h` and ride the group key
+    # so no join back to the host table is needed; the synthetic default
+    # candidate guarantees pub_start is never NULL here.
     best = (
-        matched.groupBy("_h", "_n")
+        matched.groupBy("_h", "_hi", "_n")
         .agg(
             _F.min(_F.when(_F.col("is_exc"), _F.col("start"))).alias("exc_start"),
             _F.min(_F.when(~_F.col("is_exc"), _F.col("start"))).alias("pub_start"),
@@ -571,18 +604,12 @@ def registrable_domain_psl(
     ).otherwise(_F.col("pub_start") - 1)
     # the returned domain is built from the IDNA form `_hi` — the
     # registrable domain of an IDN host is its punycoded spelling, so
-    # münchen.de and xn--mnchen-3ya.de yield the SAME value
-    mapping = hosts.join(best, ["_h"], "left").select(
+    # münchen.de and xn--mnchen-3ya.de yield the SAME value.  dom_start 0
+    # (host IS a public suffix, or a single-label host under the default
+    # rule) -> NULL.
+    mapping = best.select(
         "_h",
         _F.when(
-            _F.col("pub_start").isNull() & _F.col("exc_start").isNull(),
-            # default rule '*': public suffix = last label
-            _F.when(
-                _F.size(_F.split(_F.col("_hi"), r"\.")) >= 2,
-                _F.regexp_extract(_F.col("_hi"), r"([^.]+\.[^.]+)$", 1),
-            ),
-        )
-        .when(
             dom_start >= 1,
             _F.array_join(
                 _F.slice(
@@ -592,8 +619,7 @@ def registrable_domain_psl(
                 ),
                 ".",
             ),
-        )
-        .alias(out_col),  # host == a public suffix -> NULL
+        ).alias(out_col),
     )
     return df.join(
         mapping.withColumnRenamed("_h", "__psl_h"),

@@ -225,25 +225,40 @@ def assign_to_centroids(
     df: DataFrame, cents: DataFrame, vec_col: str, out_col: str = "list_id"
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine (ties -> lowest list_id):
-    broadcast the tiny centroid table, score every (row, centroid) pair,
-    keep the argmax per row. One broadcast join + one window — no shuffle
-    of the corpus beyond the window's per-row partition (keyed on the
-    row id columns already present).
+    collapse the tiny centroid table to ONE array row, broadcast it, and
+    take the per-row argmax with ``array_max`` over a ``transform`` —
+    the whole assignment is a pure map inside the scan's codegen stage.
+    The corpus never shuffles, never row-explodes to (row x centroid),
+    and no window runs (the previous window keyed on the embedding
+    column hashed and shuffled every scored pair's full vector — the
+    measured 1.5x semantic_dedup regression at sf0.1).
+
+    Tie-break: centroid structs carry ``(cosine, -list_id)``, so the
+    struct max is the highest cosine and, among equals (including the
+    all-NaN zero-vector case, where NaN compares greatest), the LOWEST
+    list id — same decision as the old ``ORDER BY _cd DESC, list_id``.
 
     Cosine argmax equals Euclidean argmin when vectors are unit-normalized
     (spherical k-means assignment); deterministic for a given centroid
     table, which makes IVF/SemDeDup reproducible across engines.
     """
-    scored = df.join(F.broadcast(cents)).withColumn(
-        "_cd", cosine_similarity(F.col(vec_col), F.col("centroid"))
+    cents_arr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("list_id"), F.col("centroid")))
+        ).alias("_cents")
     )
-    wa = Window.partitionBy(*df.columns).orderBy(
-        F.col("_cd").desc(), F.col("list_id").asc()
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine_similarity(F.col(vec_col), c["centroid"]).alias("cd"),
+                (-c["list_id"]).alias("nlid"),
+            ),
+        )
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(wa))
-        .filter(F.col("_rn") == 1)
-        .select(*df.columns, F.col("list_id").alias(out_col))
+        df.join(F.broadcast(cents_arr))
+        .select(*df.columns, (-best["nlid"]).alias(out_col))
     )
 
 

@@ -817,6 +817,31 @@ def scrub_payment_cards(text: Column | str, tolerate_separators: bool = False) -
     )
 
 
+def _validate_merges(merges: list[tuple[str, str]]) -> None:
+    for l, r in merges:
+        if " " in l or " " in r:
+            raise ValueError("bpe_segment: merge sides cannot contain spaces")
+
+
+def _bpe_word_tokens(w: Column, pats: Column) -> Column:
+    """Apply the flank-encoded BPE merge fold (see :func:`bpe_segment`)
+    to one word column, returning its subword token array."""
+    return F.split(
+        F.trim(
+            F.aggregate(
+                pats,
+                F.concat(
+                    F.lit(" "), F.array_join(F.split(w, ""), "  "), F.lit(" ")
+                ),
+                lambda acc, m: F.replace(
+                    acc, m, F.replace(m, F.lit("  "), F.lit(""))
+                ),
+            )
+        ),
+        "  ",
+    )
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -860,29 +885,65 @@ def bpe_segment(
     expression per row (a ~50k-merge production table would instead be
     passed as an array column via a broadcast literal — same plan).
     """
-    for l, r in merges:
-        if " " in l or " " in r:
-            raise ValueError("bpe_segment: merge sides cannot contain spaces")
+    _validate_merges(merges)
     pats = F.array(*[F.lit(f" {l}  {r} ") for l, r in merges])
     words = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
-    seg = F.transform(
-        words,
-        lambda w: F.split(
-            F.trim(
-                F.aggregate(
-                    pats,
-                    F.concat(
-                        F.lit(" "), F.array_join(F.split(w, ""), "  "), F.lit(" ")
-                    ),
-                    lambda acc, m: F.replace(
-                        acc, m, F.replace(m, F.lit("  "), F.lit(""))
-                    ),
+    seg = F.transform(words, lambda w: _bpe_word_tokens(w, pats))
+    return docs.select(F.col(id_col), F.flatten(seg).alias("tokens"))
+
+
+def bpe_segment_table(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    left_col: str = "left",
+    right_col: str = "right",
+) -> DataFrame:
+    """:func:`bpe_segment` with the merge table as a DATAFRAME — the
+    production path for real tokenizer tables (a 50k-merge ``merges.txt``
+    loaded as (rank, left, right) rows), where folding 50k string
+    literals into the expression tree would blow past codegen limits.
+
+    The table collapses to ONE row holding the rank-ordered pattern
+    array (same ``' l  r '`` flank encoding as :func:`bpe_segment`) and
+    ships as a broadcast; the per-word fold is the identical expression,
+    so the plan is :func:`bpe_segment`'s plus one BroadcastNestedLoopJoin
+    of a single row. Merge sides containing spaces are rejected IN-PLAN
+    (``raise_error`` branch) since the table contents aren't visible at
+    build time.
+    """
+    ms = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(rank_col).alias("r"),
+                F.col(left_col).alias("l"),
+                F.col(right_col).alias("rt"),
+            )
+        )
+    )
+    pats_row = merges.agg(
+        F.transform(
+            ms,
+            lambda m: F.when(
+                m["l"].contains(" ") | m["rt"].contains(" "),
+                F.raise_error(
+                    F.lit("bpe_segment_table: merge sides cannot contain spaces")
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit(" "), m["l"], F.lit("  "), m["rt"], F.lit(" ")
                 )
             ),
-            "  ",
-        ),
+        ).alias("_pats")
     )
-    return docs.select(F.col(id_col), F.flatten(seg).alias("tokens"))
+    words = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    seg = F.transform(words, lambda w: _bpe_word_tokens(w, F.col("_pats")))
+    return (
+        docs.join(F.broadcast(pats_row))
+        .select(F.col(id_col), F.flatten(seg).alias("tokens"))
+    )
 
 
 def bpe_token_frequencies(
@@ -895,12 +956,29 @@ def bpe_token_frequencies(
     """Corpus-wide BPE token frequency census: ``(token, n_occurrences,
     rank)`` for the ``top_k`` most frequent subword tokens under the
     given merge table — the vocabulary-coverage report run when fitting
-    or auditing a tokenizer against a corpus. One Zipf-collapsed count
-    agg over the exploded segmentation + TakeOrdered top-k."""
-    toks = bpe_segment(docs, merges, text_col, id_col).select(
-        F.explode("tokens").alias("token")
+    or auditing a tokenizer against a corpus.
+
+    Scale shape: segmentation is deterministic per WORD, so the corpus
+    word stream is Zipf-collapsed FIRST (one count agg to the distinct
+    vocabulary) and the merge fold runs once per distinct word, not once
+    per occurrence — on natural text that is orders of magnitude less
+    fold work (heaps' law vocabulary vs corpus size), and it is the
+    difference between the fold cost scaling with corpus bytes vs with
+    vocabulary bytes at 100 TB. Token counts then weight each word's
+    tokens by the word's frequency: one small second agg over
+    (vocabulary x tokens-per-word) rows + TakeOrdered top-k."""
+    _validate_merges(merges)
+    pats = F.array(*[F.lit(f" {l}  {r} ") for l, r in merges])
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+        ).alias("w")
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    toks = vocab.select(
+        "n", F.explode(_bpe_word_tokens(F.col("w"), pats)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.sum("n").alias("n_occurrences"))
     top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(top_k)
     w = Window.orderBy(F.col("n_occurrences").desc(), "token")
     return top.withColumn("rank", F.row_number().over(w)).select(

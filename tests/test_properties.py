@@ -269,3 +269,36 @@ def test_bpe_segment_rejects_space_in_merge(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bpe_segment(docs, [("a b", "c")])
+
+
+def test_bpe_segment_table_matches_literal_fold(spark):
+    # the broadcast-table variant (production merges.txt path) must
+    # segment identically to the literal-fold form, and reject merge
+    # sides containing spaces in-plan.
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_segment,
+        bpe_segment_table,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n")]
+    mdf = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "another there other"), (1, "the intern joins in")],
+        "doc_id long, text string",
+    )
+    want = {r["doc_id"]: r["tokens"] for r in bpe_segment(docs, merges).collect()}
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment_table(docs, mdf).collect()
+    }
+    assert got == want
+    bad = spark.createDataFrame(
+        [(0, "a b", "c")], "rank int, left string, right string"
+    )
+    with _pytest.raises(Exception, match="cannot contain spaces"):
+        bpe_segment_table(docs, bad).collect()
