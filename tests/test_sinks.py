@@ -141,3 +141,64 @@ def test_asof_join_string_tiebreak(spark):
     # equal-ts ties resolve to the HIGHEST tiebreak ("q2"), not NULL
     assert by_ts[10] == ("q2", 2.0)
     assert by_ts[20] == ("q0", 3.0)
+
+
+def test_jdbc_postgres_dialect_matrix(spark):
+    # K4's production target is PostgreSQL (reference load_db.py:23-47,
+    # psycopg2).  No PG server ships in this environment, so pin the three
+    # dialect-sensitive layers Spark exercises BEFORE any connection is
+    # opened — exactly the pieces that differ between the Derby round-trip
+    # test and a real PG run:
+    #   1. URL -> dialect resolution for the reference's jdbc:postgresql
+    #      scheme must pick PostgresDialect (wrong dialect = wrong DDL
+    #      quoting and type mapping);
+    #   2. the createTableColumnTypes override string must parse as a
+    #      table schema (Spark parses it eagerly at write time and uses
+    #      the types VERBATIM in CREATE TABLE — all of ours are valid PG
+    #      DDL: VARCHAR(n) / INTEGER / TIMESTAMP);
+    #   3. every gold column type must be writable under the PG dialect
+    #      (dialect mapping or the common JDBC fallback — an unmappable
+    #      type fails only at runtime otherwise).
+    # The one REAL dialect divergence this pins: PostgresDialect maps
+    # TimestampType to TIMESTAMP WITH TIME ZONE by default, while the
+    # reference's pandas.to_sql created a naive TIMESTAMP column — our
+    # explicit override in PROPERTIES_DB_TYPES is what preserves parity,
+    # and this test fails if someone drops it.
+    from real_estate_project1_etl_spark.sinks.writers import (
+        PROPERTIES_DB_TYPES,
+    )
+
+    jvm = spark._jvm
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+        "jdbc:postgresql://dbhost:5432/properties"
+    )
+    assert dialect.getClass().getName() == (
+        "org.apache.spark.sql.jdbc.PostgresDialect"
+    )
+
+    st = jvm.org.apache.spark.sql.types.StructType.fromDDL(
+        PROPERTIES_DB_TYPES
+    )
+    fields = [st.apply(i) for i in range(st.size())]
+    assert [f.name() for f in fields] == [
+        "purpose", "address", "region", "size_m2", "design", "price_czk",
+        "price_per_m2", "link", "dump_date", "file_name",
+    ]
+    # the reference's dtype bug (load_db.py:42) stays fixed: the key is
+    # price_PER_m2 and it is an integer type
+    assert fields[6].dataType().simpleString() == "int"
+
+    jdbc_utils = (
+        jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    )
+    mapped = {}
+    for f in fields:
+        opt = dialect.getJDBCType(f.dataType())
+        if not opt.isDefined():
+            opt = jdbc_utils.getCommonJDBCType(f.dataType())
+        assert opt.isDefined(), f"unmappable PG type for {f.name()}"
+        mapped[f.name()] = opt.get().databaseTypeDefinition()
+    # the divergence the override exists for: without it PG would get a
+    # timestamptz column; the override pins the reference's naive type
+    assert mapped["dump_date"] == "TIMESTAMP WITH TIME ZONE"
+    assert "dump_date TIMESTAMP," in PROPERTIES_DB_TYPES
