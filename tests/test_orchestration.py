@@ -1,0 +1,139 @@
+"""Pipeline-runner semantics (reference dag.py:13-22,78): retries with
+delay, one failure alert, depends_on_past gating via persisted state,
+linear all-success halting."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from real_estate_project1_etl_spark.orchestration import (
+    DependsOnPastBlocked,
+    PipelineTask,
+    RunReport,
+    TaskFailed,
+    run_pipeline,
+)
+
+
+def test_linear_chain_success_and_report(tmp_path):
+    calls = []
+    state = str(tmp_path / "state.json")
+    tasks = [
+        PipelineTask("extract", lambda: calls.append("e") or 3),
+        PipelineTask("transform", lambda: calls.append("t") or "ok"),
+        PipelineTask("load", lambda: calls.append("l")),
+    ]
+    rep = run_pipeline(tasks, state_path=state)
+    assert isinstance(rep, RunReport)
+    assert calls == ["e", "t", "l"]
+    assert rep.statuses == {
+        "extract": "success", "transform": "success", "load": "success"
+    }
+    assert rep.results["extract"] == 3 and rep.results["transform"] == "ok"
+    persisted = json.load(open(state))
+    assert {k: v["status"] for k, v in persisted.items()} == {
+        "extract": "success", "transform": "success", "load": "success"
+    }
+
+
+def test_retries_then_success_with_delay_and_retry_hook():
+    attempts, slept, retried = [], [], []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise OSError("transient")
+        return "done"
+
+    rep = run_pipeline(
+        [PipelineTask("flaky", flaky, retries=2, retry_delay=7.0)],
+        on_retry=lambda n, a, e: retried.append((n, a)),
+        sleeper=slept.append,
+    )
+    assert rep.statuses["flaky"] == "success" and rep.attempts["flaky"] == 3
+    assert slept == [7.0, 7.0]
+    assert retried == [("flaky", 1), ("flaky", 2)]
+
+
+def test_failure_alert_fires_once_and_chain_halts(tmp_path):
+    alerts, ran = [], []
+    state = str(tmp_path / "state.json")
+
+    def boom():
+        raise ValueError("bad day")
+
+    tasks = [
+        PipelineTask("a", lambda: ran.append("a")),
+        PipelineTask("b", boom, retries=1, retry_delay=0.0),
+        PipelineTask("c", lambda: ran.append("c")),
+    ]
+    with pytest.raises(TaskFailed) as ei:
+        run_pipeline(
+            tasks,
+            state_path=state,
+            on_failure=lambda n, e: alerts.append(n),
+            sleeper=lambda s: None,
+        )
+    assert ei.value.task == "b" and ei.value.attempts == 2
+    assert alerts == ["b"]          # email_on_failure analog: exactly one
+    assert ran == ["a"]             # downstream never ran (>> chain)
+    persisted = json.load(open(state))
+    assert persisted["a"]["status"] == "success"
+    assert persisted["b"]["status"] == "failed"
+    assert "c" not in persisted
+
+
+def test_depends_on_past_blocks_then_clears(tmp_path):
+    state = str(tmp_path / "state.json")
+
+    def boom():
+        raise RuntimeError("x")
+
+    with pytest.raises(TaskFailed):
+        run_pipeline([PipelineTask("t", boom)], state_path=state)
+    # next scheduled run: the same task refuses to start (Airflow
+    # depends_on_past semantics)
+    with pytest.raises(DependsOnPastBlocked):
+        run_pipeline([PipelineTask("t", lambda: 1)], state_path=state)
+    # opting out of depends_on_past runs it and a success clears the gate
+    rep = run_pipeline(
+        [PipelineTask("t", lambda: 1, depends_on_past=False)],
+        state_path=state,
+    )
+    assert rep.statuses["t"] == "success"
+    rep2 = run_pipeline([PipelineTask("t", lambda: 2)], state_path=state)
+    assert rep2.results["t"] == 2
+
+
+def test_duplicate_task_names_rejected():
+    with pytest.raises(ValueError):
+        run_pipeline([
+            PipelineTask("x", lambda: 1), PipelineTask("x", lambda: 2)
+        ])
+
+
+def test_spark_entry_points_compose(spark, tmp_path):
+    # the intended wiring: tasks close over the SparkSession and chain
+    # the bronze->silver->gold entry points; a real write happens.
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "gold")
+    state = str(tmp_path / "state.json")
+
+    def transform():
+        return (
+            spark.range(10)
+            .withColumn("v", F.col("id") * 2)
+            .write.mode("overwrite").parquet(out)
+        )
+
+    def load():
+        return spark.read.parquet(out).count()
+
+    rep = run_pipeline(
+        [PipelineTask("transform", transform), PipelineTask("load", load)],
+        state_path=state,
+    )
+    assert rep.results["load"] == 10
