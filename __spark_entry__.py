@@ -8572,6 +8572,92 @@ def q_bpe_token_stats_table(spark, sf_dir):
     )
 
 
+@_q(
+    "bigram_lm_fluency",
+    rf"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    bgx AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM w),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM bgx),
+    uni AS (SELECT wd, count(*) AS c1
+            FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY wd),
+    v AS (SELECT count(*) AS _v FROM uni),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    probs AS (SELECT c.w1, c.w2,
+                     (CAST(c.c12 + 1 AS HUGEINT) * 1000000)
+                       // (u.c1 + 1 * v._v) AS p_scaled
+              FROM c12 c JOIN uni u ON u.wd = c.w1 CROSS JOIN v),
+    db AS (SELECT doc_id, w1, w2, count(*) AS n_occ
+           FROM bg GROUP BY doc_id, w1, w2),
+    scored AS (SELECT doc_id, sum(n_occ) AS n_bigrams,
+                      sum(n_occ * p_scaled) AS sum_p
+               FROM db JOIN probs USING (w1, w2) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN s.n_bigrams > 0
+                THEN CAST(s.sum_p // s.n_bigrams AS BIGINT) END AS lm_score
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_bigram_lm_fluency(spark, sf_dir):
+    # corpus-trained bigram LM fluency gate (CCNet/DCLM's perplexity
+    # filter re-expressed in the module's scaled-integer convention):
+    # add-1 smoothed P(w2|w1), per-doc mean of scaled conditional
+    # probabilities — exact integer arithmetic end to end, so the
+    # oracle checks VALUES, not just shape. In-row bigram extraction
+    # (no position self-join); Zipf-collapsed count tables; the doc
+    # stream joins the vocabulary-sized probability table pre-collapsed
+    # to bigram types.
+    from real_estate_project1_etl_spark.operators.corpus import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "quality_classifier_gate",
+    rf"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS feature_id,
+                 count(*) AS n
+          FROM t GROUP BY doc_id, feature_id),
+    wt AS (SELECT i AS feature_id,
+                  (i * 2654435761) % 2001 - 1000 AS weight_milli
+           FROM generate_series(0, 511) AS g(i)),
+    s AS (SELECT doc_id, sum(n * coalesce(weight_milli, 0)) AS score
+          FROM f LEFT JOIN wt USING (feature_id) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.score, 0) AS BIGINT) AS score_milli,
+           coalesce(s.score, 0) >= 0 AS kept
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_quality_classifier_gate(spark, sf_dir):
+    # fastText-style quality-classifier INFERENCE (the DCLM/LLaMA-recipe
+    # linear gate): hashed bag-of-words features (md5_60 mod 512), a
+    # broadcast integer weight table (stand-in for an offline-trained
+    # model — deterministic multiplicative-hash weights so the oracle
+    # can rebuild it), threshold on the exact integer score.  Scores AND
+    # the kept set are value-checked cross-engine.
+    from real_estate_project1_etl_spark.operators.quality import (
+        hashed_linear_classifier,
+    )
+
+    weights = spark.range(512).select(
+        F.col("id").alias("feature_id"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias(
+            "weight_milli"
+        ),
+    )
+    return hashed_linear_classifier(
+        _t(spark, sf_dir, "documents"), weights, dim=512, threshold_milli=0
+    )
+
+
 def _blocklist_oracle() -> str:
     from real_estate_project1_etl_spark.functions.psl_data import (
         DEFAULT_PSL_RULES,

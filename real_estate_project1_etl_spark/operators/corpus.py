@@ -496,3 +496,102 @@ def term_posting_lists(
             "postings",
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bigram language-model fluency score per document — the engine-side
+    equivalent of CCNet/DCLM's KenLM perplexity gate (Wenzek et al.,
+    arXiv:1911.00359): train bigram statistics on the corpus itself, then
+    score each document by how predictable its word sequence is under
+    them. Low scores flag gibberish, boilerplate soup, and OCR noise the
+    per-row heuristics miss.
+
+    Model: add-``k`` smoothed conditional probability ``P(w2|w1) =
+    (c(w1 w2) + k) / (c(w1) + k*V)`` over whitespace words (V = unigram
+    vocabulary size). The per-document score is the ARITHMETIC mean of
+    the scaled conditional probabilities, in module-convention scaled
+    integers: ``p_scaled = (c12 + k) * scale // (c1 + k*V)``, ``score =
+    sum(p_scaled) // n_bigrams`` — exact integer arithmetic end to end
+    (no log, no float summation order), bit-identical across engines.
+    The geometric-mean (true perplexity) ranking differs only in tail
+    emphasis; for a keep/drop gate the mean-probability statistic is the
+    same knob with an exactly-checkable value.
+
+    Returns ``(id_col, n_bigrams, lm_score)``; single-word and empty
+    documents have ``n_bigrams = 0`` and NULL score (nothing to judge).
+
+    Scale shape: bigram extraction is IN-ROW (``transform`` over the
+    token array — no self-join on position); unigram/bigram count tables
+    are one Zipf-collapsed aggregation each; the conditional-probability
+    table is vocabulary-sized (bigram types, not tokens) and joins the
+    per-document bigram-type stream equi on the bigram key. The document
+    stream is pre-collapsed to (doc, bigram, n) before the join, so a
+    stop-word pair costs one row per document, not one per occurrence;
+    AQE's skew split covers the residual head. The corpus text shuffles
+    never — only token keys and counts move.
+    """
+    ws = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    n = F.size(ws)
+    big = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(ws, i + 1).alias("w1"),
+                F.element_at(ws, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bigrams = docs.select(
+        F.col(id_col), F.explode(big).alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # per-document bigram TYPES with multiplicity — the join payload
+    db = doc_bigrams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    uni = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
+    c12 = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # vocabulary-sized probability table: one broadcast of the scalar V,
+    # one equi-join attaching c(w1)
+    probs = (
+        c12.join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            # decimal(38,0) product + integer `div` — never a double
+            # (c12*scale overflows the 2^53 double-exact range long
+            # before it overflows decimal38)
+            F.expr(
+                f"cast((cast(c12 + {int(k)} as decimal(38,0))"
+                f" * {int(scale)})"
+                f" div (c1 + {int(k)} * _v) as bigint)"
+            ).alias("p_scaled"),
+        )
+    )
+    scored = db.join(probs, ["w1", "w2"]).groupBy(id_col).agg(
+        F.sum("n_occ").alias("n_bigrams"),
+        F.sum(F.col("n_occ") * F.col("p_scaled")).alias("_sum_p"),
+    )
+    out = docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+            "n_bigrams"
+        ),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("cast(_sum_p div n_bigrams as bigint)"),
+        ).alias("lm_score"),
+    )
+    return out

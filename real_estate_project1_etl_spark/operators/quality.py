@@ -479,3 +479,73 @@ def curation_funnel(
     return wide.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.*")
+
+
+def hashed_linear_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    dim: int,
+    threshold_milli: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-classifier INFERENCE over hashed bag-of-words features —
+    the fastText-style linear gate modern curation recipes run at corpus
+    scale (DCLM's fastText filter, LLaMA's Wikipedia-reference
+    classifier): ``score = bias + sum_t count(t) * w[h(t) mod dim]``,
+    keep iff ``score >= threshold``.
+
+    ``weights`` is a ``(feature_id, weight_milli)`` table (integer
+    milli-units — training happens offline; inference is the engine's
+    job). The hash is the repo's cross-engine ``md5_60``, so feature
+    ids, scores, and the kept SET are bit-identical in any engine —
+    differentially checkable, stable under retries and repartitioning.
+    Logistic link not applied: sigmoid is monotone, so thresholding the
+    linear score with a pre-transformed cutoff is the same gate with
+    exact integer arithmetic.
+
+    Returns ``(id_col, score_milli, kept)`` for every input document
+    (empty docs score ``bias`` alone = 0 + their ''-token weight if the
+    empty string hashes into a used bucket — the whitespace tokenizer
+    emits '' only for empty text).
+
+    Scale shape: tokenize + hash in the scan stage; the doc token
+    stream pre-collapses to (doc, feature, n) — one shuffle on the
+    feature id, Zipf-collapsed; the weight table (``dim`` rows, the
+    model) broadcasts; per-doc score is one more agg on the doc key.
+    The corpus text never shuffles, no Python anywhere.
+    """
+    from .corpus import tokenize_positions
+    from .sketch import md5_60
+
+    feats = (
+        tokenize_positions(
+            docs.withColumnRenamed(id_col, "doc_id"), text_col
+        )
+        .select("doc_id", (md5_60("w") % dim).alias("feature_id"))
+        .groupBy("doc_id", "feature_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "feature_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("n") * F.coalesce(F.col("weight_milli"), F.lit(0))
+            ).alias("score_milli")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("score_milli"), F.lit(0)).cast("bigint").alias(
+                "score_milli"
+            ),
+            (
+                F.coalesce(F.col("score_milli"), F.lit(0))
+                >= F.lit(threshold_milli)
+            ).alias("kept"),
+        )
+    )

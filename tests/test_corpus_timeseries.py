@@ -379,3 +379,32 @@ def test_remove_frequent_lines_inline_plan_never_shuffles_text(spark):
     for m in _re.finditer(r"Exchange [^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    # corpus: "a b a b" + "a b c" + "x" (no bigrams) + "" (empty)
+    # unigrams: a:3 b:3 c:1 x:1 ('' from the empty doc adds '' once)
+    from real_estate_project1_etl_spark.operators.corpus import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # vocabulary: a,b,c,x,'' -> V=5; counts: a=3,b=3,c=1,x=1,''=1
+    # bigram counts: (a,b)=3, (b,a)=1, (b,c)=1
+    V, S = 5, 1_000_000
+    p_ab = (3 + 1) * S // (3 + V)   # c12=3, c1(a)=3
+    p_ba = (1 + 1) * S // (3 + V)   # c12=1, c1(b)=3
+    p_bc = (1 + 1) * S // (3 + V)
+    d0 = (2 * p_ab + 1 * p_ba) // 3      # bigrams: ab, ba, ab
+    d1 = (p_ab + p_bc) // 2
+    assert out[0]["n_bigrams"] == 3 and out[0]["lm_score"] == d0
+    assert out[1]["n_bigrams"] == 2 and out[1]["lm_score"] == d1
+    assert out[2]["n_bigrams"] == 0 and out[2]["lm_score"] is None
+    assert out[3]["n_bigrams"] == 0 and out[3]["lm_score"] is None
+    # the gibberish-flags-low property: a shuffled/unseen-pair doc scores
+    # below a fluent one under the same model
+    assert d0 > 0 and d1 > 0 and d0 > d1

@@ -588,3 +588,38 @@ def test_curation_funnel_rejects_bad_stage_lists(spark):
         curation_funnel(df, [])
     with _pytest.raises(ValueError):
         curation_funnel(df, [("x", F.lit(True)), ("x", F.lit(False))])
+
+
+def test_hashed_linear_classifier_hand_computed(spark):
+    # tiny dim so collisions are known; weights crafted by hashing the
+    # actual tokens with the same md5_60 the operator uses
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        hashed_linear_classifier,
+    )
+    from real_estate_project1_etl_spark.operators.sketch import md5_60
+
+    docs = spark.createDataFrame(
+        [(0, "good good text"), (1, "bad stuff"), (2, "")],
+        "doc_id long, text string",
+    )
+    toks = spark.createDataFrame(
+        [("good",), ("text",), ("bad",), ("stuff",), ("",)], "w string"
+    )
+    dim = 64
+    fid = {r["w"]: r["f"] for r in toks.select(
+        "w", (md5_60("w") % dim).alias("f")).collect()}
+    wrows = [(fid["good"], 500), (fid["bad"], -700)]
+    # collisions in the small table would make the hand expectation
+    # wrong — assert the crafted features are distinct
+    assert len({fid["good"], fid["bad"], fid["text"], fid["stuff"],
+                fid[""]}) == 5
+    weights = spark.createDataFrame(
+        wrows, "feature_id long, weight_milli long"
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_classifier(
+        docs, weights, dim=dim, threshold_milli=100).collect()}
+    assert out[0]["score_milli"] == 1000 and out[0]["kept"]      # 2 x good
+    assert out[1]["score_milli"] == -700 and not out[1]["kept"]
+    assert out[2]["score_milli"] == 0 and not out[2]["kept"]     # '' unweighted
