@@ -1128,6 +1128,50 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "hard_negative_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               cast(embedding AS double[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, label AS n_label,
+               cast(embedding AS double[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     4) AS sim
+        FROM q JOIN c ON q_label <> n_label
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negative_topk(spark, sf_dir):
+    # contrastive-training hard-negative mining: per anchor, the top-5
+    # highest-cosine neighbors with a DIFFERENT label (the negatives the
+    # current space confuses — the ones worth training on). Broadcast
+    # anchor batch, scan-stage scoring, WindowGroupLimit partial top-k.
+    from real_estate_project1_etl_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, round_to=4
+    )
+
+
 
 # --------------------------------------------------------------------------
 # Full reference pipeline (transform.py:62-116) as a differential query:
@@ -8655,6 +8699,196 @@ def q_quality_classifier_gate(spark, sf_dir):
     )
     return hashed_linear_classifier(
         _t(spark, sf_dir, "documents"), weights, dim=512, threshold_milli=0
+    )
+
+
+@_q(
+    "quality_rrf_ensemble",
+    rf"""
+    WITH sig AS (
+        SELECT doc_id,
+               len({_DOC_WORDS_SQL}) AS n_words,
+               CASE WHEN doc_id % 7 = 3 THEN NULL
+                    ELSE CAST(len(list_distinct({_DOC_WORDS_SQL}))
+                              * 1000000
+                              // greatest(len({_DOC_WORDS_SQL}), 1)
+                         AS BIGINT) END AS ttr_scaled
+        FROM documents),
+    r1 AS (SELECT doc_id,
+                  row_number() OVER (
+                      ORDER BY (n_words IS NULL), -n_words, doc_id
+                  ) AS rank_n_words FROM sig),
+    r2 AS (SELECT doc_id,
+                  row_number() OVER (
+                      ORDER BY (ttr_scaled IS NULL), -ttr_scaled, doc_id
+                  ) AS rank_ttr_scaled FROM sig)
+    SELECT s.doc_id,
+           CAST(r1.rank_n_words AS BIGINT) AS rank_n_words,
+           CAST(r2.rank_ttr_scaled AS BIGINT) AS rank_ttr_scaled,
+           CAST(1000000 // (60 + r1.rank_n_words)
+                + 1000000 // (60 + r2.rank_ttr_scaled)
+                AS BIGINT) AS rrf_scaled
+    FROM sig s JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
+    """,
+)
+def q_quality_rrf_ensemble(spark, sf_dir):
+    # reciprocal-rank fusion of two incomparable quality signals (length
+    # and type-token ratio; one of them NULL on a slice of docs to
+    # exercise NULLs-rank-worst). Integer-exact RRF; the oracle's naive
+    # global row_number is value-identical to the operator's
+    # range-partitioned ranking — which is the point: same answer, no
+    # single-partition sort.
+    from real_estate_project1_etl_spark.functions.text import (
+        collapse_whitespace,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        rrf_ensemble,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
+    sig = (
+        docs.select(
+            "doc_id",
+            F.size(ws).alias("_nw"),
+            F.size(F.array_distinct(ws)).alias("_nd"),
+        )
+        .select(
+            "doc_id",
+            F.col("_nw").cast("bigint").alias("n_words"),
+            F.when(
+                F.col("doc_id") % 7 != 3,
+                F.expr(
+                    "cast(cast(_nd as bigint) * 1000000"
+                    " div greatest(_nw, 1) as bigint)"
+                ),
+            ).alias("ttr_scaled"),
+        )
+    )
+    return rrf_ensemble(sig, "doc_id", ["n_words", "ttr_scaled"])
+
+
+@_q(
+    "snapshot_recrawl_diff",
+    """
+    WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+    nw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' [recrawled]'
+                    WHEN doc_id % 17 = 5 THEN NULL
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 9 <> 1
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 2),
+    o AS (SELECT doc_id AS _id, md5(text) AS old_md5, TRUE AS _in_old
+          FROM old),
+    n AS (SELECT doc_id AS _id, md5(text) AS new_md5, TRUE AS _in_new
+          FROM nw)
+    SELECT coalesce(o._id, n._id) AS doc_id,
+           CASE WHEN o._in_old IS NULL THEN 'added'
+                WHEN n._in_new IS NULL THEN 'removed'
+                WHEN o.old_md5 IS NOT DISTINCT FROM n.new_md5
+                     THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_md5, new_md5
+    FROM o FULL OUTER JOIN n ON o._id = n._id
+    """,
+)
+def q_snapshot_recrawl_diff(spark, sf_dir):
+    # recrawl delta between two corpus snapshots: one slice removed, one
+    # added beyond the old id range, one rewritten, one NULLed out (the
+    # null-safe-equality case: present-but-NULL text must report
+    # 'changed'/'unchanged' by content, never 'added'/'removed'). Digest
+    # tables join full-outer on the id; text never shuffles.
+    from real_estate_project1_etl_spark.operators.snapshots import (
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    nw = (
+        docs.filter(F.col("doc_id") % 9 != 1)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.col("text"), F.lit(" [recrawled]")),
+            )
+            .when(F.col("doc_id") % 17 == 5, F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(old, nw)
+
+
+_EMAIL_RX_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@_q(
+    "pii_pseudonymize",
+    rf"""
+    WITH d AS (
+        SELECT doc_id,
+               'contact User' || cast(doc_id % 20 AS varchar)
+                 || '@Example.COM or User'
+                 || cast((doc_id + 7) % 20 AS varchar)
+                 || '@example.com thanks ' || text AS t
+        FROM documents),
+    s AS (
+        SELECT doc_id, t,
+               regexp_split_to_array(t, '{_EMAIL_RX_SQL}') AS ps,
+               regexp_extract_all(t, '({_EMAIL_RX_SQL})', 1) AS ms
+        FROM d),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN len(ms) > 0 THEN
+                 ps[1] || array_to_string(
+                   list_transform(generate_series(1, len(ms)), i ->
+                     '<EMAIL_' || substr(md5(lower(ms[i])), 1, 6) || '>'
+                       || ps[i + 1]),
+                   '')
+               ELSE t END AS new_text,
+               len(ms) AS n_pii
+        FROM s)
+    SELECT doc_id, md5(new_text) AS scrub_md5,
+           CAST(n_pii AS BIGINT) AS n_pii
+    FROM r
+    """,
+)
+def q_pii_pseudonymize(spark, sf_dir):
+    # consistent-surrogate pseudonymization: the same email maps to the
+    # SAME <EMAIL_xxxxxx> surrogate in every document (md5-derived), so
+    # cross-document linkage survives the scrub. Two synthetic emails
+    # per doc (one shared across docs with the same doc_id%20 — the
+    # consistency case; mixed case — the canonicalization case). The
+    # oracle mirrors the split/stitch rewrite itself and compares the
+    # md5 of the ENTIRE rewritten text, not just match counts.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        _EMAIL_RX,
+        pseudonymize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.lit("contact User"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("@Example.COM or User"),
+        ((F.col("doc_id") + 7) % 20).cast("string"),
+        F.lit("@example.com thanks "),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(pseudonymize(t)).alias("scrub_md5"),
+        F.size(F.regexp_extract_all(t, F.lit(f"({_EMAIL_RX})"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_pii"),
     )
 
 

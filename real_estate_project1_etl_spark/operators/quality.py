@@ -549,3 +549,64 @@ def hashed_linear_classifier(
             ).alias("kept"),
         )
     )
+
+
+def rrf_ensemble(
+    df: DataFrame,
+    id_col: str,
+    score_cols: list[str],
+    k: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank-fusion of multiple quality signals (Cormack et
+    al., SIGIR'09): each signal ranks the corpus independently, and the
+    fused score is ``sum_s scale // (k + rank_s)`` (rank 1-based) — the
+    standard way to combine incomparable quality scores (an LM fluency
+    score, a classifier logit, a length heuristic) without calibrating
+    any of them. RRF in scaled-integer arithmetic is exact cross-engine;
+    ``k=60`` is the published default.
+
+    Ranking contract: per signal, DESCENDING score, NULLs rank WORST,
+    ties broken by ``id_col`` ascending — a total order, so ranks (and
+    the fusion) are a pure function of row content.
+
+    Returns ``(id_col, rank_<col>..., rrf_scaled)``.
+
+    Scale shape: a global ranking per signal — computed with
+    :func:`..util.assign_global_ids` (range repartition + per-partition
+    offsets), NOT a single-partition ``row_number() OVER (ORDER BY)``,
+    so each signal costs one range shuffle that parallelizes across the
+    cluster. The per-signal rank tables join back on the id (equi,
+    AQE-broadcastable when the corpus side is the big one and the
+    ranked projection is narrow).
+    """
+    from .util import assign_global_ids
+
+    out = df.select(id_col)
+    for s in score_cols:
+        key = F.struct(
+            F.col(s).isNull().alias("nul"),
+            (-F.coalesce(F.col(s), F.lit(0))).alias("neg"),
+            F.col(id_col).alias("i"),
+        )
+        ranked = assign_global_ids(
+            df.select(F.col(id_col), key.alias("_rrf_key")),
+            "_rrf_key",
+            "_gid",
+        ).select(
+            id_col,
+            (F.col("_gid") + 1).cast("bigint").alias(f"rank_{s}"),
+        )
+        out = out.join(ranked, id_col)
+    contrib = [
+        F.expr(f"cast({int(scale)} div ({int(k)} + rank_{s}) as bigint)")
+        for s in score_cols
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return out.select(
+        id_col,
+        *[f"rank_{s}" for s in score_cols],
+        total.alias("rrf_scaled"),
+    )

@@ -60,6 +60,62 @@ def brute_force_topk(
     )
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` highest-cosine WRONG-label neighbors per anchor — the
+    hard-negative mining step of contrastive / dense-retrieval training
+    (a negative that the current embedding space ranks close to the
+    anchor is what actually moves the loss; random negatives are
+    trivially separable). Same deterministic contract as
+    :func:`brute_force_topk`: similarity rounded before ranking,
+    neighbor-id tiebreak, self-pairs impossible because the label must
+    differ.
+
+    Returns ``(query_id, neighbor_id, rank, sim)``.
+
+    Scale shape: the anchor batch broadcasts (mining runs per training
+    batch, anchors << corpus); scoring is scan-stage; the per-anchor
+    top-k is a Filter directly over row_number, so it compiles to
+    WindowGroupLimit with a partial stage — each map task pre-prunes to
+    its local k before the exchange. For corpus-x-corpus mining, bucket
+    with :func:`lsh_topk`/:func:`ivf_topk` first and rescore candidates
+    here.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("n_label"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("q_label") != F.col("n_label")
+    ).withColumn(
+        "sim",
+        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_to),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure-python LCG; no
     driver numpy dependency, reproducible across runs)."""

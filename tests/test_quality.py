@@ -623,3 +623,76 @@ def test_hashed_linear_classifier_hand_computed(spark):
     assert out[0]["score_milli"] == 1000 and out[0]["kept"]      # 2 x good
     assert out[1]["score_milli"] == -700 and not out[1]["kept"]
     assert out[2]["score_milli"] == 0 and not out[2]["kept"]     # '' unweighted
+
+
+def test_pseudonymize_consistent_surrogates(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        pseudonymize,
+    )
+
+    sur = lambda e: "<EMAIL_%s>" % hashlib.md5(  # noqa: E731
+        e.lower().encode()).hexdigest()[:6]
+    docs = spark.createDataFrame(
+        [
+            (0, "write to Bob@X.com or alice@y.org now"),
+            (1, "bob@x.com again"),           # same identity, diff case
+            (2, "no pii here"),
+            (3, ""),
+            (4, "a@b.io"),                    # match IS the whole text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["o"] for r in docs.select(
+        "doc_id", pseudonymize(F.col("text")).alias("o")).collect()}
+    assert out[0] == f"write to {sur('bob@x.com')} or {sur('alice@y.org')} now"
+    assert out[1] == f"{sur('bob@x.com')} again"
+    assert sur("bob@x.com") in out[0] and sur("bob@x.com") in out[1]
+    assert out[2] == "no pii here"
+    assert out[3] == ""
+    assert out[4] == sur("a@b.io")
+
+
+def test_snapshot_diff_statuses(spark):
+    from real_estate_project1_etl_spark.operators.snapshots import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, None), (5, "new"), (6, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "unchanged",  # NULL text both sides: null-safe equality
+        5: "added", 6: "added",
+    }
+
+
+def test_rrf_ensemble_hand_computed(spark):
+    from real_estate_project1_etl_spark.operators.quality import (
+        rrf_ensemble,
+    )
+
+    df = spark.createDataFrame(
+        # s1 ranks: 10->1(id2), 5->2(id1), 5->3(id3, id tiebreak), NULL->4
+        # s2 ranks: 9->1(id4), 7->2(id3), 1->3(id1), 0->4(id2)
+        [(1, 5, 1), (2, 10, 0), (3, 5, 7), (4, None, 9)],
+        "doc_id long, s1 long, s2 long",
+    )
+    out = {r["doc_id"]: r for r in rrf_ensemble(
+        df, "doc_id", ["s1", "s2"], k=60, scale=1_000_000).collect()}
+    S = 1_000_000
+    assert out[2]["rank_s1"] == 1 and out[1]["rank_s1"] == 2
+    assert out[3]["rank_s1"] == 3 and out[4]["rank_s1"] == 4
+    assert out[4]["rank_s2"] == 1 and out[3]["rank_s2"] == 2
+    assert out[1]["rrf_scaled"] == S // 62 + S // 63
+    assert out[4]["rrf_scaled"] == S // 64 + S // 61
