@@ -96,6 +96,14 @@ HEADLINE = [
     "boilerplate_line_removal",
     "quality_canonical_docs",
     "bpe_token_stats",
+    # round-9: corpus-trained bigram LM fluency gate, hashed linear
+    # classifier inference, consistent-surrogate pseudonymization,
+    # recrawl snapshot delta, reciprocal-rank quality fusion
+    "bigram_lm_fluency",
+    "quality_classifier_gate",
+    "pii_pseudonymize",
+    "snapshot_recrawl_diff",
+    "quality_rrf_ensemble",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -135,7 +143,12 @@ COST = {
     "histogram_quantiles": "1 stats agg + 1 bucket-count agg (additive sketch) + rank pass for the exact comparison values",
     "boilerplate_line_removal": "line-digest df agg (Zipf-collapsed) + single-row broadcast stop set + scan-stage HOF rewrite; text never shuffles",
     "quality_canonical_docs": "minhash pairs + components + argmax window over the CLUSTERED docs only; singletons stay in the scan stage",
-    "bpe_token_stats": "per-word merge fold (codegen string replaces) + token count agg + top-k; no Python, no shuffle of text",
+    "bpe_token_stats": "vocab-collapsed merge fold (codegen string replaces over DISTINCT words) + weighted count agg + top-k; no Python, no shuffle of text",
+    "bigram_lm_fluency": "2 Zipf-collapsed count aggs + vocab-sized prob join + per-doc agg; in-row bigram extraction",
+    "quality_classifier_gate": "scan-stage hash features + 1 doc-feature agg + broadcast weight join + per-doc agg",
+    "pii_pseudonymize": "pure scan-stage split/stitch rewrite; zero shuffle",
+    "snapshot_recrawl_diff": "2 digest scans + 1 full-outer id shuffle; text never moves",
+    "quality_rrf_ensemble": "2 range-partition rank shuffles (assign_global_ids) + id joins; no single-partition window",
     "incremental_dedup_docs": "batch signatures + banding joins vs base; O(batch+collisions), corpus side is banding keys only; r5: tuner banding b=16/r=2 at t=0.4 grows candidates vs r4's b=8",
     "url_canonical_dedup": "scan-stage regex/HOF canonicalization + 1 groupBy exchange on the canonical key",
     "url_domain_psl": "in-row candidate suffixes + broadcast-hash PSL rule join on the distinct-host set only",
