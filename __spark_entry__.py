@@ -8827,6 +8827,64 @@ def q_snapshot_recrawl_diff(spark, sf_dir):
     return snapshot_diff(old, nw)
 
 
+@_q(
+    "curriculum_shard_plan",
+    rf"""
+    WITH sig AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN NULL
+                    ELSE CAST(len({_DOC_WORDS_SQL}) AS BIGINT) END AS difficulty
+        FROM documents),
+    n AS (SELECT count(*) AS _n FROM sig),
+    r AS (SELECT doc_id, difficulty,
+                 row_number() OVER (
+                     ORDER BY (difficulty IS NULL), difficulty, doc_id
+                 ) - 1 AS gid
+          FROM sig)
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(difficulty) AS min_difficulty,
+           max(difficulty) AS max_difficulty,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (SELECT r.doc_id, r.difficulty,
+                 CAST(r.gid * 8 // n._n AS INT) AS shard_id
+          FROM r, n)
+    GROUP BY shard_id
+    """,
+)
+def q_curriculum_shard_plan(spark, sf_dir):
+    # curriculum-training shard assignment: easy-first global order (doc
+    # length as the difficulty proxy; NULLs last), cut into 8 contiguous
+    # near-equal shards by exact integer rank arithmetic — the ranking
+    # runs range-partitioned (assign_global_ids), never a one-partition
+    # window. Per-shard stats + id checksum pin the exact membership.
+    from real_estate_project1_etl_spark.functions.text import (
+        collapse_whitespace,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        curriculum_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
+    sig = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 3, F.size(ws).cast("bigint")).alias(
+            "difficulty"
+        ),
+    )
+    return (
+        curriculum_shards(sig, "doc_id", "difficulty", n_shards=8)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("difficulty").alias("min_difficulty"),
+            F.max("difficulty").alias("max_difficulty"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
 _EMAIL_RX_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 

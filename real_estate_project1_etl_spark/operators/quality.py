@@ -610,3 +610,54 @@ def rrf_ensemble(
         *[f"rank_{s}" for s in score_cols],
         total.alias("rrf_scaled"),
     )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_shards: int,
+    ascending: bool = True,
+) -> DataFrame:
+    """Difficulty-ordered equal shards for curriculum training: order the
+    corpus by ``score_col`` (ascending = easy-first by default) and cut
+    it into ``n_shards`` contiguous shards of near-equal size — shard 0
+    is what the first training phase reads. Deterministic: ties break on
+    ``id_col``, NULL scores sort LAST regardless of direction (unknown
+    difficulty trains last), and ``shard = rank * n_shards // N`` is
+    exact integer arithmetic.
+
+    Returns ``(id_col, score_col, shard_id)``.
+
+    Scale shape: ONE range-partitioned global ranking
+    (:func:`..util.assign_global_ids` — no single-partition window) plus
+    a broadcast single-row corpus count; the shard id is a scan-stage
+    expression over the rank. Writers then ``partitionBy(shard_id)`` for
+    one directory per phase.
+    """
+    from .util import assign_global_ids
+
+    if n_shards < 1:
+        raise ValueError(f"curriculum_shards: n_shards must be >= 1, got {n_shards}")
+    direction = F.col(score_col) if ascending else -F.col(score_col)
+    key = F.struct(
+        F.col(score_col).isNull().alias("nul"),
+        F.coalesce(direction, F.lit(0)).alias("s"),
+        F.col(id_col).alias("i"),
+    )
+    ranked = assign_global_ids(
+        df.select(F.col(id_col), F.col(score_col), key.alias("_cur_key")),
+        "_cur_key",
+        "_gid",
+    )
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            score_col,
+            F.expr(f"cast(_gid * {int(n_shards)} div _n as int)").alias(
+                "shard_id"
+            ),
+        )
+    )

@@ -696,3 +696,31 @@ def test_rrf_ensemble_hand_computed(spark):
     assert out[4]["rank_s2"] == 1 and out[3]["rank_s2"] == 2
     assert out[1]["rrf_scaled"] == S // 62 + S // 63
     assert out[4]["rrf_scaled"] == S // 64 + S // 61
+
+
+def test_curriculum_shards_order_and_balance(spark):
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        curriculum_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(20)] + [(100, None)],
+        "doc_id long, score double",
+    )
+    out = {r["doc_id"]: r["shard_id"] for r in curriculum_shards(
+        df, "doc_id", "score", n_shards=3).collect()}
+    # ascending: lowest scores (highest ids) first; NULL last
+    assert out[100] == 2                       # NULL trains last
+    assert out[19] == 0 and out[0] in (1, 2)   # easiest -> shard 0
+    from collections import Counter
+    sizes = Counter(out.values())
+    assert set(sizes) == {0, 1, 2} and max(sizes.values()) - min(
+        sizes.values()) <= 1
+    # descending flips the order
+    out_d = {r["doc_id"]: r["shard_id"] for r in curriculum_shards(
+        df, "doc_id", "score", n_shards=3, ascending=False).collect()}
+    assert out_d[0] == 0 and out_d[100] == 2   # NULL still last
+    with _pytest.raises(ValueError):
+        curriculum_shards(df, "doc_id", "score", n_shards=0)
