@@ -55,6 +55,57 @@ def _state_store_provider_class() -> str:
     )
 
 
+def object_store_conf(
+    committer: str = "magic",
+    executor_cores: int = 8,
+    row_group_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, str]:
+    """The s3a:// configuration profile SCALE.md documents, as code —
+    pass the result to :func:`get_spark`'s ``extra_conf`` (plus
+    ``spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop ver>``,
+    which must be set before JVM launch). The reference's whole protocol
+    lives on S3 (extract.py/dag.py's ``properties-etl`` bucket); these
+    are the settings that make that safe and fast under Spark:
+
+    - S3A committer (``magic`` default, or ``directory``/``partitioned``)
+      via the committer-binding protocol classes — NEVER the default
+      FileOutputCommitter on S3 (v1 does O(files) copy-on-commit; v2 is
+      non-atomic on failure).
+    - connection pool sized to executor parallelism; block size /
+      readahead matched to the parquet row-group size so one ranged GET
+      serves one row group.
+    """
+    if committer not in ("magic", "directory", "partitioned"):
+        raise ValueError(
+            f"object_store_conf: unknown committer {committer!r} — "
+            "expected 'magic', 'directory', or 'partitioned'"
+        )
+    return {
+        "spark.hadoop.fs.s3a.committer.name": committer,
+        "spark.hadoop.fs.s3a.committer.magic.enabled": str(
+            committer == "magic"
+        ).lower(),
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud."
+            "PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud."
+            "BindingParquetOutputCommitter"
+        ),
+        "spark.hadoop.fs.s3a.connection.maximum": str(
+            max(96, executor_cores * 8)
+        ),
+        "spark.hadoop.fs.s3a.block.size": str(row_group_bytes),
+        "spark.hadoop.fs.s3a.readahead.range": str(1024 * 1024),
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        # directory listings are the slow/inconsistent path on object
+        # stores — raise the page size and let the manifest-pointer
+        # versioned sink (sinks/versioned.py) avoid LIST entirely
+        "spark.hadoop.fs.s3a.paging.maximum": "1000",
+    }
+
+
 def get_spark(
     app_name: str = "real-estate-etl-spark",
     cpus: int | None = None,

@@ -202,3 +202,22 @@ def test_jdbc_postgres_dialect_matrix(spark):
     # timestamptz column; the override pins the reference's naive type
     assert mapped["dump_date"] == "TIMESTAMP WITH TIME ZONE"
     assert "dump_date TIMESTAMP," in PROPERTIES_DB_TYPES
+
+def test_object_store_conf_profile():
+    import pytest
+
+    from real_estate_project1_etl_spark.session import object_store_conf
+
+    c = object_store_conf()
+    assert c["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert c["spark.hadoop.fs.s3a.committer.magic.enabled"] == "true"
+    assert "PathOutputCommitProtocol" in c["spark.sql.sources.commitProtocolClass"]
+    assert "BindingParquetOutputCommitter" in c["spark.sql.parquet.output.committer.class"]
+    d = object_store_conf(committer="directory", executor_cores=16,
+                          row_group_bytes=64 << 20)
+    assert d["spark.hadoop.fs.s3a.committer.name"] == "directory"
+    assert d["spark.hadoop.fs.s3a.committer.magic.enabled"] == "false"
+    assert int(d["spark.hadoop.fs.s3a.connection.maximum"]) >= 128
+    assert d["spark.hadoop.fs.s3a.block.size"] == str(64 << 20)
+    with pytest.raises(ValueError):
+        object_store_conf(committer="rename")
