@@ -8885,6 +8885,82 @@ def q_curriculum_shard_plan(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_datacard",
+    rf"""
+    WITH w AS (SELECT doc_id, source, lang, text,
+                      {_DOC_WORDS_SQL} AS ws
+               FROM documents),
+    per AS (SELECT doc_id, source, lang, length(text) AS n_chars,
+                   len(ws) AS n_tokens,
+                   len(list_distinct(ws)) AS n_distinct,
+                   md5(text) AS _h
+            FROM w)
+    SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        SELECT 'n_docs' AS metric, count(*) AS value FROM per
+        UNION ALL SELECT 'n_tokens', sum(n_tokens) FROM per
+        UNION ALL SELECT 'n_chars', sum(n_chars) FROM per
+        UNION ALL SELECT 'n_sources', count(DISTINCT source) FROM per
+        UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM per
+        UNION ALL SELECT 'mean_tokens_ppm',
+                         sum(n_tokens) * 1000000 // count(*) FROM per
+        UNION ALL SELECT 'max_tokens', max(n_tokens) FROM per
+        UNION ALL SELECT 'min_tokens', min(n_tokens) FROM per
+        UNION ALL SELECT 'ttr_ppm',
+                         sum(n_distinct) * 1000000 // sum(n_tokens)
+                  FROM per
+        UNION ALL SELECT 'exact_dup_docs',
+                         count(*) - count(DISTINCT _h) FROM per
+    )
+    """,
+)
+def q_corpus_datacard(spark, sf_dir):
+    # the data-card summary a corpus release ships with: sizes, source/
+    # language breadth, token-length stats, lexical diversity, and the
+    # exact-duplicate count — ONE scan (every metric is an aggregate
+    # over the same per-doc projection; Spark computes them in a single
+    # partial+final agg), scaled-integer ratios so the card is
+    # value-exact cross-engine.
+    from real_estate_project1_etl_spark.functions.text import (
+        collapse_whitespace,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
+    per = docs.select(
+        "doc_id", "source", "lang",
+        F.length("text").alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.md5("text").alias("_h"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.sum("n_distinct").alias("sum_distinct"),
+        F.countDistinct("_h").alias("n_uniq_texts"),
+    )
+    return agg.selectExpr(
+        """stack(10,
+           'n_docs', cast(n_docs as bigint),
+           'n_tokens', cast(n_tokens as bigint),
+           'n_chars', cast(n_chars as bigint),
+           'n_sources', cast(n_sources as bigint),
+           'n_langs', cast(n_langs as bigint),
+           'mean_tokens_ppm', cast(n_tokens * 1000000 div n_docs as bigint),
+           'max_tokens', cast(max_tokens as bigint),
+           'min_tokens', cast(min_tokens as bigint),
+           'ttr_ppm', cast(sum_distinct * 1000000 div n_tokens as bigint),
+           'exact_dup_docs', cast(n_docs - n_uniq_texts as bigint)
+        ) as (metric, value)"""
+    )
+
+
 _EMAIL_RX_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
