@@ -5644,6 +5644,61 @@ def q_prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @_q(
+    "containment_quote_pairs",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    ws AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    quotes AS (
+        SELECT doc_id + 500000 AS doc_id,
+               array_to_string(
+                   w[1:greatest(len(w) * 3 // 5, 4)], ' ') AS text
+        FROM ws WHERE doc_id % 5 = 2),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM quotes),
+    cw AS (SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                         'g'))), ' ') AS w
+           FROM corpus),
+    sh AS (SELECT doc_id,
+           list_distinct(list_transform({_shingles_sql(3)},
+               s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS hs
+           FROM cw),
+    pairs AS (
+        SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+               len(list_intersect(a.hs, b.hs)) AS i, len(a.hs) AS na
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+    SELECT contained_id, container_id,
+           cast(i AS DOUBLE) / na AS containment
+    FROM pairs
+    WHERE cast(i AS DOUBLE) / na >= 8e-1
+    """,
+)
+def q_containment_quote_pairs(spark, sf_dir):
+    # EXACT asymmetric containment join (|A∩B|/|A| >= 0.8): catches the
+    # quote/aggregator case Jaccard dilutes — every doc_id%5==2 doc gets
+    # a planted 60%-prefix "quote" twin, and the engine must find each
+    # quote contained in its source (plus any organic pairs). Oracle is
+    # the naive all-pairs definition, so the match proves the one-sided
+    # prefix-filter adaptation has perfect recall.
+    from real_estate_project1_etl_spark.functions.text import (
+        collapse_whitespace,
+    )
+    from real_estate_project1_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
+    # size*3/5 is exact in doubles at any doc length; floor == int div
+    k = F.greatest(F.floor(F.size(w) * 3 / 5).cast("int"), F.lit(4))
+    quotes = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.array_join(F.slice(w, F.lit(1), k), " ").alias("text"),
+    ).where((F.col("doc_id") - 500000) % 5 == 2)
+    corpus = docs.unionAll(quotes)
+    return containment_pairs(corpus, threshold=0.8, ngram=3)
+
+
+@_q(
     "bloom_decontaminate_docs",
     f"""
     WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),

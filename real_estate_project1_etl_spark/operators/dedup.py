@@ -730,6 +730,102 @@ def prefix_filter_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """EXACT asymmetric set-containment join: all ordered pairs where
+    document A's shingle set is (near-)contained in document B's —
+    ``C(A,B) = |A ∩ B| / |A| >= threshold``. Jaccard near-dup
+    (:func:`prefix_filter_jaccard_pairs`) misses the quote/recombination
+    case this catches: a page that embeds another page whole scores low
+    Jaccard (the container's extra content dilutes the union) but
+    containment 1.0 — the signal for quotation farms, aggregators, and
+    dedup of expanded revisions.
+
+    Candidate generation adapts the prefix filter to the asymmetric
+    measure: only the CONTAINED side takes a prefix — if C(A,B) >= t
+    then at most ``n_A - ceil(t*n_A)`` of A's shingles miss B, so one of
+    A's first ``n_A - ceil(t*n_A) + 1`` shingles (global rare-first
+    order) must be in B; the container side indexes ALL its shingles (no
+    prefix bound exists for B). The one-sided size filter ``n_B >=
+    ceil(t * n_A)`` prunes impossible pairs (B too small to hold t of
+    A). Exact containment verifies on candidates only. Hot shingles
+    stay out of prefixes by the rare-first order, so the candidate join
+    is bounded the same way PPJoin's is, at the cost of the container
+    side shipping its full posting rows.
+
+    Returns ``(contained_id, container_id, containment)`` for ordered
+    pairs with ``contained_id != container_id``; containment is an
+    int/int double division (cross-engine exact).
+    """
+    sets = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), ngram),
+                lambda s: shingle_hash_expr(s, hash_fn),
+            )
+        ).alias("hs"),
+    )
+    sets = sets.withColumn("n", F.size("hs")).persist()
+    toks = sets.select("_id", F.explode("hs").alias("h"))
+    dfc = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+    ordered = (
+        toks.join(dfc, "h")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.array("dfreq", "h"))).alias("srt"))
+    )
+    t = F.lit(float(threshold))
+    p = F.col("n") - F.ceil(t * F.col("n")).cast("int") + 1
+    pref = (
+        ordered.withColumn("n", F.size("srt"))
+        .select("_id", "n", F.explode(F.slice("srt", F.lit(1), p)).alias("pair"))
+        .select("_id", "n", F.element_at("pair", 2).alias("h"))
+    )
+    a = pref.select(
+        F.col("h"), F.col("_id").alias("contained_id"), F.col("n").alias("na")
+    )
+    bfull = sets.select(
+        F.col("_id").alias("container_id"),
+        F.col("n").alias("nb"),
+        F.explode("hs").alias("h"),
+    )
+    cands = (
+        a.join(bfull, "h")
+        .filter(
+            (F.col("contained_id") != F.col("container_id"))
+            & (F.col("nb") >= F.ceil(t * F.col("na")))
+        )
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("_id").alias("contained_id"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("_id").alias("container_id"), F.col("hs").alias("hs_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    out = (
+        cands.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .withColumn("containment", inter / F.col("na"))
+        .filter(F.col("containment") >= t)
+        .select("contained_id", "container_id", "containment")
+    ).localCheckpoint(eager=True)
+    sets.unpersist()
+    return out
+
+
 def repeated_kgram_spans(
     df: DataFrame,
     text_col: str = "text",

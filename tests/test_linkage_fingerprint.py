@@ -255,3 +255,44 @@ def test_bloom_decontaminate_filter_is_fixed_size(spark):
     out = bloom_decontaminate(docs, docs, ngram=8, n_words=32)
     # every doc collides with itself -> everything is dropped
     assert out.count() == 0
+
+
+def test_containment_pairs_equals_bruteforce(spark):
+    # prefix-filter containment join vs a naive python model: perfect
+    # recall AND no false positives over a corpus with planted quotes,
+    # expansions, and unrelated docs.
+    import itertools
+
+    from real_estate_project1_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near a quiet river"
+    texts = {
+        0: base,
+        1: base + " while birds watch from tall oak trees overhead",  # expansion
+        2: "the quick brown fox jumps over the lazy dog",             # quote
+        3: "completely different words about real estate prices here today",
+        4: "quiet river near a dog",                                   # partial
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def shingles(t, n=3):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    t = 0.8
+    want = set()
+    for a, b in itertools.permutations(texts, 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        if len(sa & sb) / len(sa) >= t:
+            want.add((a, b))
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs(docs, threshold=t).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (2, 0) in got and (2, 1) in got
+    assert (1, 0) not in got      # expansion is NOT contained in base
