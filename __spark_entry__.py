@@ -5699,6 +5699,74 @@ def q_containment_quote_pairs(spark, sf_dir):
 
 
 @_q(
+    "content_change_feed_batch",
+    """
+    WITH v AS (
+        SELECT doc_id, 0 AS seq, text FROM documents
+        UNION ALL
+        SELECT doc_id, 1,
+               CASE WHEN doc_id % 4 = 1 THEN text || ' [upd]' ELSE text END
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2,
+               CASE WHEN doc_id % 7 = 2 THEN NULL
+                    WHEN doc_id % 4 = 1 THEN text || ' [upd]'
+                    ELSE text END
+        FROM documents),
+    d AS (SELECT doc_id, seq,
+                 coalesce(md5(text), '<NULL>') AS digest
+          FROM v),
+    l AS (SELECT doc_id, seq, digest,
+                 lag(digest) OVER (PARTITION BY doc_id ORDER BY seq) AS p
+          FROM d)
+    SELECT doc_id, seq,
+           CASE WHEN p IS NULL THEN 'added' ELSE 'changed' END AS status,
+           digest
+    FROM l WHERE p IS NULL OR digest <> p
+    """,
+)
+def q_content_change_feed_batch(spark, sf_dir):
+    # batch twin of the streaming CDC change feed (stateful.
+    # content_change_feed): three recrawl versions per doc (one slice
+    # updated at seq 1, one nulled at seq 2); only real content deltas
+    # emit. The streaming form is pinned stream==batch by
+    # tests/test_streaming.py::test_content_change_feed_stream_matches_batch;
+    # this entry puts the shared emission semantics under the oracle.
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        content_change_feed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v = (
+        docs.select("doc_id", F.lit(0).alias("seq"), "text")
+        .unionAll(
+            docs.select(
+                "doc_id",
+                F.lit(1).alias("seq"),
+                F.when(
+                    F.col("doc_id") % 4 == 1,
+                    F.concat(F.col("text"), F.lit(" [upd]")),
+                ).otherwise(F.col("text")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.select(
+                "doc_id",
+                F.lit(2).alias("seq"),
+                F.when(F.col("doc_id") % 7 == 2, F.lit(None).cast("string"))
+                .when(
+                    F.col("doc_id") % 4 == 1,
+                    F.concat(F.col("text"), F.lit(" [upd]")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+    )
+    return content_change_feed(v.select("doc_id", F.col("seq").cast("long").alias("seq"), "text"))
+
+
+@_q(
     "bloom_decontaminate_docs",
     f"""
     WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),

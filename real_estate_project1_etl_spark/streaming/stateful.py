@@ -706,3 +706,141 @@ def read_admission_state(spark, checkpoint: str) -> DataFrame:
     return st.select(
         "key.*", F.col("value.groupState.admitted").alias("admitted")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming content change feed (stream twin of snapshots.snapshot_diff)
+# --------------------------------------------------------------------------
+
+CHANGE_FEED_SCHEMA = "doc_id long, seq long, status string, digest string"
+
+
+def _change_feed_processor():
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ChangeFeed(StatefulProcessor):
+        """Emit (added | changed) events per document as recrawl updates
+        stream in; unchanged recrawls emit NOTHING (the point of a change
+        feed — downstream incremental dedup re-mines only real deltas).
+        ValueState holds one digest per doc — O(1) per key forever."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_digest", "d string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._last.get()[0] if self._last.exists() else None
+            out_s, out_st, out_d = [], [], []
+            for pdf in rows:
+                pdf = pdf.sort_values("seq")
+                for seq, dg in zip(pdf["seq"], pdf["digest"]):
+                    if cur is None:
+                        out_s.append(int(seq)); out_st.append("added"); out_d.append(dg)
+                        cur = dg
+                    elif dg != cur:
+                        out_s.append(int(seq)); out_st.append("changed"); out_d.append(dg)
+                        cur = dg
+            if cur is not None:
+                self._last.update((cur,))
+            if out_s:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [key[0]] * len(out_s),
+                        "seq": out_s,
+                        "status": out_st,
+                        "digest": out_d,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return ChangeFeed()
+
+
+def _cf_update(key, pdfs, state: GroupState):
+    """applyInPandasWithState twin of the ChangeFeed processor."""
+    import pandas as pd
+
+    cur = state.get[0] if state.exists else None
+    out_s, out_st, out_d = [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        for seq, dg in zip(pdf["seq"], pdf["digest"]):
+            if cur is None:
+                out_s.append(int(seq)); out_st.append("added"); out_d.append(dg)
+                cur = dg
+            elif dg != cur:
+                out_s.append(int(seq)); out_st.append("changed"); out_d.append(dg)
+                cur = dg
+    if cur is not None:
+        state.update((cur,))
+    if out_s:
+        yield pd.DataFrame(
+            {
+                "doc_id": [key[0]] * len(out_s),
+                "seq": out_s,
+                "status": out_st,
+                "digest": out_d,
+            }
+        )
+
+
+def content_change_feed(docs: DataFrame) -> DataFrame:
+    """CDC-style recrawl change feed: for a stream of ``(doc_id, seq,
+    text)`` document versions, emit ``(doc_id, seq, status, digest)``
+    rows ONLY when content actually changed — ``added`` on a doc's first
+    sighting, ``changed`` when the md5 digest differs from the last one
+    seen, nothing otherwise. The streaming complement of
+    :func:`..operators.snapshots.snapshot_diff` (which diffs two
+    materialized snapshots): here the "snapshot" is the state store and
+    the delta streams out incrementally. NULL text digests to the
+    sentinel '<NULL>' so a nulled-out recrawl reports ``changed``, not
+    an error.
+
+    Stream path: transformWithStateInPandas (ValueState, one digest per
+    doc) with the applyInPandasWithState fallback; batch DataFrames take
+    the lag-window twin (same emissions, oracle-checkable).
+    """
+    from pyspark.sql import functions as F
+
+    digested = docs.select(
+        "doc_id",
+        "seq",
+        F.coalesce(F.md5("text"), F.lit("<NULL>")).alias("digest"),
+    )
+    if not docs.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("seq")
+        prev = F.lag("digest").over(w)
+        return (
+            digested.withColumn("_prev", prev)
+            .filter(F.col("_prev").isNull() | (F.col("digest") != F.col("_prev")))
+            .select(
+                "doc_id",
+                "seq",
+                F.when(F.col("_prev").isNull(), F.lit("added"))
+                .otherwise(F.lit("changed"))
+                .alias("status"),
+                "digest",
+            )
+        )
+    keyed = digested.groupBy("doc_id")
+    if _tws_runtime_available():
+        return keyed.transformWithStateInPandas(
+            statefulProcessor=_change_feed_processor(),
+            outputStructType=CHANGE_FEED_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return keyed.applyInPandasWithState(
+        _cf_update,
+        outputStructType=CHANGE_FEED_SCHEMA,
+        stateStructType="d string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -766,3 +766,36 @@ def test_statestore_reader_exposes_admission_counters(spark, tmp_path):
         .collect()
     }
     assert sink_counts == state2
+
+
+def test_content_change_feed_stream_matches_batch(spark, tmp_path):
+    # recrawl versions: doc 1 unchanged x3 (one emission), doc 2 changes
+    # every version, doc 3 change->revert->same, doc 4 text nulled out
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        content_change_feed,
+    )
+
+    versions = spark.createDataFrame(
+        [
+            (1, 0, "alpha"), (1, 1, "alpha"), (1, 2, "alpha"),
+            (2, 0, "v0"), (2, 1, "v1"), (2, 2, "v2"),
+            (3, 0, "x"), (3, 1, "y"), (3, 2, "y"), (3, 3, "x"),
+            (4, 0, "content"), (4, 1, None),
+        ],
+        "doc_id long, seq long, text string",
+    )
+    out = _run_stream(
+        spark, versions, content_change_feed, tmp_path, "cfeed",
+        output_mode="append",
+    )
+    got = {(r.doc_id, r.seq): r.status for r in out.collect()}
+    exp = {
+        (r.doc_id, r.seq): r.status
+        for r in content_change_feed(versions).collect()
+    }
+    assert got == exp
+    assert exp[(1, 0)] == "added" and (1, 1) not in exp and (1, 2) not in exp
+    assert exp[(2, 1)] == "changed" and exp[(2, 2)] == "changed"
+    # revert re-emits (state holds only the LAST digest, by design)
+    assert exp[(3, 3)] == "changed" and (3, 2) not in exp
+    assert exp[(4, 1)] == "changed"  # NULLed text is a content change
