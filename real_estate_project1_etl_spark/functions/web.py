@@ -401,6 +401,7 @@ def registrable_domain_psl(
     host_col: str,
     psl_rules,
     out_col: str = "domain",
+    mapping=None,
 ):
     """eTLD+1 against a FULL Public Suffix List — the broadcast-lookup-table
     variant :func:`registrable_domain` documents (its embedded 8-suffix
@@ -428,6 +429,12 @@ def registrable_domain_psl(
     to the non-ASCII slice of the distinct-host table — the corpus never
     passes through Python, and an all-ASCII corpus sends that stage zero
     rows.
+
+    ``mapping``: a pre-built ``(_h, domain)`` table from
+    :func:`build_psl_host_mapping` — pass it when several queries share
+    the same corpus's hosts so the normalization + IDNA + rule join run
+    once (persist or localCheckpoint the mapping between uses); its
+    domain column name must equal ``out_col``.
     """
     from pyspark.sql import functions as _F
 
@@ -442,7 +449,33 @@ def registrable_domain_psl(
             "registrable_domain_psl: df already has a column '__psl_h' — "
             "rename it; this name is reserved for the internal join key"
         )
+    if mapping is None:
+        mapping = build_psl_host_mapping(df, host_col, psl_rules)
+    return df.join(
+        mapping.withColumnRenamed("_h", "__psl_h"),
+        _F.lower(_F.col(host_col)) == _F.col("__psl_h"),
+        "left",
+    ).drop("__psl_h")
+
+
+def build_psl_host_mapping(df, host_col: str, psl_rules, out_col: str = "domain"):
+    """Materializable ``(_h, domain)`` lookup for :func:`registrable_domain_psl`:
+    the distinct-host -> registrable-domain table, built ONCE per corpus
+    and reusable across every query that needs eTLD+1 on the same hosts
+    (round-8 verdict item 5: the URL-canonicalization dedup and the PSL
+    gates each rebuilt this mapping; persist this table — or
+    ``.localCheckpoint()`` it within a session — and pass it back via
+    ``registrable_domain_psl(..., mapping=...)`` to pay the host
+    normalization + IDNA + rule join exactly once).
+
+    ``_h`` is the LOWERCASED raw host spelling (the corpus join key);
+    ``domain`` follows the published PSL semantics documented on
+    :func:`registrable_domain_psl`.
+    """
+    from pyspark.sql import functions as _F
+
     spark = df.sparkSession
+
     if not hasattr(psl_rules, "columns"):
         psl_rules = spark.createDataFrame(
             [(r,) for r in psl_rules], "rule string"
@@ -607,7 +640,7 @@ def registrable_domain_psl(
     # münchen.de and xn--mnchen-3ya.de yield the SAME value.  dom_start 0
     # (host IS a public suffix, or a single-label host under the default
     # rule) -> NULL.
-    mapping = best.select(
+    return best.select(
         "_h",
         _F.when(
             dom_start >= 1,
@@ -621,11 +654,6 @@ def registrable_domain_psl(
             ),
         ).alias(out_col),
     )
-    return df.join(
-        mapping.withColumnRenamed("_h", "__psl_h"),
-        _F.lower(_F.col(host_col)) == _F.col("__psl_h"),
-        "left",
-    ).drop("__psl_h")
 
 
 def registrable_domain(host: Column | str) -> Column:
