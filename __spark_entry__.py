@@ -746,6 +746,51 @@ def q_event_sessionization(spark, sf_dir):
     )
 
 
+@_q(
+    "next_event_training_pairs",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000 THEN 1 ELSE 0 END AS ns
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, ts, event_type,
+               cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS bigint) AS session_id
+        FROM gaps
+    ), q AS (
+        SELECT user_id, session_id, event_type,
+               cast(row_number() OVER (PARTITION BY user_id, session_id
+                                       ORDER BY ts, event_id) AS bigint)
+                   AS step,
+               list(event_type) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS ctx
+        FROM s
+    )
+    SELECT user_id, session_id, step,
+           array_to_string(ctx[greatest(len(ctx) - 7, 1):], '>')
+               AS context_path,
+           event_type AS label
+    FROM q WHERE step >= 2
+    """,
+)
+def q_next_event_training_pairs(spark, sf_dir):
+    # training-example assembly for a next-action session model: per
+    # session (30-min gaps, (ts,event_id) total order), each step >= 2
+    # emits (last-8-types context path, label). One exchange on the user
+    # key serves gap/session/step/context windows; contexts are bounded.
+    from real_estate_project1_etl_spark.operators.packing import (
+        next_event_training_pairs,
+    )
+
+    return next_event_training_pairs(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Documents: dedup, fingerprints, token/quality/language stats (§2b)
 # --------------------------------------------------------------------------

@@ -128,3 +128,57 @@ def packing_summary(packed: DataFrame, seq_len: int) -> DataFrame:
             "boundary_docs"
         ),
     )
+
+
+def next_event_training_pairs(
+    events: DataFrame,
+    gap_ms: int = 1_800_000,
+    max_context: int = 8,
+) -> DataFrame:
+    """Sequence-model training examples from behavioral sessions: for
+    every event after the first in a 30-min-gap session, emit the
+    ordered context of preceding event types and the event type to
+    predict — the (context, label) pairs a next-action / session-LM
+    model trains on (the dataset-assembly step between sessionization
+    and the trainer, same family as :func:`pack_sequences`).
+
+    Returns ``(user_id, session_id, step, context_path, label)`` where
+    ``step`` is the 1-based position in the session (examples start at
+    step 2), ``context_path`` joins the last ``max_context`` preceding
+    event types with ``>``, and ``label`` is the type at ``step``.
+    Ordering inside a session is ``(ts, event_id)`` — a total order, so
+    the emitted dataset is a pure function of the events table.
+
+    Scale shape: ONE exchange on the user key serves the gap detection,
+    session numbering, step numbering, and the running-context window
+    (all share the partitioning); contexts are bounded arrays
+    (``max_context`` types), so row width is capped regardless of
+    session length. Output is events-sized minus session heads.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ems = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ems - F.lag(ems).over(w)
+    s = events.withColumn(
+        "_ns", F.when(gap > gap_ms, 1).otherwise(0)
+    ).withColumn("session_id", F.sum("_ns").over(wsum).cast("bigint"))
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    prev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    ctx = F.collect_list("event_type").over(prev)
+    trimmed = F.slice(
+        ctx,
+        F.greatest(F.size(ctx) - F.lit(max_context) + 1, F.lit(1)),
+        F.lit(max_context),
+    )
+    return (
+        s.withColumn("step", F.row_number().over(ws))
+        .withColumn("_ctx", trimmed)
+        .filter(F.col("step") >= 2)
+        .select(
+            "user_id",
+            "session_id",
+            F.col("step").cast("bigint").alias("step"),
+            F.array_join(F.col("_ctx"), ">").alias("context_path"),
+            F.col("event_type").alias("label"),
+        )
+    )

@@ -445,3 +445,47 @@ def test_calibrated_gate_null_scores_rank_last(spark):
               calibrated_quality_gate(df, "score", ["source"], 0.75,
                                       ["doc_id"]).collect()}
     assert kept75 == {2, 4, 1}
+
+
+def test_next_event_training_pairs_hand_computed(spark):
+    import datetime
+
+    from real_estate_project1_etl_spark.operators.packing import (
+        next_event_training_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1 session 0: view, click, buy -> 2 examples
+        (1, 1, ts(0), "view"), (1, 2, ts(1), "click"), (1, 3, ts(2), "buy"),
+        # >30min gap -> session 1: view, view -> 1 example
+        (1, 4, ts(60), "view"), (1, 5, ts(61), "view"),
+        # user 2: single event -> no examples
+        (2, 6, ts(0), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r.user_id, r.session_id, r.step): (r.context_path, r.label)
+        for r in next_event_training_pairs(ev, max_context=2).collect()
+    }
+    assert out == {
+        (1, 0, 2): ("view", "click"),
+        (1, 0, 3): ("view>click", "buy"),
+        (1, 1, 2): ("view", "view"),
+    }
+    # max_context truncation keeps the LAST k types
+    long = spark.createDataFrame(
+        [(3, i, ts(i), f"t{i}") for i in range(5)],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.step: r.context_path
+        for r in next_event_training_pairs(long, max_context=2).collect()
+    }
+    assert got[5] == "t2>t3"
