@@ -9129,6 +9129,99 @@ def q_corpus_datacard(spark, sf_dir):
     )
 
 
+@_q(
+    "documents_corpus_build_v4",
+    rf"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    bgx AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM w),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM bgx),
+    uni AS (SELECT wd, count(*) AS c1
+            FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY wd),
+    v AS (SELECT count(*) AS _v FROM uni),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    probs AS (SELECT c.w1, c.w2,
+                     (CAST(c.c12 + 1 AS HUGEINT) * 1000000)
+                       // (u.c1 + 1 * v._v) AS p_scaled
+              FROM c12 c JOIN uni u ON u.wd = c.w1 CROSS JOIN v),
+    dbg AS (SELECT doc_id, w1, w2, count(*) AS n_occ
+            FROM bg GROUP BY doc_id, w1, w2),
+    lms AS (SELECT doc_id, sum(n_occ) AS n_bigrams,
+                   sum(n_occ * p_scaled) AS sum_p
+            FROM dbg JOIN probs USING (w1, w2) GROUP BY doc_id),
+    lm AS (SELECT d.doc_id, d.source,
+                  CASE WHEN s.n_bigrams > 0
+                       THEN CAST(s.sum_p // s.n_bigrams AS BIGINT) END
+                      AS lm_score
+           FROM documents d LEFT JOIN lms s USING (doc_id)),
+    g AS (SELECT doc_id, source, lm_score,
+                 row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY (lm_score IS NULL), lm_score DESC, doc_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM lm),
+    k1 AS (SELECT doc_id, source, lm_score
+           FROM g WHERE rn <= ceil(n * 0.7)),
+    t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512
+                     AS feature_id,
+                 count(*) AS n
+          FROM t GROUP BY doc_id, feature_id),
+    wt AS (SELECT i AS feature_id,
+                  (i * 2654435761) % 2001 - 1000 AS weight_milli
+           FROM generate_series(0, 511) AS gs(i)),
+    cs AS (SELECT doc_id, sum(n * coalesce(weight_milli, 0)) AS score
+           FROM f LEFT JOIN wt USING (feature_id) GROUP BY doc_id)
+    SELECT k1.doc_id, k1.source, k1.lm_score,
+           CAST(cs.score AS BIGINT) AS clf_milli
+    FROM k1 JOIN cs USING (doc_id)
+    WHERE cs.score >= 0
+    """,
+)
+def q_documents_corpus_build_v4(spark, sf_dir):
+    # END-TO-END corpus build from the round-9 quality stack, one lazy
+    # plan: (1) corpus-trained bigram-LM fluency scoring, (2) per-source
+    # calibrated gate keeping each source's top 70% by fluency (global
+    # cutoffs silently drop whole sources), (3) fastText-style hashed
+    # linear classifier gate (score >= 0) on the survivors. The oracle
+    # mirrors every stage's construction — LM probabilities, rank cut,
+    # hashed features — so the whole funnel is value-checked, not just
+    # its row count. Successor to documents_corpus_build_v3 (blocklist ->
+    # boilerplate -> temperature); the two recipes compose end to end.
+    from real_estate_project1_etl_spark.operators.corpus import (
+        bigram_lm_scores,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        calibrated_quality_gate,
+        hashed_linear_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_scores(docs).select("doc_id", "lm_score")
+    scored = docs.select("doc_id", "source").join(lm, "doc_id")
+    kept = calibrated_quality_gate(
+        scored, "lm_score", ["source"], 0.7, ["doc_id"]
+    )
+    weights = spark.range(512).select(
+        F.col("id").alias("feature_id"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias(
+            "weight_milli"
+        ),
+    )
+    clf = hashed_linear_classifier(
+        docs, weights, dim=512, threshold_milli=0
+    )
+    return kept.join(
+        clf.filter("kept").select(
+            "doc_id", F.col("score_milli").alias("clf_milli")
+        ),
+        "doc_id",
+    ).select("doc_id", "source", "lm_score", "clf_milli")
+
+
 _EMAIL_RX_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
