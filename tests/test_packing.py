@@ -386,18 +386,26 @@ def test_packed_stream_matches_python_model_across_batch_splits(
                 offsets[shard] = off + toks
 
     src = str(tmp_path / "pkm_src")
+    # one file per arrival batch; maxFilesPerTrigger makes each file its
+    # own micro-batch below.  The arrival ORDER is pinned by forcing
+    # distinct mtimes onto the file each write just created — identified
+    # by set difference, NOT by sorted()[-1]: part filenames carry UUIDs,
+    # so the lexicographically-last file is not necessarily the newest
+    # (that was a ~1-in-4 flake scrambling micro-batch order vs the model)
+    import os as _os
+
+    seen: set[str] = set()
     for i, batch in enumerate(batches):
         spark.createDataFrame(
             batch, "doc_id long, n_tokens long"
         ).coalesce(1).write.mode("append").parquet(src)
-        # one file per arrival batch; maxFilesPerTrigger makes each file
-        # its own micro-batch below
-        import os as _os, time as _time
-        f = sorted(
-            _os.path.join(src, n) for n in _os.listdir(src)
-            if n.endswith(".parquet")
-        )
-        _os.utime(f[-1], (1000 + i, 1000 + i))
+        files = {
+            n for n in _os.listdir(src) if n.endswith(".parquet")
+        }
+        new = files - seen
+        assert len(new) == 1, new
+        _os.utime(_os.path.join(src, new.pop()), (1000 + i, 1000 + i))
+        seen = files
 
     stream = (
         spark.readStream.schema("doc_id long, n_tokens long")
