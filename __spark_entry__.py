@@ -9201,7 +9201,16 @@ def q_documents_corpus_build_v4(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     lm = bigram_lm_scores(docs).select("doc_id", "lm_score")
-    scored = docs.select("doc_id", "source").join(lm, "doc_id")
+    # materialize the (doc_id, source, lm_score) table once: it is
+    # corpus-rows-sized but 3 columns, and BOTH gate windows plus the
+    # final join consume it — without the cut, the planner broadcast-
+    # builds the per-doc bigram stream under the window subtree and
+    # re-executes the LM explode pipeline per consumer (measured 9.9 s
+    # vs 1.4 s at sf0.1; same multi-consumer-survivors pattern as
+    # documents_curation_v2 / url_canonical_dedup)
+    scored = (
+        docs.select("doc_id", "source").join(lm, "doc_id").localCheckpoint()
+    )
     kept = calibrated_quality_gate(
         scored, "lm_score", ["source"], 0.7, ["doc_id"]
     )

@@ -104,6 +104,9 @@ HEADLINE = [
     "pii_pseudonymize",
     "snapshot_recrawl_diff",
     "quality_rrf_ensemble",
+    "containment_quote_pairs",
+    "next_event_training_pairs",
+    "documents_corpus_build_v4",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -149,6 +152,9 @@ COST = {
     "pii_pseudonymize": "pure scan-stage split/stitch rewrite; zero shuffle",
     "snapshot_recrawl_diff": "2 digest scans + 1 full-outer id shuffle; text never moves",
     "quality_rrf_ensemble": "2 range-partition rank shuffles (assign_global_ids) + id joins; no single-partition window",
+    "containment_quote_pairs": "shingle hash + df order + one-sided prefix join + candidate-only verify (PPJoin-adapted)",
+    "next_event_training_pairs": "1 exchange on user key serves gap/session/step/context windows; bounded context arrays",
+    "documents_corpus_build_v4": "LM count aggs + vocab prob join + per-source WindowGroupLimit cut + hashed-feature agg",
     "incremental_dedup_docs": "batch signatures + banding joins vs base; O(batch+collisions), corpus side is banding keys only; r5: tuner banding b=16/r=2 at t=0.4 grows candidates vs r4's b=8",
     "url_canonical_dedup": "scan-stage regex/HOF canonicalization + 1 groupBy exchange on the canonical key",
     "url_domain_psl": "in-row candidate suffixes + broadcast-hash PSL rule join on the distinct-host set only",

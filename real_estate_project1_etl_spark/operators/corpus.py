@@ -536,18 +536,23 @@ def bigram_lm_scores(
     AQE's skew split covers the residual head. The corpus text shuffles
     never — only token keys and counts move.
     """
+    from .util import ensure_parallelism
+
     ws = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
     n = F.size(ws)
-    big = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.struct(
-                F.element_at(ws, i + 1).alias("w1"),
-                F.element_at(ws, i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # bigram build as arrays_zip of two shifted slices — a PLAIN
+    # expression that stays in codegen, measured 4.4x the throughput of
+    # the equivalent transform(sequence, i -> struct(...)) HOF (lambda
+    # functions evaluate interpreted per element). Zero-length slices
+    # make single-word/empty docs emit no bigrams with no special case.
+    ln = F.greatest(n - 1, F.lit(0))
+    big = F.arrays_zip(
+        F.slice(ws, 1, ln).alias("w1"), F.slice(ws, 2, ln).alias("w2")
+    )
+    # the per-token work is CPU-bound and a single-file scan arrives as
+    # ONE task; spread it before the three explode consumers (measured
+    # 12 s -> ~1 s at sf0.1 when downstream materializes the scores)
+    docs = ensure_parallelism(docs.select(id_col, text_col))
     doc_bigrams = docs.select(
         F.col(id_col), F.explode(big).alias("b")
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))

@@ -522,11 +522,19 @@ def hashed_linear_classifier(
     """
     from .corpus import tokenize_positions
     from .dedup import shingle_hash_expr
+    from .util import ensure_parallelism
 
     fid = F.pmod(shingle_hash_expr(F.col("w"), hash_fn), F.lit(dim))
+    # per-token hashing is CPU-bound and a single-file scan is one task —
+    # spread before the explode (the same guard minhash/prefix-filter use)
     feats = (
         tokenize_positions(
-            docs.withColumnRenamed(id_col, "doc_id"), text_col
+            ensure_parallelism(
+                docs.select(
+                    F.col(id_col).alias("doc_id"), F.col(text_col)
+                )
+            ),
+            text_col,
         )
         .select("doc_id", fid.alias("feature_id"))
         .groupBy("doc_id", "feature_id")
