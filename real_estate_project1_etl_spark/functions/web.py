@@ -450,7 +450,7 @@ def registrable_domain_psl(
             "rename it; this name is reserved for the internal join key"
         )
     if mapping is None:
-        mapping = build_psl_host_mapping(df, host_col, psl_rules)
+        mapping = build_psl_host_mapping(df, host_col, psl_rules, out_col=out_col)
     return df.join(
         mapping.withColumnRenamed("_h", "__psl_h"),
         _F.lower(_F.col(host_col)) == _F.col("__psl_h"),

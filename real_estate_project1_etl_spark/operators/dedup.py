@@ -674,6 +674,12 @@ def prefix_filter_jaccard_pairs(
     hash; verification joins the candidate ids back to the stored shingle
     arrays. Every join is an equi-join; nothing is all-pairs.
     """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            "prefix_filter_jaccard_pairs: threshold must be in (0, 1], got "
+            f"{threshold!r} (the prefix length n - ceil(t*n) + 1 is only "
+            "meaningful for a valid Jaccard threshold)"
+        )
     sets = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
@@ -685,48 +691,52 @@ def prefix_filter_jaccard_pairs(
     )
     # hashing is the CPU-dominant step and `sets` feeds three consumers
     # (df counts, ordering, verify) — materialize once, like the minhash
-    # signature persist; at cluster scale swap for a signature table
+    # signature persist; at cluster scale swap for a signature table.
+    # try/finally so a failed candidate/verify job cannot leak the cache
+    # in a long-lived session.
     sets = sets.withColumn("n", F.size("hs")).persist()
-    toks = sets.select("_id", F.explode("hs").alias("h"))
-    dfc = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
-    # per-doc shingles in global rare-first order, encoded as [df, hash]
-    # pairs so lexicographic array ordering IS the global order
-    ordered = (
-        toks.join(dfc, "h")
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.array("dfreq", "h"))).alias("srt"))
-    )
-    p = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")).cast("int") + 1
-    pref = (
-        ordered.withColumn("n", F.size("srt"))
-        .select("_id", "n", F.explode(F.slice("srt", F.lit(1), p)).alias("pair"))
-        .select("_id", "n", F.element_at("pair", 2).alias("h"))
-    )
-    t = F.lit(float(threshold))
-    a = pref.select(F.col("h"), F.col("_id").alias("id_a"), F.col("n").alias("na"))
-    b = pref.select(F.col("h"), F.col("_id").alias("id_b"), F.col("n").alias("nb"))
-    cands = (
-        a.join(b, "h")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("nb") >= t * F.col("na"))
-            & (F.col("na") >= t * F.col("nb"))
+    try:
+        toks = sets.select("_id", F.explode("hs").alias("h"))
+        dfc = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+        # per-doc shingles in global rare-first order, encoded as [df, hash]
+        # pairs so lexicographic array ordering IS the global order
+        ordered = (
+            toks.join(dfc, "h")
+            .groupBy("_id")
+            .agg(F.array_sort(F.collect_list(F.array("dfreq", "h"))).alias("srt"))
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sets.select(F.col("_id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na"))
-    sb = sets.select(F.col("_id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb"))
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
-    out = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= t)
-        .select("id_a", "id_b", "jaccard")
-    ).localCheckpoint(eager=True)
-    sets.unpersist()
+        p = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")).cast("int") + 1
+        pref = (
+            ordered.withColumn("n", F.size("srt"))
+            .select("_id", "n", F.explode(F.slice("srt", F.lit(1), p)).alias("pair"))
+            .select("_id", "n", F.element_at("pair", 2).alias("h"))
+        )
+        t = F.lit(float(threshold))
+        a = pref.select(F.col("h"), F.col("_id").alias("id_a"), F.col("n").alias("na"))
+        b = pref.select(F.col("h"), F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+        cands = (
+            a.join(b, "h")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("nb") >= t * F.col("na"))
+                & (F.col("na") >= t * F.col("nb"))
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = sets.select(F.col("_id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na"))
+        sb = sets.select(F.col("_id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb"))
+        inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        out = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= t)
+            .select("id_a", "id_b", "jaccard")
+        ).localCheckpoint(eager=True)
+    finally:
+        sets.unpersist()
     return out
 
 
@@ -763,6 +773,14 @@ def containment_pairs(
     pairs with ``contained_id != container_id``; containment is an
     int/int double division (cross-engine exact).
     """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            "containment_pairs: threshold must be in (0, 1], got "
+            f"{threshold!r} — a threshold > 1 makes the prefix length "
+            "n - ceil(t*n) + 1 negative (opaque F.slice runtime error), "
+            "<= 0 degenerates the verify filter (guard style matches "
+            "winsorize_per_group)"
+        )
     sets = ensure_parallelism(
         df.select(F.col(id_col), F.col(text_col))
     ).select(
@@ -774,55 +792,59 @@ def containment_pairs(
             )
         ).alias("hs"),
     )
+    # try/finally: release the shingle cache even if a downstream job
+    # fails — repeated calls in a long-lived session must not accrete
     sets = sets.withColumn("n", F.size("hs")).persist()
-    toks = sets.select("_id", F.explode("hs").alias("h"))
-    dfc = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
-    ordered = (
-        toks.join(dfc, "h")
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.array("dfreq", "h"))).alias("srt"))
-    )
-    t = F.lit(float(threshold))
-    p = F.col("n") - F.ceil(t * F.col("n")).cast("int") + 1
-    pref = (
-        ordered.withColumn("n", F.size("srt"))
-        .select("_id", "n", F.explode(F.slice("srt", F.lit(1), p)).alias("pair"))
-        .select("_id", "n", F.element_at("pair", 2).alias("h"))
-    )
-    a = pref.select(
-        F.col("h"), F.col("_id").alias("contained_id"), F.col("n").alias("na")
-    )
-    bfull = sets.select(
-        F.col("_id").alias("container_id"),
-        F.col("n").alias("nb"),
-        F.explode("hs").alias("h"),
-    )
-    cands = (
-        a.join(bfull, "h")
-        .filter(
-            (F.col("contained_id") != F.col("container_id"))
-            & (F.col("nb") >= F.ceil(t * F.col("na")))
+    try:
+        toks = sets.select("_id", F.explode("hs").alias("h"))
+        dfc = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+        ordered = (
+            toks.join(dfc, "h")
+            .groupBy("_id")
+            .agg(F.array_sort(F.collect_list(F.array("dfreq", "h"))).alias("srt"))
         )
-        .select("contained_id", "container_id")
-        .distinct()
-    )
-    sa = sets.select(
-        F.col("_id").alias("contained_id"),
-        F.col("hs").alias("hs_a"),
-        F.col("n").alias("na"),
-    )
-    sb = sets.select(
-        F.col("_id").alias("container_id"), F.col("hs").alias("hs_b")
-    )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    out = (
-        cands.join(sa, "contained_id")
-        .join(sb, "container_id")
-        .withColumn("containment", inter / F.col("na"))
-        .filter(F.col("containment") >= t)
-        .select("contained_id", "container_id", "containment")
-    ).localCheckpoint(eager=True)
-    sets.unpersist()
+        t = F.lit(float(threshold))
+        p = F.col("n") - F.ceil(t * F.col("n")).cast("int") + 1
+        pref = (
+            ordered.withColumn("n", F.size("srt"))
+            .select("_id", "n", F.explode(F.slice("srt", F.lit(1), p)).alias("pair"))
+            .select("_id", "n", F.element_at("pair", 2).alias("h"))
+        )
+        a = pref.select(
+            F.col("h"), F.col("_id").alias("contained_id"), F.col("n").alias("na")
+        )
+        bfull = sets.select(
+            F.col("_id").alias("container_id"),
+            F.col("n").alias("nb"),
+            F.explode("hs").alias("h"),
+        )
+        cands = (
+            a.join(bfull, "h")
+            .filter(
+                (F.col("contained_id") != F.col("container_id"))
+                & (F.col("nb") >= F.ceil(t * F.col("na")))
+            )
+            .select("contained_id", "container_id")
+            .distinct()
+        )
+        sa = sets.select(
+            F.col("_id").alias("contained_id"),
+            F.col("hs").alias("hs_a"),
+            F.col("n").alias("na"),
+        )
+        sb = sets.select(
+            F.col("_id").alias("container_id"), F.col("hs").alias("hs_b")
+        )
+        inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        out = (
+            cands.join(sa, "contained_id")
+            .join(sb, "container_id")
+            .withColumn("containment", inter / F.col("na"))
+            .filter(F.col("containment") >= t)
+            .select("contained_id", "container_id", "containment")
+        ).localCheckpoint(eager=True)
+    finally:
+        sets.unpersist()
     return out
 
 

@@ -80,6 +80,15 @@ def hard_negative_mining(
 
     Returns ``(query_id, neighbor_id, rank, sim)``.
 
+    NULL-label contract: rows with a NULL ``label_col`` — on either side
+    — take no part in mining (an unlabeled document can be neither a
+    confirmed wrong-label negative nor an anchor with a known positive
+    class). They are dropped EXPLICITLY below rather than left to the
+    NULL-rejecting ``!=`` join predicate, so the contract is visible in
+    the plan as a Filter, not an accident of three-valued logic. Label
+    your corpus (or assign a sentinel class) if unlabeled rows should be
+    mined.
+
     Scale shape: the anchor batch broadcasts (mining runs per training
     batch, anchors << corpus); scoring is scan-stage; the per-anchor
     top-k is a Filter directly over row_number, so it compiles to
@@ -88,13 +97,13 @@ def hard_negative_mining(
     with :func:`lsh_topk`/:func:`ivf_topk` first and rescore candidates
     here.
     """
-    q = queries.select(
+    q = queries.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("q_label"),
         F.col(vec_col).alias("q_vec"),
     )
     c = ensure_parallelism(
-        corpus.select(
+        corpus.filter(F.col(label_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(label_col).alias("n_label"),
             F.col(vec_col).alias("c_vec"),

@@ -100,9 +100,11 @@ def object_store_conf(
         "spark.hadoop.fs.s3a.readahead.range": str(1024 * 1024),
         "spark.hadoop.fs.s3a.fast.upload": "true",
         # directory listings are the slow/inconsistent path on object
-        # stores — raise the page size and let the manifest-pointer
-        # versioned sink (sinks/versioned.py) avoid LIST entirely
-        "spark.hadoop.fs.s3a.paging.maximum": "1000",
+        # stores — keep the page size at the s3a maximum (5000, also the
+        # Hadoop default; lower values multiply LIST round-trips) and let
+        # the manifest-pointer versioned sink (sinks/versioned.py) avoid
+        # LIST entirely
+        "spark.hadoop.fs.s3a.paging.maximum": "5000",
     }
 
 

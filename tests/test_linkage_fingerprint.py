@@ -296,3 +296,27 @@ def test_containment_pairs_equals_bruteforce(spark):
     assert got == want
     assert (0, 1) in got and (2, 0) in got and (2, 1) in got
     assert (1, 0) not in got      # expansion is NOT contained in base
+
+
+def test_pair_join_threshold_guards(spark):
+    # ADVICE round 9: threshold > 1 made the prefix length negative (an
+    # opaque F.slice runtime error mid-job); <= 0 degenerates the verify
+    # filter. Both pair joins must reject out-of-range thresholds at
+    # build time, matching winsorize_per_group's guard style.
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f")], "doc_id long, text string"
+    )
+    for bad in (0.0, -0.5, 1.5, 2.0):
+        with pytest.raises(ValueError, match="threshold"):
+            containment_pairs(docs, threshold=bad)
+        with pytest.raises(ValueError, match="threshold"):
+            prefix_filter_jaccard_pairs(docs, threshold=bad)
+    # boundary 1.0 is valid (exact-duplicate containment)
+    assert containment_pairs(docs, threshold=1.0).count() == 0

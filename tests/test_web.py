@@ -187,6 +187,39 @@ def test_registrable_domain_psl_plan_shape(spark):
     assert "BatchEvalPython" not in plan  # pure expressions + joins, no UDF
 
 
+def test_registrable_domain_psl_custom_out_col(spark):
+    # ADVICE round 9: out_col was dropped when the internal mapping was
+    # built — a caller passing out_col='dom' silently got 'domain', and a
+    # pre-existing 'domain' column slipped past the collision guard into
+    # an ambiguous join. Pin the passthrough for both the internal-build
+    # and explicit-mapping paths.
+    from real_estate_project1_etl_spark.functions.web import (
+        build_psl_host_mapping,
+        registrable_domain_psl,
+    )
+
+    df = spark.createDataFrame(
+        [("www.example.com", "preexisting"), ("news.bbc.co.uk", "x")],
+        "h string, domain string",  # 'domain' already taken — default out_col must not be usable
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="already has a column"):
+        registrable_domain_psl(df, "h", _PSL_FIXTURE)  # default collides
+
+    out = registrable_domain_psl(df, "h", _PSL_FIXTURE, out_col="dom")
+    assert "dom" in out.columns and out.columns.count("domain") == 1
+    got = {r.h: r.dom for r in out.collect()}
+    assert got == {"www.example.com": "example.com", "news.bbc.co.uk": "bbc.co.uk"}
+    # the pre-existing column survives untouched
+    assert {r.domain for r in out.collect()} == {"preexisting", "x"}
+
+    # explicit pre-built mapping with matching out_col
+    mapping = build_psl_host_mapping(df, "h", _PSL_FIXTURE, out_col="dom")
+    out2 = registrable_domain_psl(df, "h", _PSL_FIXTURE, out_col="dom", mapping=mapping)
+    assert {r.h: r.dom for r in out2.collect()} == got
+
+
 def test_schemeless_urls_pass_through_unchanged(spark):
     # ADVICE round 2: without the scheme guard, '/x?id=1' and '/y?id=1'
     # both canonicalized to '://?id=1' — unrelated documents merged into
