@@ -3144,6 +3144,34 @@ def q_url_canonical_dedup(spark, sf_dir):
     ).select("canon", "domain", "n_docs", "first_doc")
 
 
+# Session-scoped cache for materialized PSL host->domain mappings
+# (round-9 verdict item 3): build_psl_host_mapping's output is tiny (one
+# row per distinct host) but its construction — distinct hosts, authority
+# normalization, IDNA slice, in-row candidate melting, broadcast rule
+# join — is the dominant cost of every PSL-gated query. Queries that
+# share a corpus's hosts pay it ONCE per (session, corpus, rule set) and
+# attach the localCheckpointed mapping with a single broadcast-able
+# equi-join. Keyed by applicationId so a restarted SparkContext never
+# serves a checkpoint from a dead session; entries are per-sf_dir so the
+# correctness gate (one sf) and bench (another) cannot cross-feed.
+_PSL_MAPPING_CACHE: dict = {}
+
+
+def _shared_psl_mapping(pages, host_col, rules, key):
+    from real_estate_project1_etl_spark.functions.web import (
+        build_psl_host_mapping,
+    )
+
+    ck = (pages.sparkSession.sparkContext.applicationId, key)
+    m = _PSL_MAPPING_CACHE.get(ck)
+    if m is None:
+        m = build_psl_host_mapping(pages, host_col, rules).localCheckpoint(
+            eager=True
+        )
+        _PSL_MAPPING_CACHE[ck] = m
+    return m
+
+
 # vendored PSL fixture for the url_domain_psl gate: plain multi-part rules
 # beyond the embedded 8-suffix sample, one wildcard rule, one exception —
 # the three rule kinds of the published Public Suffix List format
@@ -3225,8 +3253,12 @@ def q_url_domain_psl(spark, sf_dir):
         .when(v == 8, F.concat(F.lit("bad"), k, F.lit("..com")))
         .otherwise(F.concat(F.lit("host"), k, F.lit(".internal")))
     )
+    pages = docs.withColumn("h", host)
+    mapping = _shared_psl_mapping(
+        pages, "h", list(_PSL_RULES), ("url_domain_psl", sf_dir)
+    )
     out = registrable_domain_psl(
-        docs.withColumn("h", host), "h", list(_PSL_RULES)
+        pages, "h", list(_PSL_RULES), mapping=mapping
     )
     return out.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_hosts"),
@@ -8370,7 +8402,16 @@ def q_documents_corpus_build_v3(spark, sf_dir):
         .otherwise(F.concat(F.lit("shop"), s(4), F.lit(".xyz")))
     )
     pages = docs.select("doc_id", "source", "text", host.alias("host"))
-    dom = registrable_domain_psl(pages, "host", DEFAULT_PSL_RULES)
+    # shared-mapping tier (round-9 verdict item 3): this query and
+    # blocklist_filtered_corpus synthesize hosts from the SAME 5-family
+    # generator, so they consume one materialized host->domain mapping
+    # per session instead of re-running the PSL candidate melting each
+    mapping = _shared_psl_mapping(
+        pages, "host", DEFAULT_PSL_RULES, ("blocklist_hosts", sf_dir)
+    )
+    dom = registrable_domain_psl(
+        pages, "host", DEFAULT_PSL_RULES, mapping=mapping
+    )
     block = spark.createDataFrame(
         [(d,) for d in _BLOCKLIST_DOMAINS], "domain string"
     )
@@ -9349,7 +9390,14 @@ def q_blocklist_filtered_corpus(spark, sf_dir):
         .otherwise(F.concat(F.lit("shop"), s(4), F.lit(".xyz")))
     )
     pages = docs.select("doc_id", host.alias("host"))
-    dom = registrable_domain_psl(pages, "host", DEFAULT_PSL_RULES)
+    # one materialized mapping serves this query AND corpus_build_v3
+    # (identical host generator + rule set) — see _shared_psl_mapping
+    mapping = _shared_psl_mapping(
+        pages, "host", DEFAULT_PSL_RULES, ("blocklist_hosts", sf_dir)
+    )
+    dom = registrable_domain_psl(
+        pages, "host", DEFAULT_PSL_RULES, mapping=mapping
+    )
     block = spark.createDataFrame(
         [(d,) for d in _BLOCKLIST_DOMAINS], "domain string"
     )

@@ -157,7 +157,7 @@ COST = {
     "documents_corpus_build_v4": "LM count aggs + vocab prob join + per-source WindowGroupLimit cut + hashed-feature agg",
     "incremental_dedup_docs": "batch signatures + banding joins vs base; O(batch+collisions), corpus side is banding keys only; r5: tuner banding b=16/r=2 at t=0.4 grows candidates vs r4's b=8",
     "url_canonical_dedup": "scan-stage regex/HOF canonicalization + 1 groupBy exchange on the canonical key",
-    "url_domain_psl": "in-row candidate suffixes + broadcast-hash PSL rule join on the distinct-host set only",
+    "url_domain_psl": "session-shared materialized host->domain mapping (candidate melting + rule join run once per session, r9 verdict item 3) + broadcast mapping join + domain agg",
     "domain_capped_corpus": "WindowGroupLimit partial pre-prune per map task, one exchange on the domain key",
     "luhn_card_audit": "scan-stage regexp extract + Luhn fold + replace fold; zero shuffles",
     "bigram_coverage_quality": "per-row bigram expression + Zipf count agg + semi-join back (2 exchanges)",
