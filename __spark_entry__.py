@@ -8825,6 +8825,71 @@ def q_bpe_token_stats_table(spark, sf_dir):
     )
 
 
+_BPE_TRAIN_N = 6  # fixed small merge count so the oracle unrolls cheaply
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
+    # DuckDB mirror of textstats.bpe_train_merges: the iterative
+    # pair-count -> argmax-pair -> merge loop unrolled as chained CTEs,
+    # one (pairs, best, vocab) triple per iteration. Pair extraction is
+    # the same overlapping adjacent-pair definition (generate_series over
+    # list positions); the argmax uses the same deterministic tiebreak
+    # (count DESC, left ASC, right ASC); the merge is the same flank-
+    # encoded leftmost non-overlapping replace. Early stop falls out
+    # naturally: an empty best_i empties vocab_i via the cross join, so
+    # later iterations contribute no rows.
+    its = []
+    for i in range(1, n_merges + 1):
+        its.append(f"""
+    p{i} AS (
+        SELECT toks[gi] AS l, toks[gi + 1] AS r, sum(n) AS cnt
+        FROM (SELECT string_split(trim(enc), '  ') AS toks, n FROM v{i - 1}),
+             unnest(generate_series(1, len(toks) - 1)) AS g(gi)
+        GROUP BY 1, 2),
+    b{i} AS (SELECT l, r, cnt FROM p{i} WHERE cnt >= 2
+             ORDER BY cnt DESC, l, r LIMIT 1),
+    v{i} AS (SELECT replace(enc, ' ' || b.l || '  ' || b.r || ' ',
+                            ' ' || b.l || b.r || ' ') AS enc, n
+             FROM v{i - 1}, b{i} b)""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS INTEGER) AS rank, l AS \"left\","
+        f" r AS \"right\", CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return rf"""
+    WITH w AS (
+        SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents),
+    words AS (
+        SELECT wd, count(*) AS n
+        FROM (SELECT unnest(string_split(t, ' ')) AS wd FROM w)
+        WHERE wd <> '' GROUP BY wd),
+    v0 AS (
+        SELECT ' ' || array_to_string(string_split(wd, ''), '  ') || ' '
+                   AS enc, n
+        FROM words),{",".join(its)}
+    SELECT * FROM ({unions})
+    """
+
+
+@_q("bpe_trained_merges", _bpe_train_oracle())
+def q_bpe_trained_merges(spark, sf_dir):
+    # IN-ENGINE BPE tokenizer training (round-9 verdict item 1): learn a
+    # merge table from the corpus via the Sennrich pair-count -> top-pair
+    # -> merge loop, each iteration one VOCABULARY-sized job (the
+    # Zipf-collapse discipline of bpe_token_frequencies applied to
+    # training). The oracle unrolls the same iterations as DuckDB CTEs —
+    # pair counts, deterministic argmax, flank-encoded merge — so the
+    # full training trajectory is value-checked, not just the final
+    # table's shape. Returns (rank, left, right, pair_count).
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, _BPE_TRAIN_N)
+
+
 @_q(
     "bigram_lm_fluency",
     rf"""

@@ -261,6 +261,127 @@ def test_bpe_segment_matches_reference_encoder(spark):
         assert got[i] == want, (t, got[i], want)
 
 
+def _ref_bpe_train(texts, n_merges, min_frequency=2):
+    # faithful python model of the published BPE trainer (Sennrich et al.
+    # 2016): word-frequency vocab, overlapping adjacent-pair counts,
+    # most-frequent pair with (left, right) lexicographic tiebreak,
+    # leftmost-greedy non-overlapping merge application.
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.lower().split() if w)
+    vocab = {tuple(w): c for w, c in wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < min_frequency:
+            break
+        merges.append((l, r, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_merges_matches_reference_trainer(spark):
+    # the distributed trainer must reproduce the python reference trainer
+    # EXACTLY — same pairs, same order, same counts — on a corpus with
+    # repeated words, overlapping runs (aaaa), and ties.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_segment_table,
+        bpe_train_merges,
+    )
+
+    texts = [
+        "the theme there then the brother",
+        "low lower lowest newest newer new",
+        "aaaa aa aaa banana bandana",
+        "the low newer theme  the",  # double space: collapse guard
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n_merges in (1, 5, 12):
+        want = _ref_bpe_train(texts, n_merges)
+        got = [
+            (r["left"], r["right"], r["pair_count"])
+            for r in bpe_train_merges(docs, n_merges, checkpoint_every=3)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, (n_merges, got, want)
+
+    # the trained table is topologically ordered by construction, so the
+    # single-pass apply fold segments with it exactly: round-trip the
+    # table through bpe_segment_table and check against the rescan
+    # reference encoder from test_bpe_segment_matches_reference_encoder
+    table = bpe_train_merges(docs, 12)
+    merges = [
+        (r["left"], r["right"]) for r in table.orderBy("rank").collect()
+    ]
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def ref_encode(word):
+        seq = list(word)
+        while True:
+            best, bi = None, None
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                return seq
+            seq = seq[:bi] + [seq[bi] + seq[bi + 1]] + seq[bi + 2:]
+
+    seg = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment_table(docs, table).collect()
+    }
+    for i, t in enumerate(texts):
+        want_toks = [tok for w in t.split() for tok in ref_encode(w)]
+        assert seg[i] == want_toks, (t, seg[i], want_toks)
+
+
+def test_bpe_train_merges_stops_early_and_validates(spark):
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd")], "doc_id long, text string"
+    )
+    # only (a,b) reaches min_frequency=2; (c,d) has count 1 -> early stop
+    rows = bpe_train_merges(docs, 10).collect()
+    assert [(r["left"], r["right"], r["pair_count"]) for r in rows] == [
+        ("a", "b", 2)
+    ]
+    # min_frequency=1 keeps merging until pairs run out entirely
+    rows = bpe_train_merges(docs, 10, min_frequency=1).collect()
+    # (a,b) then (c,d); afterwards every word is one symbol -> no pairs
+    assert [(r["left"], r["right"]) for r in rows] == [("a", "b"), ("c", "d")]
+    with _pytest.raises(ValueError):
+        bpe_train_merges(docs, 0)
+    with _pytest.raises(ValueError):
+        bpe_train_merges(docs, 5, min_frequency=0)
+
+
 def test_bpe_segment_rejects_space_in_merge(spark):
     import pytest as _pytest
 
