@@ -565,6 +565,135 @@ def hashed_linear_classifier(
     )
 
 
+def train_hashed_classifier(
+    docs: DataFrame,
+    dim: int,
+    n_iters: int = 8,
+    lr_num: int = 1,
+    lr_den: int = 64,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """TRAIN the weights :func:`hashed_linear_classifier` scores with —
+    full-batch gradient descent on a logistic model over the SAME hashed
+    bag-of-words features, the in-engine counterpart of fitting a
+    DCLM-style fastText quality filter on labeled seed sets. One
+    gradient-sum aggregation per iteration; everything else is the
+    feature plumbing inference already uses.
+
+    Model, in the module's scaled-integer convention (exact arithmetic
+    end to end, so an oracle can mirror the full training trajectory):
+
+    - features ``x_ij`` = token count of doc ``i`` in hash bucket ``j``
+      (``h(tok) mod dim``, same ``hash_fn`` contract as inference);
+    - margin ``m_i = sum_j x_ij * w_j`` in milli-units (bigint, exact);
+    - predicted probability via the HARD sigmoid ``p = clip(1/2 + m/4,
+      0, 1)`` — the standard piecewise-linear logistic link (used
+      wherever transcendental exactness is unavailable); in millis:
+      ``p_milli = least(greatest(500 + m div 4, 0), 1000)``. Both
+      engines truncate integer division toward zero (verified for
+      negative operands), so ``p_milli`` is cross-engine exact.
+    - residual ``r_i = p_milli - 1000*y_i`` (labels 0/1);
+    - gradient ``g_j = sum_i r_i * x_ij`` (one feature-keyed
+      aggregation — THE per-iteration cost);
+    - update ``w_j -= (g_j * lr_num) div lr_den`` (caller-tuned
+      integer learning rate; no bias term — inference's
+      ``threshold_milli`` absorbs the intercept).
+
+    Labels: ``label_col`` must be 0/1 (seed-set membership). NULL-label
+    rows are EXCLUDED from training (same explicit contract as
+    hard_negative_mining) — score them at inference instead.
+
+    Returns the ``(feature_id, weight_milli)`` table
+    :func:`hashed_linear_classifier` takes, with all ``dim`` rows
+    (untouched buckets carry weight 0).
+
+    Scale shape: the corpus is tokenized+hashed ONCE into the
+    Zipf-collapsed ``(doc, feature, n)`` table and localCheckpointed —
+    iterations never rescan text. Each iteration is two equi-keyed
+    aggregations (margins on the doc key, gradients on the feature key)
+    plus a broadcast of the dim-sized weight table; weights re-
+    checkpoint every iteration (dim rows — trivial), capping lineage the
+    pagerank_fixed way. Per-iteration cost scales with the collapsed
+    feature table, not corpus bytes, and nothing is collected to the
+    driver.
+    """
+    from .corpus import tokenize_positions
+    from .dedup import shingle_hash_expr
+    from .util import ensure_parallelism
+
+    if dim < 1:
+        raise ValueError(f"train_hashed_classifier: dim must be >= 1, got {dim!r}")
+    if n_iters < 1:
+        raise ValueError(
+            f"train_hashed_classifier: n_iters must be >= 1, got {n_iters!r}"
+        )
+    if lr_den < 1 or lr_num < 1:
+        raise ValueError(
+            "train_hashed_classifier: lr_num/lr_den must be positive, got "
+            f"{lr_num!r}/{lr_den!r}"
+        )
+    spark = docs.sparkSession
+    base = ensure_parallelism(
+        docs.filter(F.col(label_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+    )
+    fid = F.pmod(shingle_hash_expr(F.col("w"), hash_fn), F.lit(dim))
+    feats = (
+        tokenize_positions(base.select("doc_id", text_col), text_col)
+        .select("doc_id", fid.alias("feature_id"))
+        .groupBy("doc_id", "feature_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    labels = base.select("doc_id", "_y").localCheckpoint(eager=True)
+    weights = spark.range(dim).select(
+        F.col("id").cast("bigint").alias("feature_id"),
+        F.lit(0).cast("bigint").alias("weight_milli"),
+    )
+    for _ in range(n_iters):
+        margins = (
+            feats.join(F.broadcast(weights), "feature_id")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("n") * F.col("weight_milli")).alias("_m"))
+        )
+        resid = labels.join(margins, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.least(
+                    F.greatest(
+                        F.lit(500) + F.expr("coalesce(_m, 0) div 4"),
+                        F.lit(0),
+                    ),
+                    F.lit(1000),
+                )
+                - F.col("_y") * 1000
+            ).alias("_r"),
+        )
+        grads = (
+            feats.join(resid, "doc_id")
+            .groupBy("feature_id")
+            .agg(F.sum(F.col("_r") * F.col("n")).alias("_g"))
+        )
+        weights = (
+            weights.join(grads, "feature_id", "left")
+            .select(
+                "feature_id",
+                (
+                    F.col("weight_milli")
+                    - F.expr(f"coalesce(_g, 0) * {int(lr_num)} div {int(lr_den)}")
+                ).cast("bigint").alias("weight_milli"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return weights
+
+
 def rrf_ensemble(
     df: DataFrame,
     id_col: str,
