@@ -8891,6 +8891,67 @@ def q_bpe_trained_merges(spark, sf_dir):
 
 
 @_q(
+    "trigram_lm_fluency",
+    rf"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    tgx AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w),
+    tg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+           FROM tgx),
+    bgx AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM w),
+    bg AS (SELECT ws[i] AS b1, ws[i+1] AS b2 FROM bgx),
+    cbt AS (SELECT b1, b2, count(*) AS cb FROM bg GROUP BY b1, b2),
+    c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+             GROUP BY w1, w2, w3 HAVING count(*) >= 2),
+    uni AS (SELECT wd, count(*) AS cu
+            FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY wd),
+    nt AS (SELECT sum(len(ws)) AS n FROM w),
+    dt AS (SELECT doc_id, w1, w2, w3, count(*) AS n_occ FROM tg
+           GROUP BY doc_id, w1, w2, w3),
+    j AS (SELECT dt.doc_id, dt.n_occ,
+                 CASE WHEN t.c123 IS NOT NULL
+                      THEN CAST(t.c123 AS HUGEINT) * 1000000 // b12.cb
+                      WHEN b23.cb23 IS NOT NULL
+                      THEN CAST(2 * b23.cb23 AS HUGEINT) * 1000000
+                           // (5 * u2.cu)
+                      ELSE CAST(4 * u3.cu AS HUGEINT) * 1000000
+                           // (25 * nt.n) END AS p
+          FROM dt
+          LEFT JOIN c123 t USING (w1, w2, w3)
+          LEFT JOIN cbt b12 ON b12.b1 = dt.w1 AND b12.b2 = dt.w2
+          LEFT JOIN (SELECT b1, b2, cb AS cb23 FROM cbt WHERE cb >= 2) b23
+                 ON b23.b1 = dt.w2 AND b23.b2 = dt.w3
+          LEFT JOIN uni u2 ON u2.wd = dt.w2
+          LEFT JOIN uni u3 ON u3.wd = dt.w3
+          CROSS JOIN nt),
+    s AS (SELECT doc_id, sum(n_occ) AS n_trigrams,
+                 sum(n_occ * p) AS sum_p FROM j GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CASE WHEN s.n_trigrams > 0
+                THEN CAST(s.sum_p // s.n_trigrams AS BIGINT) END AS lm3_score
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_trigram_lm_fluency(spark, sf_dir):
+    # trigram STUPID-BACKOFF fluency gate (round-9 verdict item 6 — the
+    # order-3 upgrade of bigram_lm_fluency): pruned trigram model
+    # (count >= 2), 0.4-weighted bigram backoff (count >= 2), unigram
+    # floor at 0.4^2, arithmetic all scaled-integer so the oracle
+    # mirrors every count table and the whole cascade. The case a
+    # bigram gate provably cannot catch (bigram-multiset-preserving
+    # reorders) is pinned in tests/test_corpus_timeseries.py.
+    from real_estate_project1_etl_spark.operators.corpus import (
+        trigram_lm_scores,
+    )
+
+    return trigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "bigram_lm_fluency",
     rf"""
     WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),

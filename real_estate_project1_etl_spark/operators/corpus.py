@@ -600,3 +600,156 @@ def bigram_lm_scores(
         ).alias("lm_score"),
     )
     return out
+
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    min_count3: int = 2,
+    min_count2: int = 2,
+) -> DataFrame:
+    """Trigram STUPID-BACKOFF fluency score per document — the order-3
+    upgrade of :func:`bigram_lm_scores` (round-9 verdict item 6), after
+    the published stupid-backoff scheme (Brants et al., EMNLP'07) with
+    the count cutoffs real KenLM-style gates train with. A trigram gate
+    catches what a bigram gate provably cannot: word orders that
+    PRESERVE the corpus bigram multiset but scramble 3-grams (see the
+    discrimination test — the bigram gate scores such docs identically
+    to fluent ones).
+
+    Model, scaled-integer throughout (exact cross-engine):
+
+    - trigram types with corpus count ``>= min_count3`` are "in the
+      model": ``p = c123 * scale div c12``;
+    - otherwise back off to bigrams with count ``>= min_count2`` at the
+      published backoff weight 0.4 = 2/5:
+      ``p = 2 * c23 * scale div (5 * c2)``;
+    - otherwise the unigram floor at 0.4^2 = 4/25:
+      ``p = 4 * c3 * scale div (25 * N)`` (``w3`` always has corpus
+      count — the model trains on the corpus it scores, so only the
+      CUTOFFS make backoff live, exactly as pruned production LMs).
+
+    Per-document score is the arithmetic mean of the scaled
+    probabilities (``sum div n_trigrams`` — same convention and same
+    rationale as the bigram gate: the monotone keep/drop knob with an
+    exactly-checkable value). Returns ``(id_col, n_trigrams,
+    lm3_score)``; docs with fewer than 3 words have ``n_trigrams = 0``
+    and NULL score.
+
+    Scale shape: trigram extraction is in-row (arrays_zip of three
+    shifted slices — codegen, no interpreted HOF); all count tables are
+    Zipf-collapsed type tables; the doc stream pre-collapses to
+    (doc, trigram-type, n) before joining the vocabulary-sized
+    probability cascade (two left joins + one inner, all equi). Text
+    never shuffles — only n-gram keys and counts move.
+    """
+    from .util import ensure_parallelism
+
+    if min_count3 < 1 or min_count2 < 1:
+        raise ValueError(
+            "trigram_lm_scores: min_count3/min_count2 must be >= 1, got "
+            f"{min_count3!r}/{min_count2!r}"
+        )
+    ws = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    n = F.size(ws)
+    l3 = F.greatest(n - 2, F.lit(0))
+    tri = F.arrays_zip(
+        F.slice(ws, 1, l3).alias("w1"),
+        F.slice(ws, 2, l3).alias("w2"),
+        F.slice(ws, 3, l3).alias("w3"),
+    )
+    l2 = F.greatest(n - 1, F.lit(0))
+    big = F.arrays_zip(
+        F.slice(ws, 1, l2).alias("b1"), F.slice(ws, 2, l2).alias("b2")
+    )
+    docs = ensure_parallelism(docs.select(id_col, text_col))
+    doc_tri = docs.select(F.col(id_col), F.explode(tri).alias("t")).select(
+        id_col,
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+    # corpus count tables (all Zipf-collapsed to n-gram TYPES)
+    c123 = (
+        doc_tri.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .filter(F.col("c123") >= min_count3)
+    )
+    bigrams = docs.select(F.explode(big).alias("b")).select(
+        F.col("b.b1").alias("b1"), F.col("b.b2").alias("b2")
+    )
+    cb = bigrams.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("cb"))
+    # c12: context counts for the trigram numerator (UNPRUNED — the
+    # denominator is the true context frequency, as in the published
+    # scheme); c23: pruned bigram model for the first backoff
+    c12 = cb.select(
+        F.col("b1").alias("w1"), F.col("b2").alias("w2"),
+        F.col("cb").alias("c12"),
+    )
+    c23 = cb.filter(F.col("cb") >= min_count2).select(
+        F.col("b1").alias("w2"), F.col("b2").alias("w3"),
+        F.col("cb").alias("c23"),
+    )
+    uni = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    c2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
+    c3 = uni.select(F.col("w").alias("w3"), F.col("cu").alias("c3"))
+    ntok = docs.select(
+        F.sum(F.size(ws)).cast("bigint").alias("_N")
+    )
+    # per-doc trigram TYPES with multiplicity — the join payload
+    dt = doc_tri.groupBy(id_col, "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    joined = (
+        dt.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, ["w2"], "left")
+        .join(c3, ["w3"], "left")
+        .crossJoin(F.broadcast(ntok))
+    )
+    # decimal(38,0) products + integer div — all operands positive here,
+    # and c12/c2 are never NULL when their numerators hit (the model
+    # trains on the scored corpus), but coalesce keeps the cascade total
+    p = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.expr(
+                f"cast(cast(c123 as decimal(38,0)) * {int(scale)}"
+                " div c12 as bigint)"
+            ),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.expr(
+                f"cast(cast(2 * c23 as decimal(38,0)) * {int(scale)}"
+                " div (5 * c2) as bigint)"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                f"cast(cast(4 * c3 as decimal(38,0)) * {int(scale)}"
+                " div (25 * _N) as bigint)"
+            )
+        )
+    )
+    scored = joined.withColumn("_p", p).groupBy(id_col).agg(
+        F.sum("n_occ").alias("n_trigrams"),
+        F.sum(F.col("n_occ") * F.col("_p")).alias("_sum_p"),
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("bigint").alias(
+            "n_trigrams"
+        ),
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.expr("cast(_sum_p div n_trigrams as bigint)"),
+        ).alias("lm3_score"),
+    )

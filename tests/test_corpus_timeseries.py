@@ -408,3 +408,58 @@ def test_bigram_lm_scores_hand_computed(spark):
     # the gibberish-flags-low property: a shuffled/unseen-pair doc scores
     # below a fluent one under the same model
     assert d0 > 0 and d1 > 0 and d0 > d1
+
+
+def test_trigram_lm_beats_bigram_on_bigram_preserving_shuffle(spark):
+    # round-9 verdict item 6: the adversarial case a bigram gate provably
+    # cannot catch — a word order with the IDENTICAL bigram multiset but
+    # scrambled trigrams (Eulerian reorder around hub word 'a'). The
+    # bigram gate must score fluent and adversarial docs EXACTLY equal;
+    # the trigram backoff gate must separate them.
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.corpus import (
+        bigram_lm_scores,
+        trigram_lm_scores,
+    )
+
+    fluent = "a b a c a d a e"       # bigrams: ab ba ac ca ad da ae
+    adversarial = "a b a d a c a e"  # same multiset, different trigrams
+    rows = [(i, fluent) for i in range(50)]
+    rows += [(100, adversarial), (101, adversarial)]
+    rows.append((200, "a b"))  # < 3 words: n_trigrams 0, NULL score
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bscores = {
+        r["doc_id"]: r["lm_score"]
+        for r in bigram_lm_scores(docs).collect()
+    }
+    assert bscores[0] == bscores[100]  # bigram gate is blind to this
+
+    tscores = {
+        r["doc_id"]: (r["lm3_score"], r["n_trigrams"])
+        for r in trigram_lm_scores(docs, min_count3=3).collect()
+    }
+    assert tscores[200] == (None, 0)
+    fluent_score = tscores[0][0]
+    adv_score = tscores[100][0]
+    # pruning (count 2 < min_count3=3) forces the adversarial-only
+    # trigrams through the 0.4-weighted bigram backoff; the 3 shared
+    # trigrams (aba/aca/ada) still score ~1.0, so the doc mean lands
+    # near (3*1.0 + 3*0.1)/6 ~ 0.55 vs fluent ~0.98 — assert the margin
+    assert adv_score < fluent_score * 7 // 10, (fluent_score, adv_score)
+    assert tscores[100] == tscores[101]  # deterministic
+
+
+def test_trigram_lm_validates_cutoffs(spark):
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.operators.corpus import (
+        trigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        trigram_lm_scores(docs, min_count3=0)
+    with _pytest.raises(ValueError):
+        trigram_lm_scores(docs, min_count2=0)
