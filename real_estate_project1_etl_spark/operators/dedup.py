@@ -905,21 +905,29 @@ def kgram_table(
     length-``k`` gram starting there. Narrow (scan-stage) explode; this
     is what :func:`save_kgram_table` materializes at corpus scale."""
     t, i = F.col(text_col), F.col(id_col)
+    # explode the POSITION sequence and hash after the explode: the old
+    # form built a (pos, hash) struct inside a transform() lambda, which
+    # evaluates INTERPRETED once per character of the corpus (round-9
+    # lesson); post-explode the substring+hash is one codegen expression
+    # per row. sequence() counts DOWN when stop < start (NOTES pitfall)
+    # -> short texts are guarded to an empty array.
     return (
         ensure_parallelism(df.select(i.alias("_id"), t.alias("_t")))
         .select(
             "_id",
+            "_t",
             F.explode(
                 F.when(
                     F.length("_t") >= k,
-                    F.expr(
-                        f"transform(sequence(1, length(_t) - {k} + 1), "
-                        f"p -> struct(p as pos, {hash_fn}(substring(_t, p, {k})) as h))"
-                    ),
-                ).otherwise(F.array())
-            ).alias("g"),
+                    F.sequence(F.lit(1), F.length("_t") - k + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
         )
-        .select("_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        .select(
+            "_id",
+            "pos",
+            F.expr(f"{hash_fn}(substring(_t, pos, {k}))").alias("h"),
+        )
     )
 
 

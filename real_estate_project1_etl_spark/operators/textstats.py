@@ -599,29 +599,43 @@ def gopher_repetition(
     words = base.withColumn("ws", w_arr).withColumn("st", starts).withColumn(
         "nw", F.size("ws").cast("long")
     )
+    # per-word END offsets in one cheap O(words) zip (the only
+    # interpreted lambda left); the per-(n, position) struct build below
+    # is pure zip/slice/array_repeat — round-9 lesson: transform(
+    # sequence, i -> struct(concat_ws(slice...), element_at...)) HOFs
+    # evaluate INTERPRETED per element, and this explode is the
+    # curation pipeline's hottest path (measured ~2x on the gopher
+    # battery at sf0.1; gram strings are cut AFTER the explode with one
+    # codegen substring over the normalized text — identical bytes,
+    # since the [s, e] char span of words i..i+n-1 in the single-space
+    # normalized text IS the space-joined gram)
+    words = words.withColumn(
+        "en", F.zip_with("st", "ws", lambda a, b: a + F.length(b) - 1)
+    )
 
-    def grams_for(n):
-        # sequence() counts DOWN when stop < start (NOTES pitfall) -> guard
-        return F.expr(
-            f"""
-            case when nw >= {n} then
-              transform(sequence(1, nw - {n} + 1), i -> struct(
-                cast({n} as int) as n,
-                concat_ws(' ', slice(ws, i, {n})) as g,
-                element_at(st, cast(i as int)) as s,
-                element_at(st, cast(i as int) + {n} - 1)
-                  + length(element_at(ws, cast(i as int) + {n} - 1)) - 1 as e))
-            else cast(array() as
-              array<struct<n: int, g: string, s: bigint, e: bigint>>) end
-            """
+    def spans_for(n):
+        ln = F.greatest(F.col("nw") - F.lit(n) + 1, F.lit(0)).cast("int")
+        return F.arrays_zip(
+            F.array_repeat(F.lit(n).cast("int"), ln).alias("n"),
+            F.slice("st", 1, ln).alias("s"),
+            F.slice("en", n, ln).alias("e"),
         )
+
     occ = words.select(
         id_col,
         "n_chars",
+        "t",
         F.explode(
-            F.flatten(F.array(*[grams_for(n) for n in all_ns]))
+            F.flatten(F.array(*[spans_for(n) for n in all_ns]))
         ).alias("o"),
-    ).select(id_col, "n_chars", "o.n", "o.g", "o.s", "o.e")
+    ).select(
+        id_col,
+        "n_chars",
+        F.col("o.n").alias("n"),
+        F.expr("substring(t, o.s, o.e - o.s + 1)").alias("g"),
+        F.col("o.s").alias("s"),
+        F.col("o.e").alias("e"),
+    )
     cnt_w = Window.partitionBy(id_col, "n", "g")
     occ = occ.withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
 
