@@ -9173,6 +9173,104 @@ def q_quality_rrf_ensemble(spark, sf_dir):
     return rrf_ensemble(sig, "doc_id", ["n_words", "ttr_scaled"])
 
 
+def _rrf_approx_oracle() -> str:
+    # DuckDB mirror of quality.rrf_ensemble_approx over the SAME two
+    # signals as quality_rrf_ensemble: deterministic 60-bit hash-
+    # threshold sample, sorted [null_flag, -score] key lists, floor-
+    # positioned quantile boundaries, lexicographic list-compare bucket
+    # count — the APPROXIMATE construction itself is differentially
+    # checked (the NOTES philosophy), not a looser bound. The Spark
+    # side compiles the boundaries to literals; values are identical
+    # because both sides compute them from the same sample.
+    thr = (1 << 60) // 64  # default sample_rate 1/64 of the 2^60 space
+    sig = """
+    sig AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CASE WHEN doc_id % 7 <> 3
+                    THEN CAST(len(list_distinct(ws)) * 1000000
+                              // greatest(len(ws), 1) AS BIGINT) END
+                   AS ttr_scaled
+        FROM (SELECT doc_id, {words} AS ws FROM documents))
+    """.format(words=_DOC_WORDS_SQL)
+    per = []
+    for s in ("n_words", "ttr_scaled"):
+        per.append(f"""
+    samp_{s} AS (SELECT [CAST({s} IS NULL AS BIGINT),
+                         CAST(-coalesce({s}, 0) AS BIGINT)] AS k
+                 FROM sig
+                 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT < {thr}),
+    srt_{s} AS (SELECT list_sort(list(k)) AS srt FROM samp_{s}),
+    bnd_{s} AS (SELECT CASE WHEN len(srt) >= 1 THEN
+                    list_transform(generate_series(1, 63),
+                        j -> srt[greatest(CAST(floor(j * len(srt) / 64)
+                                               AS INT), 1)])
+                    ELSE [] END AS bnd
+                FROM srt_{s})""")
+    return rf"""
+    WITH {sig},{",".join(per)},
+    n AS (SELECT count(*) AS _n FROM sig),
+    ranked AS (
+        SELECT s.doc_id,
+               len(list_filter(b1.bnd, x ->
+                   x < [CAST(s.n_words IS NULL AS BIGINT),
+                        CAST(-coalesce(s.n_words, 0) AS BIGINT)]))
+                   * n._n // 64 + 1 AS rank_n_words_approx,
+               len(list_filter(b2.bnd, x ->
+                   x < [CAST(s.ttr_scaled IS NULL AS BIGINT),
+                        CAST(-coalesce(s.ttr_scaled, 0) AS BIGINT)]))
+                   * n._n // 64 + 1 AS rank_ttr_scaled_approx
+        FROM sig s, bnd_n_words b1, bnd_ttr_scaled b2, n)
+    SELECT doc_id,
+           CAST(rank_n_words_approx AS BIGINT) AS rank_n_words_approx,
+           CAST(rank_ttr_scaled_approx AS BIGINT) AS rank_ttr_scaled_approx,
+           CAST(1000000 // (60 + rank_n_words_approx)
+                + 1000000 // (60 + rank_ttr_scaled_approx)
+                AS BIGINT) AS rrf_scaled
+    FROM ranked
+    """
+
+
+@_q("quality_rrf_approx", _rrf_approx_oracle())
+def q_quality_rrf_approx(spark, sf_dir):
+    # sample-rank approximate RRF (the round-10 scale path: m signals
+    # cost m range-sorts in the exact operator; here each signal is one
+    # broadcast boundary row + a scan-stage bucket count). Same two
+    # signals as quality_rrf_ensemble; the oracle rebuilds the sample,
+    # the sorted boundary keys, and the bucket arithmetic, so the
+    # approximation is value-exact cross-engine, with its error bound
+    # vs the exact ranks pinned in tests/test_quality.py.
+    from real_estate_project1_etl_spark.functions.text import (
+        collapse_whitespace,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        rrf_ensemble_approx,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
+    sig = (
+        docs.select(
+            "doc_id",
+            F.size(ws).alias("_nw"),
+            F.size(F.array_distinct(ws)).alias("_nd"),
+        )
+        .select(
+            "doc_id",
+            F.col("_nw").cast("bigint").alias("n_words"),
+            F.when(
+                F.col("doc_id") % 7 != 3,
+                F.expr(
+                    "cast(cast(_nd as bigint) * 1000000"
+                    " div greatest(_nw, 1) as bigint)"
+                ),
+            ).alias("ttr_scaled"),
+        )
+    )
+    return rrf_ensemble_approx(sig, "doc_id", ["n_words", "ttr_scaled"])
+
+
 @_q(
     "snapshot_recrawl_diff",
     """

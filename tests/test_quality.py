@@ -836,3 +836,67 @@ def test_train_hashed_classifier_validates_params(spark):
     for kw in ({"dim": 0}, {"n_iters": 0}, {"lr_den": 0}, {"lr_num": 0}):
         with _pytest.raises(ValueError):
             train_hashed_classifier(docs, **{"dim": 8, **kw})
+
+
+def test_rrf_ensemble_approx_tracks_exact(spark):
+    # sample-rank RRF: approximate ranks must stay within the bucket
+    # granularity (+ sampling noise) of the exact global ranks, NULLs
+    # must rank worst, and the estimate must be a pure function of row
+    # content (stable across repartitioning).
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        rrf_ensemble,
+        rrf_ensemble_approx,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # two incomparable signals; s2 NULL on a slice
+        ((F.col("id") * 37) % 1000).cast("bigint").alias("s1"),
+        F.when(F.col("id") % 11 != 3, ((F.col("id") * 101) % 500))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    exact = {
+        r["doc_id"]: (r["rank_s1"], r["rank_s2"])
+        for r in rrf_ensemble(df, "doc_id", ["s1", "s2"]).collect()
+    }
+    approx = {
+        r["doc_id"]: (r["rank_s1_approx"], r["rank_s2_approx"])
+        for r in rrf_ensemble_approx(
+            df, "doc_id", ["s1", "s2"], n_buckets=64, sample_rate=0.25
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    # bucket width is n/64 ~ 62; allow 3 bucket widths for sample noise.
+    # Content-tied rows (the NULL-s2 block) share ONE estimate while the
+    # exact operator spreads them by id tiebreak — the estimate is only
+    # meaningful per tie class, so the tolerance applies to non-NULL
+    # entries (the NULL block is pinned by the worst-tail assertion).
+    tol = 3 * (n // 64)
+    bad = [
+        (i, exact[i], approx[i])
+        for i in exact
+        if abs(exact[i][0] - approx[i][0]) > tol
+        or (i % 11 != 3 and abs(exact[i][1] - approx[i][1]) > tol)
+    ]
+    assert not bad, bad[:5]
+    # NULL s2 docs must land in the worst tail of the s2 ranking
+    null_ids = [i for i in range(n) if i % 11 == 3]
+    non_null_max = max(approx[i][1] for i in exact if i % 11 != 3)
+    assert all(approx[i][1] >= non_null_max for i in null_ids)
+    # repartition stability: pure function of content
+    re = {
+        r["doc_id"]: (r["rank_s1_approx"], r["rank_s2_approx"])
+        for r in rrf_ensemble_approx(
+            df.repartition(13), "doc_id", ["s1", "s2"], n_buckets=64,
+            sample_rate=0.25
+        ).collect()
+    }
+    assert re == approx
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_ensemble_approx(df, "doc_id", ["s1"], n_buckets=1)
