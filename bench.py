@@ -107,6 +107,12 @@ HEADLINE = [
     "containment_quote_pairs",
     "next_event_training_pairs",
     "documents_corpus_build_v4",
+    # round-10: in-engine tokenizer + classifier TRAINING, the trigram
+    # backoff LM gate, and the one-pass sample-rank RRF
+    "bpe_trained_merges",
+    "trained_classifier_weights",
+    "trigram_lm_fluency",
+    "quality_rrf_approx",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -164,6 +170,10 @@ COST = {
     "jl_projection_pairs": "16 dot-product folds per row (codegen) + adjacent-id self-join shuffle",
     "sequence_packing_plan": "ws-token count per row (scan CPU) + 1 shard exchange + in-shard window cumsum",
     "calibrated_quality_gate_docs": "1 source exchange; row_number + count share the window partitioning",
+    "bpe_trained_merges": "6 training iterations: vocab-sized pair-count agg + 1-row argmax collect each; corpus word agg runs once (checkpointed)",
+    "trained_classifier_weights": "3 GD iterations: doc-keyed margin agg + feature-keyed gradient agg each; feature table tokenized once (checkpointed)",
+    "trigram_lm_fluency": "in-row trigram zip + 3 Zipf-collapsed count aggs + vocab-sized backoff-cascade join + per-doc agg",
+    "quality_rrf_approx": "1 fused sample agg (all signals) + binary-search literal bucket count in the scan; no per-signal sort",
 }
 
 
