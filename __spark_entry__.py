@@ -8846,9 +8846,9 @@ def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
         FROM (SELECT string_split(trim(enc), '  ') AS toks, n FROM v{i - 1}),
              unnest(generate_series(1, len(toks) - 1)) AS g(gi)
         GROUP BY 1, 2),
-    b{i} AS (SELECT l, r, cnt FROM p{i} WHERE cnt >= 2
+    b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} WHERE cnt >= 2
              ORDER BY cnt DESC, l, r LIMIT 1),
-    v{i} AS (SELECT replace(enc, ' ' || b.l || '  ' || b.r || ' ',
+    v{i} AS MATERIALIZED (SELECT replace(enc, ' ' || b.l || '  ' || b.r || ' ',
                             ' ' || b.l || b.r || ' ') AS enc, n
              FROM v{i - 1}, b{i} b)""")
     unions = "\n        UNION ALL ".join(
@@ -8870,6 +8870,98 @@ def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
         FROM words),{",".join(its)}
     SELECT * FROM ({unions})
     """
+
+
+_BPE_BATCH_N = 12
+_BPE_BATCH_B = 4
+_BPE_BATCH_K = 16  # candidate_factor 4 * batch 4
+
+
+def _bpe_train_batched_oracle(
+    n_merges: int = _BPE_BATCH_N,
+    batch: int = _BPE_BATCH_B,
+    k_cand: int = _BPE_BATCH_K,
+) -> str:
+    # DuckDB mirror of textstats.bpe_train_merges_batched: per round,
+    # pair counts -> top-k_cand candidates in (cnt DESC, l, r) order ->
+    # accept candidates with NO higher-ranked symbol-sharing candidate
+    # (NOT EXISTS — the order-independent acceptance rule chosen
+    # precisely so SQL can express it without sequential state) -> fold
+    # the accepted flank patterns over the vocabulary. Rounds unroll to
+    # n_merges (the trainer's own upper bound); an empty acceptance set
+    # leaves the vocabulary unchanged, so later rounds stay empty —
+    # matching the trainer's break.
+    its = []
+    for i in range(1, n_merges + 1):
+        its.append(f"""
+    p{i} AS (
+        SELECT toks[gi] AS l, toks[gi + 1] AS r, sum(n) AS cnt
+        FROM (SELECT string_split(trim(enc), '  ') AS toks, n FROM v{i - 1}),
+             unnest(generate_series(1, len(toks) - 1)) AS g(gi)
+        GROUP BY 1, 2),
+    k{i} AS MATERIALIZED (SELECT * FROM (
+                SELECT l, r, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+                FROM p{i} WHERE cnt >= 2)
+             ORDER BY rk LIMIT {k_cand}),
+    a{i} AS MATERIALIZED (SELECT x.l, x.r, x.cnt,
+                    row_number() OVER (ORDER BY x.rk) AS ark
+             FROM k{i} x WHERE NOT EXISTS (
+                 SELECT 1 FROM k{i} y
+                 WHERE y.rk < x.rk
+                   AND (y.l IN (x.l, x.r) OR y.r IN (x.l, x.r)))
+             ORDER BY x.rk LIMIT {batch}),
+    pat{i} AS (SELECT coalesce(
+                   list(' ' || l || '  ' || r || ' ' ORDER BY ark), [])
+                   AS pats FROM a{i}),
+    v{i} AS MATERIALIZED (SELECT list_reduce(list_prepend(enc, p.pats),
+                     (acc, m) -> replace(acc, m, replace(m, '  ', '')))
+                 AS enc, n
+             FROM v{i - 1}, pat{i} p)""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {i - 1} AS rnd, ark, l, r, cnt FROM a{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return rf"""
+    WITH w AS (
+        SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents),
+    words AS (
+        SELECT wd, count(*) AS n
+        FROM (SELECT unnest(string_split(t, ' ')) AS wd FROM w)
+        WHERE wd <> '' GROUP BY wd),
+    v0 AS (
+        SELECT ' ' || array_to_string(string_split(wd, ''), '  ') || ' '
+                   AS enc, n
+        FROM words),{",".join(its)},
+    allm AS ({unions})
+    SELECT CAST(grank - 1 AS INTEGER) AS rank,
+           CAST(rnd AS INTEGER) AS round,
+           l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count
+    FROM (SELECT *, row_number() OVER (ORDER BY rnd, ark) AS grank
+          FROM allm)
+    WHERE grank <= {n_merges}
+    """
+
+
+@_q("bpe_trained_merges_batched", _bpe_train_batched_oracle())
+def q_bpe_trained_merges_batched(spark, sf_dir):
+    # BATCHED BPE training — the wall-clock scale path for production
+    # merge counts (sequential BPE pays one driver round-trip per merge;
+    # this accepts up to 4 symbol-disjoint pairs per round under an
+    # order-independent acceptance rule, cutting rounds ~4x while
+    # keeping the table topologically ordered for the single-pass apply
+    # fold). The oracle unrolls every round: candidate ranking,
+    # NOT-EXISTS conflict blocking, and the multi-pattern vocabulary
+    # fold are all value-checked.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges_batched,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges_batched(
+        docs, _BPE_BATCH_N, batch_size=_BPE_BATCH_B, candidate_factor=4
+    )
 
 
 @_q("bpe_trained_merges", _bpe_train_oracle())

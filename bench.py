@@ -110,6 +110,7 @@ HEADLINE = [
     # round-10: in-engine tokenizer + classifier TRAINING, the trigram
     # backoff LM gate, and the one-pass sample-rank RRF
     "bpe_trained_merges",
+    "bpe_trained_merges_batched",
     "trained_classifier_weights",
     "trigram_lm_fluency",
     "quality_rrf_approx",
@@ -171,6 +172,7 @@ COST = {
     "sequence_packing_plan": "ws-token count per row (scan CPU) + 1 shard exchange + in-shard window cumsum",
     "calibrated_quality_gate_docs": "1 source exchange; row_number + count share the window partitioning",
     "bpe_trained_merges": "6 training iterations: vocab-sized pair-count agg + 1-row argmax collect each; corpus word agg runs once (checkpointed)",
+    "bpe_trained_merges_batched": "12 merges in ~3 rounds: vocab-sized pair agg + 16-row candidate collect + <=4 disjoint merges folded per round",
     "trained_classifier_weights": "3 GD iterations: doc-keyed margin agg + feature-keyed gradient agg each; feature table tokenized once (checkpointed)",
     "trigram_lm_fluency": "in-row trigram zip + 3 Zipf-collapsed count aggs + vocab-sized backoff-cascade join + per-doc agg",
     "quality_rrf_approx": "1 fused sample agg (all signals) + binary-search literal bucket count in the scan; no per-signal sort",

@@ -1163,3 +1163,121 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_train_merges_batched(
+    docs: DataFrame,
+    n_merges: int,
+    batch_size: int = 8,
+    candidate_factor: int = 4,
+    text_col: str = "text",
+    min_frequency: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Batched BPE training — the wall-clock scale path
+    :func:`bpe_train_merges` documents: sequential BPE needs one driver
+    round-trip PER merge (a 50k-merge vocabulary ≈ 50k scheduling
+    floors), because each merge depends on the counts the previous one
+    changed. Batching accepts up to ``batch_size`` NON-INTERACTING
+    pairs per round (the published batched-BPE approximation), cutting
+    rounds ~``batch_size``-fold at the cost of exact merge order.
+
+    Acceptance rule (deterministic and order-independent, so an oracle
+    can mirror it): rank the round's pairs by (count DESC, left, right),
+    keep the top ``candidate_factor * batch_size`` candidates, and
+    accept a candidate iff NO higher-ranked candidate shares a symbol
+    with it (a blocked candidate still blocks those below it — slightly
+    conservative, but the acceptance set is then a pure function of the
+    ranked list, with no sequential accept-state to replicate). Accepted
+    pairs are symbol-disjoint, so applying them in any order yields the
+    same vocabulary: a merge's product cannot feed another merge in the
+    SAME round, which also keeps the output table topologically ordered
+    — :func:`bpe_segment_table`'s single-pass fold stays exact.
+
+    Returns ``(rank, round, left, right, pair_count)``; ``rank`` is the
+    global apply order (round-major), truncated to ``n_merges``.
+
+    Scale shape: per ROUND one vocabulary-sized pair-count aggregation +
+    one driver-sized collect (``candidate_factor * batch_size`` rows);
+    merge application is one fold of ≤ ``batch_size`` replaces. Same
+    Zipf-collapse and lineage discipline as the sequential trainer.
+    """
+    if n_merges < 1 or batch_size < 1 or candidate_factor < 1:
+        raise ValueError(
+            "bpe_train_merges_batched: n_merges, batch_size and "
+            "candidate_factor must be >= 1, got "
+            f"{n_merges!r}/{batch_size!r}/{candidate_factor!r}"
+        )
+    if min_frequency < 1:
+        raise ValueError(
+            "bpe_train_merges_batched: min_frequency must be >= 1, got "
+            f"{min_frequency!r}"
+        )
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split(F.col("w"), ""), "  "),
+                F.lit(" "),
+            ).alias("enc"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    k_cand = int(candidate_factor) * int(batch_size)
+    merges: list[tuple[int, int, str, str, int]] = []
+    rnd = 0
+    # n_merges rounds is a safe upper bound: a round that accepts
+    # nothing ends training, and every other round accepts >= 1
+    while len(merges) < n_merges and rnd < n_merges:
+        toks = F.split(F.trim(F.col("enc")), "  ")
+        ln = F.greatest(F.size(toks) - 1, F.lit(0))
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, ln).alias("l"),
+                    F.slice(toks, 2, ln).alias("r"),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+            .filter(F.col("cnt") >= min_frequency)
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(k_cand)
+            .collect()
+        )
+        seen: set = set()
+        accepted = []
+        for row in top:
+            l, r, cnt = row["l"], row["r"], int(row["cnt"])
+            blocked = l in seen or r in seen
+            seen.add(l)
+            seen.add(r)
+            if not blocked and len(accepted) < batch_size:
+                accepted.append((l, r, cnt))
+        if not accepted:
+            break
+        enc_expr = F.col("enc")
+        for l, r, cnt in accepted:
+            merges.append((len(merges), rnd, l, r, cnt))
+            enc_expr = F.replace(
+                enc_expr, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+            )
+        vocab = vocab.select(enc_expr.alias("enc"), "n")
+        rnd += 1
+        if rnd % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges[: int(n_merges)],
+        "rank int, round int, left string, right string, pair_count bigint",
+    )

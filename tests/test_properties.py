@@ -382,6 +382,98 @@ def test_bpe_train_merges_stops_early_and_validates(spark):
         bpe_train_merges(docs, 5, min_frequency=0)
 
 
+def _ref_bpe_train_batched(texts, n_merges, batch_size, cand_factor=4,
+                           min_frequency=2):
+    # python model of the batched trainer: rank pairs, keep top
+    # cand_factor*batch candidates, accept iff no higher-ranked
+    # candidate shares a symbol (blocked candidates still block),
+    # apply all accepted, repeat; truncate to n_merges.
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.lower().split() if w)
+    vocab = {tuple(w): c for w, c in wc.items()}
+    out = []
+    rnd = 0
+    while len(out) < n_merges and rnd < n_merges:
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        ranked = sorted(
+            ((cnt, l, r) for (l, r), cnt in pc.items() if cnt >= min_frequency),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[: cand_factor * batch_size]
+        seen: set = set()
+        accepted = []
+        for cnt, l, r in ranked:
+            blocked = l in seen or r in seen
+            seen.update((l, r))
+            if not blocked and len(accepted) < batch_size:
+                accepted.append((l, r, cnt))
+        if not accepted:
+            break
+        for l, r, cnt in accepted:
+            out.append((len(out), rnd, l, r, cnt))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+            vocab = new_vocab
+        rnd += 1
+    return out[:n_merges]
+
+
+def test_bpe_train_merges_batched_matches_python_model(spark):
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_segment_table,
+        bpe_train_merges_batched,
+    )
+
+    texts = [
+        "the theme there then the brother together",
+        "low lower lowest newest newer new knowing",
+        "aaaa aa aaa banana bandana cabana",
+        "the low newer theme the slower mower",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n_merges, bs in ((6, 2), (12, 4), (16, 8)):
+        want = _ref_bpe_train_batched(texts, n_merges, bs)
+        got = [
+            (r["rank"], r["round"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train_merges_batched(
+                docs, n_merges, batch_size=bs, checkpoint_every=2
+            ).orderBy("rank").collect()
+        ]
+        assert got == want, (n_merges, bs, got, want)
+    # batching must actually cut rounds: 12 merges at batch 4 fit in
+    # far fewer than 12 rounds
+    rounds = {r for _, r, _, _, _ in _ref_bpe_train_batched(texts, 12, 4)}
+    assert len(rounds) <= 5
+    # the batched table is topologically ordered (intra-round merges are
+    # symbol-disjoint), so the single-pass apply fold segments cleanly
+    table = bpe_train_merges_batched(docs, 12, batch_size=4).select(
+        "rank", "left", "right"
+    )
+    seg = bpe_segment_table(docs, table)
+    toks = {r["doc_id"]: r["tokens"] for r in seg.collect()}
+    assert "".join(toks[0]).replace(" ", "") == texts[0].replace(" ", "")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train_merges_batched(docs, 0)
+    with _pytest.raises(ValueError):
+        bpe_train_merges_batched(docs, 5, batch_size=0)
+
+
 def test_bpe_segment_rejects_space_in_merge(spark):
     import pytest as _pytest
 
