@@ -8877,22 +8877,20 @@ _BPE_BATCH_B = 4
 _BPE_BATCH_K = 16  # candidate_factor 4 * batch 4
 
 
-def _bpe_train_batched_oracle(
-    n_merges: int = _BPE_BATCH_N,
-    batch: int = _BPE_BATCH_B,
-    k_cand: int = _BPE_BATCH_K,
-) -> str:
-    # DuckDB mirror of textstats.bpe_train_merges_batched: per round,
+def _bpe_batched_rounds(n_rounds: int, batch: int, k_cand: int):
+    # shared CTE generator for the batched-BPE mirrors: per round,
     # pair counts -> top-k_cand candidates in (cnt DESC, l, r) order ->
     # accept candidates with NO higher-ranked symbol-sharing candidate
     # (NOT EXISTS — the order-independent acceptance rule chosen
     # precisely so SQL can express it without sequential state) -> fold
-    # the accepted flank patterns over the vocabulary. Rounds unroll to
-    # n_merges (the trainer's own upper bound); an empty acceptance set
-    # leaves the vocabulary unchanged, so later rounds stay empty —
-    # matching the trainer's break.
+    # the accepted flank patterns over the vocabulary. An empty
+    # acceptance set leaves the vocabulary unchanged, so later rounds
+    # stay empty — matching the trainer's break. Per-round CTEs are AS
+    # MATERIALIZED: round i references round i-1 twice, and DuckDB
+    # inlines non-materialized CTEs (2^rounds scans otherwise).
+    # Returns (cte_block, allm_union_sql).
     its = []
-    for i in range(1, n_merges + 1):
+    for i in range(1, n_rounds + 1):
         its.append(f"""
     p{i} AS (
         SELECT toks[gi] AS l, toks[gi + 1] AS r, sum(n) AS cnt
@@ -8920,8 +8918,20 @@ def _bpe_train_batched_oracle(
              FROM v{i - 1}, pat{i} p)""")
     unions = "\n        UNION ALL ".join(
         f"SELECT {i - 1} AS rnd, ark, l, r, cnt FROM a{i}"
-        for i in range(1, n_merges + 1)
+        for i in range(1, n_rounds + 1)
     )
+    return ",".join(its), unions
+
+
+def _bpe_train_batched_oracle(
+    n_merges: int = _BPE_BATCH_N,
+    batch: int = _BPE_BATCH_B,
+    k_cand: int = _BPE_BATCH_K,
+) -> str:
+    # DuckDB mirror of textstats.bpe_train_merges_batched over the full
+    # documents corpus; rounds unroll to n_merges (the trainer's own
+    # upper bound).
+    its, unions = _bpe_batched_rounds(n_merges, batch, k_cand)
     return rf"""
     WITH w AS (
         SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
@@ -8933,7 +8943,7 @@ def _bpe_train_batched_oracle(
     v0 AS (
         SELECT ' ' || array_to_string(string_split(wd, ''), '  ') || ' '
                    AS enc, n
-        FROM words),{",".join(its)},
+        FROM words),{its},
     allm AS ({unions})
     SELECT CAST(grank - 1 AS INTEGER) AS rank,
            CAST(rnd AS INTEGER) AS round,
@@ -8942,6 +8952,106 @@ def _bpe_train_batched_oracle(
           FROM allm)
     WHERE grank <= {n_merges}
     """
+
+
+def _corpus_v5_oracle() -> str:
+    # END-TO-END mirror of documents_corpus_build_v5: token-count gate
+    # -> batched BPE training ON THE SURVIVORS (8 merges, batch 4) ->
+    # segmentation of the survivors with the just-trained table (the
+    # fold takes its patterns from the training CTEs' output, not
+    # literals — the tokenizer-in-the-loop composition is what's being
+    # checked) -> deterministic packing layout at seq_len 256 / 8
+    # shards (the proven sequence_packing_plan arithmetic).
+    its, unions = _bpe_batched_rounds(8, 4, 16)
+    return rf"""
+    WITH dd AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents),
+    surv AS MATERIALIZED (
+        SELECT doc_id, t FROM dd
+        WHERE (CASE WHEN length(t) = 0 THEN 0
+               ELSE len(string_split(t, ' ')) END) >= 10),
+    words AS (
+        SELECT wd, count(*) AS n
+        FROM (SELECT unnest(string_split(t, ' ')) AS wd FROM surv)
+        WHERE wd <> '' GROUP BY wd),
+    v0 AS (
+        SELECT ' ' || array_to_string(string_split(wd, ''), '  ') || ' '
+                   AS enc, n
+        FROM words),{its},
+    allm AS ({unions}),
+    pats AS (SELECT coalesce(list(pat ORDER BY grank), []) AS pats
+             FROM (SELECT ' ' || l || '  ' || r || ' ' AS pat,
+                          row_number() OVER (ORDER BY rnd, ark) AS grank
+                   FROM allm)
+             WHERE grank <= 8),
+    seg AS (SELECT s.doc_id,
+                   flatten(list_transform(string_split(s.t, ' '), wd ->
+                       string_split(trim(list_reduce(list_prepend(
+                           ' ' || array_to_string(string_split(wd, ''), '  ')
+                               || ' ', p.pats),
+                           (acc, m) -> replace(acc, m,
+                                               replace(m, '  ', '')))),
+                           '  '))) AS toks
+            FROM surv s, pats p),
+    cnt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM seg),
+    pk AS (SELECT doc_id, n_tokens,
+                  ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT AS ph
+           FROM cnt WHERE n_tokens > 0 AND doc_id IS NOT NULL),
+    sh AS (SELECT doc_id, n_tokens, ph, cast(ph % 8 AS int) AS shard
+           FROM pk),
+    oo AS (SELECT doc_id, n_tokens, shard,
+                  cast(sum(n_tokens) OVER (
+                      PARTITION BY shard ORDER BY ph, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) - n_tokens AS bigint) AS "offset"
+           FROM sh)
+    SELECT doc_id, n_tokens, shard, "offset",
+           cast(floor("offset" / 256) AS bigint) AS first_seq,
+           cast(floor(("offset" + n_tokens - 1) / 256) AS bigint) AS last_seq,
+           cast(floor(("offset" + n_tokens - 1) / 256)
+                - floor("offset" / 256) + 1 AS bigint) AS n_seqs
+    FROM oo
+    """
+
+
+@_q("documents_corpus_build_v5", _corpus_v5_oracle())
+def q_documents_corpus_build_v5(spark, sf_dir):
+    # TOKENIZER-IN-THE-LOOP corpus build (the round-10 flagship): gate
+    # the corpus, TRAIN the BPE tokenizer on the survivors (batched
+    # trainer — the scale path), segment the survivors with the table
+    # just trained (the production broadcast-table fold), and emit the
+    # deterministic packing layout a trainer would read. This is the
+    # pipeline a real pretraining run executes — curation feeding
+    # tokenizer fitting feeding the export layout — composed as one
+    # value-checked query; the oracle re-derives the merge table from
+    # the same survivor vocabulary, so a drift anywhere in the funnel
+    # (gate, training, segmentation, packing) fails the compare.
+    from real_estate_project1_etl_spark.operators.packing import (
+        pack_sequences,
+    )
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_segment_table,
+        bpe_train_merges_batched,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    surv = docs.filter(
+        whitespace_token_count(F.col("text")) >= 10
+    ).select("doc_id", "text")
+    # consumed twice (training + segmentation): cut once so the gate
+    # scan does not re-execute per consumer — the curation_v2 pattern
+    surv = surv.localCheckpoint(eager=True)
+    table = bpe_train_merges_batched(
+        surv, 8, batch_size=4, candidate_factor=4
+    )
+    seg = bpe_segment_table(surv, table.select("rank", "left", "right"))
+    counts = seg.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_bpe")
+    )
+    return pack_sequences(counts, "doc_id", "n_bpe", seq_len=256, n_shards=8)
 
 
 @_q("bpe_trained_merges_batched", _bpe_train_batched_oracle())

@@ -114,6 +114,7 @@ HEADLINE = [
     "trained_classifier_weights",
     "trigram_lm_fluency",
     "quality_rrf_approx",
+    "documents_corpus_build_v5",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -176,6 +177,7 @@ COST = {
     "trained_classifier_weights": "3 GD iterations: doc-keyed margin agg + feature-keyed gradient agg each; feature table tokenized once (checkpointed)",
     "trigram_lm_fluency": "in-row trigram zip + 3 Zipf-collapsed count aggs + vocab-sized backoff-cascade join + per-doc agg",
     "quality_rrf_approx": "1 fused sample agg (all signals) + binary-search literal bucket count in the scan; no per-signal sort",
+    "documents_corpus_build_v5": "gate scan + checkpoint, ~2 batched training rounds on survivor vocab, broadcast-table segment fold, 1 shard exchange + cumsum window",
 }
 
 
