@@ -195,6 +195,7 @@ COST = {
 #: full-width xxhash64 checksum aggregate instead.
 ELIMINATION_PRONE = {
     "bigram_lm_fluency",
+    "trigram_lm_fluency",
 }
 
 NOISY = {
