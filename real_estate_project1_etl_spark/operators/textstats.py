@@ -1165,6 +1165,37 @@ def bpe_train_merges(
     )
 
 
+def save_merges_txt(merges: DataFrame, path: str) -> None:
+    """Export a trained merge table in the published ``merges.txt``
+    format (one ``left right`` pair per line in rank order, ``#``
+    header) — the artifact every BPE tokenizer library consumes, so a
+    table trained here drops into an external tokenizer unchanged.
+    Merge tables are driver-sized by definition (one row per merge), so
+    the collect is bounded by the vocabulary budget, not the corpus.
+    """
+    rows = merges.orderBy("rank").select("left", "right").collect()
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for r in rows:
+            f.write(f"{r['left']} {r['right']}\n")
+
+
+def load_merges_txt(spark, path: str) -> DataFrame:
+    """Load a ``merges.txt`` (ours or an external tokenizer's) into the
+    ``(rank, left, right)`` table :func:`bpe_segment_table` consumes.
+    ``#`` comment/header lines are skipped; rank is the file order, as
+    the format specifies."""
+    rows = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            l, _, r = line.partition(" ")
+            rows.append((len(rows), l, r))
+    return spark.createDataFrame(rows, "rank int, left string, right string")
+
+
 def bpe_train_merges_batched(
     docs: DataFrame,
     n_merges: int,

@@ -515,3 +515,32 @@ def test_bpe_segment_table_matches_literal_fold(spark):
     )
     with _pytest.raises(Exception, match="cannot contain spaces"):
         bpe_segment_table(docs, bad).collect()
+
+
+def test_merges_txt_round_trip(spark, tmp_path):
+    # train -> export merges.txt (the published tokenizer artifact) ->
+    # reload -> segment: identical table and identical segmentation
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_segment_table,
+        bpe_train_merges,
+        load_merges_txt,
+        save_merges_txt,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the theme there then"), (1, "low lower lowest the then")],
+        "doc_id long, text string",
+    )
+    table = bpe_train_merges(docs, 8)
+    path = str(tmp_path / "merges.txt")
+    save_merges_txt(table, path)
+    with open(path) as f:
+        lines = f.read().splitlines()
+    assert lines[0].startswith("#version")
+    loaded = load_merges_txt(spark, path)
+    want = [(r["rank"], r["left"], r["right"]) for r in table.orderBy("rank").collect()]
+    got = [(r["rank"], r["left"], r["right"]) for r in loaded.orderBy("rank").collect()]
+    assert got == want
+    seg_a = {r["doc_id"]: r["tokens"] for r in bpe_segment_table(docs, table).collect()}
+    seg_b = {r["doc_id"]: r["tokens"] for r in bpe_segment_table(docs, loaded).collect()}
+    assert seg_a == seg_b

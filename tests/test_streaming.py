@@ -799,3 +799,62 @@ def test_content_change_feed_stream_matches_batch(spark, tmp_path):
     # revert re-emits (state holds only the LAST digest, by design)
     assert exp[(3, 3)] == "changed" and (3, 2) not in exp
     assert exp[(4, 1)] == "changed"  # NULLed text is a content change
+
+
+def test_streaming_classifier_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Round-10: the trained quality classifier runs as a streaming
+    ingest gate via foreachBatch (weights fit once in batch, every
+    micro-batch scored with the same broadcast table) — kept set
+    identical to batch inference over the same corpus."""
+    from real_estate_project1_etl_spark.operators.quality import (
+        hashed_linear_classifier,
+        train_hashed_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    weights = train_hashed_classifier(
+        labeled, dim=512, n_iters=3, lr_den=64
+    ).localCheckpoint(eager=True)
+
+    # threshold at the batch median score so the gate genuinely splits
+    # the corpus (doc_id-parity labels learn weak signal on real text;
+    # a fixed 0 cutoff can degenerate to keep-all)
+    scores = hashed_linear_classifier(
+        docs, weights, dim=512, threshold_milli=0
+    ).select("doc_id", "score_milli")
+    thr = int(
+        sorted(r["score_milli"] for r in scores.collect())[docs.count() // 2]
+    )
+    batch_kept = {
+        r["doc_id"]
+        for r in hashed_linear_classifier(
+            docs, weights, dim=512, threshold_milli=thr
+        )
+        .filter("kept")
+        .collect()
+    }
+
+    src = str(tmp_path / "docs_src")
+    out_dir = str(tmp_path / "gated")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    def gate(mb, batch_id):
+        kept = hashed_linear_classifier(
+            mb, weights, dim=512, threshold_milli=thr
+        ).filter("kept")
+        kept.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == batch_kept
+    assert 0 < len(got) < docs.count()  # the gate actually discriminates
