@@ -1054,6 +1054,7 @@ def bpe_train_merges(
     text_col: str = "text",
     min_frequency: int = 2,
     checkpoint_every: int = 8,
+    initial_merges: DataFrame | None = None,
 ) -> DataFrame:
     """TRAIN a BPE merge table on the corpus — the iterative
     pair-count -> top-pair -> merge loop of Sennrich et al.
@@ -1082,8 +1083,19 @@ def bpe_train_merges(
     3. Stop early when no pair reaches ``min_frequency`` (the reference
        trainer's ``most_frequent < 2`` stop).
 
+    ``initial_merges``: RESUME training from an existing ``(rank, left,
+    right)`` table (ours or a loaded ``merges.txt``): the prior merges
+    are folded over the fresh vocabulary in rank order, and new merges
+    continue at ``max(rank) + 1``. Because the vocabulary state after k
+    merges is a pure function of the merge table, training 12 merges in
+    one run and training 6 then resuming for 6 more produce the SAME
+    table on the same corpus (pinned in tests) — and on a GROWN corpus
+    this is exactly incremental tokenizer extension: keep the deployed
+    prefix stable, learn new merges from the updated counts.
+
     Returns a driver-sized ``(rank, left, right, pair_count)`` DataFrame
-    (``n_merges`` rows at most) — feed it straight to
+    of the NEW merges only (``n_merges`` rows at most) — union with the
+    initial table for the full vocabulary, or feed either to
     :func:`bpe_segment_table`. The trained table is topologically
     ordered by construction, which is precisely the property that makes
     the single-pass rank-order apply fold exact.
@@ -1128,8 +1140,36 @@ def bpe_train_merges(
         # later iteration starts from the materialized vocabulary
         .localCheckpoint(eager=True)
     )
+    rank0 = 0
+    if initial_merges is not None:
+        # fold the prior table over the fresh vocabulary in rank order —
+        # driver-sized by definition (one row per merge); after this the
+        # vocabulary is in exactly the state the prior training left it
+        prior = initial_merges.orderBy("rank").select(
+            "rank", "left", "right"
+        ).collect()
+        # replay in chunks of 64 replaces with a checkpoint between, so
+        # a production-sized prior table (50k merges) never builds one
+        # codegen-breaking expression tree
+        for i0 in range(0, len(prior), 64):
+            enc_expr = F.col("enc")
+            for row in prior[i0:i0 + 64]:
+                l, r = row["left"], row["right"]
+                if " " in l or " " in r:
+                    raise ValueError(
+                        "bpe_train_merges: initial_merges sides cannot "
+                        "contain spaces"
+                    )
+                enc_expr = F.replace(
+                    enc_expr, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+                )
+            vocab = vocab.select(enc_expr.alias("enc"), "n").localCheckpoint(
+                eager=True
+            )
+        if prior:
+            rank0 = int(prior[-1]["rank"]) + 1
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
+    for rank in range(rank0, rank0 + n_merges):
         toks = F.split(F.trim(F.col("enc")), "  ")
         ln = F.greatest(F.size(toks) - 1, F.lit(0))
         pairs = vocab.select(

@@ -544,3 +544,47 @@ def test_merges_txt_round_trip(spark, tmp_path):
     seg_a = {r["doc_id"]: r["tokens"] for r in bpe_segment_table(docs, table).collect()}
     seg_b = {r["doc_id"]: r["tokens"] for r in bpe_segment_table(docs, loaded).collect()}
     assert seg_a == seg_b
+
+
+def test_bpe_train_resume_equals_one_shot(spark):
+    # training 12 merges in one run == training 6 then resuming for 6
+    # more with the first table as initial_merges (the vocabulary state
+    # after k merges is a pure function of the table) — the incremental
+    # tokenizer-extension contract
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    texts = [
+        "the theme there then the brother",
+        "low lower lowest newest newer new",
+        "the low newer theme the",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    one_shot = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(docs, 12).orderBy("rank").collect()
+    ]
+    first = bpe_train_merges(docs, 6)
+    resumed = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(docs, 6, initial_merges=first)
+        .orderBy("rank")
+        .collect()
+    ]
+    first_rows = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in first.orderBy("rank").collect()
+    ]
+    assert first_rows + resumed == one_shot
+    # resumed ranks continue where the prior table ended
+    assert resumed[0][0] == first_rows[-1][0] + 1
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(0, "a b", "c")], "rank int, left string, right string"
+    )
+    with _pytest.raises(ValueError, match="spaces"):
+        bpe_train_merges(docs, 2, initial_merges=bad)
