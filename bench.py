@@ -199,6 +199,12 @@ ELIMINATION_PRONE = {
 }
 
 NOISY = {
+    # the training queries run many small driver-coordinated jobs with
+    # checkpoints between iterations — scheduling jitter dominates a
+    # single sample
+    "bpe_trained_merges",
+    "trained_classifier_weights",
+    "documents_corpus_build_v5",
     "minhash_near_dup",
     "near_dup_components",
     "semantic_dedup",
