@@ -9284,6 +9284,75 @@ def _classifier_train_oracle(
     """
 
 
+def _classifier_train_reg_oracle(
+    dim: int = _CLS_TRAIN_DIM, n_iters: int = _CLS_TRAIN_ITERS
+) -> str:
+    # the bias + L2 variant: the intercept is a virtual always-on
+    # feature at id = dim (one UNION row per doc), weight decay
+    # wm * 1 // 16 applies to hashed weights only — both mirrored
+    # exactly, iteration by iteration.
+    its = []
+    for i in range(1, n_iters + 1):
+        its.append(f"""
+    m{i} AS (SELECT f.doc_id, sum(f.n * w.wm) AS m
+             FROM f JOIN w{i - 1} w USING (feature_id) GROUP BY f.doc_id),
+    r{i} AS (SELECT y.doc_id,
+                    least(greatest(500 + coalesce(m.m, 0) // 4, 0), 1000)
+                        - y.y * 1000 AS r
+             FROM y LEFT JOIN m{i} m USING (doc_id)),
+    g{i} AS (SELECT f.feature_id, sum(r.r * f.n) AS g
+             FROM f JOIN r{i} r USING (doc_id) GROUP BY f.feature_id),
+    w{i} AS (SELECT w.feature_id,
+                    CAST(w.wm - coalesce(g.g // 64, 0)
+                         - CASE WHEN w.feature_id < {dim}
+                                THEN w.wm // 16 ELSE 0 END
+                         AS BIGINT) AS wm
+             FROM w{i - 1} w LEFT JOIN g{i} g USING (feature_id))""")
+    return rf"""
+    WITH wd AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS tok FROM wd),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % {dim}
+                     AS feature_id,
+                 count(*) AS n
+          FROM t GROUP BY doc_id, feature_id
+          UNION ALL
+          SELECT doc_id, CAST({dim} AS BIGINT) AS feature_id,
+                 CAST(1 AS BIGINT) AS n
+          FROM documents),
+    y AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+          FROM documents),
+    w0 AS (SELECT CAST(i AS BIGINT) AS feature_id, CAST(0 AS BIGINT) AS wm
+           FROM generate_series(0, {dim}) AS g(i)),{",".join(its)}
+    SELECT feature_id, wm AS weight_milli FROM w{n_iters}
+    """
+
+
+@_q("trained_classifier_weights_reg", _classifier_train_reg_oracle())
+def q_trained_classifier_weights_reg(spark, sf_dir):
+    # classifier training with the intercept and L2 weight decay ON —
+    # the virtual always-on bias feature (id = dim, never decayed) and
+    # integer wm div 16 decay per iteration, both mirrored exactly by
+    # the oracle's unrolled CTEs.
+    from real_estate_project1_etl_spark.operators.quality import (
+        train_hashed_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    return train_hashed_classifier(
+        docs,
+        dim=_CLS_TRAIN_DIM,
+        n_iters=_CLS_TRAIN_ITERS,
+        lr_num=1,
+        lr_den=64,
+        fit_bias=True,
+        l2_num=1,
+        l2_den=16,
+    )
+
+
 @_q("trained_classifier_weights", _classifier_train_oracle())
 def q_trained_classifier_weights(spark, sf_dir):
     # IN-ENGINE quality-classifier TRAINING (round-9 verdict item 2):

@@ -575,6 +575,9 @@ def train_hashed_classifier(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5_60",
+    fit_bias: bool = False,
+    l2_num: int = 0,
+    l2_den: int = 1,
 ) -> DataFrame:
     """TRAIN the weights :func:`hashed_linear_classifier` scores with —
     full-batch gradient descent on a logistic model over the SAME hashed
@@ -599,8 +602,22 @@ def train_hashed_classifier(
     - gradient ``g_j = sum_i r_i * x_ij`` (one feature-keyed
       aggregation — THE per-iteration cost);
     - update ``w_j -= (g_j * lr_num) div lr_den`` (caller-tuned
-      integer learning rate; no bias term — inference's
+      integer learning rate; by default no bias term — inference's
       ``threshold_milli`` absorbs the intercept).
+
+    ``fit_bias=True`` trains an intercept as a virtual always-on
+    feature with count 1 at ``feature_id = dim`` (one UNION row per
+    doc — the loop itself is unchanged, the bias gradient is simply
+    ``sum_i r_i``). The returned table then has ``dim + 1`` rows; to
+    score with :func:`hashed_linear_classifier` (which has no bias
+    input), filter the bias row out and subtract its value from
+    ``threshold_milli`` — ``score + b >= t`` is ``score >= t - b``.
+    The bias is never L2-decayed (standard practice).
+
+    ``l2_num/l2_den`` add integer weight decay: each iteration also
+    subtracts ``(w_j * l2_num) div l2_den`` from every hashed weight —
+    the scaled-integer form of L2 regularization, exact cross-engine
+    like everything else here. Defaults (0/1) disable it.
 
     Labels: ``label_col`` must be 0/1 (seed-set membership). NULL-label
     rows are EXCLUDED from training (same explicit contract as
@@ -635,6 +652,11 @@ def train_hashed_classifier(
             "train_hashed_classifier: lr_num/lr_den must be positive, got "
             f"{lr_num!r}/{lr_den!r}"
         )
+    if l2_num < 0 or l2_den < 1:
+        raise ValueError(
+            "train_hashed_classifier: need l2_num >= 0 and l2_den >= 1, got "
+            f"{l2_num!r}/{l2_den!r}"
+        )
     spark = docs.sparkSession
     base = ensure_parallelism(
         docs.filter(F.col(label_col).isNotNull()).select(
@@ -649,10 +671,20 @@ def train_hashed_classifier(
         .select("doc_id", fid.alias("feature_id"))
         .groupBy("doc_id", "feature_id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
     )
     labels = base.select("doc_id", "_y").localCheckpoint(eager=True)
-    weights = spark.range(dim).select(
+    if fit_bias:
+        # the intercept as a virtual always-on feature at id = dim: one
+        # UNION row per doc, and the training loop needs no special case
+        feats = feats.unionAll(
+            labels.select(
+                "doc_id",
+                F.lit(dim).cast("bigint").alias("feature_id"),
+                F.lit(1).cast("bigint").alias("n"),
+            )
+        )
+    feats = feats.localCheckpoint(eager=True)
+    weights = spark.range(dim + (1 if fit_bias else 0)).select(
         F.col("id").cast("bigint").alias("feature_id"),
         F.lit(0).cast("bigint").alias("weight_milli"),
     )
@@ -680,14 +712,21 @@ def train_hashed_classifier(
             .groupBy("feature_id")
             .agg(F.sum(F.col("_r") * F.col("n")).alias("_g"))
         )
+        upd = F.col("weight_milli") - F.expr(
+            f"coalesce(_g, 0) * {int(lr_num)} div {int(lr_den)}"
+        )
+        if l2_num:
+            # integer weight decay on the hashed weights; the bias row
+            # (feature_id = dim) is never decayed, standard practice
+            upd = upd - F.when(
+                F.col("feature_id") < dim,
+                F.expr(f"weight_milli * {int(l2_num)} div {int(l2_den)}"),
+            ).otherwise(F.lit(0))
         weights = (
             weights.join(grads, "feature_id", "left")
             .select(
                 "feature_id",
-                (
-                    F.col("weight_milli")
-                    - F.expr(f"coalesce(_g, 0) * {int(lr_num)} div {int(lr_den)}")
-                ).cast("bigint").alias("weight_milli"),
+                upd.cast("bigint").alias("weight_milli"),
             )
             .localCheckpoint(eager=True)
         )

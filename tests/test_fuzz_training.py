@@ -82,7 +82,10 @@ def test_fuzz_bpe_train_batched_matches_model(seed, spark):
     assert got == want, (seed, n_merges, bs, got, want)
 
 
-def _ref_train_classifier(texts_labels, dim, n_iters, lr_num, lr_den):
+def _ref_train_classifier(
+    texts_labels, dim, n_iters, lr_num, lr_den,
+    fit_bias=False, l2_num=0, l2_den=1,
+):
     import hashlib
 
     def h(tok):
@@ -98,19 +101,26 @@ def _ref_train_classifier(texts_labels, dim, n_iters, lr_num, lr_den):
         c: dict = {}
         for tok in t.lower().split():
             c[h(tok)] = c.get(h(tok), 0) + 1
+        if fit_bias:
+            c[dim] = 1  # always-on intercept feature
         feats[did] = c
-    w = [0] * dim
+    n_w = dim + (1 if fit_bias else 0)
+    w = [0] * n_w
     for _ in range(n_iters):
         resid = {}
         for did, c in feats.items():
             m = sum(n * w[j] for j, n in c.items())
             p = min(max(500 + tdiv(m, 4), 0), 1000)
             resid[did] = p - 1000 * ys[did]
-        grad = [0] * dim
+        grad = [0] * n_w
         for did, c in feats.items():
             for j, n in c.items():
                 grad[j] += resid[did] * n
-        w = [wj - tdiv(g * lr_num, lr_den) for wj, g in zip(w, grad)]
+        w = [
+            wj - tdiv(g * lr_num, lr_den)
+            - (tdiv(wj * l2_num, l2_den) if l2_num and j < dim else 0)
+            for j, (wj, g) in enumerate(zip(w, grad))
+        ]
     return w
 
 
@@ -126,7 +136,12 @@ def test_fuzz_classifier_train_matches_model(seed, spark):
     dim = rng.choice([8, 16, 32])
     n_iters = rng.randint(1, 5)
     lr_den = rng.choice([8, 32, 128])
-    want = _ref_train_classifier(labeled, dim, n_iters, 1, lr_den)
+    fit_bias = rng.random() < 0.5
+    l2_num, l2_den = rng.choice([(0, 1), (1, 16), (1, 64)])
+    want = _ref_train_classifier(
+        labeled, dim, n_iters, 1, lr_den,
+        fit_bias=fit_bias, l2_num=l2_num, l2_den=l2_den,
+    )
     df = spark.createDataFrame(
         [(i, t, y) for i, (t, y) in enumerate(labeled)],
         "doc_id long, text string, label int",
@@ -134,7 +149,10 @@ def test_fuzz_classifier_train_matches_model(seed, spark):
     got = {
         r["feature_id"]: r["weight_milli"]
         for r in train_hashed_classifier(
-            df, dim=dim, n_iters=n_iters, lr_num=1, lr_den=lr_den
+            df, dim=dim, n_iters=n_iters, lr_num=1, lr_den=lr_den,
+            fit_bias=fit_bias, l2_num=l2_num, l2_den=l2_den,
         ).collect()
     }
-    assert got == {j: want[j] for j in range(dim)}, (seed, dim, n_iters, lr_den)
+    assert got == {j: want[j] for j in range(len(want))}, (
+        seed, dim, n_iters, lr_den, fit_bias, l2_num, l2_den,
+    )
