@@ -9328,6 +9328,75 @@ def _classifier_train_reg_oracle(
     """
 
 
+def _classifier_train_sgd_oracle(
+    dim: int = _CLS_TRAIN_DIM, n_epochs: int = 2, n_batches: int = 2
+) -> str:
+    # deterministic mini-batch SGD mirror: epochs x batches unrolled as
+    # steps; batch membership is the 60-bit content hash of the doc id
+    # mod n_batches, filtered in BOTH the margin and gradient CTEs —
+    # every step's arithmetic replays exactly.
+    its = []
+    s = 0
+    for _e in range(n_epochs):
+        for b in range(n_batches):
+            s += 1
+            mem = (
+                "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+                f"::BIGINT % {n_batches} = {b}"
+            )
+            its.append(f"""
+    m{s} AS (SELECT f.doc_id, sum(f.n * w.wm) AS m
+             FROM f JOIN w{s - 1} w USING (feature_id)
+             WHERE {mem} GROUP BY f.doc_id),
+    r{s} AS (SELECT y.doc_id,
+                    least(greatest(500 + coalesce(m.m, 0) // 4, 0), 1000)
+                        - y.y * 1000 AS r
+             FROM (SELECT * FROM y WHERE {mem}) y
+             LEFT JOIN m{s} m USING (doc_id)),
+    g{s} AS (SELECT f.feature_id, sum(r.r * f.n) AS g
+             FROM f JOIN r{s} r USING (doc_id) GROUP BY f.feature_id),
+    w{s} AS (SELECT w.feature_id,
+                    CAST(w.wm - coalesce(g.g // 64, 0) AS BIGINT) AS wm
+             FROM w{s - 1} w LEFT JOIN g{s} g USING (feature_id))""")
+    return rf"""
+    WITH wd AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS tok FROM wd),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % {dim}
+                     AS feature_id,
+                 count(*) AS n
+          FROM t GROUP BY doc_id, feature_id),
+    y AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+          FROM documents),
+    w0 AS (SELECT CAST(i AS BIGINT) AS feature_id, CAST(0 AS BIGINT) AS wm
+           FROM generate_series(0, {dim - 1}) AS g(i)),{",".join(its)}
+    SELECT feature_id, wm AS weight_milli FROM w{s}
+    """
+
+
+@_q("trained_classifier_weights_sgd", _classifier_train_sgd_oracle())
+def q_trained_classifier_weights_sgd(spark, sf_dir):
+    # deterministic mini-batch SGD: 2 epochs x 2 content-hash batches —
+    # the stochastic-order production recipe made replayable (batch
+    # membership is a pure function of row content), every step
+    # value-checked by the unrolled oracle.
+    from real_estate_project1_etl_spark.operators.quality import (
+        train_hashed_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    return train_hashed_classifier(
+        docs,
+        dim=_CLS_TRAIN_DIM,
+        n_iters=2,
+        lr_num=1,
+        lr_den=64,
+        n_batches=2,
+    )
+
+
 @_q("trained_classifier_weights_reg", _classifier_train_reg_oracle())
 def q_trained_classifier_weights_reg(spark, sf_dir):
     # classifier training with the intercept and L2 weight decay ON —

@@ -578,6 +578,7 @@ def train_hashed_classifier(
     fit_bias: bool = False,
     l2_num: int = 0,
     l2_den: int = 1,
+    n_batches: int = 1,
 ) -> DataFrame:
     """TRAIN the weights :func:`hashed_linear_classifier` scores with —
     full-batch gradient descent on a logistic model over the SAME hashed
@@ -619,6 +620,18 @@ def train_hashed_classifier(
     the scaled-integer form of L2 regularization, exact cross-engine
     like everything else here. Defaults (0/1) disable it.
 
+    ``n_batches > 1`` switches to DETERMINISTIC mini-batch gradient
+    descent: ``n_iters`` becomes the epoch count, and each epoch takes
+    ``n_batches`` sequential steps over content-hash partitions of the
+    corpus (``hash60(doc_id) mod n_batches`` — the engine's standard
+    retry/partitioning-stable draw, so "stochastic" order is a pure
+    function of row content and an oracle can replay every step).
+    Mini-batch steps converge faster per epoch at the cost of more
+    driver round-trips per epoch; batch membership is a scan-stage
+    filter, never a join. L2 decay (when enabled) applies per STEP —
+    ``n_iters * n_batches`` times in total — as in standard SGD weight
+    decay.
+
     Labels: ``label_col`` must be 0/1 (seed-set membership). NULL-label
     rows are EXCLUDED from training (same explicit contract as
     hard_negative_mining) — score them at inference instead.
@@ -657,6 +670,10 @@ def train_hashed_classifier(
             "train_hashed_classifier: need l2_num >= 0 and l2_den >= 1, got "
             f"{l2_num!r}/{l2_den!r}"
         )
+    if n_batches < 1:
+        raise ValueError(
+            f"train_hashed_classifier: n_batches must be >= 1, got {n_batches!r}"
+        )
     spark = docs.sparkSession
     base = ensure_parallelism(
         docs.filter(F.col(label_col).isNotNull()).select(
@@ -689,47 +706,55 @@ def train_hashed_classifier(
         F.lit(0).cast("bigint").alias("weight_milli"),
     )
     for _ in range(n_iters):
-        margins = (
-            feats.join(F.broadcast(weights), "feature_id")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("n") * F.col("weight_milli")).alias("_m"))
-        )
-        resid = labels.join(margins, "doc_id", "left").select(
-            "doc_id",
-            (
-                F.least(
-                    F.greatest(
-                        F.lit(500) + F.expr("coalesce(_m, 0) div 4"),
-                        F.lit(0),
-                    ),
-                    F.lit(1000),
+        for b in range(n_batches):
+            if n_batches == 1:
+                bf, bl = feats, labels
+            else:
+                member = (
+                    F.pmod(_hash60(["doc_id"]), F.lit(n_batches)) == b
                 )
-                - F.col("_y") * 1000
-            ).alias("_r"),
-        )
-        grads = (
-            feats.join(resid, "doc_id")
-            .groupBy("feature_id")
-            .agg(F.sum(F.col("_r") * F.col("n")).alias("_g"))
-        )
-        upd = F.col("weight_milli") - F.expr(
-            f"coalesce(_g, 0) * {int(lr_num)} div {int(lr_den)}"
-        )
-        if l2_num:
-            # integer weight decay on the hashed weights; the bias row
-            # (feature_id = dim) is never decayed, standard practice
-            upd = upd - F.when(
-                F.col("feature_id") < dim,
-                F.expr(f"weight_milli * {int(l2_num)} div {int(l2_den)}"),
-            ).otherwise(F.lit(0))
-        weights = (
-            weights.join(grads, "feature_id", "left")
-            .select(
-                "feature_id",
-                upd.cast("bigint").alias("weight_milli"),
+                bf, bl = feats.filter(member), labels.filter(member)
+            margins = (
+                bf.join(F.broadcast(weights), "feature_id")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("n") * F.col("weight_milli")).alias("_m"))
             )
-            .localCheckpoint(eager=True)
-        )
+            resid = bl.join(margins, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.least(
+                        F.greatest(
+                            F.lit(500) + F.expr("coalesce(_m, 0) div 4"),
+                            F.lit(0),
+                        ),
+                        F.lit(1000),
+                    )
+                    - F.col("_y") * 1000
+                ).alias("_r"),
+            )
+            grads = (
+                bf.join(resid, "doc_id")
+                .groupBy("feature_id")
+                .agg(F.sum(F.col("_r") * F.col("n")).alias("_g"))
+            )
+            upd = F.col("weight_milli") - F.expr(
+                f"coalesce(_g, 0) * {int(lr_num)} div {int(lr_den)}"
+            )
+            if l2_num:
+                # integer weight decay on the hashed weights; the bias
+                # row (feature_id = dim) is never decayed, standard
+                upd = upd - F.when(
+                    F.col("feature_id") < dim,
+                    F.expr(f"weight_milli * {int(l2_num)} div {int(l2_den)}"),
+                ).otherwise(F.lit(0))
+            weights = (
+                weights.join(grads, "feature_id", "left")
+                .select(
+                    "feature_id",
+                    upd.cast("bigint").alias("weight_milli"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return weights
 
 

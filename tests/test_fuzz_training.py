@@ -84,12 +84,15 @@ def test_fuzz_bpe_train_batched_matches_model(seed, spark):
 
 def _ref_train_classifier(
     texts_labels, dim, n_iters, lr_num, lr_den,
-    fit_bias=False, l2_num=0, l2_den=1,
+    fit_bias=False, l2_num=0, l2_den=1, n_batches=1,
 ):
     import hashlib
 
     def h(tok):
         return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+    def bhash(did):
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) % n_batches
 
     def tdiv(a, b):
         q = abs(a) // b
@@ -107,20 +110,25 @@ def _ref_train_classifier(
     n_w = dim + (1 if fit_bias else 0)
     w = [0] * n_w
     for _ in range(n_iters):
-        resid = {}
-        for did, c in feats.items():
-            m = sum(n * w[j] for j, n in c.items())
-            p = min(max(500 + tdiv(m, 4), 0), 1000)
-            resid[did] = p - 1000 * ys[did]
-        grad = [0] * n_w
-        for did, c in feats.items():
-            for j, n in c.items():
-                grad[j] += resid[did] * n
-        w = [
-            wj - tdiv(g * lr_num, lr_den)
-            - (tdiv(wj * l2_num, l2_den) if l2_num and j < dim else 0)
-            for j, (wj, g) in enumerate(zip(w, grad))
-        ]
+        for b in range(n_batches):
+            batch = [
+                did for did in feats
+                if n_batches == 1 or bhash(did) == b
+            ]
+            resid = {}
+            for did in batch:
+                m = sum(n * w[j] for j, n in feats[did].items())
+                p = min(max(500 + tdiv(m, 4), 0), 1000)
+                resid[did] = p - 1000 * ys[did]
+            grad = [0] * n_w
+            for did in batch:
+                for j, n in feats[did].items():
+                    grad[j] += resid[did] * n
+            w = [
+                wj - tdiv(g * lr_num, lr_den)
+                - (tdiv(wj * l2_num, l2_den) if l2_num and j < dim else 0)
+                for j, (wj, g) in enumerate(zip(w, grad))
+            ]
     return w
 
 
@@ -138,9 +146,11 @@ def test_fuzz_classifier_train_matches_model(seed, spark):
     lr_den = rng.choice([8, 32, 128])
     fit_bias = rng.random() < 0.5
     l2_num, l2_den = rng.choice([(0, 1), (1, 16), (1, 64)])
+    n_batches = rng.choice([1, 1, 2, 3])
     want = _ref_train_classifier(
         labeled, dim, n_iters, 1, lr_den,
         fit_bias=fit_bias, l2_num=l2_num, l2_den=l2_den,
+        n_batches=n_batches,
     )
     df = spark.createDataFrame(
         [(i, t, y) for i, (t, y) in enumerate(labeled)],
@@ -151,8 +161,9 @@ def test_fuzz_classifier_train_matches_model(seed, spark):
         for r in train_hashed_classifier(
             df, dim=dim, n_iters=n_iters, lr_num=1, lr_den=lr_den,
             fit_bias=fit_bias, l2_num=l2_num, l2_den=l2_den,
+            n_batches=n_batches,
         ).collect()
     }
     assert got == {j: want[j] for j in range(len(want))}, (
-        seed, dim, n_iters, lr_den, fit_bias, l2_num, l2_den,
+        seed, dim, n_iters, lr_den, fit_bias, l2_num, l2_den, n_batches,
     )
