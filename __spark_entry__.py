@@ -9074,6 +9074,77 @@ def q_bpe_trained_merges_batched(spark, sf_dir):
     )
 
 
+def _wordpiece_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
+    # the WordPiece-objective variant of _bpe_train_oracle: per
+    # iteration a symbol-count CTE joins the pair counts and the argmax
+    # ranks by the scaled-integer likelihood ratio
+    # c12 * 10^12 // (c_l * c_r), count cutoff still on the raw count.
+    its = []
+    for i in range(1, n_merges + 1):
+        its.append(f"""
+    p{i} AS (
+        SELECT toks[gi] AS l, toks[gi + 1] AS r, sum(n) AS cnt
+        FROM (SELECT string_split(trim(enc), '  ') AS toks, n FROM v{i - 1}),
+             unnest(generate_series(1, len(toks) - 1)) AS g(gi)
+        GROUP BY 1, 2),
+    s{i} AS (
+        SELECT tok, sum(n) AS cs
+        FROM (SELECT unnest(string_split(trim(enc), '  ')) AS tok, n
+              FROM v{i - 1})
+        GROUP BY tok),
+    b{i} AS MATERIALIZED (
+        SELECT p.l, p.r, p.cnt
+        FROM p{i} p
+        JOIN s{i} sl ON sl.tok = p.l
+        JOIN s{i} sr ON sr.tok = p.r
+        WHERE p.cnt >= 2
+        ORDER BY CAST(p.cnt AS HUGEINT) * 1000000000000
+                     // (CAST(sl.cs AS HUGEINT) * sr.cs) DESC,
+                 p.l, p.r
+        LIMIT 1),
+    v{i} AS MATERIALIZED (
+        SELECT replace(enc, ' ' || b.l || '  ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' ') AS enc, n
+        FROM v{i - 1}, b{i} b)""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS INTEGER) AS rank, l AS \"left\","
+        f" r AS \"right\", CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return rf"""
+    WITH w AS (
+        SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents),
+    words AS (
+        SELECT wd, count(*) AS n
+        FROM (SELECT unnest(string_split(t, ' ')) AS wd FROM w)
+        WHERE wd <> '' GROUP BY wd),
+    v0 AS (
+        SELECT ' ' || array_to_string(string_split(wd, ''), '  ') || ' '
+                   AS enc, n
+        FROM words),{",".join(its)}
+    SELECT * FROM ({unions})
+    """
+
+
+@_q("wordpiece_trained_merges", _wordpiece_train_oracle())
+def q_wordpiece_trained_merges(spark, sf_dir):
+    # tokenizer training under the WORDPIECE objective (Schuster &
+    # Nakajima 2012 / the BERT tokenizer): merge the pair maximizing
+    # count(lr)/(count(l)*count(r)) in scaled integers — rare-but-bound
+    # morphemes beat frequent-but-independent collisions. Same
+    # distributed shape as bpe_trained_merges plus one vocabulary-sized
+    # symbol-count agg per iteration; the divergence from the count
+    # objective is pinned by a hand-built corpus in
+    # tests/test_properties.py.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, _BPE_TRAIN_N, pair_score="wordpiece")
+
+
 @_q("bpe_trained_merges", _bpe_train_oracle())
 def q_bpe_trained_merges(spark, sf_dir):
     # IN-ENGINE BPE tokenizer training (round-9 verdict item 1): learn a

@@ -1055,6 +1055,7 @@ def bpe_train_merges(
     min_frequency: int = 2,
     checkpoint_every: int = 8,
     initial_merges: DataFrame | None = None,
+    pair_score: str = "count",
 ) -> DataFrame:
     """TRAIN a BPE merge table on the corpus — the iterative
     pair-count -> top-pair -> merge loop of Sennrich et al.
@@ -1082,6 +1083,20 @@ def bpe_train_merges(
        merge order).
     3. Stop early when no pair reaches ``min_frequency`` (the reference
        trainer's ``most_frequent < 2`` stop).
+
+    ``pair_score`` selects the merge-choice objective:
+
+    - ``"count"`` (default): the raw pair frequency — classic BPE;
+    - ``"wordpiece"``: the WordPiece likelihood ratio ``count(lr) /
+      (count(l) * count(r))`` (Schuster & Nakajima 2012 / the BERT
+      tokenizer's objective), in scaled integers:
+      ``score = c12 * 10^12 div (c_l * c_r)`` over decimal(38,0)
+      products (symbol-count products at corpus scale overflow bigint),
+      ties broken by ``(left, right)`` ascending. WordPiece prefers
+      pairs that co-occur MORE than their parts' popularity predicts —
+      rare-but-bound morphemes win over frequent-but-independent
+      stopword collisions. The ``min_frequency`` stop still applies to
+      the raw count (a high-ratio singleton is still noise).
 
     ``initial_merges``: RESUME training from an existing ``(rank, left,
     right)`` table (ours or a loaded ``merges.txt``): the prior merges
@@ -1119,6 +1134,11 @@ def bpe_train_merges(
         raise ValueError(
             "bpe_train_merges: min_frequency must be >= 1, got "
             f"{min_frequency!r}"
+        )
+    if pair_score not in ("count", "wordpiece"):
+        raise ValueError(
+            "bpe_train_merges: pair_score must be 'count' or 'wordpiece', "
+            f"got {pair_score!r}"
         )
     spark = docs.sparkSession
     words = docs.select(
@@ -1181,13 +1201,45 @@ def bpe_train_merges(
                 )
             ).alias("p"),
         )
-        best = (
-            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("n").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
+        pc = pairs.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        ).agg(F.sum("n").alias("cnt"))
+        if pair_score == "wordpiece":
+            syms = vocab.select(
+                F.explode(F.split(F.trim(F.col("enc")), "  ")).alias("tok"),
+                "n",
+            ).groupBy("tok").agg(F.sum("n").alias("cs"))
+            best = (
+                pc.filter(F.col("cnt") >= min_frequency)
+                .join(
+                    syms.select(
+                        F.col("tok").alias("l"), F.col("cs").alias("_cl")
+                    ),
+                    "l",
+                )
+                .join(
+                    syms.select(
+                        F.col("tok").alias("r"), F.col("cs").alias("_cr")
+                    ),
+                    "r",
+                )
+                .withColumn(
+                    "_score",
+                    F.expr(
+                        "cast(cnt as decimal(38,0)) * 1000000000000"
+                        " div (cast(_cl as decimal(38,0)) * _cr)"
+                    ),
+                )
+                .orderBy(F.col("_score").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+        else:
+            best = (
+                pc.orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
         if not best or best[0]["cnt"] < min_frequency:
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])

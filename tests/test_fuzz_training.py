@@ -48,17 +48,20 @@ def test_fuzz_bpe_train_matches_model(seed, spark):
     docs = _random_corpus(rng)
     n_merges = rng.randint(1, 15)
     min_freq = rng.choice([1, 2, 3])
+    score = rng.choice(["count", "count", "wordpiece"])
     want = _ref_bpe_train(
-        [t for _, t in docs], n_merges, min_frequency=min_freq
+        [t for _, t in docs], n_merges, min_frequency=min_freq,
+        pair_score=score,
     )
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = [
         (r["left"], r["right"], r["pair_count"])
         for r in bpe_train_merges(
-            df, n_merges, min_frequency=min_freq, checkpoint_every=3
+            df, n_merges, min_frequency=min_freq, checkpoint_every=3,
+            pair_score=score,
         ).orderBy("rank").collect()
     ]
-    assert got == want, (seed, n_merges, min_freq, got, want)
+    assert got == want, (seed, n_merges, min_freq, score, got, want)
 
 
 @pytest.mark.parametrize("seed", range(N_BPE_BATCHED))

@@ -261,11 +261,13 @@ def test_bpe_segment_matches_reference_encoder(spark):
         assert got[i] == want, (t, got[i], want)
 
 
-def _ref_bpe_train(texts, n_merges, min_frequency=2):
+def _ref_bpe_train(texts, n_merges, min_frequency=2, pair_score="count"):
     # faithful python model of the published BPE trainer (Sennrich et al.
     # 2016): word-frequency vocab, overlapping adjacent-pair counts,
     # most-frequent pair with (left, right) lexicographic tiebreak,
-    # leftmost-greedy non-overlapping merge application.
+    # leftmost-greedy non-overlapping merge application. pair_score
+    # 'wordpiece' swaps the objective for the scaled-integer likelihood
+    # ratio c12 * 10^12 // (c_l * c_r) (Schuster & Nakajima 2012).
     from collections import Counter
 
     wc = Counter(w for t in texts for w in t.lower().split() if w)
@@ -273,15 +275,26 @@ def _ref_bpe_train(texts, n_merges, min_frequency=2):
     merges = []
     for _ in range(n_merges):
         pc: Counter = Counter()
+        sc: Counter = Counter()
         for syms, c in vocab.items():
+            for s in syms:
+                sc[s] += c
             for i in range(len(syms) - 1):
                 pc[(syms[i], syms[i + 1])] += c
-        if not pc:
+        cands = [
+            (l, r, cnt) for (l, r), cnt in pc.items() if cnt >= min_frequency
+        ]
+        if not cands:
             break
-        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        (l, r), cnt = best
-        if cnt < min_frequency:
-            break
+        if pair_score == "wordpiece":
+            l, r, cnt = min(
+                cands,
+                key=lambda t: (
+                    -(t[2] * 10**12 // (sc[t[0]] * sc[t[1]])), t[0], t[1]
+                ),
+            )
+        else:
+            l, r, cnt = min(cands, key=lambda t: (-t[2], t[0], t[1]))
         merges.append((l, r, cnt))
         new_vocab = {}
         for syms, c in vocab.items():
@@ -588,3 +601,38 @@ def test_bpe_train_resume_equals_one_shot(spark):
     )
     with _pytest.raises(ValueError, match="spaces"):
         bpe_train_merges(docs, 2, initial_merges=bad)
+
+
+def test_wordpiece_score_differs_from_count_and_matches_model(spark):
+    # corpus designed so the objectives disagree: (a,a) is the most
+    # FREQUENT pair (30 occurrences) but 'a' is everywhere (c_a=40 ->
+    # ratio ~0.019); (q,z) occurs only 5 times but q/z appear nowhere
+    # else (ratio 5/25 = 0.2). Count-BPE must merge (a,a) first;
+    # WordPiece must merge (q,z) first — and both must match the model
+    # exactly for the full run.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    texts = ["aaaa " * 10, "qz qz qz qz qz"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    count_first = bpe_train_merges(docs, 1).collect()[0]
+    assert (count_first["left"], count_first["right"]) == ("a", "a")
+    wp_first = bpe_train_merges(docs, 1, pair_score="wordpiece").collect()[0]
+    assert (wp_first["left"], wp_first["right"]) == ("q", "z")
+
+    for score in ("count", "wordpiece"):
+        want = _ref_bpe_train(texts, 6, pair_score=score)
+        got = [
+            (r["left"], r["right"], r["pair_count"])
+            for r in bpe_train_merges(docs, 6, pair_score=score)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, (score, got, want)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pair_score"):
+        bpe_train_merges(docs, 2, pair_score="unigram")
