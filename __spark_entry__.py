@@ -4682,6 +4682,49 @@ def q_near_dup_components(spark, sf_dir):
 
 
 @_q(
+    "soft_dedup_weights",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(0.6)},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ),
+    sizes AS (SELECT comp, count(*) AS sz FROM labels GROUP BY comp)
+    SELECT d.doc_id,
+           CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+           CAST(1000000 // coalesce(s.sz, 1) AS BIGINT) AS weight_scaled
+    FROM documents d
+    LEFT JOIN labels l ON l.id = d.doc_id
+    LEFT JOIN sizes s ON s.comp = l.comp
+    """,
+)
+def q_soft_dedup_weights(spark, sf_dir):
+    # SOFT dedup (reweight, don't drop): near-dup clusters from the
+    # mirrored minhash construction -> transitive closure -> weight =
+    # scale div cluster_size for EVERY doc (singletons keep full
+    # weight). Keeps one effective copy of duplicated content instead
+    # of losing the duplication signal entirely — the pluggable-
+    # evidence counterpart of near_dup_canonical_map's hard removal.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", round_digits=None, hash_fn="md5_60"
+    )
+    return soft_dedup_weights(docs, pairs)
+
+
+@_q(
     "leakage_safe_split",
     f"""
     WITH RECURSIVE {_minhash_pairs_ctes(0.6)},

@@ -848,6 +848,62 @@ def containment_pairs(
     return out
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    scale: int = 1_000_000,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SOFT deduplication: instead of dropping near-duplicates, assign
+    every document a sampling weight inversely proportional to its
+    duplication-cluster size — ``weight = scale div cluster_size`` —
+    so a document duplicated k times contributes ~once in expectation
+    (the soft-dedup reweighting studied for LM pretraining; hard
+    removal loses the signal that duplicated content is often GOOD
+    content, reweighting keeps one effective copy of it).
+
+    ``pairs`` is any near-duplicate pair table — MinHash
+    (:func:`minhash_near_duplicates`), exact-Jaccard
+    (:func:`prefix_filter_jaccard_pairs`), containment — so the
+    evidence source is pluggable. Clusters are the transitive closure
+    (:func:`~.graph.connected_components`); documents in no pair are
+    singletons with weight ``scale``.
+
+    Returns ``(id_col, cluster_size, weight_scaled)`` for EVERY input
+    document; integer division keeps the weights cross-engine exact.
+    Feed ``weight_scaled`` to a hash-threshold sampler (keep iff
+    ``hash60(id) * cluster_size < scale_threshold``-style) or to the
+    trainer's example-weight column.
+
+    Scale shape: components over the PAIR set only (docs outside any
+    pair never shuffle); one size agg on the component id; one
+    broadcast-able join back to the corpus ids.
+    """
+    from .graph import component_sizes, connected_components
+
+    labels = connected_components(pairs, a_col, b_col, max_iter=max_iter)
+    sizes = component_sizes(labels)
+    lab = labels.join(sizes, "comp").select(
+        F.col("id").alias(id_col), F.col("size")
+    )
+    return (
+        docs.select(id_col)
+        .join(lab, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("size"), F.lit(1)).cast("bigint").alias(
+                "cluster_size"
+            ),
+            F.expr(f"cast({int(scale)} div coalesce(size, 1) as bigint)").alias(
+                "weight_scaled"
+            ),
+        )
+    )
+
+
 def repeated_kgram_spans(
     df: DataFrame,
     text_col: str = "text",

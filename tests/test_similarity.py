@@ -524,3 +524,29 @@ def test_ngram_novelty_separates_duplicates_from_unique(spark):
     assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
     assert out[3]["novelty"] == 1.0
     assert out[3]["n_shared"] == 0 and out[1]["n_shared"] == out[1]["n_grams"]
+
+
+def test_soft_dedup_weights_planted_clusters(spark):
+    # pluggable-evidence soft dedup: any pair table in, every doc out
+    # with weight = scale div cluster_size; singletons keep full weight
+    from real_estate_project1_etl_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # clusters: {0,1,2} (chain), {3,4}; 5 and 6 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["weight_scaled"])
+        for r in soft_dedup_weights(docs, pairs).collect()
+    }
+    assert got == {
+        0: (3, 333333), 1: (3, 333333), 2: (3, 333333),
+        3: (2, 500000), 4: (2, 500000),
+        5: (1, 1000000), 6: (1, 1000000),
+    }
+    # expected total corpus weight = one effective copy per cluster
+    total = sum(w for _, w in got.values())
+    assert total == 333333 * 3 + 500000 * 2 + 1000000 * 2
