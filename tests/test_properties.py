@@ -396,10 +396,11 @@ def test_bpe_train_merges_stops_early_and_validates(spark):
 
 
 def _ref_bpe_train_batched(texts, n_merges, batch_size, cand_factor=4,
-                           min_frequency=2):
+                           min_frequency=2, accept_rule="blocking"):
     # python model of the batched trainer: rank pairs, keep top
-    # cand_factor*batch candidates, accept iff no higher-ranked
-    # candidate shares a symbol (blocked candidates still block),
+    # cand_factor*batch candidates, accept per rule ('blocking': no
+    # higher-ranked candidate shares a symbol, rejected candidates
+    # still block; 'greedy': only accepted candidates block),
     # apply all accepted, repeat; truncate to n_merges.
     from collections import Counter
 
@@ -420,9 +421,14 @@ def _ref_bpe_train_batched(texts, n_merges, batch_size, cand_factor=4,
         accepted = []
         for cnt, l, r in ranked:
             blocked = l in seen or r in seen
-            seen.update((l, r))
-            if not blocked and len(accepted) < batch_size:
-                accepted.append((l, r, cnt))
+            if accept_rule == "blocking":
+                seen.update((l, r))
+                if not blocked and len(accepted) < batch_size:
+                    accepted.append((l, r, cnt))
+            else:
+                if not blocked and len(accepted) < batch_size:
+                    accepted.append((l, r, cnt))
+                    seen.update((l, r))
         if not accepted:
             break
         for l, r, cnt in accepted:
@@ -636,3 +642,47 @@ def test_wordpiece_score_differs_from_count_and_matches_model(spark):
 
     with _pytest.raises(ValueError, match="pair_score"):
         bpe_train_merges(docs, 2, pair_score="unigram")
+
+
+def test_bpe_train_batched_greedy_rule_fills_rounds_fuller(spark):
+    # greedy acceptance must (a) match its python model exactly and
+    # (b) never use MORE rounds than the blocking rule for the same
+    # merge budget — a rejected candidate no longer shadows those below
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges_batched,
+    )
+
+    texts = [
+        "the theme there then the brother together",
+        "low lower lowest newest newer new knowing",
+        "aaaa aa aaa banana bandana cabana",
+        "the low newer theme the slower mower",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n_merges, bs in ((8, 4), (12, 4)):
+        want = _ref_bpe_train_batched(
+            texts, n_merges, bs, accept_rule="greedy"
+        )
+        rows = bpe_train_merges_batched(
+            docs, n_merges, batch_size=bs, accept_rule="greedy",
+            checkpoint_every=2,
+        ).orderBy("rank").collect()
+        got = [
+            (r["rank"], r["round"], r["left"], r["right"], r["pair_count"])
+            for r in rows
+        ]
+        assert got == want, (n_merges, bs, got, want)
+        blocking_rounds = {
+            r["round"]
+            for r in bpe_train_merges_batched(
+                docs, n_merges, batch_size=bs
+            ).collect()
+        }
+        greedy_rounds = {r["round"] for r in rows}
+        assert len(greedy_rounds) <= len(blocking_rounds)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="accept_rule"):
+        bpe_train_merges_batched(docs, 4, accept_rule="luby")
