@@ -74,15 +74,19 @@ def test_fuzz_bpe_train_batched_matches_model(seed, spark):
     docs = _random_corpus(rng)
     n_merges = rng.randint(2, 14)
     bs = rng.randint(1, 5)
-    want = _ref_bpe_train_batched([t for _, t in docs], n_merges, bs)
+    rule = rng.choice(["blocking", "greedy"])
+    want = _ref_bpe_train_batched(
+        [t for _, t in docs], n_merges, bs, accept_rule=rule
+    )
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = [
         (r["rank"], r["round"], r["left"], r["right"], r["pair_count"])
         for r in bpe_train_merges_batched(
-            df, n_merges, batch_size=bs, checkpoint_every=2
+            df, n_merges, batch_size=bs, checkpoint_every=2,
+            accept_rule=rule,
         ).orderBy("rank").collect()
     ]
-    assert got == want, (seed, n_merges, bs, got, want)
+    assert got == want, (seed, n_merges, bs, rule, got, want)
 
 
 def _ref_train_classifier(
