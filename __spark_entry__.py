@@ -2043,6 +2043,74 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+@_q(
+    "pq_adc_topk",
+    """
+    WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS ev
+               FROM embeddings),
+    sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+    cb AS (SELECT sub.s AS subspace, v.vec_id::INT AS code,
+                  v.ev[sub.s * 16 + 1 : sub.s * 16 + 16] AS centroid
+           FROM v, sub WHERE v.vec_id < 8),
+    dists AS (SELECT v.vec_id, cb.subspace, cb.code,
+                     list_reduce(list_transform(generate_series(1, 16),
+                         j -> (v.ev[cb.subspace * 16 + j] - cb.centroid[j])
+                              * (v.ev[cb.subspace * 16 + j]
+                                 - cb.centroid[j])),
+                         (a, b) -> a + b) AS d
+              FROM v, cb),
+    enc AS (SELECT vec_id, subspace, code FROM (
+                SELECT vec_id, subspace, code,
+                       row_number() OVER (PARTITION BY vec_id, subspace
+                                          ORDER BY d, code) AS rn
+                FROM dists) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+    pair AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.subspace, d.d
+             FROM q
+             JOIN enc e ON e.vec_id <> q.query_id
+             JOIN dists d ON d.vec_id = q.query_id
+                         AND d.subspace = e.subspace AND d.code = e.code),
+    adc AS (SELECT query_id, neighbor_id,
+                   round(list_reduce(list(d ORDER BY subspace),
+                                     (a, b) -> a + b), 6) AS adist
+            FROM pair GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, rank, adist FROM (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rank
+        FROM adc) WHERE rank <= 5
+    """,
+)
+def q_pq_adc_topk(spark, sf_dir):
+    # PRODUCT-QUANTIZATION asymmetric-distance top-k (Jégou et al. 2011
+    # — the compressed-domain scan of IVF-PQ systems): corpus vectors
+    # compress to 4 codes (16-dim subvectors, 8-entry codebooks), each
+    # query scores them with 4 lookup-table adds instead of 64
+    # multiply-adds. The codebook is deterministic (subvectors of the
+    # first 8 corpus vectors — the fit-once stand-in, like ivf_ann_topk's
+    # centroid table), so encoding argmins, the per-query distance
+    # tables, and the FIXED-ORDER float sums are all value-checked
+    # cross-engine. Retrieval quality (planted-cluster recall, exact
+    # rerank tier) is pinned in tests/test_similarity.py.
+    from real_estate_project1_etl_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = []
+    first8 = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    for s in range(4):
+        for c in range(8):
+            cbs.append((s, c, first8[c][s * 16:(s + 1) * 16]))
+    cb = spark.createDataFrame(
+        cbs, "subspace int, code int, centroid array<double>"
+    )
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), cb, k=5)
+
+
 _IVF_N_LISTS, _IVF_N_PROBE = 16, 4
 
 

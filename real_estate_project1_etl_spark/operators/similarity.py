@@ -598,3 +598,232 @@ def projected_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Fit-once PRODUCT-QUANTIZATION codebooks (Jégou et al., TPAMI
+    2011): split each vector into ``m_subspaces`` contiguous
+    subvectors and fit an independent KMeans codebook of ``n_codes``
+    centroids per subspace. Returns ``(subspace, code, centroid
+    array<double>)`` — persist it and reuse across sessions, exactly
+    like :func:`fit_ivf_centroids` (and like there, the per-call fit is
+    a small-scale convenience; at 100 TB fit on a sample, once).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if m_subspaces < 1 or n_codes < 1:
+        raise ValueError(
+            "fit_pq_codebooks: m_subspaces and n_codes must be >= 1, got "
+            f"{m_subspaces!r}/{n_codes!r}"
+        )
+    spark = corpus.sparkSession
+    base = ensure_parallelism(
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    ).localCheckpoint(eager=True)
+    dim = base.select(F.size("v")).first()[0]
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"fit_pq_codebooks: dim {dim} not divisible by m_subspaces "
+            f"{m_subspaces}"
+        )
+    sub = dim // m_subspaces
+    rows = []
+    for s in range(m_subspaces):
+        feat = base.select(
+            array_to_vector(
+                F.slice("v", s * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + s, maxIter=5).fit(feat)
+        for c, cent in enumerate(model.clusterCenters()):
+            rows.append((s, c, [float(x) for x in cent]))
+    return spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+
+
+def _pq_collapse(codebooks: DataFrame):
+    """One broadcastable row: ``_cbs[s]`` = code-ascending array of
+    ``(code, centroid)`` structs for subspace ``s``; plus (m, sublen)."""
+    per_sub = (
+        codebooks.groupBy("subspace")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("code"), F.col("centroid")))
+            ).alias("cb")
+        )
+    )
+    row = per_sub.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("subspace"), F.col("cb")))
+            ),
+            lambda e: e["cb"],
+        ).alias("_cbs")
+    )
+    meta = codebooks.agg(
+        (F.max("subspace") + 1).alias("_m"),
+    ).first()
+    sublen = codebooks.select(F.size("centroid")).first()[0]
+    return row, int(meta["_m"]), int(sublen)
+
+
+def _l2sq(a, b):
+    """Sequential left-to-right squared-L2 fold — the FIXED summation
+    order both engines reproduce bit-exactly (determinism rule 8: a
+    fixed per-row expression tree over exact inputs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encoding: ``(id, codes array<int>)`` — per subspace, the
+    nearest codebook centroid by squared L2 over the double-cast
+    subvector (classic PQ; ties -> lowest code). The corpus compresses
+    from ``4*dim`` bytes to ``m`` small ints per vector — the memory
+    form IVF-PQ indexes store.
+
+    Scale shape: the collapsed codebook is ONE broadcast row; encoding
+    is a scan-stage argmin per subspace (m x n_codes x sublen
+    multiply-adds per row — for wide production dims swap in an
+    Arrow/numpy batch like :func:`brute_force_topk_pandas`, same
+    results). The corpus never shuffles.
+    """
+    row, m, sub = _pq_collapse(codebooks)
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: -F.array_max(
+            F.transform(
+                F.element_at(F.col("_cbs"), s + 1),
+                lambda cc: F.struct(
+                    (-_l2sq(F.slice(v, s * sub + 1, sub), cc["centroid"])).alias(
+                        "negd"
+                    ),
+                    (-cc["code"]).alias("negc"),
+                ),
+            )
+        )["negc"],
+    )
+    return (
+        ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+        .join(F.broadcast(row))
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_k: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: score every corpus CODE
+    vector against each query with ``m`` lookup-table adds instead of
+    ``dim`` multiply-adds — the compressed-domain scan of IVF-PQ
+    systems. Each query precomputes its ``m x n_codes`` distance table
+    against the broadcast codebook; a corpus row's approximate distance
+    is the sum of its codes' table entries, summed in FIXED subspace
+    order so the float result is engine-exact.
+
+    ``rerank_k``: two-stage mode — take the ``rerank_k`` best ADC
+    candidates per query, rescore them with EXACT cosine on the
+    original vectors, and return the top ``k`` by true similarity
+    (``sim`` column). Without it, returns ADC distances (``adist``,
+    ascending rank). Deterministic: distances rounded to ``round_to``
+    before ranking, ``neighbor_id`` tiebreak, self-pairs excluded.
+
+    Scale shape: encode is scan-stage; the ADC scan is corpus x
+    broadcast-queries with m lookups per pair (no shuffle of vectors —
+    the join payload is the m-int code array); the optional rerank
+    joins only ``rerank_k`` candidates per query back to the originals.
+    Pair with IVF lists to prune the scan at extreme corpus sizes.
+    """
+    if rerank_k is not None and rerank_k < k:
+        raise ValueError(
+            f"pq_topk: rerank_k ({rerank_k!r}) must be >= k ({k!r})"
+        )
+    row, m, sub = _pq_collapse(codebooks)
+    n_codes = codebooks.groupBy("subspace").count().agg(
+        F.max("count")
+    ).first()[0]
+    enc = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    lut = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.element_at(F.col("_cbs"), s + 1),
+                lambda cc: _l2sq(
+                    F.slice(qv, s * sub + 1, sub), cc["centroid"]
+                ),
+            ),
+        )
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .join(F.broadcast(row))
+        .select("query_id", F.col(vec_col).alias("_qv"), lut.alias("_lut"))
+    )
+    adist = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("_lut"),
+                s * int(n_codes) + F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+        ),
+        round_to,
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", adist)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_k is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank", "adist"
+        )
+    cands = ranked.filter(F.col("rank") <= rerank_k).select(
+        "query_id", "_qv", "neighbor_id"
+    )
+    orig = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    rescored = cands.join(orig, "neighbor_id").withColumn(
+        "sim", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), round_to)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

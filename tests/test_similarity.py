@@ -550,3 +550,92 @@ def test_soft_dedup_weights_planted_clusters(spark):
     # expected total corpus weight = one effective copy per cluster
     total = sum(w for _, w in got.values())
     assert total == 333333 * 3 + 500000 * 2 + 1000000 * 2
+
+
+def test_pq_topk_recall_rerank_and_determinism(spark):
+    # product quantization on PLANTED clusters (20 centers x 5 noisy
+    # copies): quantization error << inter-cluster distance, so both
+    # ADC and the exact-rerank tier must retrieve cluster mates.
+    # (On i.i.d.-noise embeddings ADC recall is intrinsically poor —
+    # neighbor distances concentrate below the quantization error; the
+    # operator arithmetic itself is pinned against a python model
+    # below and in the oracle query.) L2-ADC ranks like cosine only on
+    # UNIT vectors (||a-b||^2 = 2-2cos) — the operator contract.
+    import random
+
+    from real_estate_project1_etl_spark.functions.vectors import normalize
+    from real_estate_project1_etl_spark.operators.similarity import (
+        brute_force_topk,
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = random.Random(5)
+    rows, vid = [], 0
+    for _c in range(20):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        for _j in range(5):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in base]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(
+        "vec_id", normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 5 == 0).limit(10)
+    cb = fit_pq_codebooks(emb, m_subspaces=4, n_codes=16)
+    assert cb.count() == 4 * 16
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=4).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, queries, cb, k=4).collect()
+    }
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, queries, cb, k=4, rerank_k=20).collect()
+    }
+    recall_adc = len(exact & adc) / len(exact)
+    recall_rer = len(exact & rer) / len(exact)
+    assert recall_adc >= 0.9, recall_adc
+    assert recall_rer >= recall_adc
+
+    # encoding is a pure function of content (repartition-stable) and
+    # matches a python model exactly
+    import math
+
+    cbrows = {
+        (r["subspace"], r["code"]): r["centroid"] for r in cb.collect()
+    }
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def py_encode(v):
+        return [
+            min(range(16), key=lambda c: (l2(v[s * 16:(s + 1) * 16],
+                                             cbrows[(s, c)]), c))
+            for s in range(4)
+        ]
+
+    codes_a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    codes_b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb.repartition(7), cb).collect()
+    }
+    assert codes_a == codes_b
+    assert all(codes_a[v] == py_encode(vecs[v]) for v in vecs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rerank_k"):
+        pq_topk(emb, queries, cb, k=5, rerank_k=3)
+    with _pytest.raises(ValueError, match="divisible"):
+        fit_pq_codebooks(emb, m_subspaces=7)
