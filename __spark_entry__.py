@@ -2111,6 +2111,119 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), cb, k=5)
 
 
+_L2_16 = (
+    "list_reduce(list_transform(generate_series(1, 16),"
+    " j -> ({a} - {b}) * ({a} - {b})), (x, y) -> x + y)"
+)
+_L2_64 = (
+    "list_reduce(list_transform(generate_series(1, 64),"
+    " j -> ({a} - {b}) * ({a} - {b})), (x, y) -> x + y)"
+)
+
+
+@_q(
+    "ivfpq_adc_topk",
+    f"""
+    WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS ev
+               FROM embeddings),
+    cents AS (SELECT vec_id::INT AS list_id, ev AS centroid
+              FROM v WHERE vec_id < 16),
+    assign AS (SELECT vec_id, list_id, centroid FROM (
+        SELECT v.vec_id, c.list_id, c.centroid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   {_L2_64.format(a='v.ev[j]', b='c.centroid[j]')},
+                   c.list_id) AS rn
+        FROM v, cents c) WHERE rn = 1),
+    resid AS (SELECT a.vec_id, a.list_id,
+                     list_transform(generate_series(1, 64),
+                                    j -> v.ev[j] - a.centroid[j]) AS rv
+              FROM assign a JOIN v USING (vec_id)),
+    sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+    cb AS (SELECT sub.s AS subspace, (r.vec_id - 100)::INT AS code,
+                  r.rv[sub.s * 16 + 1 : sub.s * 16 + 16] AS centroid
+           FROM resid r, sub WHERE r.vec_id BETWEEN 100 AND 107),
+    dists AS (SELECT r.vec_id, cb.subspace, cb.code,
+                     {_L2_16.format(a='r.rv[cb.subspace * 16 + j]',
+                                    b='cb.centroid[j]')} AS d
+              FROM resid r, cb),
+    enc AS (SELECT vec_id, subspace, code FROM (
+                SELECT vec_id, subspace, code,
+                       row_number() OVER (PARTITION BY vec_id, subspace
+                                          ORDER BY d, code) AS rn
+                FROM dists) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 10),
+    probed AS (SELECT query_id, qv, list_id, centroid FROM (
+        SELECT q.query_id, q.qv, c.list_id, c.centroid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   {_L2_64.format(a='q.qv[j]', b='c.centroid[j]')},
+                   c.list_id) AS pr
+        FROM q, cents c) WHERE pr <= 4),
+    pair AS (SELECT p.query_id, a.vec_id AS neighbor_id, e.subspace,
+                    {_L2_16.format(
+                        a='(p.qv[e.subspace * 16 + j]'
+                          ' - p.centroid[e.subspace * 16 + j])',
+                        b='cb.centroid[j]')} AS d
+             FROM probed p
+             JOIN assign a ON a.list_id = p.list_id
+                          AND a.vec_id <> p.query_id
+             JOIN enc e ON e.vec_id = a.vec_id
+             JOIN cb ON cb.subspace = e.subspace AND cb.code = e.code),
+    adc AS (SELECT query_id, neighbor_id,
+                   round(list_reduce(list(d ORDER BY subspace),
+                                     (x, y) -> x + y), 6) AS adist
+            FROM pair GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, rank, adist FROM (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rank
+        FROM adc) WHERE rank <= 5
+    """,
+)
+def q_ivfpq_adc_topk(spark, sf_dir):
+    # IVF-PQ, the production ANN architecture: coarse cells (first-16
+    # deterministic centroids) prune the scan to 4 probed cells per
+    # query; within cells, RESIDUAL vectors are PQ-coded against a
+    # deterministic codebook (subvector slices of vectors 100-107's
+    # residuals) and scored by asymmetric distance. Every stage —
+    # L2 cell assignment, residual arithmetic, encoding argmins,
+    # per-cell query LUTs, fixed-order float sums — is value-checked
+    # cross-engine. Planted-cluster recall + exact rerank pinned in
+    # tests/test_similarity.py.
+    from real_estate_project1_etl_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 108).collect()
+    }
+    cents = spark.createDataFrame(
+        [(i, vec[i]) for i in range(16)],
+        "list_id int, centroid array<double>",
+    )
+
+    def l2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    cbs = []
+    for src in range(100, 108):
+        x = vec[src]
+        best = min(range(16), key=lambda i: (l2(x, vec[i]), i))
+        rv = [a - b for a, b in zip(x, vec[best])]
+        for s in range(4):
+            cbs.append((s, src - 100, rv[s * 16:(s + 1) * 16]))
+    cb = spark.createDataFrame(
+        cbs, "subspace int, code int, centroid array<double>"
+    )
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, cb, k=5, n_probe=4
+    )
+
+
 _IVF_N_LISTS, _IVF_N_PROBE = 16, 4
 
 

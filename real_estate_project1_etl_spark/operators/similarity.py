@@ -827,3 +827,215 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_k: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (FAISS-style): a coarse
+    quantizer prunes the scan to ``n_probe`` cells per query, and
+    within cells vectors are PQ-compressed RESIDUALS (``x -
+    centroid``), scored by asymmetric distance. The two tricks compose:
+    IVF bounds how much of the corpus each query touches, residual PQ
+    keeps the quantization error small (residuals are centered near 0,
+    so one shared codebook covers every cell).
+
+    Both quantizers are caller-supplied fit-once tables
+    (:func:`fit_ivf_centroids` shape ``(list_id, centroid)``;
+    :func:`fit_pq_codebooks` shape ``(subspace, code, centroid)`` —
+    fit the codebooks on residuals for fidelity). All assignment and
+    scoring is squared-L2 in fixed summation order (engine-exact, and
+    rank-equivalent to cosine on unit-normalized inputs); ties break on
+    the lowest list/code/neighbor id.
+
+    ``rerank_k``: rescore the best ADC candidates with exact cosine on
+    the original vectors (same contract as :func:`pq_topk`).
+
+    Scale shape: corpus assignment + residual encoding are scan-stage
+    against two broadcast tables; the candidate join is equi on
+    ``list_id`` (the IVF pruning — n_probe/n_lists of the corpus per
+    query); ADC is m lookup-adds per candidate; only ``rerank_k`` rows
+    per query ever touch original vectors again.
+    """
+    if rerank_k is not None and rerank_k < k:
+        raise ValueError(
+            f"ivfpq_topk: rerank_k ({rerank_k!r}) must be >= k ({k!r})"
+        )
+    row, m, sub = _pq_collapse(codebooks)
+    n_codes = codebooks.groupBy("subspace").count().agg(
+        F.max("count")
+    ).first()[0]
+    cents_row = centroids.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("list_id"), F.col("centroid")))
+            ),
+            lambda e: e["centroid"],
+        ).alias("_cents")
+    )
+    n_lists = centroids.count()
+
+    def l2_argmin_list(v):
+        # nearest centroid by squared L2, ties -> lowest list_id
+        return -F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(n_lists) - 1)),
+                lambda i: F.struct(
+                    (-_l2sq(v, F.element_at(F.col("_cents"), i + 1))).alias(
+                        "negd"
+                    ),
+                    (-i).alias("negi"),
+                ),
+            )
+        )["negi"]
+
+    cv = F.col(vec_col).cast("array<double>")
+    assigned = (
+        ensure_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        )
+        .join(F.broadcast(cents_row))
+        .withColumn("list_id", l2_argmin_list(cv))
+        .withColumn(
+            "_res",
+            F.zip_with(
+                cv,
+                F.element_at(F.col("_cents"), F.col("list_id") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        .select("neighbor_id", "list_id", "_res")
+    )
+    # residual PQ codes (same argmin machinery as pq_encode, inlined so
+    # the residual never materializes twice)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: -F.array_max(
+            F.transform(
+                F.element_at(F.col("_cbs"), s + 1),
+                lambda cc: F.struct(
+                    (
+                        -_l2sq(
+                            F.slice(F.col("_res"), s * sub + 1, sub),
+                            cc["centroid"],
+                        )
+                    ).alias("negd"),
+                    (-cc["code"]).alias("negc"),
+                ),
+            )
+        )["negc"],
+    )
+    enc = assigned.join(F.broadcast(row)).select(
+        "neighbor_id", "list_id", codes.alias("codes")
+    )
+
+    qv = F.col(vec_col).cast("array<double>")
+    q0 = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .join(F.broadcast(cents_row))
+    )
+    # probe the n_probe nearest cells by squared L2
+    probes = q0.select(
+        "query_id",
+        F.col(vec_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(n_lists) - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("list_id"),
+                    _l2sq(qv, F.element_at(F.col("_cents"), i + 1)).alias(
+                        "cd"
+                    ),
+                ),
+            )
+        ).alias("p"),
+    ).select("query_id", F.col(vec_col), F.col("p.list_id"), F.col("p.cd"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cd").asc(), F.col("list_id").asc()
+    )
+    probed = (
+        probes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .join(F.broadcast(cents_row))
+        .join(F.broadcast(row))
+        .select(
+            "query_id",
+            F.col(vec_col).alias("_qorig"),
+            "list_id",
+            # per probed cell: residual query + its m x n_codes LUT
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.transform(
+                        F.element_at(F.col("_cbs"), s + 1),
+                        lambda cc: _l2sq(
+                            F.slice(
+                                F.zip_with(
+                                    qv,
+                                    F.element_at(
+                                        F.col("_cents"), F.col("list_id") + 1
+                                    ),
+                                    lambda a, b: a - b,
+                                ),
+                                s * sub + 1,
+                                sub,
+                            ),
+                            cc["centroid"],
+                        ),
+                    ),
+                )
+            ).alias("_lut"),
+        )
+    )
+    adist = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("_lut"),
+                s * int(n_codes) + F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+        ),
+        round_to,
+    )
+    scored = (
+        enc.join(F.broadcast(probed), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", adist)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_k is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank", "adist"
+        )
+    cands = ranked.filter(F.col("rank") <= rerank_k).select(
+        "query_id", F.col("_qorig"), "neighbor_id"
+    )
+    orig = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    rescored = cands.join(orig, "neighbor_id").withColumn(
+        "sim",
+        F.round(cosine_similarity(F.col("_qorig"), F.col("_cv")), round_to),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

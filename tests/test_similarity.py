@@ -639,3 +639,66 @@ def test_pq_topk_recall_rerank_and_determinism(spark):
         pq_topk(emb, queries, cb, k=5, rerank_k=3)
     with _pytest.raises(ValueError, match="divisible"):
         fit_pq_codebooks(emb, m_subspaces=7)
+
+
+def test_ivfpq_topk_planted_clusters(spark):
+    # IVF-PQ end to end on planted clusters: coarse cells prune the
+    # scan, residual PQ scores within probed cells, rerank recovers
+    # exact order. With cluster noise << inter-cluster distance the
+    # pipeline must retrieve cluster mates.
+    import random
+
+    from real_estate_project1_etl_spark.functions.vectors import normalize
+    from real_estate_project1_etl_spark.operators.similarity import (
+        brute_force_topk,
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(9)
+    rows, vid = [], 0
+    for _c in range(20):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        for _j in range(5):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in base]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(
+        "vec_id", normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 5 == 0).limit(10)
+    cents = fit_ivf_centroids(emb, n_lists=8)
+    cb = fit_pq_codebooks(emb, m_subspaces=4, n_codes=16)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=4).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, queries, cents, cb, k=4, n_probe=3).collect()
+    }
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            emb, queries, cents, cb, k=4, n_probe=3, rerank_k=20
+        ).collect()
+    }
+    recall_adc = len(exact & adc) / len(exact)
+    recall_rer = len(exact & rer) / len(exact)
+    assert recall_adc >= 0.8, recall_adc
+    assert recall_rer >= recall_adc
+    # deterministic across partitionings
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            emb.repartition(7), queries, cents, cb, k=4, n_probe=3
+        ).collect()
+    }
+    assert again == adc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rerank_k"):
+        ivfpq_topk(emb, queries, cents, cb, k=5, rerank_k=2)
