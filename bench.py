@@ -115,6 +115,7 @@ HEADLINE = [
     "trigram_lm_fluency",
     "quality_rrf_approx",
     "documents_corpus_build_v5",
+    "ivfpq_adc_topk",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -178,6 +179,7 @@ COST = {
     "trigram_lm_fluency": "in-row trigram zip + 3 Zipf-collapsed count aggs + vocab-sized backoff-cascade join + per-doc agg",
     "quality_rrf_approx": "1 fused sample agg (all signals) + binary-search literal bucket count in the scan; no per-signal sort",
     "documents_corpus_build_v5": "gate scan + checkpoint, ~2 batched training rounds on survivor vocab, broadcast-table segment fold, 1 shard exchange + cumsum window",
+    "ivfpq_adc_topk": "scan-stage cell assignment + residual PQ encode (broadcast tables), equi join on probed list_id, m lookup-adds per candidate",
 }
 
 

@@ -736,6 +736,7 @@ def pq_topk(
     vec_col: str = "embedding",
     rerank_k: int | None = None,
     round_to: int = 6,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: score every corpus CODE
     vector against each query with ``m`` lookup-table adds instead of
@@ -752,6 +753,13 @@ def pq_topk(
     ascending rank). Deterministic: distances rounded to ``round_to``
     before ranking, ``neighbor_id`` tiebreak, self-pairs excluded.
 
+    ``codes``: a PRE-ENCODED ``(id, codes)`` table from
+    :func:`pq_encode` — the production path. PQ codes are an
+    INGEST-TIME compression artifact (encode once, persist, scan the
+    codes on every query); the per-call encode here is the small-scale
+    convenience, and at 500k vectors it dominates the call (measured:
+    the encode is ~1B scalar ops while the ADC scan is m adds/pair).
+
     Scale shape: encode is scan-stage; the ADC scan is corpus x
     broadcast-queries with m lookups per pair (no shuffle of vectors —
     the join payload is the m-int code array); the optional rerank
@@ -766,9 +774,14 @@ def pq_topk(
     n_codes = codebooks.groupBy("subspace").count().agg(
         F.max("count")
     ).first()[0]
-    enc = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    if codes is not None:
+        enc = codes.select(
+            F.col(id_col).alias("neighbor_id"), F.col("codes")
+        )
+    else:
+        enc = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
+            id_col, "neighbor_id"
+        )
     qv = F.col(vec_col).cast("array<double>")
     lut = F.flatten(
         F.transform(
@@ -829,6 +842,78 @@ def pq_topk(
     )
 
 
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INGEST-TIME IVF-PQ index build: ``(id, list_id, codes)`` — the
+    cell assignment plus residual PQ codes :func:`ivfpq_topk` scans.
+    Encode once, persist (bucketed by ``list_id`` at scale), and pass
+    back via ``encoded=``; the per-call encode inside
+    :func:`ivfpq_topk` is the small-scale convenience only (measured:
+    encoding dominates a cold call at 500k vectors)."""
+    row, m, sub = _pq_collapse(codebooks)
+    cents_row = centroids.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("list_id"), F.col("centroid")))
+            ),
+            lambda e: e["centroid"],
+        ).alias("_cents")
+    )
+    n_lists = centroids.count()
+    cv = F.col(vec_col).cast("array<double>")
+    lid = -F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_lists) - 1)),
+            lambda i: F.struct(
+                (-_l2sq(cv, F.element_at(F.col("_cents"), i + 1))).alias(
+                    "negd"
+                ),
+                (-i).alias("negi"),
+            ),
+        )
+    )["negi"]
+    assigned = (
+        ensure_parallelism(
+            corpus.select(F.col(id_col), F.col(vec_col))
+        )
+        .join(F.broadcast(cents_row))
+        .withColumn("list_id", lid)
+        .withColumn(
+            "_res",
+            F.zip_with(
+                cv,
+                F.element_at(F.col("_cents"), F.col("list_id") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: -F.array_max(
+            F.transform(
+                F.element_at(F.col("_cbs"), s + 1),
+                lambda cc: F.struct(
+                    (
+                        -_l2sq(
+                            F.slice(F.col("_res"), s * sub + 1, sub),
+                            cc["centroid"],
+                        )
+                    ).alias("negd"),
+                    (-cc["code"]).alias("negc"),
+                ),
+            )
+        )["negc"],
+    )
+    return assigned.join(F.broadcast(row)).select(
+        F.col(id_col), F.col("list_id"), codes.alias("codes")
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -840,6 +925,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     rerank_k: int | None = None,
     round_to: int = 6,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN architecture (FAISS-style): a coarse
     quantizer prunes the scan to ``n_probe`` cells per query, and
@@ -883,60 +969,18 @@ def ivfpq_topk(
         ).alias("_cents")
     )
     n_lists = centroids.count()
-
-    def l2_argmin_list(v):
-        # nearest centroid by squared L2, ties -> lowest list_id
-        return -F.array_max(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(int(n_lists) - 1)),
-                lambda i: F.struct(
-                    (-_l2sq(v, F.element_at(F.col("_cents"), i + 1))).alias(
-                        "negd"
-                    ),
-                    (-i).alias("negi"),
-                ),
-            )
-        )["negi"]
-
-    cv = F.col(vec_col).cast("array<double>")
-    assigned = (
-        ensure_parallelism(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    if encoded is not None:
+        enc = encoded.select(
+            F.col(id_col).alias("neighbor_id"), F.col("list_id"),
+            F.col("codes"),
         )
-        .join(F.broadcast(cents_row))
-        .withColumn("list_id", l2_argmin_list(cv))
-        .withColumn(
-            "_res",
-            F.zip_with(
-                cv,
-                F.element_at(F.col("_cents"), F.col("list_id") + 1),
-                lambda a, b: a - b,
-            ),
+    else:
+        enc = ivfpq_encode(
+            corpus, centroids, codebooks, id_col, vec_col
+        ).select(
+            F.col(id_col).alias("neighbor_id"), F.col("list_id"),
+            F.col("codes"),
         )
-        .select("neighbor_id", "list_id", "_res")
-    )
-    # residual PQ codes (same argmin machinery as pq_encode, inlined so
-    # the residual never materializes twice)
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: -F.array_max(
-            F.transform(
-                F.element_at(F.col("_cbs"), s + 1),
-                lambda cc: F.struct(
-                    (
-                        -_l2sq(
-                            F.slice(F.col("_res"), s * sub + 1, sub),
-                            cc["centroid"],
-                        )
-                    ).alias("negd"),
-                    (-cc["code"]).alias("negc"),
-                ),
-            )
-        )["negc"],
-    )
-    enc = assigned.join(F.broadcast(row)).select(
-        "neighbor_id", "list_id", codes.alias("codes")
-    )
 
     qv = F.col(vec_col).cast("array<double>")
     q0 = (

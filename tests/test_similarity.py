@@ -702,3 +702,42 @@ def test_ivfpq_topk_planted_clusters(spark):
 
     with _pytest.raises(ValueError, match="rerank_k"):
         ivfpq_topk(emb, queries, cents, cb, k=5, rerank_k=2)
+
+
+def test_pq_and_ivfpq_pre_encoded_paths_match(spark):
+    # the ingest-time index paths (codes= / encoded=) must produce
+    # byte-identical results to the per-call encode
+    import random
+
+    from real_estate_project1_etl_spark.functions.vectors import normalize
+    from real_estate_project1_etl_spark.operators.similarity import (
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select("vec_id", normalize(F.col("embedding")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = fit_pq_codebooks(emb, m_subspaces=4, n_codes=8)
+    cents = fit_ivf_centroids(emb, n_lists=4)
+
+    codes = pq_encode(emb, cb).localCheckpoint()
+    a = sorted(map(tuple, pq_topk(emb, queries, cb, k=3).collect()))
+    b = sorted(map(tuple, pq_topk(emb, queries, cb, k=3, codes=codes).collect()))
+    assert a == b
+
+    enc = ivfpq_encode(emb, cents, cb).localCheckpoint()
+    c = sorted(map(tuple, ivfpq_topk(emb, queries, cents, cb, k=3, n_probe=2).collect()))
+    d = sorted(map(tuple, ivfpq_topk(
+        emb, queries, cents, cb, k=3, n_probe=2, encoded=enc
+    ).collect()))
+    assert c == d
