@@ -2111,6 +2111,92 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), cb, k=5)
 
 
+@_q(
+    "filtered_ann_topk",
+    f"""
+    WITH c AS (
+        SELECT e.vec_id AS neighbor_id, e.label,
+               cast(e.embedding AS double[]) AS cv
+        FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.lang = 'en'
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label,
+               cast(embedding AS double[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               round({_COS_SQL.format(a='q.qv', b='c.cv')}, 6) AS sim
+        FROM q JOIN c ON c.label = q.label
+                     AND c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_filtered_ann_topk(spark, sf_dir):
+    # FILTERED vector search — the predicate-plus-ANN integration a
+    # vector database bolts on but a relational engine gets for free:
+    # neighbors restricted to the query's label (per-tenant isolation)
+    # AND to vectors whose joined document metadata passes a relational
+    # filter (lang = 'en'). One declarative plan: Catalyst pushes the
+    # metadata filter below the similarity scoring, so the dot products
+    # only run on surviving rows — the pruning composes with any ANN
+    # tier (swap brute force for pq_topk/ivfpq_topk on the filtered
+    # frame unchanged).
+    from real_estate_project1_etl_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        # determinism rule 6: float arrays cast to double BEFORE any
+        # arithmetic, matching the oracle's cast
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .filter(F.col("lang") == "en")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.col("embedding").alias("c_vec"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_label") == F.col("n_label"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "sim",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 _L2_16 = (
     "list_reduce(list_transform(generate_series(1, 16),"
     " j -> ({a} - {b}) * ({a} - {b})), (x, y) -> x + y)"
