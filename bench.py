@@ -148,7 +148,7 @@ COST = {
     "prefix_filter_jaccard_pairs": "shingle df agg + prefix explode equi-join + candidate-only verify",
     "copurchase_triangles": "within-order pair join (edges) + broadcast adjacency intersect; explodes triangles only",
     "repeated_kgram_spans": "O(total chars) gram explode + 1 hash exchange (window count) + 1 doc exchange (span merge)",
-    "gopher_repetition_signals": "one explode builds all n-gram spans in-row; 1 gram-count exchange + 1 span-union exchange + pivot agg",
+    "gopher_repetition_signals": "posexplode to word rows + 1 doc window (offsets + lead chains) + stack to hash-keyed gram rows (no strings) + gram-count exchange + span union; strings cut only for the top-gram tie-break candidates",
     "documents_curation_v2": "repetition gate + strip/scrub/gate/dedup (1 map stage + 1 exchange) + corpus ExactSubstr removal",
     "part_skyline": "per-brand distinct-price agg + tiny window + broadcast join back (never the O(n^2) pair space)",
     "phash_doc_neardup": "Arrow hash UDF over 64-byte payload + 4-chunk band self-join + candidate-only hamming",
@@ -189,16 +189,55 @@ COST = {
 #: these report the MEDIAN of 3 timed runs plus a min/max spread field and
 #: round-over-round comparisons stop chasing GC noise (round-4 verdict
 #: item 4). Everything else keeps best-of-2.
-#: queries whose final operator is a LEFT join back to the corpus: under
-#: plain count() Catalyst ELIMINATES the join (count needs no columns),
-#: so the timed action must consume every column or the bench measures a
-#: fraction of the query (found round 9: bigram_lm_fluency benched 0.25 s
-#: while its real materialization cost ~4 s).  These are timed with a
-#: full-width xxhash64 checksum aggregate instead.
+#: Queries whose plan PRUNES under plain count() — a final left join /
+#: window / explode that count() doesn't need gets ELIMINATED by
+#: Catalyst, and the bench measures a fraction of the query (found
+#: round 9 on bigram_lm_fluency: benched 0.25 s, real cost ~4 s; found
+#: round 11 to also affect gopher_repetition_signals — benched 0.48 s
+#: in r9 vs honest 7.1 s — plus 9 more, see tools/r11_elimination_scan.py).
+#: Detection is now AUTOMATIC at bench time: during warmup we compile
+#: both the count() plan and the full plan and switch to a full-width
+#: xxhash64 checksum action whenever the count() plan dropped
+#: Join/Generate/Window nodes.  This set only documents the queries
+#: known affected as of round 11 (kept for the changelog, not consulted).
 ELIMINATION_PRONE = {
     "bigram_lm_fluency",
     "trigram_lm_fluency",
+    # round-11 scan additions — their r<=10 numbers were understated:
+    "gopher_repetition_signals",
+    "documents_curation_v2",
+    "bigram_coverage_quality",
+    "sequence_packing_plan",
+    "quality_canonical_docs",
+    "bpe_token_stats",
+    "quality_classifier_gate",
+    "quality_rrf_ensemble",
+    "documents_corpus_build_v5",
 }
+
+_PLAN_NODES = None
+
+
+def _count_prunes(df) -> bool:
+    """True iff the count() physical plan drops Join/Generate/Window
+    nodes present in the full plan — i.e. count() would lie."""
+    import re
+
+    global _PLAN_NODES
+    if _PLAN_NODES is None:
+        _PLAN_NODES = re.compile(r"\b(\w*Join\w*|Generate|Window\w*)\b")
+
+    def node_counts(plan):
+        out = {}
+        for m in _PLAN_NODES.findall(plan):
+            out[m] = out.get(m, 0) + 1
+        return out
+
+    full = node_counts(df._jdf.queryExecution().executedPlan().toString())
+    cnt = node_counts(
+        df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    )
+    return any(full[k] > cnt.get(k, 0) for k in full)
 
 NOISY = {
     # the training queries run many small driver-coordinated jobs with
@@ -231,11 +270,15 @@ def main() -> None:
     # TARGET SF so the timed runs measure steady-state execution — JVM JIT,
     # whole-stage-codegen compile, AQE statistics, and the OS page cache for
     # the scanned files are all warm, exactly as on a long-running cluster.
+    # Warmup also decides the timed ACTION per query: count() unless the
+    # count() plan prunes Join/Generate/Window nodes, in which case a
+    # full-width xxhash64 checksum forces honest materialization.
+    checksum_action: dict[str, bool] = {}
+
     def consume(df, name):
-        """Timed action: count(), except for ELIMINATION_PRONE queries,
-        which aggregate a full-width hash so no column (and no left
-        join) can be pruned away."""
-        if name in ELIMINATION_PRONE:
+        """Timed action: count(), or (for count-elimination-prone plans)
+        a full-width hash aggregate so no column/join/window prunes."""
+        if checksum_action[name]:
             from pyspark.sql import functions as F
 
             return df.select(
@@ -245,8 +288,14 @@ def main() -> None:
 
     for name in HEADLINE:
         try:
-            consume(queries[name](spark, SF_DIR), name)
+            df = queries[name](spark, SF_DIR)
+            checksum_action[name] = _count_prunes(df)
+            if checksum_action[name]:
+                print(f"# {name}: count() prunes -> checksum action",
+                      file=sys.stderr)
+            consume(df, name)
         except Exception as exc:  # pragma: no cover
+            checksum_action.setdefault(name, False)
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     # best-of-2 timed runs per query (median-of-3 + spread for the NOISY
@@ -285,18 +334,36 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": sf_val,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sf": sf_val,
+    }
+    # Full per-query + spread payload goes to a committed file; the single
+    # stdout JSON line must stay well under the driver's 2000-char tail
+    # capture (BENCH_r{9,10}.json recorded "parsed": null once the full
+    # dict outgrew it), so the line carries the total plus the slowest-10.
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"bench summary line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -580,6 +580,28 @@ def gopher_repetition(
 
     Text is lowercased and whitespace-collapsed first; the denominator
     is the character length of that normalized text.
+
+    Gram identity is a 64-bit hash key. Word hashes combine into each
+    n-gram key via ``xxhash64(h_i, lead(h,1), .., lead(h,n-1))``, so the
+    gram STRING is never materialized or shuffled on the hot path — a
+    64-bit key collision within one (doc, n) group (probability
+    ~ W^2 / 2^64 per document) would merge two distinct grams' counts;
+    the same accepted trade as the ExactSubstr k-gram hash counter.
+    Actual gram strings are cut (one codegen ``substring`` over the
+    normalized text) ONLY for the top-gram tie-break candidates — a
+    handful of rows per (doc, n), joined back to the text equi on the
+    id.
+
+    Scale shape (round-11 rewrite): one posexplode to W word rows, ONE
+    doc-keyed window computing char offsets (running sum) plus the
+    lead chains for every n, then a codegen ``stack`` generator to the
+    sum_n (W-n+1) gram rows — longs only. The previous in-row
+    ``aggregate`` fold built the offset array by array-append, O(W^2)
+    copies per document: fine at 200-word docs, catastrophic on a
+    100k-word document at 100 TB. The window running-sum form is
+    O(W log W) and bounded by the longest single document. Measured at
+    sf0.1: honest materialized cost 7.1 s -> see SCALE.md (the r9/r10
+    bench numbers were count()-elimination artifacts).
     """
     from pyspark.sql import Window
 
@@ -588,71 +610,81 @@ def gopher_repetition(
         F.col(id_col),
         F.lower(collapse_whitespace(F.col(text_col))).alias("t"),
     ).withColumn("n_chars", F.length("t").cast("long"))
-    w_arr = F.split(F.col("t"), " ")
-    # 1-based char start offset of every word: running fold over lengths
-    starts = F.expr(
-        "aggregate(split(t, ' '), "
-        "struct(cast(1 as bigint) as p, cast(array() as array<bigint>) as a), "
-        "(acc, x) -> struct(acc.p + length(x) + 1, acc.a || array(acc.p)), "
-        "acc -> acc.a)"
-    )
-    words = base.withColumn("ws", w_arr).withColumn("st", starts).withColumn(
-        "nw", F.size("ws").cast("long")
-    )
-    # per-word END offsets in one cheap O(words) zip (the only
-    # interpreted lambda left); the per-(n, position) struct build below
-    # is pure zip/slice/array_repeat — round-9 lesson: transform(
-    # sequence, i -> struct(concat_ws(slice...), element_at...)) HOFs
-    # evaluate INTERPRETED per element, and this explode is the
-    # curation pipeline's hottest path (measured ~2x on the gopher
-    # battery at sf0.1; gram strings are cut AFTER the explode with one
-    # codegen substring over the normalized text — identical bytes,
-    # since the [s, e] char span of words i..i+n-1 in the single-space
-    # normalized text IS the space-joined gram)
-    words = words.withColumn(
-        "en", F.zip_with("st", "ws", lambda a, b: a + F.length(b) - 1)
-    )
-
-    def spans_for(n):
-        ln = F.greatest(F.col("nw") - F.lit(n) + 1, F.lit(0)).cast("int")
-        return F.arrays_zip(
-            F.array_repeat(F.lit(n).cast("int"), ln).alias("n"),
-            F.slice("st", 1, ln).alias("s"),
-            F.slice("en", n, ln).alias("e"),
-        )
-
-    occ = words.select(
+    # one row per word: position, char length, word hash
+    wrows = base.select(
         id_col,
         "n_chars",
-        "t",
-        F.explode(
-            F.flatten(F.array(*[spans_for(n) for n in all_ns]))
-        ).alias("o"),
+        F.posexplode(F.split("t", " ")).alias("i", "w"),
     ).select(
         id_col,
         "n_chars",
-        F.col("o.n").alias("n"),
-        F.expr("substring(t, o.s, o.e - o.s + 1)").alias("g"),
-        F.col("o.s").alias("s"),
-        F.col("o.e").alias("e"),
+        "i",
+        F.length("w").cast("long").alias("wl"),
+        F.xxhash64("w").alias("h"),
     )
-    cnt_w = Window.partitionBy(id_col, "n", "g")
+    doc_w = Window.partitionBy(id_col).orderBy("i")
+    # 1-based char start: 1 + sum(previous word lengths + separators)
+    run = F.sum(F.col("wl") + F.lit(1)).over(
+        doc_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrows = wrows.withColumn(
+        "s", F.coalesce(run, F.lit(0).cast("long")) + F.lit(1)
+    ).withColumn("e", F.col("s") + F.col("wl") - 1)
+    # lead chains: e_n = end of word i+n-1; k_n = hash of the n word
+    # hashes (NULL leads past the doc boundary mean "no such gram" and
+    # are filtered after the stack — xxhash64 would silently SKIP a
+    # NULL arg and alias a shorter gram otherwise)
+    proj = [F.col(id_col), F.col("n_chars"), F.col("s")]
+    for n in all_ns:
+        hs = [F.col("h")] + [
+            F.lead("h", j).over(doc_w) for j in range(1, n)
+        ]
+        e_n = F.col("e") if n == 1 else F.lead("e", n - 1).over(doc_w)
+        proj.append(e_n.alias(f"e{n}"))
+        proj.append(F.xxhash64(*hs).alias(f"k{n}"))
+    led = wrows.select(*proj)
+    stack_args = ", ".join(
+        f"cast({n} as int), s, e{n}, k{n}" for n in all_ns
+    )
+    occ = (
+        led.select(
+            id_col,
+            "n_chars",
+            F.expr(
+                f"stack({len(all_ns)}, {stack_args}) as (n, s, e, k)"
+            ),
+        )
+        .filter(F.col("e").isNotNull())
+    )
+    cnt_w = Window.partitionBy(id_col, "n", "k")
     occ = occ.withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
 
-    # top-n-gram char fraction: one row per (doc, n in top_ns)
-    top_rank = Window.partitionBy(id_col, "n").orderBy(
-        F.col("cnt").desc(), F.length("g").desc(), F.col("g")
-    )
-    top = (
+    # top-n-gram char fraction: one row per (doc, n in top_ns).
+    # Tie-break (cnt desc, gram length desc, gram lexicographic) runs in
+    # two hash-only phases (max cnt, then max len) before the string
+    # phase: only the surviving candidates get their gram text cut.
+    wmax = Window.partitionBy(id_col, "n")
+    tocc = (
         occ.filter(F.col("n").isin(list(top_ns)))
-        .select(id_col, "n_chars", "n", "g", "cnt")
-        .distinct()
+        .withColumn("len", F.col("e") - F.col("s") + 1)
+        .withColumn("mxc", F.max("cnt").over(wmax))
+        .filter(F.col("cnt") == F.col("mxc"))
+        .withColumn("mxl", F.max("len").over(wmax))
+        .filter(F.col("len") == F.col("mxl"))
+    )
+    cand = tocc.groupBy(id_col, "n_chars", "n", "k", "cnt", "len").agg(
+        F.min("s").alias("s")
+    )
+    top_rank = Window.partitionBy(id_col, "n").orderBy(F.col("g"))
+    top = (
+        cand.join(base.select(id_col, "t"), id_col)
+        .withColumn("g", F.expr("substring(t, s, len)"))
         .withColumn("rk", F.row_number().over(top_rank))
         .filter(F.col("rk") == 1)
         .select(
             id_col,
             "n",
-            (F.col("cnt") * F.length("g") / F.col("n_chars")).alias("frac"),
+            (F.col("cnt") * F.col("len") / F.col("n_chars")).alias("frac"),
         )
     )
 
