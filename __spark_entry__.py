@@ -9248,22 +9248,32 @@ def _bpe_batched_rounds(
         if accept_rule == "greedy":
             # sequential greedy independent set replayed by a recursive
             # CTE over the (bounded, driver-sized) ranked candidate
-            # list: state = (symbols used by ACCEPTED pairs, accepted
-            # list); one recursion step per candidate
+            # list: state = (symbols used by ACCEPTED pairs, their
+            # concatenation products, accepted list); one recursion
+            # step per candidate.  Conflict = shared symbol OR either
+            # symbol equals an accepted pair's concatenation OR this
+            # pair's concatenation equals an accepted symbol (the
+            # round-10 ADVICE product rule — mirrors the trainer).
             cond = (
                 "(NOT list_contains(ar.used, k.l))"
                 " AND (NOT list_contains(ar.used, k.r))"
+                " AND (NOT list_contains(ar.prods, k.l))"
+                " AND (NOT list_contains(ar.prods, k.r))"
+                " AND (NOT list_contains(ar.used, k.l || k.r))"
                 f" AND len(ar.acc) < {batch}"
             )
             accept_cte = f"""
-    a_rec{i}(rk, used, acc) AS (
-        SELECT 0, CAST([] AS VARCHAR[]),
+    a_rec{i}(rk, used, prods, acc) AS (
+        SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]),
                CAST([] AS STRUCT(l VARCHAR, r VARCHAR, cnt BIGINT)[])
         UNION ALL
         SELECT k.rk,
                CASE WHEN {cond}
                     THEN list_append(list_append(ar.used, k.l), k.r)
                     ELSE ar.used END,
+               CASE WHEN {cond}
+                    THEN list_append(ar.prods, k.l || k.r)
+                    ELSE ar.prods END,
                CASE WHEN {cond}
                     THEN list_append(ar.acc,
                         {{'l': k.l, 'r': k.r, 'cnt': CAST(k.cnt AS BIGINT)}})
@@ -9281,7 +9291,9 @@ def _bpe_batched_rounds(
              FROM k{i} x WHERE NOT EXISTS (
                  SELECT 1 FROM k{i} y
                  WHERE y.rk < x.rk
-                   AND (y.l IN (x.l, x.r) OR y.r IN (x.l, x.r)))
+                   AND (y.l IN (x.l, x.r) OR y.r IN (x.l, x.r)
+                        OR (y.l || y.r) IN (x.l, x.r)
+                        OR (x.l || x.r) IN (y.l, y.r)))
              ORDER BY x.rk LIMIT {batch})"""
         its.append(f"""
     p{i} AS (

@@ -855,7 +855,7 @@ def soft_dedup_weights(
     a_col: str = "id_a",
     b_col: str = "id_b",
     scale: int = 1_000_000,
-    max_iter: int = 10,
+    max_iter: int = 50,
 ) -> DataFrame:
     """SOFT deduplication: instead of dropping near-duplicates, assign
     every document a sampling weight inversely proportional to its
@@ -881,10 +881,29 @@ def soft_dedup_weights(
     Scale shape: components over the PAIR set only (docs outside any
     pair never shuffle); one size agg on the component id; one
     broadcast-able join back to the corpus ids.
+
+    Raises ``RuntimeError`` if the closure has not CONVERGED within
+    ``max_iter`` rounds (round-10 ADVICE: a split cluster silently
+    inflates ``weight_scaled`` for its members — over-sampling exactly
+    the duplicated content this operator exists to down-weight, so the
+    failure must be loud).  The default ``max_iter=50`` is the
+    connected-components library default: with pointer doubling it
+    covers diameters ~2**45, so a legitimate hit means a pathological
+    graph, not a tuning problem.
     """
     from .graph import component_sizes, connected_components
 
-    labels = connected_components(pairs, a_col, b_col, max_iter=max_iter)
+    stats: dict = {}
+    labels = connected_components(
+        pairs, a_col, b_col, max_iter=max_iter, _stats=stats
+    )
+    if not stats.get("converged", True):
+        raise RuntimeError(
+            "soft_dedup_weights: connected_components exhausted "
+            f"max_iter={max_iter} rounds without converging — weights "
+            "from a split clustering would over-sample duplicates; "
+            "raise max_iter"
+        )
     sizes = component_sizes(labels)
     lab = labels.join(sizes, "comp").select(
         F.col("id").alias(id_col), F.col("size")

@@ -89,6 +89,7 @@ def connected_components(
     )
     rounds = 0
     doubling_from = None
+    converged = False
     for _ in range(max_iter):
         if algorithm == "doubling":
             double_now = True
@@ -136,10 +137,15 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     if _stats is not None:
         _stats["rounds"] = rounds
         _stats["doubling_from_round"] = doubling_from
+        # False means max_iter rounds ran and labels were STILL changing
+        # — the returned labeling may split components (round-10 ADVICE:
+        # callers deriving sizes/weights from it should check this)
+        _stats["converged"] = converged
     return labels
 
 

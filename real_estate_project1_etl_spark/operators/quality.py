@@ -861,6 +861,14 @@ def rrf_ensemble_approx(
     the sample misses a distribution tail — use the exact operator when
     ranks feed a top-k cut rather than a fused score.
 
+    ``score_cols`` must be INTEGER-typed (the module's scaled-integer
+    convention — scale fractional signals up front, e.g. ``* 10^6`` and
+    cast): the boundary keys and per-row rank keys are compared as
+    bigints, so a double score would silently truncate into large tie
+    blocks and diverge from :func:`rrf_ensemble`, which orders on the
+    raw values.  Non-integer score columns raise ``TypeError``
+    (round-10 ADVICE — the truncation used to be silent).
+
     Returns ``(id_col, rank_<col>_approx..., rrf_scaled)``.
 
     Scale shape: per signal, one sample-sized sort-aggregate whose
@@ -887,6 +895,24 @@ def rrf_ensemble_approx(
             f"rrf_ensemble_approx: sample_rate must be in (0, 1], got "
             f"{sample_rate!r}"
         )
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    for s in score_cols:
+        dt = df.schema[s].dataType
+        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"rrf_ensemble_approx: score column {s!r} has type "
+                f"{dt.simpleString()} — scores must be integer-typed "
+                "(scaled-integer convention); a fractional score would "
+                "silently truncate into tie blocks under the bigint "
+                "rank keys. Scale it (e.g. cast(col * 1e6 as bigint)) "
+                "or use the exact rrf_ensemble."
+            )
     b = int(n_buckets)
     thr = int(sample_rate * _HASH_SPACE)
     # ONE aggregation job collects the corpus count AND every signal's

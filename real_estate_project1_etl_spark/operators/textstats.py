@@ -1340,19 +1340,24 @@ def bpe_train_merges_batched(
 
     Acceptance (both rules rank the round's pairs by (count DESC, left,
     right) and keep the top ``candidate_factor * batch_size``
-    candidates; accepted pairs are symbol-disjoint either way, so
-    applying them in any order yields the same vocabulary, a merge's
-    product cannot feed another merge in the SAME round, and the output
-    table stays topologically ordered — :func:`bpe_segment_table`'s
-    single-pass fold stays exact):
+    candidates; two candidates CONFLICT iff they share a symbol, or
+    either symbol of one equals the CONCATENATION of the other — the
+    product rule closes the round-10 ADVICE hole where ``(a,b)`` and
+    ``(ab,c)`` could co-land when ``ab`` already existed as a symbol
+    and the first merge's product fed the second.  Accepted pairs are
+    pairwise conflict-free either way, so applying them in any order
+    yields the same vocabulary, a merge's product cannot feed another
+    merge in the SAME round, and the output table stays topologically
+    ordered — :func:`bpe_segment_table`'s single-pass fold stays
+    exact):
 
     - ``"blocking"`` (default): accept a candidate iff NO higher-ranked
-      candidate shares a symbol with it — a blocked candidate still
-      blocks those below it. Slightly conservative, but the acceptance
-      set is a pure function of the ranked list with NO sequential
-      state, so the oracle is one NOT EXISTS.
+      candidate conflicts with it — a blocked candidate still blocks
+      those below it. Slightly conservative, but the acceptance set is
+      a pure function of the ranked list with NO sequential state, so
+      the oracle is one NOT EXISTS.
     - ``"greedy"``: the classic sequential greedy independent set —
-      accept iff no ACCEPTED earlier candidate shares a symbol. Strictly
+      accept iff no ACCEPTED earlier candidate conflicts. Strictly
       ≥ the blocking rule's fill rate (a rejected candidate no longer
       shadows those below it; measured ~2x the merges/round on a
       realistic vocabulary), at the price of sequential accept-state —
@@ -1427,21 +1432,39 @@ def bpe_train_merges_batched(
             .collect()
         )
         seen: set = set()
+        prods: set = set()
         accepted = []
         for row in top:
             l, r, cnt = row["l"], row["r"], int(row["cnt"])
-            blocked = l in seen or r in seen
+            # conflict = shares a symbol, OR either symbol equals an
+            # earlier candidate's CONCATENATION, OR this candidate's
+            # concatenation equals an earlier candidate's symbol
+            # (round-10 ADVICE: with symbol-sharing alone, (a,b) and
+            # (ab,c) could land in one round when 'ab' already exists
+            # as a symbol — the first merge's product then feeds the
+            # second under the sequential replace fold, breaking both
+            # documented invariants: same-round independence and
+            # apply-order insensitivity)
+            blocked = (
+                l in seen
+                or r in seen
+                or l in prods
+                or r in prods
+                or (l + r) in seen
+            )
             if accept_rule == "blocking":
-                # every candidate's symbols block those below it
-                seen.add(l)
-                seen.add(r)
+                # every candidate blocks those below it
                 if not blocked and len(accepted) < batch_size:
                     accepted.append((l, r, cnt))
-            else:  # greedy: only ACCEPTED candidates' symbols block
+                seen.add(l)
+                seen.add(r)
+                prods.add(l + r)
+            else:  # greedy: only ACCEPTED candidates block
                 if not blocked and len(accepted) < batch_size:
                     accepted.append((l, r, cnt))
                     seen.add(l)
                     seen.add(r)
+                    prods.add(l + r)
         if not accepted:
             break
         enc_expr = F.col("enc")

@@ -399,9 +399,11 @@ def _ref_bpe_train_batched(texts, n_merges, batch_size, cand_factor=4,
                            min_frequency=2, accept_rule="blocking"):
     # python model of the batched trainer: rank pairs, keep top
     # cand_factor*batch candidates, accept per rule ('blocking': no
-    # higher-ranked candidate shares a symbol, rejected candidates
-    # still block; 'greedy': only accepted candidates block),
-    # apply all accepted, repeat; truncate to n_merges.
+    # higher-ranked candidate conflicts, rejected candidates still
+    # block; 'greedy': only accepted candidates block), where conflict
+    # = shared symbol OR either symbol equals the other's concatenation
+    # (the round-10 ADVICE product rule); apply all accepted, repeat;
+    # truncate to n_merges.
     from collections import Counter
 
     wc = Counter(w for t in texts for w in t.lower().split() if w)
@@ -418,17 +420,24 @@ def _ref_bpe_train_batched(texts, n_merges, batch_size, cand_factor=4,
             key=lambda t: (-t[0], t[1], t[2]),
         )[: cand_factor * batch_size]
         seen: set = set()
+        prods: set = set()
         accepted = []
         for cnt, l, r in ranked:
-            blocked = l in seen or r in seen
+            blocked = (
+                l in seen or r in seen
+                or l in prods or r in prods
+                or (l + r) in seen
+            )
             if accept_rule == "blocking":
-                seen.update((l, r))
                 if not blocked and len(accepted) < batch_size:
                     accepted.append((l, r, cnt))
+                seen.update((l, r))
+                prods.add(l + r)
             else:
                 if not blocked and len(accepted) < batch_size:
                     accepted.append((l, r, cnt))
                     seen.update((l, r))
+                    prods.add(l + r)
         if not accepted:
             break
         for l, r, cnt in accepted:

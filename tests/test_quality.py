@@ -901,6 +901,12 @@ def test_rrf_ensemble_approx_tracks_exact(spark):
     with _pytest.raises(ValueError):
         rrf_ensemble_approx(df, "doc_id", ["s1"], n_buckets=1)
 
+    # scaled-integer contract (round-10 ADVICE): a double score column
+    # must raise, not silently truncate into bigint tie blocks
+    dbl = df.withColumn("s1", F.col("s1") / 3.0)
+    with _pytest.raises(TypeError, match="integer-typed"):
+        rrf_ensemble_approx(dbl, "doc_id", ["s1", "s2"])
+
 
 def test_train_hashed_classifier_xxhash64_path(spark):
     # the production-hash path must train AND score consistently (same

@@ -551,6 +551,18 @@ def test_soft_dedup_weights_planted_clusters(spark):
     total = sum(w for _, w in got.values())
     assert total == 333333 * 3 + 500000 * 2 + 1000000 * 2
 
+    # round-10 ADVICE: an exhausted (unconverged) closure must raise —
+    # split clusters would silently over-weight their members.  A
+    # 6-vertex chain with max_iter=1 and plain label propagation cannot
+    # converge in one round.
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="without converging"):
+        soft_dedup_weights(docs, chain, max_iter=1)
+
 
 def test_pq_topk_recall_rerank_and_determinism(spark):
     # product quantization on PLANTED clusters (20 centers x 5 noisy
@@ -639,6 +651,27 @@ def test_pq_topk_recall_rerank_and_determinism(spark):
         pq_topk(emb, queries, cb, k=5, rerank_k=3)
     with _pytest.raises(ValueError, match="divisible"):
         fit_pq_codebooks(emb, m_subspaces=7)
+
+    # caller-supplied codebook contract (round-10 ADVICE): a ragged or
+    # non-contiguous codebook must raise, not silently read wrong LUT
+    # entries (the lookup indexes a flattened m x n_codes array)
+    ragged = cb.filter(~((F.col("subspace") == 2) & (F.col("code") == 5)))
+    with _pytest.raises(ValueError, match="0..n-1"):
+        pq_topk(emb, queries, ragged, k=4)
+    shifted = cb.withColumn(
+        "code",
+        F.when(F.col("subspace") == 1, F.col("code") + 1).otherwise(
+            F.col("code")
+        ),
+    )
+    with _pytest.raises(ValueError, match="0..n-1"):
+        pq_encode(emb, shifted)
+    gap_sub = cb.withColumn(
+        "subspace",
+        F.when(F.col("subspace") == 3, F.lit(7)).otherwise(F.col("subspace")),
+    )
+    with _pytest.raises(ValueError, match="0..m-1"):
+        pq_encode(emb, gap_sub)
 
 
 def test_ivfpq_topk_planted_clusters(spark):
@@ -741,3 +774,85 @@ def test_pq_and_ivfpq_pre_encoded_paths_match(spark):
         emb, queries, cents, cb, k=3, n_probe=2, encoded=enc
     ).collect()))
     assert c == d
+
+
+def test_ivfpq_balance_cells_hot_cluster(spark):
+    # round-10 verdict item 6: a planted HOT cluster (80% of the corpus
+    # in one IVF cell) is a straggler key at cluster scale.
+    # ivfpq_balance_cells salts the hot cell into hash sub-cells; the
+    # results must be IDENTICAL to the unbalanced index (lossless — the
+    # probe side fans out over every sub-cell) while per-(list_id,
+    # sub_id) candidate volume is bounded.
+    import random
+
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.functions.vectors import normalize
+    from real_estate_project1_etl_spark.operators.similarity import (
+        fit_pq_codebooks,
+        ivfpq_balance_cells,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(17)
+    hot = [rng.gauss(0, 1) for _ in range(32)]
+    cold = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(3)]
+    rows = []
+    for i in range(500):
+        base = hot if i < 400 else cold[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in base]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(
+        "vec_id", normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint()
+    # 4 planted centers as the IVF table -> cell 0 holds ~400 vectors
+    cents = spark.createDataFrame(
+        [(i, normalize_py(c)) for i, c in enumerate([hot] + cold)],
+        "list_id int, centroid array<double>",
+    )
+    cb = fit_pq_codebooks(emb, m_subspaces=4, n_codes=8)
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+
+    enc = ivfpq_encode(emb, cents, cb).localCheckpoint()
+    bal = ivfpq_balance_cells(enc, max_cell_size=64).localCheckpoint()
+
+    # bounded per-key volume: the hot cell split into ceil(pop/64)
+    # sub-cells; hash salting is approximately even, so no key may
+    # carry more than 2x the cap (w.h.p. under xxhash64)
+    per_key = {
+        (r["list_id"], r["sub_id"]): r["n"]
+        for r in bal.groupBy("list_id", "sub_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hot_pop = sum(n for (lid, _), n in per_key.items() if lid == 0)
+    assert hot_pop >= 350  # the cluster really is hot
+    assert len([k for k in per_key if k[0] == 0]) == -(-hot_pop // 64)
+    assert max(per_key.values()) <= 128
+
+    # lossless: identical results vs the unbalanced index
+    plain = sorted(map(tuple, ivfpq_topk(
+        emb, queries, cents, cb, k=4, n_probe=2, encoded=enc
+    ).collect()))
+    salted = sorted(map(tuple, ivfpq_topk(
+        emb, queries, cents, cb, k=4, n_probe=2, encoded=bal
+    ).collect()))
+    assert plain == salted
+    # and with rerank
+    plain_r = sorted(map(tuple, ivfpq_topk(
+        emb, queries, cents, cb, k=4, n_probe=2, rerank_k=10, encoded=enc
+    ).collect()))
+    salted_r = sorted(map(tuple, ivfpq_topk(
+        emb, queries, cents, cb, k=4, n_probe=2, rerank_k=10, encoded=bal
+    ).collect()))
+    assert plain_r == salted_r
+
+    with _pytest.raises(ValueError, match="max_cell_size"):
+        ivfpq_balance_cells(enc, max_cell_size=0)
+
+
+def normalize_py(v):
+    s = sum(x * x for x in v) ** 0.5
+    return [x / s for x in v]
