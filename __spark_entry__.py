@@ -9917,6 +9917,84 @@ def q_trained_classifier_weights_sgd(spark, sf_dir):
     )
 
 
+def _classifier_train_incremental_oracle(
+    dim: int = _CLS_TRAIN_DIM, n_arrivals: int = 3
+) -> str:
+    # train-while-ingest mirror (round-10 verdict item 7): three
+    # "arrival day" batches (doc_id % 3) folded through the trainer via
+    # initial_weights — each step's margin/residual CTEs filter to that
+    # day's membership, exactly like the SGD oracle but with the fold
+    # crossing train_hashed_classifier CALLS (the streaming
+    # foreachBatch path in streaming/incremental_training.py commits
+    # precisely this trajectory to its batch_id-partitioned store; the
+    # stream==batch equality across a restart is pinned in
+    # tests/test_streaming_training.py).
+    its = []
+    for b in range(n_arrivals):
+        s = b + 1
+        mem = f"doc_id % {n_arrivals} = {b}"
+        its.append(f"""
+    m{s} AS (SELECT f.doc_id, sum(f.n * w.wm) AS m
+             FROM f JOIN w{s - 1} w USING (feature_id)
+             WHERE {mem} GROUP BY f.doc_id),
+    r{s} AS (SELECT y.doc_id,
+                    least(greatest(500 + coalesce(m.m, 0) // 4, 0), 1000)
+                        - y.y * 1000 AS r
+             FROM (SELECT * FROM y WHERE {mem}) y
+             LEFT JOIN m{s} m USING (doc_id)),
+    g{s} AS (SELECT f.feature_id, sum(r.r * f.n) AS g
+             FROM f JOIN r{s} r USING (doc_id) GROUP BY f.feature_id),
+    w{s} AS (SELECT w.feature_id,
+                    CAST(w.wm - coalesce(g.g // 64, 0) AS BIGINT) AS wm
+             FROM w{s - 1} w LEFT JOIN g{s} g USING (feature_id))""")
+    return rf"""
+    WITH wd AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS tok FROM wd),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % {dim}
+                     AS feature_id,
+                 count(*) AS n
+          FROM t GROUP BY doc_id, feature_id),
+    y AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+          FROM documents),
+    w0 AS (SELECT CAST(i AS BIGINT) AS feature_id, CAST(0 AS BIGINT) AS wm
+           FROM generate_series(0, {dim - 1}) AS g(i)),{",".join(its)}
+    SELECT feature_id, wm AS weight_milli FROM w{n_arrivals}
+    """
+
+
+@_q(
+    "incremental_classifier_weights", _classifier_train_incremental_oracle()
+)
+def q_incremental_classifier_weights(spark, sf_dir):
+    # TRAIN-WHILE-INGEST batch twin (round-10 verdict item 7): the
+    # corpus arrives as three deterministic "daily" batches
+    # (doc_id % 3) and the classifier folds one SGD step per arrival
+    # through train_hashed_classifier's initial_weights resume hook —
+    # the exact trajectory streaming/incremental_training.py's
+    # foreachBatch loop commits to its batch_id-partitioned weight
+    # store (stream == batch across a restart:
+    # tests/test_streaming_training.py).  The oracle unrolls the fold.
+    from real_estate_project1_etl_spark.operators.quality import (
+        train_hashed_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    w = None
+    for b in range(3):
+        w = train_hashed_classifier(
+            docs.filter(F.col("doc_id") % 3 == b),
+            dim=_CLS_TRAIN_DIM,
+            n_iters=1,
+            lr_num=1,
+            lr_den=64,
+            initial_weights=w,
+        )
+    return w
+
+
 @_q("trained_classifier_weights_reg", _classifier_train_reg_oracle())
 def q_trained_classifier_weights_reg(spark, sf_dir):
     # classifier training with the intercept and L2 weight decay ON —

@@ -116,6 +116,9 @@ HEADLINE = [
     "quality_rrf_approx",
     "documents_corpus_build_v5",
     "ivfpq_adc_topk",
+    # round-11: train-while-ingest batch twin (one SGD step per
+    # arrival batch, folded via initial_weights)
+    "incremental_classifier_weights",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -180,6 +183,7 @@ COST = {
     "quality_rrf_approx": "1 fused sample agg (all signals) + binary-search literal bucket count in the scan; no per-signal sort",
     "documents_corpus_build_v5": "gate scan + checkpoint, ~2 batched training rounds on survivor vocab, broadcast-table segment fold, 1 shard exchange + cumsum window",
     "ivfpq_adc_topk": "scan-stage cell assignment + residual PQ encode (broadcast tables), equi join on probed list_id, m lookup-adds per candidate",
+    "incremental_classifier_weights": "3 arrival-batch SGD steps folded via initial_weights: per step one doc-keyed margin agg + one feature-keyed gradient agg on the batch slice; each step re-tokenizes its slice (batch-sized, the streaming-ingest cost shape)",
 }
 
 
@@ -245,6 +249,7 @@ NOISY = {
     # single sample
     "bpe_trained_merges",
     "trained_classifier_weights",
+    "incremental_classifier_weights",
     "documents_corpus_build_v5",
     "minhash_near_dup",
     "near_dup_components",

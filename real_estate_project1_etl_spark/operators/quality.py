@@ -579,6 +579,7 @@ def train_hashed_classifier(
     l2_num: int = 0,
     l2_den: int = 1,
     n_batches: int = 1,
+    initial_weights: DataFrame | None = None,
 ) -> DataFrame:
     """TRAIN the weights :func:`hashed_linear_classifier` scores with —
     full-batch gradient descent on a logistic model over the SAME hashed
@@ -635,6 +636,19 @@ def train_hashed_classifier(
     Labels: ``label_col`` must be 0/1 (seed-set membership). NULL-label
     rows are EXCLUDED from training (same explicit contract as
     hard_negative_mining) — score them at inference instead.
+
+    ``initial_weights`` RESUMES training from a prior weight table
+    instead of zeros (same ``(feature_id, weight_milli)`` shape this
+    function returns; must carry exactly the expected ``dim`` —
+    ``+ 1`` with ``fit_bias`` — rows, validated with one tiny count).
+    This is the replay hook the streaming train-while-ingest twin
+    (:mod:`..streaming.incremental_training`) folds micro-batches
+    through — the classifier counterpart of the BPE trainer's
+    ``initial_merges`` — and the sequence of updates is a pure function
+    of (initial weights, batch content), so split training equals
+    one-shot training on the concatenation ONLY when the batch
+    partitioning matches (SGD order matters; determinism, not
+    order-insensitivity, is the contract).
 
     Returns the ``(feature_id, weight_milli)`` table
     :func:`hashed_linear_classifier` takes, with all ``dim`` rows
@@ -701,10 +715,30 @@ def train_hashed_classifier(
             )
         )
     feats = feats.localCheckpoint(eager=True)
-    weights = spark.range(dim + (1 if fit_bias else 0)).select(
-        F.col("id").cast("bigint").alias("feature_id"),
-        F.lit(0).cast("bigint").alias("weight_milli"),
-    )
+    n_weights = dim + (1 if fit_bias else 0)
+    if initial_weights is not None:
+        if not {"feature_id", "weight_milli"} <= set(initial_weights.columns):
+            raise ValueError(
+                "train_hashed_classifier: initial_weights needs columns "
+                f"(feature_id, weight_milli), got {initial_weights.columns}"
+            )
+        weights = initial_weights.select(
+            F.col("feature_id").cast("bigint"),
+            F.col("weight_milli").cast("bigint"),
+        ).localCheckpoint(eager=True)
+        got = weights.count()
+        if got != n_weights:
+            raise ValueError(
+                f"train_hashed_classifier: initial_weights has {got} rows, "
+                f"expected {n_weights} (dim={dim}, fit_bias={fit_bias}) — "
+                "a mismatched table would silently drop or orphan buckets "
+                "through the left joins"
+            )
+    else:
+        weights = spark.range(n_weights).select(
+            F.col("id").cast("bigint").alias("feature_id"),
+            F.lit(0).cast("bigint").alias("weight_milli"),
+        )
     for _ in range(n_iters):
         for b in range(n_batches):
             if n_batches == 1:
