@@ -232,10 +232,18 @@ def phash_near_duplicates(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
     (operators/dedup.py), applied to the image modality.
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    The hash table is materialized (localCheckpoint) before the banded
+    self-join: both join sides descend from it, and without the cut the
+    Arrow decode+hash stage — the expensive part — executes TWICE (the
+    two sides project different column names, so Spark cannot reuse the
+    exchange).  One 16-byte row per asset, so the checkpoint is
+    id-table-sized at any scale.  Measured at sf0.1: 1.06 s -> 0.64 s
+    median (round-11, the r10 bench regression's fix).
     """
     from real_estate_project1_etl_spark.operators.dedup import hamming64
 
-    ph = perceptual_hashes(assets)
+    ph = perceptual_hashes(assets).localCheckpoint(eager=True)
 
     def _mask(i: int) -> int:
         m = 0xFFFF << (16 * i)
