@@ -261,6 +261,10 @@ NOISY = {
     "documents_curation_v2",
     "incremental_dedup_docs",
     "phash_doc_neardup",
+    # round-11: the honest (checksum-timed) costs of these two swing
+    # 1.9-3.1 s / 1.3-1.7 s run to run — window+stack JIT sensitivity
+    "gopher_repetition_signals",
+    "bigram_coverage_quality",
     "jl_projection_pairs",
     "exact_dedup_docs",
 }

@@ -295,30 +295,43 @@ def bigram_coverage(
     signal (cf. CCNet/KenLM filtering) built from exact integer counts, so
     it is bit-reproducible across engines (no log-perplexity float).
 
-    Scale shape: bigrams are built per-row by ONE expression (no
-    positional self-join), explode feeds a single Zipf-friendly count agg
-    (map-side partials collapse the heavy head), and the common-bigram set
-    joins back as a semi-join (broadcastable Zipf head at production
-    vocabulary sizes). Returns (doc_id, n_bigrams, n_covered, coverage).
+    Scale shape (round-11 rewrite — the count()-elimination audit
+    surfaced the honest cost of the old string form at 37.6 s/sf0.1):
+    bigram IDENTITY is a 64-bit hash, never a string.  Per row, word
+    hashes are computed once (one cheap O(W) ``transform``) and bigram
+    keys come from ONE ``zip_with`` over the shifted slices —
+    ``xxhash64(h_i, h_{i+1})`` per position, no ``concat_ws``, no
+    ``element_at`` random access, nothing string-typed ever explodes or
+    shuffles.  The count agg and the semi-join both key on longs.  A
+    64-bit collision between two distinct corpus bigrams would merge
+    their counts (probability ~(#distinct)²/2⁶⁴ — the same accepted
+    trade as the gopher battery and the ExactSubstr k-gram counter; the
+    oracle computes true strings, so a collision would surface as a
+    value mismatch).  ``n_bigrams`` is ``greatest(len(words)-1, 0)`` —
+    the final projection rebuilds nothing.  Measured at sf0.1:
+    37.6 s -> see SCALE.md.  Returns (doc_id, n_bigrams, n_covered,
+    coverage).
     """
     w = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
     n = F.size(w)
-    # sequence(1, n-1) counts DOWN when n=1 (pitfalls log) — guard n>=2
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select("doc_id", bigrams.alias("bgs"))
-    e = base.select("doc_id", F.explode("bgs").alias("bg"))
-    common = e.groupBy("bg").count().filter(F.col("count") >= min_count).select("bg")
-    cov = e.join(common, "bg", "left_semi").groupBy("doc_id").agg(
+    hs = F.transform(w, lambda x: F.xxhash64(x))
+    keys = F.zip_with(
+        F.slice(hs, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(hs, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.xxhash64(a, b),
+    )
+    e = docs.select("doc_id", F.explode(keys).alias("k"))
+    common = (
+        e.groupBy("k").count().filter(F.col("count") >= min_count).select("k")
+    )
+    cov = e.join(common, "k", "left_semi").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_covered")
     )
     return (
-        base.select("doc_id", F.size("bgs").cast("bigint").alias("n_bigrams"))
+        docs.select(
+            "doc_id",
+            F.greatest(n - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
         .join(cov, "doc_id", "left")
         .select(
             "doc_id",
