@@ -463,3 +463,41 @@ def test_trigram_lm_validates_cutoffs(spark):
         trigram_lm_scores(docs, min_count3=0)
     with _pytest.raises(ValueError):
         trigram_lm_scores(docs, min_count2=0)
+
+
+def test_fuzz_bigram_coverage_matches_python_model(spark):
+    # round-11 hash-keyed rewrite: differential check vs a true-string
+    # python model on random corpora incl. empty/one-word/messy docs
+    import random
+    import re as _re
+    from collections import Counter
+
+    from real_estate_project1_etl_spark.operators.corpus import bigram_coverage
+
+    rng = random.Random(2311)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    texts = [(0, ""), (1, "solo"), (2, "  aa   b  ")]
+    for i in range(3, 28):
+        texts.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        )
+
+    def bigrams(t):
+        w = _re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        return [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    cnt: Counter = Counter()
+    for _, t in texts:
+        cnt.update(bigrams(t))
+    want = {}
+    for i, t in texts:
+        bgs = bigrams(t)
+        cov = sum(1 for g in bgs if cnt[g] >= 3)
+        want[i] = (len(bgs), cov, cov / len(bgs) if bgs else 0.0)
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_covered"], r["coverage"])
+        for r in bigram_coverage(df, min_count=3).collect()
+    }
+    assert got == want, {d: (got[d], want[d]) for d in want if got[d] != want[d]}

@@ -936,3 +936,93 @@ def test_train_hashed_classifier_xxhash64_path(spark):
     got = {r["doc_id"]: r["kept"] for r in scored.collect()}
     acc = sum(got[i] == (i % 2 == 0) for i in range(60)) / 60
     assert acc >= 0.95, acc
+
+
+def _ref_gopher(texts, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    # python reference of the full battery (independent of BOTH the
+    # engine's hashed-key construction and the DuckDB oracle's
+    # position arithmetic): true gram strings, per-doc dict counting,
+    # explicit interval union.  Pins the round-11 string-free rewrite's
+    # edge semantics (lead boundaries, empty/one-word docs, ties).
+    import re as _re
+    from collections import Counter
+
+    out = {}
+    for doc_id, text in texts:
+        t = _re.sub(r"\s+", " ", text).strip().lower()
+        n_chars = len(t)
+        words = t.split(" ")
+        starts, pos = [], 1
+        for w in words:
+            starts.append(pos)
+            pos += len(w) + 1
+        ends = [s + len(w) - 1 for s, w in zip(starts, words)]
+        row = {}
+        for n in top_ns:
+            c: Counter = Counter(
+                " ".join(words[i:i + n])
+                for i in range(len(words) - n + 1)
+            )
+            if c and n_chars:
+                g, cnt = sorted(
+                    c.items(), key=lambda kv: (-kv[1], -len(kv[0]), kv[0])
+                )[0]
+                row[f"top_{n}gram_char_frac"] = cnt * len(g) / n_chars
+            else:
+                row[f"top_{n}gram_char_frac"] = 0.0
+        for n in dup_ns:
+            c = Counter(
+                " ".join(words[i:i + n])
+                for i in range(len(words) - n + 1)
+            )
+            spans = sorted(
+                (starts[i], ends[i + n - 1])
+                for i in range(len(words) - n + 1)
+                if c[" ".join(words[i:i + n])] >= 2
+            )
+            cov, cur_s, cur_e = 0, None, None
+            for s, e in spans:
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        cov += cur_e - cur_s + 1
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            if cur_e is not None:
+                cov += cur_e - cur_s + 1
+            row[f"dup_{n}gram_char_frac"] = (
+                cov / n_chars if cov and n_chars else 0.0
+            )
+        out[doc_id] = row
+    return out
+
+
+def test_fuzz_gopher_repetition_matches_python_model(spark):
+    import random
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    rng = random.Random(1107)
+    vocab = ["aa", "b", "ccc", "dd", "e", "foo"]
+    texts = [
+        (0, ""),                       # empty -> all 0.0
+        (1, "solo"),                   # one word, no grams
+        (2, "b b b b b b b b b b b b"),  # one symbol repeated: every n dup
+        (3, "  aa   b  ccc "),         # messy whitespace, no repeats
+    ]
+    for i in range(4, 24):
+        nw = rng.randint(2, 30)
+        texts.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(nw)))
+        )
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: {k: r[k] for k in r.asDict() if k != "doc_id"}
+        for r in gopher_repetition(df).collect()
+    }
+    want = _ref_gopher(texts)
+    assert got == want, {
+        d: (got[d], want[d]) for d in want if got[d] != want[d]
+    }
