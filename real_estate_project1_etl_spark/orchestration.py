@@ -149,3 +149,157 @@ def run_pipeline(
             report.attempts[t.name] = attempt
             break
     return report
+
+
+# --------------------------------------------------------------------------
+# Cron scheduler daemon (dag.py:28 `schedule_interval='0 8 * * *'`)
+# --------------------------------------------------------------------------
+
+def cron_next(expr: str, after):
+    """Next fire time STRICTLY after ``after`` (a naive ``datetime``) for
+    a 5-field cron expression.  Supports the subset real pipeline
+    schedules use: each field is ``*``, ``*/n``, or an exact integer
+    (minute hour day-of-month month day-of-week; dow 0=Monday per
+    ``datetime.weekday()``).  Anything else raises — a silently
+    mis-parsed schedule would run jobs at the wrong time, the worst
+    possible failure mode for a scheduler.
+
+    Minute-resolution forward scan, bounded at 366 days (a valid
+    schedule in this grammar always fires within a year; the bound
+    turns an impossible spec like ``0 8 31 2 *`` into a loud error).
+    """
+    from datetime import datetime, timedelta
+
+    fields = expr.split()
+    if len(fields) != 5:
+        raise ValueError(
+            f"cron_next: expected 5 fields 'M H dom mon dow', got {expr!r}"
+        )
+
+    def parse(f: str, lo: int, hi: int):
+        if f == "*":
+            return None  # any
+        if f.startswith("*/"):
+            step = int(f[2:])
+            if step < 1:
+                raise ValueError(f"cron_next: bad step in {f!r}")
+            return ("step", step)
+        v = int(f)  # raises on garbage — deliberate
+        if not lo <= v <= hi:
+            raise ValueError(f"cron_next: field {f!r} out of range [{lo},{hi}]")
+        return ("eq", v)
+
+    mi, hr, dom, mon, dow = (
+        parse(fields[0], 0, 59),
+        parse(fields[1], 0, 23),
+        parse(fields[2], 1, 31),
+        parse(fields[3], 1, 12),
+        parse(fields[4], 0, 6),
+    )
+
+    def ok(spec, value):
+        if spec is None:
+            return True
+        kind, v = spec
+        return value % v == 0 if kind == "step" else value == v
+
+    t = (after.replace(second=0, microsecond=0)
+         + timedelta(minutes=1))
+    for _ in range(366 * 24 * 60):
+        if (
+            ok(mi, t.minute)
+            and ok(hr, t.hour)
+            and ok(dom, t.day)
+            and ok(mon, t.month)
+            and ok(dow, t.weekday())
+        ):
+            return t
+        t += timedelta(minutes=1)
+    raise ValueError(f"cron_next: {expr!r} never fires within 366 days")
+
+
+def run_scheduler(
+    schedule: str,
+    run: "Callable[[Any], Any]",
+    *,
+    start,
+    state_path: str | None = None,
+    clock: "Callable[[], Any]",
+    sleeper: "Callable[[float], None]",
+    max_ticks: int | None = None,
+    catchup: bool = False,
+    on_tick_failure: "Callable[[Any, BaseException], None] | None" = None,
+):
+    """The long-running loop dag.py outsources to Airflow's scheduler:
+    fire ``run(logical_dt)`` at every cron tick of ``schedule``
+    (dag.py:28 uses ``'0 8 * * *'``), surviving restarts.
+
+    Semantics, Airflow-shaped:
+
+    - ``logical_dt`` passed to ``run`` is the TICK time (the schedule's
+      logical date), not the wall-clock moment the run started.
+    - The last COMPLETED tick persists to ``state_path`` (atomic
+      tmp+rename, same idiom as run_pipeline) — a restarted daemon
+      resumes after it, never refiring a completed tick (exactly-once
+      per tick, the streaming checkpoint contract applied to time).
+    - ``catchup=True`` replays every missed tick since the recorded one
+      in order (Airflow's catchup); ``catchup=False`` (the default, and
+      the modern Airflow default) jumps to the latest missed tick and
+      runs only that, then continues on schedule.
+    - a tick whose ``run`` RAISES is not recorded as completed:
+      ``on_tick_failure`` fires (the alert surface) and the scheduler
+      stops — depends-on-past at the scheduler level; the operator
+      decides whether to clear state or rerun to success, exactly like
+      run_pipeline's halt-on-exhausted-retries.  Wrap ``run`` in
+      run_pipeline for per-task retries underneath.
+
+    ``clock``/``sleeper`` are injected (tests pass a fake pair;
+    production passes ``datetime.now`` and a seconds-sleeper).
+    ``max_ticks`` bounds the loop (None = run forever).  Returns the
+    list of logical datetimes that ran.
+    """
+    state = _load_state(state_path)
+    last = state.get("__scheduler__", {}).get("last_tick")
+    if last is not None:
+        from datetime import datetime
+
+        last = datetime.fromisoformat(last)
+    anchor = last
+    ran = []
+    ticks = 0
+    while max_ticks is None or ticks < max_ticks:
+        now = clock()
+        base = anchor if anchor is not None else start
+        nxt = cron_next(schedule, base)
+        if nxt > now:
+            missed = []
+        else:
+            # collect ticks <= now
+            missed = [nxt]
+            while True:
+                n2 = cron_next(schedule, missed[-1])
+                if n2 > now:
+                    break
+                missed.append(n2)
+            if not catchup:
+                missed = missed[-1:]
+        if not missed:
+            # sleep until the next tick, then loop re-reads the clock
+            sleeper((nxt - now).total_seconds())
+            anchor = base
+            continue
+        for tick in missed:
+            try:
+                run(tick)
+            except Exception as exc:  # noqa: BLE001 — tick boundary
+                if on_tick_failure is not None:
+                    on_tick_failure(tick, exc)
+                raise
+            state["__scheduler__"] = {"last_tick": tick.isoformat()}
+            _save_state(state_path, state)
+            ran.append(tick)
+            ticks += 1
+            anchor = tick
+            if max_ticks is not None and ticks >= max_ticks:
+                break
+    return ran

@@ -137,3 +137,136 @@ def test_spark_entry_points_compose(spark, tmp_path):
         state_path=state,
     )
     assert rep.results["load"] == 10
+
+
+# --------------------------------------------------------------------------
+# Cron scheduler daemon (round-11: the dag.py:28 long-running equivalent)
+# --------------------------------------------------------------------------
+
+
+def _fake_time(start):
+    """(clock, sleeper) pair over a mutable fake datetime."""
+    from datetime import timedelta
+
+    state = {"now": start}
+
+    def clock():
+        return state["now"]
+
+    def sleeper(seconds):
+        state["now"] = state["now"] + timedelta(seconds=seconds)
+
+    return clock, sleeper, state
+
+
+def test_cron_next_reference_schedule():
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.orchestration import cron_next
+
+    # the reference's '0 8 * * *' (dag.py:28)
+    assert cron_next("0 8 * * *", datetime(2026, 1, 1, 7, 30)) == datetime(
+        2026, 1, 1, 8, 0
+    )
+    # strictly-after: at 08:00 exactly, next fire is tomorrow
+    assert cron_next("0 8 * * *", datetime(2026, 1, 1, 8, 0)) == datetime(
+        2026, 1, 2, 8, 0
+    )
+    # step minutes and weekday pin (2026-01-05 is a Monday, weekday 0)
+    assert cron_next("*/15 * * * *", datetime(2026, 1, 1, 8, 1)) == datetime(
+        2026, 1, 1, 8, 15
+    )
+    assert cron_next("30 6 * * 0", datetime(2026, 1, 1, 0, 0)) == datetime(
+        2026, 1, 5, 6, 30
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="5 fields"):
+        cron_next("0 8 * *", datetime(2026, 1, 1))
+    with _pytest.raises(ValueError, match="never fires"):
+        cron_next("0 8 31 2 *", datetime(2026, 1, 1))
+    with _pytest.raises(ValueError, match="out of range"):
+        cron_next("61 8 * * *", datetime(2026, 1, 1))
+
+
+def test_scheduler_daily_ticks_and_restart(tmp_path):
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.orchestration import run_scheduler
+
+    state = str(tmp_path / "sched.json")
+    ran = []
+    clock, sleeper, _ = _fake_time(datetime(2026, 1, 1, 7, 0))
+    got = run_scheduler(
+        "0 8 * * *", ran.append, start=datetime(2026, 1, 1, 7, 0),
+        state_path=state, clock=clock, sleeper=sleeper, max_ticks=3,
+    )
+    assert got == ran == [
+        datetime(2026, 1, 1, 8, 0),
+        datetime(2026, 1, 2, 8, 0),
+        datetime(2026, 1, 3, 8, 0),
+    ]
+    # logical dates fired, not wall-clock run moments
+
+    # RESTART on the same state file: resumes AFTER the recorded tick —
+    # no refire of 01-03 (exactly-once per tick)
+    ran2 = []
+    clock2, sleeper2, _ = _fake_time(datetime(2026, 1, 3, 9, 0))
+    run_scheduler(
+        "0 8 * * *", ran2.append, start=datetime(2026, 1, 1, 7, 0),
+        state_path=state, clock=clock2, sleeper=sleeper2, max_ticks=2,
+    )
+    assert ran2 == [datetime(2026, 1, 4, 8, 0), datetime(2026, 1, 5, 8, 0)]
+
+
+def test_scheduler_catchup_semantics(tmp_path):
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.orchestration import run_scheduler
+
+    # daemon wakes up 3 days late
+    for catchup, want in (
+        (False, [datetime(2026, 1, 4, 8, 0)]),          # latest only
+        (True, [datetime(2026, 1, 2, 8, 0),             # every missed tick
+                datetime(2026, 1, 3, 8, 0),
+                datetime(2026, 1, 4, 8, 0)]),
+    ):
+        ran = []
+        clock, sleeper, _ = _fake_time(datetime(2026, 1, 4, 12, 0))
+        run_scheduler(
+            "0 8 * * *", ran.append, start=datetime(2026, 1, 1, 12, 0),
+            clock=clock, sleeper=sleeper, max_ticks=len(want),
+            catchup=catchup,
+        )
+        assert ran == want, (catchup, ran)
+
+
+def test_scheduler_failed_tick_not_recorded(tmp_path):
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.orchestration import run_scheduler
+
+    state = str(tmp_path / "sched.json")
+    alerts = []
+
+    def boom(dt):
+        raise RuntimeError("pipeline failed")
+
+    clock, sleeper, _ = _fake_time(datetime(2026, 1, 1, 7, 59))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="pipeline failed"):
+        run_scheduler(
+            "0 8 * * *", boom, start=datetime(2026, 1, 1, 7, 0),
+            state_path=state, clock=clock, sleeper=sleeper, max_ticks=1,
+            on_tick_failure=lambda dt, exc: alerts.append((dt, str(exc))),
+        )
+    assert alerts == [(datetime(2026, 1, 1, 8, 0), "pipeline failed")]
+    # the failed tick was NOT recorded: a restart retries the SAME tick
+    ran = []
+    clock2, sleeper2, _ = _fake_time(datetime(2026, 1, 1, 8, 30))
+    run_scheduler(
+        "0 8 * * *", ran.append, start=datetime(2026, 1, 1, 7, 0),
+        state_path=state, clock=clock2, sleeper=sleeper2, max_ticks=1,
+    )
+    assert ran == [datetime(2026, 1, 1, 8, 0)]
