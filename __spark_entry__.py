@@ -2310,6 +2310,58 @@ def q_ivfpq_adc_topk(spark, sf_dir):
     )
 
 
+@_q("ivfpq_balanced_adc_topk", _ORACLE["ivfpq_adc_topk"])
+def q_ivfpq_balanced_adc_topk(spark, sf_dir):
+    # the SAME IVF-PQ search through the hot-cell-BALANCED index path
+    # (round-10 verdict item 6): ingest-time ivfpq_encode ->
+    # ivfpq_balance_cells salts over-populated cells into hash
+    # sub-cells, ivfpq_topk fans each probed cell over its sub-cells.
+    # The split is lossless by construction, so this query shares
+    # ivfpq_adc_topk's ORACLE VERBATIM — the driver compare proves the
+    # balanced path value-identical cross-engine, not just self-equal.
+    from real_estate_project1_etl_spark.operators.similarity import (
+        ivfpq_balance_cells,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 108).collect()
+    }
+    cents = spark.createDataFrame(
+        [(i, vec[i]) for i in range(16)],
+        "list_id int, centroid array<double>",
+    )
+
+    def l2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    cbs = []
+    for src in range(100, 108):
+        x = vec[src]
+        best = min(range(16), key=lambda i: (l2(x, vec[i]), i))
+        rv = [a - b for a, b in zip(x, vec[best])]
+        for s in range(4):
+            cbs.append((s, src - 100, rv[s * 16:(s + 1) * 16]))
+    cb = spark.createDataFrame(
+        cbs, "subspace int, code int, centroid array<double>"
+    )
+    # cap low enough that real splitting happens at every SF (sf0.001
+    # has ~600 vectors over 16 cells -> several cells split)
+    enc = ivfpq_balance_cells(
+        ivfpq_encode(emb, cents, cb), max_cell_size=24
+    ).localCheckpoint()
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, cb, k=5, n_probe=4,
+        encoded=enc,
+    )
+
+
 _IVF_N_LISTS, _IVF_N_PROBE = 16, 4
 
 
