@@ -43,3 +43,19 @@ def test_readme_counts_match_registry():
         len(entry_mod.queries()),
         len(entry_mod.oracle_sql()),
     ), "README.md query counts are stale — update them to match the registry"
+
+
+def test_bench_count_prunes_detector(spark):
+    # the bench honesty guard (round-11): a final left join back to the
+    # corpus prunes under count() and must be detected; a plain
+    # aggregate must not false-positive
+    import bench
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+    joined = df.select("k").distinct().join(agg, "k", "left")
+    assert bench._count_prunes(joined) is True
+    assert bench._count_prunes(agg) is False
