@@ -3507,9 +3507,13 @@ def _psl_generator_fingerprint(pages, host_col, rules) -> str:
     )
     # expression IDs (#123, #123L) and lambda-variable counters (x_1,
     # x_10) differ between otherwise-identical plans built in separate
-    # calls — strip both so identical generators fingerprint identically
+    # calls — strip both so identical generators fingerprint
+    # identically.  The lambda strip is restricted to Spark's generated
+    # arg names (x_/y_/z_) so two generators differing only in a REAL
+    # column like h_1 vs h_2 can never alias into one cache entry (the
+    # exact silent-sharing bug this fingerprint exists to prevent).
     norm = _re.sub(r"#\d+", "#", plan)
-    norm = _re.sub(r"\b([a-z])_\d+#", r"\1#", norm)
+    norm = _re.sub(r"\b([xyz])_\d+#", r"\1#", norm)
     norm = norm + "\x00" + repr(tuple(rules))
     return hashlib.sha256(norm.encode()).hexdigest()
 

@@ -159,8 +159,8 @@ def cron_next(expr: str, after):
     """Next fire time STRICTLY after ``after`` (a naive ``datetime``) for
     a 5-field cron expression.  Supports the subset real pipeline
     schedules use: each field is ``*``, ``*/n``, or an exact integer
-    (minute hour day-of-month month day-of-week; dow 0=Monday per
-    ``datetime.weekday()``).  Anything else raises — a silently
+    (minute hour day-of-month month day-of-week; dow follows STANDARD
+    cron — 0=Sunday .. 6=Saturday).  Anything else raises — a silently
     mis-parsed schedule would run jobs at the wrong time, the worst
     possible failure mode for a scheduler.
 
@@ -211,7 +211,8 @@ def cron_next(expr: str, after):
             and ok(hr, t.hour)
             and ok(dom, t.day)
             and ok(mon, t.month)
-            and ok(dow, t.weekday())
+            # standard cron dow: 0=Sunday; datetime.weekday(): 0=Monday
+            and ok(dow, (t.weekday() + 1) % 7)
         ):
             return t
         t += timedelta(minutes=1)

@@ -172,11 +172,15 @@ def test_cron_next_reference_schedule():
     assert cron_next("0 8 * * *", datetime(2026, 1, 1, 8, 0)) == datetime(
         2026, 1, 2, 8, 0
     )
-    # step minutes and weekday pin (2026-01-05 is a Monday, weekday 0)
+    # step minutes; STANDARD cron dow (0=Sunday): 2026-01-04 is the
+    # first Sunday after New Year, 2026-01-05 the first Monday
     assert cron_next("*/15 * * * *", datetime(2026, 1, 1, 8, 1)) == datetime(
         2026, 1, 1, 8, 15
     )
     assert cron_next("30 6 * * 0", datetime(2026, 1, 1, 0, 0)) == datetime(
+        2026, 1, 4, 6, 30
+    )
+    assert cron_next("30 6 * * 1", datetime(2026, 1, 1, 0, 0)) == datetime(
         2026, 1, 5, 6, 30
     )
     import pytest as _pytest
