@@ -255,9 +255,11 @@ def run_scheduler(
       run_pipeline for per-task retries underneath.
 
     ``clock``/``sleeper`` are injected (tests pass a fake pair;
-    production passes ``datetime.now`` and a seconds-sleeper).
-    ``max_ticks`` bounds the loop (None = run forever).  Returns the
-    list of logical datetimes that ran.
+    production passes ``datetime.now`` and a seconds-sleeper).  The
+    pair must be COHERENT: after ``sleeper(s)`` the clock must have
+    advanced ~``s`` seconds — a no-op sleeper with a frozen clock makes
+    the wait loop spin.  ``max_ticks`` bounds the loop (None = run
+    forever).  Returns the list of logical datetimes that ran.
     """
     state = _load_state(state_path)
     last = state.get("__scheduler__", {}).get("last_tick")
