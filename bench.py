@@ -217,6 +217,9 @@ ELIMINATION_PRONE = {
     "quality_classifier_gate",
     "quality_rrf_ensemble",
     "documents_corpus_build_v5",
+    # caught by the RUNTIME detector at sf0.1 only (plans differ by SF
+    # — exactly why detection is at-warmup, not a static list):
+    "running_total",
 }
 
 _PLAN_NODES = None
