@@ -117,8 +117,12 @@ HEADLINE = [
     "documents_corpus_build_v5",
     "ivfpq_adc_topk",
     # round-11: train-while-ingest batch twin (one SGD step per
-    # arrival batch, folded via initial_weights)
+    # arrival batch, folded via initial_weights), and the
+    # standing-index IVF-PQ search (session-cached encoded+balanced
+    # index — the production regime; ivfpq_adc_topk keeps timing the
+    # full build+search chain)
     "incremental_classifier_weights",
+    "ivfpq_balanced_adc_topk",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -184,6 +188,7 @@ COST = {
     "documents_corpus_build_v5": "gate scan + checkpoint, ~2 batched training rounds on survivor vocab, broadcast-table segment fold, 1 shard exchange + cumsum window",
     "ivfpq_adc_topk": "scan-stage cell assignment + residual PQ encode (broadcast tables), equi join on probed list_id, m lookup-adds per candidate",
     "incremental_classifier_weights": "3 arrival-batch SGD steps folded via initial_weights: per step one doc-keyed margin agg + one feature-keyed gradient agg on the batch slice; each step re-tokenizes its slice (batch-sized, the streaming-ingest cost shape)",
+    "ivfpq_balanced_adc_topk": "search against a STANDING index (session-cached ivfpq_encode + balance): probe assignment + per-cell LUTs scan-stage, equi join on (list_id, sub_id), m lookup-adds per candidate — the production regime, no per-call encode",
 }
 
 
