@@ -5,6 +5,7 @@ linear all-success halting."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -274,3 +275,93 @@ def test_scheduler_failed_tick_not_recorded(tmp_path):
         state_path=state, clock=clock2, sleeper=sleeper2, max_ticks=1,
     )
     assert ran == [datetime(2026, 1, 1, 8, 0)]
+
+
+def test_scheduler_drives_pipeline_with_depends_on_past(tmp_path):
+    # the full dag.py composition: cron ticks (run_scheduler) invoking
+    # the linear task chain (run_pipeline) with retries and
+    # depends_on_past.  Tick 2's task failure halts the scheduler with
+    # the tick unrecorded; a restart retries the SAME logical date, and
+    # because the task state file recorded the failure,
+    # depends_on_past blocks until the operator intervenes — exactly
+    # Airflow's stuck-dag semantics, reproduced end to end.
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.orchestration import (
+        DependsOnPastBlocked,
+        PipelineTask,
+        TaskFailed,
+        run_pipeline,
+        run_scheduler,
+    )
+
+    sched_state = str(tmp_path / "sched.json")
+    task_state = str(tmp_path / "tasks.json")
+    runs = []
+    attempts = {"n": 0}
+
+    def make_run(fail_on_tick):
+        def run(tick):
+            def extract():
+                runs.append(("extract", tick))
+                if tick == fail_on_tick:
+                    attempts["n"] += 1
+                    raise RuntimeError("scrape failed")
+                return "raw"
+
+            def transform():
+                runs.append(("transform", tick))
+                return "clean"
+
+            run_pipeline(
+                [
+                    PipelineTask("extract", extract, retries=1,
+                                 retry_delay=0, depends_on_past=True),
+                    PipelineTask("transform", transform),
+                ],
+                state_path=task_state,
+                sleeper=lambda s: None,
+            )
+        return run
+
+    clock, sleeper, _ = _fake_time(datetime(2026, 3, 1, 7, 0))
+    import pytest as _pytest
+
+    with _pytest.raises(TaskFailed):
+        run_scheduler(
+            "0 8 * * *", make_run(datetime(2026, 3, 2, 8, 0)),
+            start=datetime(2026, 3, 1, 7, 0), state_path=sched_state,
+            clock=clock, sleeper=sleeper, max_ticks=3,
+        )
+    # tick 1 completed both tasks; tick 2 retried extract once (retries=1
+    # -> 2 attempts) then halted before transform
+    assert runs == [
+        ("extract", datetime(2026, 3, 1, 8, 0)),
+        ("transform", datetime(2026, 3, 1, 8, 0)),
+        ("extract", datetime(2026, 3, 2, 8, 0)),
+        ("extract", datetime(2026, 3, 2, 8, 0)),
+    ]
+    assert attempts["n"] == 2
+
+    # restart: the scheduler retries the UNRECORDED tick 2, and
+    # depends_on_past sees extract's recorded failure -> blocked loudly
+    clock2, sleeper2, _ = _fake_time(datetime(2026, 3, 2, 9, 0))
+    with _pytest.raises(DependsOnPastBlocked):
+        run_scheduler(
+            "0 8 * * *", make_run(None),
+            start=datetime(2026, 3, 1, 7, 0), state_path=sched_state,
+            clock=clock2, sleeper=sleeper2, max_ticks=1,
+        )
+
+    # operator clears the task state (rerun-to-success path): the same
+    # tick then completes and the schedule continues
+    os.remove(task_state)
+    runs.clear()
+    clock3, sleeper3, _ = _fake_time(datetime(2026, 3, 2, 9, 0))
+    ran = run_scheduler(
+        "0 8 * * *", make_run(None),
+        start=datetime(2026, 3, 1, 7, 0), state_path=sched_state,
+        clock=clock3, sleeper=sleeper3, max_ticks=2,
+    )
+    assert ran == [datetime(2026, 3, 2, 8, 0), datetime(2026, 3, 3, 8, 0)]
+    assert runs[0] == ("extract", datetime(2026, 3, 2, 8, 0))
