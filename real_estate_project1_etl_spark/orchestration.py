@@ -164,11 +164,21 @@ def cron_next(expr: str, after):
     mis-parsed schedule would run jobs at the wrong time, the worst
     possible failure mode for a scheduler.
 
-    Minute-resolution forward scan, bounded at 366 days (a valid
-    schedule in this grammar always fires within a year; the bound
-    turns an impossible spec like ``0 8 31 2 *`` into a loud error).
+    Standard-cron semantics pinned by tests:
+
+    - ``*/n`` steps from the field's MINIMUM (``*/2`` in day-of-month
+      matches 1,3,5,… — not 2,4,6…), matching Vixie cron, where the
+      step rule is "first-last/n" with first = the field floor.
+    - When day-of-month AND day-of-week are BOTH restricted, a day
+      matches if EITHER does (the cron OR rule); when either is ``*``,
+      the restricted one alone governs.
+
+    Forward scan that skips whole non-matching days/hours, bounded at
+    4×366 days so a pinned Feb-29 schedule (``0 8 29 2 *``) resolves
+    across leap years while an impossible spec like ``0 8 31 2 *``
+    still raises loudly instead of spinning.
     """
-    from datetime import datetime, timedelta
+    from datetime import timedelta
 
     fields = expr.split()
     if len(fields) != 5:
@@ -183,11 +193,11 @@ def cron_next(expr: str, after):
             step = int(f[2:])
             if step < 1:
                 raise ValueError(f"cron_next: bad step in {f!r}")
-            return ("step", step)
+            return ("step", step, lo)
         v = int(f)  # raises on garbage — deliberate
         if not lo <= v <= hi:
             raise ValueError(f"cron_next: field {f!r} out of range [{lo},{hi}]")
-        return ("eq", v)
+        return ("eq", v, lo)
 
     mi, hr, dom, mon, dow = (
         parse(fields[0], 0, 59),
@@ -200,23 +210,31 @@ def cron_next(expr: str, after):
     def ok(spec, value):
         if spec is None:
             return True
-        kind, v = spec
-        return value % v == 0 if kind == "step" else value == v
+        kind, v, lo = spec
+        return (value - lo) % v == 0 if kind == "step" else value == v
+
+    def day_ok(t):
+        # standard cron dow: 0=Sunday; datetime.weekday(): 0=Monday
+        dom_hit = ok(dom, t.day)
+        dow_hit = ok(dow, (t.weekday() + 1) % 7)
+        if dom is not None and dow is not None:
+            return dom_hit or dow_hit  # cron OR rule
+        return dom_hit and dow_hit
 
     t = (after.replace(second=0, microsecond=0)
          + timedelta(minutes=1))
-    for _ in range(366 * 24 * 60):
-        if (
-            ok(mi, t.minute)
-            and ok(hr, t.hour)
-            and ok(dom, t.day)
-            and ok(mon, t.month)
-            # standard cron dow: 0=Sunday; datetime.weekday(): 0=Monday
-            and ok(dow, (t.weekday() + 1) % 7)
-        ):
+    limit = t + timedelta(days=4 * 366)
+    while t < limit:
+        if not (ok(mon, t.month) and day_ok(t)):
+            t = (t + timedelta(days=1)).replace(hour=0, minute=0)
+            continue
+        if not ok(hr, t.hour):
+            t = t.replace(minute=0) + timedelta(hours=1)
+            continue
+        if ok(mi, t.minute):
             return t
         t += timedelta(minutes=1)
-    raise ValueError(f"cron_next: {expr!r} never fires within 366 days")
+    raise ValueError(f"cron_next: {expr!r} never fires within 4 years")
 
 
 def run_scheduler(
@@ -229,6 +247,7 @@ def run_scheduler(
     sleeper: "Callable[[float], None]",
     max_ticks: int | None = None,
     catchup: bool = False,
+    max_catchup: int | None = None,
     on_tick_failure: "Callable[[Any, BaseException], None] | None" = None,
 ):
     """The long-running loop dag.py outsources to Airflow's scheduler:
@@ -254,6 +273,23 @@ def run_scheduler(
       run_pipeline's halt-on-exhausted-retries.  Wrap ``run`` in
       run_pipeline for per-task retries underneath.
 
+    - ``max_catchup`` (``catchup=True`` only) caps how many missed
+      ticks replay in one burst after long downtime: only the LATEST
+      ``max_catchup`` missed ticks run (the older backlog is skipped,
+      exactly what an operator restarting a daemon after a week wants
+      instead of a hundred stale reruns).  ``None`` = unbounded.
+
+    Long-running ticks: ``run`` may overrun its own interval.  The loop
+    re-reads the clock after every tick, so with ``catchup=False`` the
+    ticks that became due DURING a slow run collapse to the single
+    latest one (no pile-up), and with ``catchup=True`` they replay in
+    order — the same semantics as for downtime, applied mid-loop.
+
+    ``state_path`` may be SHARED with :func:`run_pipeline` (wrap ``run``
+    in run_pipeline on the same file): the scheduler re-reads the file
+    and rewrites only its own ``__scheduler__`` key after each tick, so
+    task statuses written during the tick are never clobbered.
+
     ``clock``/``sleeper`` are injected (tests pass a fake pair;
     production passes ``datetime.now`` and a seconds-sleeper).  The
     pair must be COHERENT: after ``sleeper(s)`` the clock must have
@@ -261,6 +297,8 @@ def run_scheduler(
     the wait loop spin.  ``max_ticks`` bounds the loop (None = run
     forever).  Returns the list of logical datetimes that ran.
     """
+    if max_catchup is not None and max_catchup < 1:
+        raise ValueError(f"run_scheduler: max_catchup must be >= 1, got {max_catchup}")
     state = _load_state(state_path)
     last = state.get("__scheduler__", {}).get("last_tick")
     if last is not None:
@@ -286,6 +324,8 @@ def run_scheduler(
                 missed.append(n2)
             if not catchup:
                 missed = missed[-1:]
+            elif max_catchup is not None and len(missed) > max_catchup:
+                missed = missed[-max_catchup:]
         if not missed:
             # sleep until the next tick, then loop re-reads the clock
             sleeper((nxt - now).total_seconds())
@@ -298,6 +338,12 @@ def run_scheduler(
                 if on_tick_failure is not None:
                     on_tick_failure(tick, exc)
                 raise
+            # read-modify-write of ONLY the __scheduler__ key: `run` may
+            # have written task statuses to the same file (run_pipeline on
+            # a shared state_path) — persisting our startup snapshot would
+            # clobber them back to stale values (e.g. revert a
+            # rerun-to-success to 'failed', wrongly blocking the next tick).
+            state = _load_state(state_path)
             state["__scheduler__"] = {"last_tick": tick.isoformat()}
             _save_state(state_path, state)
             ran.append(tick)

@@ -365,3 +365,191 @@ def test_scheduler_drives_pipeline_with_depends_on_past(tmp_path):
     )
     assert ran == [datetime(2026, 3, 2, 8, 0), datetime(2026, 3, 3, 8, 0)]
     assert runs[0] == ("extract", datetime(2026, 3, 2, 8, 0))
+
+
+# --------------------------------------------------------------------------
+# Round-12: standard-cron step/OR semantics, Feb-29, long ticks,
+# max_catchup, shared-state-file safety
+# --------------------------------------------------------------------------
+
+
+def test_cron_step_offsets_from_field_minimum():
+    # Vixie cron: */n expands first-last/n with first = the field floor,
+    # so '*/2' in day-of-month matches 1,3,5,... (NOT 2,4,6,...)
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.orchestration import cron_next
+
+    assert cron_next("0 8 */2 * *", datetime(2026, 1, 1, 0, 0)) == datetime(
+        2026, 1, 1, 8, 0
+    )
+    assert cron_next("0 8 */2 * *", datetime(2026, 1, 1, 8, 0)) == datetime(
+        2026, 1, 3, 8, 0
+    )
+    # month field is 1-based too: '*/3' matches Jan, Apr, Jul, Oct
+    assert cron_next("0 8 1 */3 *", datetime(2026, 1, 2, 0, 0)) == datetime(
+        2026, 4, 1, 8, 0
+    )
+    # 0-based fields are unchanged: '*/15' minutes still 0,15,30,45
+    assert cron_next("*/15 * * * *", datetime(2026, 1, 1, 8, 16)) == datetime(
+        2026, 1, 1, 8, 30
+    )
+
+
+def test_cron_dom_dow_or_rule():
+    # standard cron: when BOTH dom and dow are restricted, a day matches
+    # if EITHER does.  '0 8 13 * 5' = 08:00 on the 13th OR any Friday.
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.orchestration import cron_next
+
+    # 2026-01-02 is the first Friday of 2026; the 13th is a Tuesday
+    t = datetime(2026, 1, 1, 0, 0)
+    fires = []
+    for _ in range(4):
+        t = cron_next("0 8 13 * 5", t)
+        fires.append(t)
+    assert fires == [
+        datetime(2026, 1, 2, 8, 0),    # Friday
+        datetime(2026, 1, 9, 8, 0),    # Friday
+        datetime(2026, 1, 13, 8, 0),   # the 13th (Tuesday) — dom leg
+        datetime(2026, 1, 16, 8, 0),   # Friday
+    ]
+    # when dow is '*', dom alone governs (AND with always-true)
+    assert cron_next("0 8 13 * *", datetime(2026, 1, 1)) == datetime(
+        2026, 1, 13, 8, 0
+    )
+    # when dom is '*', dow alone governs
+    assert cron_next("0 8 * * 5", datetime(2026, 1, 3)) == datetime(
+        2026, 1, 9, 8, 0
+    )
+
+
+def test_cron_feb29_resolves_across_leap_years():
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.orchestration import cron_next
+
+    # next Feb 29 after 2026-03-01 is in 2028 — more than a year out,
+    # which the old 366-day scan bound misclassified as 'never fires'
+    assert cron_next("0 8 29 2 *", datetime(2026, 3, 1)) == datetime(
+        2028, 2, 29, 8, 0
+    )
+    # a genuinely impossible spec still raises loudly
+    with _pytest.raises(ValueError, match="never fires"):
+        cron_next("0 8 31 2 *", datetime(2026, 1, 1))
+
+
+def test_scheduler_long_tick_collapses_to_latest(tmp_path):
+    # a run() that overruns its interval: with catchup=False the ticks
+    # that became due DURING the slow run collapse to the single latest
+    # one (no pile-up) — pinned mid-loop, not just at startup.
+    from datetime import datetime, timedelta
+
+    from real_estate_project1_etl_spark.orchestration import run_scheduler
+
+    clock, sleeper, fake = _fake_time(datetime(2026, 1, 1, 0, 30))
+    ran = []
+
+    def slow_run(tick):
+        ran.append(tick)
+        if tick == datetime(2026, 1, 1, 1, 0):
+            # the first tick's run takes 3.5 hours: 02:00 and 03:00 and
+            # 04:00 all become due while it executes
+            fake["now"] = fake["now"] + timedelta(hours=3, minutes=30)
+
+    run_scheduler(
+        "0 * * * *", slow_run, start=datetime(2026, 1, 1, 0, 30),
+        clock=clock, sleeper=sleeper, max_ticks=3, catchup=False,
+    )
+    assert ran == [
+        datetime(2026, 1, 1, 1, 0),
+        datetime(2026, 1, 1, 4, 0),   # 02:00/03:00 collapsed away
+        datetime(2026, 1, 1, 5, 0),
+    ]
+
+
+def test_scheduler_long_tick_catchup_replays_in_order(tmp_path):
+    from datetime import datetime, timedelta
+
+    from real_estate_project1_etl_spark.orchestration import run_scheduler
+
+    clock, sleeper, fake = _fake_time(datetime(2026, 1, 1, 0, 30))
+    ran = []
+
+    def slow_run(tick):
+        ran.append(tick)
+        if tick == datetime(2026, 1, 1, 1, 0):
+            fake["now"] = fake["now"] + timedelta(hours=2, minutes=30)
+
+    run_scheduler(
+        "0 * * * *", slow_run, start=datetime(2026, 1, 1, 0, 30),
+        clock=clock, sleeper=sleeper, max_ticks=4, catchup=True,
+    )
+    assert ran == [
+        datetime(2026, 1, 1, 1, 0),
+        datetime(2026, 1, 1, 2, 0),   # replayed in order
+        datetime(2026, 1, 1, 3, 0),
+        datetime(2026, 1, 1, 4, 0),
+    ]
+
+
+def test_scheduler_max_catchup_caps_backlog(tmp_path):
+    # daemon restarts 5 days late with catchup=True, max_catchup=2:
+    # only the LATEST 2 missed ticks replay — the stale backlog is skipped
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from real_estate_project1_etl_spark.orchestration import run_scheduler
+
+    ran = []
+    clock, sleeper, _ = _fake_time(datetime(2026, 1, 6, 12, 0))
+    run_scheduler(
+        "0 8 * * *", ran.append, start=datetime(2026, 1, 1, 12, 0),
+        clock=clock, sleeper=sleeper, max_ticks=2,
+        catchup=True, max_catchup=2,
+    )
+    assert ran == [datetime(2026, 1, 5, 8, 0), datetime(2026, 1, 6, 8, 0)]
+    with _pytest.raises(ValueError, match="max_catchup"):
+        run_scheduler(
+            "0 8 * * *", ran.append, start=datetime(2026, 1, 1, 12, 0),
+            clock=clock, sleeper=sleeper, max_ticks=1,
+            catchup=True, max_catchup=0,
+        )
+
+
+def test_scheduler_shared_state_file_not_clobbered(tmp_path):
+    # scheduler and run_pipeline SHARE one state file.  The task starts
+    # recorded 'failed' (stale from a previous run); during the tick the
+    # pipeline reruns it to success.  The scheduler's post-tick save must
+    # not clobber that back to the startup snapshot's 'failed' — which
+    # would wrongly raise DependsOnPastBlocked on the next tick.
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.orchestration import (
+        PipelineTask,
+        run_pipeline,
+        run_scheduler,
+    )
+
+    state = str(tmp_path / "shared.json")
+    with open(state, "w") as f:
+        json.dump({"t": {"status": "failed", "ts": 0}}, f)
+
+    def run(tick):
+        run_pipeline(
+            [PipelineTask("t", lambda: "ok", depends_on_past=False)],
+            state_path=state,
+        )
+
+    clock, sleeper, _ = _fake_time(datetime(2026, 1, 1, 7, 59))
+    run_scheduler(
+        "0 8 * * *", run, start=datetime(2026, 1, 1, 7, 0),
+        state_path=state, clock=clock, sleeper=sleeper, max_ticks=2,
+    )
+    persisted = json.load(open(state))
+    assert persisted["t"]["status"] == "success"     # not reverted
+    assert persisted["__scheduler__"]["last_tick"] == "2026-01-02T08:00:00"
