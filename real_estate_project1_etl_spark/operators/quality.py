@@ -726,13 +726,29 @@ def train_hashed_classifier(
             F.col("feature_id").cast("bigint"),
             F.col("weight_milli").cast("bigint"),
         ).localCheckpoint(eager=True)
-        got = weights.count()
-        if got != n_weights:
+        # one aggregate validates shape AND key integrity: a table with
+        # the right row count but duplicate feature_ids would pass a bare
+        # count, then silently duplicate rows through the margin join and
+        # orphan the missing buckets — exactly what the check exists for
+        chk = weights.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("feature_id").alias("nd"),
+            F.min("feature_id").alias("lo"),
+            F.max("feature_id").alias("hi"),
+        ).first()
+        if (
+            chk["n"] != n_weights
+            or chk["nd"] != n_weights
+            or chk["lo"] != 0
+            or chk["hi"] != n_weights - 1
+        ):
             raise ValueError(
-                f"train_hashed_classifier: initial_weights has {got} rows, "
-                f"expected {n_weights} (dim={dim}, fit_bias={fit_bias}) — "
-                "a mismatched table would silently drop or orphan buckets "
-                "through the left joins"
+                f"train_hashed_classifier: initial_weights must hold exactly "
+                f"one row per feature_id in [0,{n_weights - 1}] "
+                f"(dim={dim}, fit_bias={fit_bias}); got {chk['n']} rows, "
+                f"{chk['nd']} distinct ids in [{chk['lo']},{chk['hi']}] — "
+                "duplicates would fan out the margin join, gaps would orphan "
+                "buckets"
             )
     else:
         weights = spark.range(n_weights).select(

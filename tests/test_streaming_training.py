@@ -136,6 +136,24 @@ def test_initial_weights_validation(spark):
     )
     with pytest.raises(ValueError, match="rows"):
         train_hashed_classifier(docs, DIM, initial_weights=bad, **KW)
+    # right row COUNT but duplicate ids + a missing bucket: a bare count
+    # check passes this and the margin join silently fans out (ADVICE r11)
+    dup = spark.range(DIM + 1).select(
+        F.when(F.col("id") == 0, F.lit(1))
+        .otherwise(F.col("id"))
+        .cast("bigint")
+        .alias("feature_id"),
+        F.lit(0).cast("bigint").alias("weight_milli"),
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        train_hashed_classifier(docs, DIM, initial_weights=dup, **KW)
+    # right count and distinct, but shifted out of [0, n_weights-1]
+    shifted = spark.range(1, DIM + 2).select(
+        F.col("id").cast("bigint").alias("feature_id"),
+        F.lit(0).cast("bigint").alias("weight_milli"),
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        train_hashed_classifier(docs, DIM, initial_weights=shifted, **KW)
     with pytest.raises(ValueError, match="columns"):
         train_hashed_classifier(
             docs, DIM, initial_weights=spark.range(DIM + 1), **KW
