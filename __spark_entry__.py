@@ -2314,9 +2314,15 @@ def q_ivfpq_adc_topk(spark, sf_dir):
 # PSL mapping, the index is an INGEST-TIME artifact (similarity.py's
 # measured lesson: encoding inside the query call is slower than brute
 # force), so repeated searches within a session must not re-pay the
-# encode.  Keyed by (applicationId, sf_dir); the quantizer tables are
-# deterministic per sf_dir, so the key needs no generator fingerprint.
-_IVFPQ_INDEX_CACHE: dict = {}
+# encode.  Cache identity comes from the shared plans/session_cache.py
+# utility (round-11 verdict item 3 — same latent-staleness class as the
+# PSL mapping, same cure): keyed on the embeddings GENERATOR's analyzed
+# plan fingerprint plus every non-plan quantizer parameter (centroid/
+# codebook derivation is a deterministic function of the embeddings
+# table and these constants, and the createDataFrame side tables'
+# LocalRelation/LogicalRDD plans don't carry data, so the parameters
+# must ride in `extra`).  A changed generator rebuilds; it never serves
+# a stale index.
 
 
 @_q("ivfpq_balanced_adc_topk", _ORACLE["ivfpq_adc_topk"])
@@ -2365,13 +2371,19 @@ def q_ivfpq_balanced_adc_topk(spark, sf_dir):
     )
     # cap low enough that real splitting happens at every SF (sf0.001
     # has ~600 vectors over 16 cells -> several cells split)
-    ck = (spark.sparkContext.applicationId, sf_dir)
-    enc = _IVFPQ_INDEX_CACHE.get(ck)
-    if enc is None:
-        enc = ivfpq_balance_cells(
+    from real_estate_project1_etl_spark.plans.session_cache import (
+        get_or_build,
+    )
+
+    enc = get_or_build(
+        emb,
+        f"ivfpq_balanced_index:{sf_dir}",
+        lambda: ivfpq_balance_cells(
             ivfpq_encode(emb, cents, cb), max_cell_size=24
-        ).localCheckpoint(eager=True)
-        _IVFPQ_INDEX_CACHE[ck] = enc
+        ),
+        extra=("n_lists=16", "pq_src=100..108", "subspaces=4x16",
+               "max_cell_size=24"),
+    )
     return ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, cb, k=5, n_probe=4,
         encoded=enc,
@@ -3495,62 +3507,29 @@ def q_url_canonical_dedup(spark, sf_dir):
 # overhead per build at sf0.1, even on a 150-row host table). Queries
 # that share a corpus's hosts pay it ONCE per (session, host generator,
 # rule set) and attach the localCheckpointed mapping with a single
-# broadcast-able equi-join. Keyed by applicationId so a restarted
-# SparkContext never serves a checkpoint from a dead session; entries
-# are per-sf_dir so the correctness gate (one sf) and bench (another)
-# cannot cross-feed.  The cache key also carries a fingerprint of the
-# host GENERATOR (the normalized analyzed plan of
-# ``pages.select(host_col)`` with expression IDs stripped, plus the rule
-# set) — round-10 ADVICE: two queries sharing a label used to share one
-# mapping even if their synthesized host sets drifted apart, silently
-# LEFT-joining NULL domains for the missing hosts; with generator
-# identity in the key, drift produces a cache miss and a fresh correct
-# mapping instead.  Callers must pass a STABLE-plan df (fingerprint the
-# pre-localCheckpoint lineage, not a LogicalRDD whose id changes per
-# call).
-_PSL_MAPPING_CACHE: dict = {}
-
-
-def _psl_generator_fingerprint(pages, host_col, rules) -> str:
-    import hashlib
-    import re as _re
-
-    plan = (
-        pages.select(host_col)
-        ._jdf.queryExecution()
-        .analyzed()
-        .toString()
-    )
-    # expression IDs (#123, #123L) and lambda-variable counters (x_1,
-    # x_10) differ between otherwise-identical plans built in separate
-    # calls — strip both so identical generators fingerprint
-    # identically.  The lambda strip is restricted to Spark's generated
-    # arg names (x_/y_/z_) so two generators differing only in a REAL
-    # column like h_1 vs h_2 can never alias into one cache entry (the
-    # exact silent-sharing bug this fingerprint exists to prevent).
-    norm = _re.sub(r"#\d+", "#", plan)
-    norm = _re.sub(r"\b([xyz])_\d+#", r"\1#", norm)
-    norm = norm + "\x00" + repr(tuple(rules))
-    return hashlib.sha256(norm.encode()).hexdigest()
+# broadcast-able equi-join.  Cache identity (applicationId + label +
+# generator-plan fingerprint + rule set) lives in the shared
+# plans/session_cache.py utility — one implementation for this mapping
+# and the IVF-PQ standing index (round-11 verdict item 3), with the
+# lambda-variable strip restricted to plan-text ``lambda `` bindings so
+# a real column named x_1 can never alias two generators into one entry
+# (round-11 ADVICE #5).
 
 
 def _shared_psl_mapping(pages, host_col, rules, key):
     from real_estate_project1_etl_spark.functions.web import (
         build_psl_host_mapping,
     )
-
-    ck = (
-        pages.sparkSession.sparkContext.applicationId,
-        key,
-        _psl_generator_fingerprint(pages, host_col, rules),
+    from real_estate_project1_etl_spark.plans.session_cache import (
+        get_or_build,
     )
-    m = _PSL_MAPPING_CACHE.get(ck)
-    if m is None:
-        m = build_psl_host_mapping(pages, host_col, rules).localCheckpoint(
-            eager=True
-        )
-        _PSL_MAPPING_CACHE[ck] = m
-    return m
+
+    return get_or_build(
+        pages.select(host_col),
+        f"psl_mapping:{key}",
+        lambda: build_psl_host_mapping(pages, host_col, rules),
+        extra=tuple(rules),
+    )
 
 
 # vendored PSL fixture for the url_domain_psl gate: plain multi-part rules
