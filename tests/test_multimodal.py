@@ -126,3 +126,130 @@ def test_phash_no_payload_shuffle_plan(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "payload" not in m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# injectable codec seam (round-11 verdict item 8): a PIL/av-equipped
+# environment plugs real decoders in via MediaCodec without touching
+# engine code. These fakes stand in for real codecs; each produces
+# output RECOGNIZABLY different from STUB_CODEC's, so the assertions
+# prove the injected callbacks actually ran inside the executor-side
+# Arrow batches (not the defaults).
+# ---------------------------------------------------------------------------
+
+def _fake_codec():
+    # NESTED defs, not module-level: cloudpickle serializes closures by
+    # VALUE, while a test-module top-level function is pickled by
+    # reference and the executor worker cannot import `test_multimodal`.
+    # (Production codecs live in an importable module, so by-reference
+    # is fine there — the MediaCodec docstring's "top-level picklable"
+    # contract means top-level of an importable module.)
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MediaCodec,
+    )
+
+    def fake_embed(payload: bytes, modality: str) -> list:
+        # feature = payload length, repeated — checkable driver-side
+        return [float(len(payload or b""))] * FEATURE_DIM
+
+    def fake_pixels(payload: bytes, n: int) -> list:
+        # planted half-dark half-bright grid: aHash bits are exactly the
+        # top half regardless of payload -> every image pair collides
+        return [0] * (n // 2) + [255] * (n - n // 2)
+
+    def fake_frame(payload: bytes, frame_idx: int, ts_ms: int) -> bytes:
+        return bytes([frame_idx % 256]) + (payload or b"")[:2]
+
+    def fake_thumb(payload: bytes, new_w: int, new_h: int) -> bytes:
+        # one byte LONGER than the stub's new_w*new_h: proves the codec
+        # owns the output bytes, engine does no slicing of its own
+        return b"T" * (new_w * new_h + 1)
+
+    return MediaCodec(
+        embed=fake_embed,
+        pixels=fake_pixels,
+        frame=fake_frame,
+        thumbnail=fake_thumb,
+    )
+
+
+def test_injected_codec_end_to_end(spark):
+    # decode -> frame-sample -> resize through ONE injected codec, over
+    # the same asset table, engine code untouched
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        sample_video_frames,
+        synthetic_assets,
+    )
+
+    codec = _fake_codec()
+    assets = synthetic_assets(spark, 24)
+    sizes = {r.asset_id: len(r.payload) for r in assets.collect()}
+
+    # decode/featurize: feature vector is the injected embed's output
+    feats = extract_features(assets, codec=codec).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert r.feature == [float(sizes[r.asset_id])] * FEATURE_DIM
+
+    # frame-sample: frame bytes come from the injected frame() (3 bytes:
+    # idx + first 2 payload bytes), featurized by the injected embed()
+    frames = sample_video_frames(
+        assets, every_ms=1000, max_frames=3, codec=codec
+    ).collect()
+    assert frames
+    for r in frames:
+        assert r.frame_feature == [3.0] * FEATURE_DIM
+
+    # resize: thumb is the codec's output verbatim (stub would emit
+    # exactly new_w*new_h bytes; the fake emits one more)
+    thumbs = resize_images(assets, max_side=32, codec=codec).collect()
+    assert thumbs
+    for r in thumbs:
+        assert bytes(r.thumb) == b"T" * (r.new_w * r.new_h + 1)
+
+
+def test_injected_codec_drives_phash(spark):
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        perceptual_hashes,
+        phash_near_duplicates,
+        synthetic_assets,
+    )
+
+    codec = _fake_codec()
+    assets = synthetic_assets(spark, 12)
+    images = assets.filter(F.col("modality") == "image")
+    n_img = images.count()
+    assert n_img >= 2
+
+    # planted pixel grid -> identical phash for every image: bits 32..63
+    hashes = {r.asset_id: r.phash for r in
+              perceptual_hashes(assets, codec=codec).collect()}
+    expected = 0
+    for i in range(32, 64):
+        expected |= 1 << i
+    expected -= 1 << 64  # signed int64
+    assert set(hashes.values()) == {expected}
+
+    # so EVERY image pair is a hamming-0 near-duplicate
+    pairs = phash_near_duplicates(assets, max_hamming=0, codec=codec).collect()
+    assert len(pairs) == n_img * (n_img - 1) // 2
+    assert all(r.hamming == 0 for r in pairs)
+
+
+def test_default_codec_is_stub(spark):
+    # the oracle-compared queries pin STUB_CODEC's exact bytes: the
+    # default-arg path must equal an explicit STUB_CODEC pass
+    from real_estate_project1_etl_spark.operators.multimodal import (
+        STUB_CODEC,
+        extract_features,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, 9)
+    d = {r.asset_id: r.feature for r in extract_features(assets).collect()}
+    e = {r.asset_id: r.feature
+         for r in extract_features(assets, codec=STUB_CODEC).collect()}
+    assert d == e
