@@ -565,10 +565,34 @@ def bigram_lm_scores(
     # the per-token work is CPU-bound and a single-file scan arrives as
     # ONE task; spread it before the three explode consumers (measured
     # 12 s -> ~1 s at sf0.1 when downstream materializes the scores)
-    docs = ensure_parallelism(docs.select(id_col, text_col))
-    doc_bigrams = docs.select(
-        F.col(id_col), F.explode(big).alias("b")
-    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    #
+    # The isNotNull(id) is declared HERE, once, for two reasons: (1) a
+    # NULL-id row is unscoreable (the output is keyed by id), so its
+    # tokens contributing to corpus statistics was an accident of plan
+    # shape, not a contract; (2) stage reuse — callers that equi-join
+    # the scores push isnotnull(id) into SOME consumers' scans but not
+    # others (the c12 path aggregates the id away first), and the
+    # now-divergent scan subtrees stopped canonically matching, so the
+    # bigram explode executed twice (round-12 exchange audit). With the
+    # filter in the shared prefix, every consumer sees one identical
+    # subtree and the pushed duplicate is subsumed.
+    docs = ensure_parallelism(
+        docs.select(id_col, text_col).filter(F.col(id_col).isNotNull())
+    )
+    doc_bigrams = (
+        docs.select(F.col(id_col), F.explode(big).alias("b"))
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        # semantically a no-op (split/arrays_zip of equal-length slices
+        # never yields NULL words) but load-bearing for stage reuse: the
+        # two db consumers receive join-pushed isnotnull predicates in
+        # DIFFERENT AND-order, and canonicalization does not sort
+        # conjuncts, so their otherwise-identical explode subtrees
+        # stopped matching and the explode executed twice (round-12
+        # exchange audit).  Declaring the filter here, in one fixed
+        # order, makes it part of the SHARED subtree; the pushed
+        # duplicates are then subsumed by constraint propagation.
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
     # per-document bigram TYPES with multiplicity — the join payload
     db = doc_bigrams.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("n_occ")
@@ -578,8 +602,26 @@ def bigram_lm_scores(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
-    c12 = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # V as count(when(c1 > 0, 1)), NOT count(1): the naive form lets
+    # Catalyst prune c1 and rewrite vocab's subtree to a distinct-style
+    # aggregate that no longer canonically matches the count aggregate
+    # probs consumes, so the token explode executed TWICE (round-12
+    # exchange audit: Generate 270,704 rows x2 at sf0.1).  The when()
+    # is nullable, so the optimizer can neither fold it to count(1) nor
+    # prune c1 — both consumers share one exchange (ReuseExchange
+    # fires, verified by plan-walk metrics) and the corpus is tokenized
+    # once per n-gram order, lazily, with nothing materialized.  c1 is
+    # a count, always > 0, so the value is exactly |vocabulary|.
+    vocab = uni.agg(F.count(F.when(F.col("c1") > 0, 1)).alias("_v"))
+    # corpus bigram counts DERIVE from the per-document type table —
+    # sum(n_occ) over db is the same multiset count as a second explode,
+    # but db's aggregation exchange is now the shared parent of both
+    # consumers (ReuseExchange fires on the identical subtree), so the
+    # token-stream explode executes ONCE instead of twice.  Round-12
+    # exchange audit: the scored subtree ran 6 parquet scans / 4
+    # explodes / 0 reuses; at 100 TB a doubled token-explode is the
+    # difference between one corpus pass and two.
+    c12 = db.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c12"))
     # vocabulary-sized probability table: one broadcast of the scalar V,
     # one equi-join attaching c(w1)
     probs = (
@@ -677,17 +719,42 @@ def trigram_lm_scores(
     big = F.arrays_zip(
         F.slice(ws, 1, l2).alias("b1"), F.slice(ws, 2, l2).alias("b2")
     )
-    docs = ensure_parallelism(docs.select(id_col, text_col))
-    doc_tri = docs.select(F.col(id_col), F.explode(tri).alias("t")).select(
-        id_col,
-        F.col("t.w1").alias("w1"),
-        F.col("t.w2").alias("w2"),
-        F.col("t.w3").alias("w3"),
+    # null-id rows are unscoreable (output is keyed by id) and the
+    # shared-prefix filter keeps consumer subtrees canonically identical
+    # for stage reuse — same rationale as bigram_lm_scores
+    docs = ensure_parallelism(
+        docs.select(id_col, text_col).filter(F.col(id_col).isNotNull())
+    )
+    doc_tri = (
+        docs.select(F.col(id_col), F.explode(tri).alias("t"))
+        .select(
+            id_col,
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        # no-op on data (zip of equal-length slices yields no NULLs) but
+        # load-bearing for reuse: the c123 left-join pushes isnotnull on
+        # its right side only, which otherwise forks the two dt-exchange
+        # subtrees canonically — see doc_bigrams in bigram_lm_scores
+        .filter(
+            F.col("w1").isNotNull()
+            & F.col("w2").isNotNull()
+            & F.col("w3").isNotNull()
+        )
+    )
+    # per-doc trigram TYPES with multiplicity — the join payload, and
+    # the single parent of the corpus count table: c123 derives from dt
+    # (sum of per-doc multiplicities == a second explode's count), so
+    # the trigram explode executes ONCE via ReuseExchange instead of
+    # twice — the bigram_lm_scores round-12 audit fix, same shape
+    dt = doc_tri.groupBy(id_col, "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("n_occ")
     )
     # corpus count tables (all Zipf-collapsed to n-gram TYPES)
     c123 = (
-        doc_tri.groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("c123"))
+        dt.groupBy("w1", "w2", "w3")
+        .agg(F.sum("n_occ").alias("c123"))
         .filter(F.col("c123") >= min_count3)
     )
     bigrams = docs.select(F.explode(big).alias("b")).select(
@@ -714,10 +781,6 @@ def trigram_lm_scores(
     c3 = uni.select(F.col("w").alias("w3"), F.col("cu").alias("c3"))
     ntok = docs.select(
         F.sum(F.size(ws)).cast("bigint").alias("_N")
-    )
-    # per-doc trigram TYPES with multiplicity — the join payload
-    dt = doc_tri.groupBy(id_col, "w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("n_occ")
     )
     joined = (
         dt.join(c123, ["w1", "w2", "w3"], "left")
