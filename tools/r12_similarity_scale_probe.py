@@ -10,11 +10,14 @@ planted near-dup groups of size K while shingle sets stay distinct. The
 embeddings table scales the same way with a per-copy deterministic
 perturbation.
 
-For each operator it records wall time, output pairs, and the CANDIDATE
-volume (sum of join-output rows read from the executed plan's
-numOutputRows metrics — the quantity whose growth decides whether the
-prefix/band/cluster candidate generation is sub-quadratic; see SCALE.md
-round-12 entry).
+Timing wraps a THUNK (several operators localCheckpoint internally, so
+the expensive work executes at construction — a pre-built-DataFrame
+timer under-reports; that is the r9 "count() can lie" lesson in a new
+costume). Candidate volumes come from the SQLAppStatusStore: it records
+EVERY execution the thunk triggered (including internal checkpoint
+jobs), and each execution's plan graph + metrics expose the join nodes'
+"number of output rows" — the quantity whose growth decides whether the
+prefix/band/cluster candidate generation is sub-quadratic.
 
 semantic_dedup runs twice at 10x: once with the 1x cluster count (the
 WRONG way — within-cluster pair work is quadratic in cluster size) and
@@ -27,6 +30,7 @@ Usage: python tools/r12_similarity_scale_probe.py [scale_factors...]
 from __future__ import annotations
 
 import os
+import re
 import sys
 import time
 
@@ -39,38 +43,41 @@ from real_estate_project1_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_NUM = re.compile(r"[\d,]+")
 
-def join_output_rows(df) -> list[int]:
-    """numOutputRows of every join node in the EXECUTED plan (AQE final),
-    deduped by query-stage id — the per-stage candidate volumes."""
-    fin = df._jdf.queryExecution().executedPlan()
-    try:
-        fin = fin.executedPlan()
-    except Exception:
-        pass
-    seen, out = set(), []
-    def walk(node):
-        nn = node.nodeName()
-        if "Join" in nn:
-            try:
-                v = node.metrics().get("numOutputRows")
-                if v.isDefined():
-                    out.append(int(v.get().value()))
-            except Exception:
-                pass
-        if "QueryStage" in nn:
-            sid = node.id()
-            if sid in seen:
-                return
-            seen.add(sid)
-        for i in range(node.children().size()):
-            walk(node.children().apply(i))
-        if "QueryStage" in nn or "Adaptive" in nn:
-            try:
-                walk(node.plan())
-            except Exception:
-                pass
-    walk(fin)
+
+def _parse_metric(v: str) -> int:
+    m = _NUM.search(str(v))
+    return int(m.group(0).replace(",", "")) if m else 0
+
+
+def _execution_ids(store) -> set[int]:
+    lst = store.executionsList()
+    return {lst.apply(i).executionId() for i in range(lst.size())}
+
+
+def join_candidates(store, new_ids) -> list[int]:
+    """'number of output rows' of every join node across the given
+    executions (one entry per join node, descending)."""
+    out = []
+    for eid in sorted(new_ids):
+        try:
+            graph = store.planGraph(eid)
+            metrics = store.executionMetrics(eid)
+        except Exception:
+            continue
+        nodes = graph.allNodes()
+        for i in range(nodes.size()):
+            node = nodes.apply(i)
+            if "Join" not in node.name():
+                continue
+            ms = node.metrics()
+            for j in range(ms.size()):
+                met = ms.apply(j)
+                if met.name() == "number of output rows":
+                    v = metrics.get(met.accumulatorId())
+                    if v.isDefined():
+                        out.append(_parse_metric(v.get()))
     return sorted(out, reverse=True)
 
 
@@ -114,13 +121,14 @@ def scaled_emb(spark, k: int):
     return spark.read.parquet(path)
 
 
-def timed(label, df):
+def timed(spark, store, label, thunk):
+    before = _execution_ids(store)
     t0 = time.time()
-    n = df.count()
+    n = thunk().count()
     dt = time.time() - t0
-    cands = join_output_rows(df)
+    cands = join_candidates(store, _execution_ids(store) - before)
     print(
-        f"  {label}: {dt:.2f}s  out={n}  join_outputs={cands[:4]}",
+        f"  {label}: {dt:.2f}s  out={n}  join_rows={cands[:5]}",
         flush=True,
     )
     return dt, n, cands
@@ -133,6 +141,7 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    store = spark._jsparkSession.sharedState().statusStore()
 
     from real_estate_project1_etl_spark.functions.vectors import normalize
     from real_estate_project1_etl_spark.operators.dedup import (
@@ -149,9 +158,12 @@ def main() -> None:
         n_vec = emb.count()
         print(f"\n== scale {k}x: {n_docs} docs, {n_vec} vectors", flush=True)
 
-        timed("minhash_near_dup   ", minhash_near_duplicates(docs, "text", "doc_id"))
-        timed("prefix_jaccard t=.6", prefix_filter_jaccard_pairs(docs, threshold=0.6))
-        timed("containment  t=.8  ", containment_pairs(docs, threshold=0.8))
+        timed(spark, store, "minhash_near_dup   ",
+              lambda: minhash_near_duplicates(docs, "text", "doc_id"))
+        timed(spark, store, "prefix_jaccard t=.6",
+              lambda: prefix_filter_jaccard_pairs(docs, threshold=0.6))
+        timed(spark, store, "containment  t=.8  ",
+              lambda: containment_pairs(docs, threshold=0.8))
 
         def cents_of(n_lists):
             return emb.filter(F.col("vec_id") < n_lists).select(
@@ -160,17 +172,13 @@ def main() -> None:
             )
 
         base_lists = 8
-        timed(
-            f"semantic_dedup c={base_lists} ",
-            semantic_dedup(emb, threshold=0.35, centroids=cents_of(base_lists)),
-        )
+        timed(spark, store, f"semantic_dedup c={base_lists} ",
+              lambda: semantic_dedup(emb, threshold=0.35,
+                                     centroids=cents_of(base_lists)))
         if k > 1:
-            timed(
-                f"semantic_dedup c={base_lists * k}",
-                semantic_dedup(
-                    emb, threshold=0.35, centroids=cents_of(base_lists * k)
-                ),
-            )
+            timed(spark, store, f"semantic_dedup c={base_lists * k}",
+                  lambda: semantic_dedup(emb, threshold=0.35,
+                                         centroids=cents_of(base_lists * k)))
 
 
 if __name__ == "__main__":
