@@ -324,6 +324,13 @@ def _verify_pairs(
     jac = ngram_jaccard(F.col("sh_a"), F.col("sh_b"))
     if round_digits is not None:
         jac = F.round(jac, round_digits)
+    # fixed-count repartition of the candidate id-pairs before the
+    # verify joins: AQE coalesces the post-dedup candidate stream by its
+    # tiny input bytes, and with the shingle sides broadcast the stream
+    # partitioning IS the parallelism of the per-candidate exact-Jaccard
+    # (interpreted array intersect — the expensive step). Same fan-out
+    # blindness + cure as prefix_filter_jaccard_pairs / semantic_dedup.
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
     return (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -730,6 +737,13 @@ def prefix_filter_jaccard_pairs(
     # in a long-lived session.
     sets = sets.withColumn("n", F.size("hs")).persist()
     try:
+        # populate the cache BEFORE the consumers fan out: persist() is
+        # lazy, and AQE submits independent query stages concurrently —
+        # each one cache-misses the still-empty cache and recomputes the
+        # shingle explode (round-12 status-store audit: Generate 260k
+        # rows executed 3x within one action). One cheap count() turns
+        # the storm into one compute + N reads.
+        sets.count()
         toks = sets.select("_id", F.explode("hs").alias("h"))
         dfc = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
         # per-doc shingles in global rare-first order, encoded as [df, hash]
@@ -757,6 +771,17 @@ def prefix_filter_jaccard_pairs(
             )
             .select("id_a", "id_b")
             .distinct()
+        )
+        # fixed-count repartition of the candidate id-pairs (tiny rows)
+        # before the verify joins: the set sides broadcast, so the
+        # stream side's partitioning IS the verify parallelism — and
+        # AQE had coalesced the post-distinct stream to 2-3 partitions
+        # by input bytes, serializing the per-candidate array_intersect
+        # (the same fan-out blindness as semantic_dedup's pair join).
+        # REPARTITION_BY_NUM is exempt from AQE coalescing. Measured at
+        # sf0.1 (interleaved): 3.24 -> 2.44 s with the eager cache.
+        cands = cands.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
         )
         sa = sets.select(F.col("_id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na"))
         sb = sets.select(F.col("_id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb"))
@@ -830,6 +855,10 @@ def containment_pairs(
     # fails — repeated calls in a long-lived session must not accrete
     sets = sets.withColumn("n", F.size("hs")).persist()
     try:
+        # eager cache population — see prefix_filter_jaccard_pairs: AQE
+        # runs independent stages concurrently and a lazy persist lets
+        # each recompute the shingle explode on a cold cache
+        sets.count()
         toks = sets.select("_id", F.explode("hs").alias("h"))
         dfc = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
         ordered = (
@@ -860,6 +889,13 @@ def containment_pairs(
             )
             .select("contained_id", "container_id")
             .distinct()
+        )
+        # fixed-count repartition before the broadcast verify joins —
+        # AQE coalesces the post-distinct candidate stream by its tiny
+        # input bytes, serializing the per-candidate array_intersect;
+        # see prefix_filter_jaccard_pairs
+        cands = cands.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
         )
         sa = sets.select(
             F.col("_id").alias("contained_id"),
