@@ -630,41 +630,55 @@ def gopher_repetition(
     wrows = wrows.withColumn(
         "s", F.coalesce(run, F.lit(0).cast("long")) + F.lit(1)
     ).withColumn("e", F.col("s") + F.col("wl") - 1)
-    # lead chains: e_n = end of word i+n-1; k_n = hash of the n word
-    # hashes (NULL leads past the doc boundary mean "no such gram" and
-    # are filtered after the stack — xxhash64 would silently SKIP a
-    # NULL arg and alias a shorter gram otherwise)
-    proj = [F.col(id_col), F.col("n_chars"), F.col("s")]
-    for n in all_ns:
-        hs = [F.col("h")] + [
-            F.lead("h", j).over(doc_w) for j in range(1, n)
-        ]
-        e_n = F.col("e") if n == 1 else F.lead("e", n - 1).over(doc_w)
-        proj.append(e_n.alias(f"e{n}"))
-        proj.append(F.xxhash64(*hs).alias(f"k{n}"))
-    led = wrows.select(*proj)
-    stack_args = ", ".join(
-        f"cast({n} as int), s, e{n}, k{n}" for n in all_ns
-    )
-    occ = (
-        led.select(
-            id_col,
-            "n_chars",
-            F.expr(
-                f"stack({len(all_ns)}, {stack_args}) as (n, s, e, k)"
-            ),
-        )
-        .filter(F.col("e").isNotNull())
-        # ONE exchange serves every downstream window: hash on (doc, n)
-        # satisfies the cnt window's (doc, n, k) clustering AND the
-        # top/max and span-union windows' (doc, n) — without it each
-        # window re-shuffles (measured 3.10 -> 2.70 s interleaved at
-        # sf0.1).  Group width is one document's grams for one n —
-        # bounded by doc length, no skew risk beyond the longest doc.
-        .repartition(id_col, "n")
-    )
+    # lead chains + stack are built PER BRANCH over its own n-set
+    # (round-12 metric audit): one shared `occ` for all n looked
+    # optimal, but each branch's n.isin() filter PUSHES below the
+    # repartition and the stack, forking the posexplode+window+stack
+    # pipeline into two full-width copies — both branches stacked
+    # sum_{all n}(W-n+1) rows and immediately dropped the other's (the
+    # status store showed two 541k-row Generates per curation run).
+    # Per-branch stacks emit only their own rows, the lead chains prune
+    # to the branch's largest n, and the shared word-offset prefix
+    # (posexplode + running-sum window) below the doc Exchange(id) is
+    # stage-reused across the branches.
     cnt_w = Window.partitionBy(id_col, "n", "k")
-    occ = occ.withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
+
+    def _occ(ns):
+        # lead semantics: e_n = end of word i+n-1; k_n = hash of the n
+        # word hashes (NULL leads past the doc boundary mean "no such
+        # gram" and are filtered after the stack — xxhash64 would
+        # silently SKIP a NULL arg and alias a shorter gram otherwise)
+        ns = sorted(set(ns))
+        proj = [F.col(id_col), F.col("n_chars"), F.col("s")]
+        for n in ns:
+            hs = [F.col("h")] + [
+                F.lead("h", j).over(doc_w) for j in range(1, n)
+            ]
+            e_n = F.col("e") if n == 1 else F.lead("e", n - 1).over(doc_w)
+            proj.append(e_n.alias(f"e{n}"))
+            proj.append(F.xxhash64(*hs).alias(f"k{n}"))
+        led = wrows.select(*proj)
+        stack_args = ", ".join(
+            f"cast({n} as int), s, e{n}, k{n}" for n in ns
+        )
+        return (
+            led.select(
+                id_col,
+                "n_chars",
+                F.expr(
+                    f"stack({len(ns)}, {stack_args}) as (n, s, e, k)"
+                ),
+            )
+            .filter(F.col("e").isNotNull())
+            # one exchange serves this branch's windows: hash on
+            # (doc, n) satisfies the cnt window's (doc, n, k)
+            # clustering AND the top/max / span-union windows' (doc, n)
+            # — without it each window re-shuffles (measured 3.10 ->
+            # 2.70 s interleaved at sf0.1). Group width is one
+            # document's grams for one n — bounded by doc length.
+            .repartition(id_col, "n")
+            .withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
+        )
 
     # top-n-gram char fraction: one row per (doc, n in top_ns).
     # Tie-break (cnt desc, gram length desc, gram lexicographic) runs in
@@ -672,7 +686,7 @@ def gopher_repetition(
     # phase: only the surviving candidates get their gram text cut.
     wmax = Window.partitionBy(id_col, "n")
     tocc = (
-        occ.filter(F.col("n").isin(list(top_ns)))
+        _occ(top_ns)
         .withColumn("len", F.col("e") - F.col("s") + 1)
         .withColumn("mxc", F.max("cnt").over(wmax))
         .filter(F.col("cnt") == F.col("mxc"))
@@ -698,7 +712,7 @@ def gopher_repetition(
     # duplicate-n-gram char coverage: interval union of cnt>=2 spans
     span_w = Window.partitionBy(id_col, "n").orderBy("s", "e")
     dup = (
-        occ.filter(F.col("n").isin(list(dup_ns)) & (F.col("cnt") >= 2))
+        _occ(dup_ns).filter(F.col("cnt") >= 2)
         .withColumn(
             "prev_e",
             F.max("e").over(span_w.rowsBetween(Window.unboundedPreceding, -1)),
