@@ -275,6 +275,10 @@ NOISY = {
     "bigram_coverage_quality",
     "jl_projection_pairs",
     "exact_dedup_docs",
+    # round-12: same-code full-bench runs disagreed 1.7x on this one
+    # (1.86 vs 3.16 s — the drift A/B in SCALE.md); a single sample is
+    # not a measurement for it
+    "containment_quote_pairs",
 }
 
 
