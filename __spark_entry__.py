@@ -10920,6 +10920,204 @@ def q_boilerplate_line_removal(spark, sf_dir):
     )
 
 
+@_q(
+    "ann_recall_ivf",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, cast(embedding AS double[]) AS cv
+        FROM embeddings
+    ), ex AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round({_COS_SQL.format(a='qv', b='cv')}, 6)
+                                DESC, neighbor_id) AS rank
+            FROM q JOIN c ON query_id <> neighbor_id
+        ) WHERE rank <= 5
+    ), cents AS (
+        SELECT vec_id::INT AS list_id, cast(embedding AS double[]) AS centroid
+        FROM embeddings WHERE vec_id < {_IVF_N_LISTS}
+    ), assigned AS (
+        SELECT neighbor_id, cv, list_id FROM (
+            SELECT neighbor_id, cv, list_id,
+                   row_number() OVER (
+                       PARTITION BY neighbor_id
+                       ORDER BY {_COS_SQL.format(a='cv', b='centroid')} DESC,
+                                list_id) AS rn
+            FROM c, cents
+        ) WHERE rn = 1
+    ), probed AS (
+        SELECT query_id, qv, list_id FROM (
+            SELECT query_id, qv, list_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_COS_SQL.format(a='qv', b='centroid')} DESC,
+                                list_id) AS pr
+            FROM q, cents
+        ) WHERE pr <= {_IVF_N_PROBE}
+    ), ap AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round({_COS_SQL.format(a='qv', b='cv')}, 6)
+                                DESC, neighbor_id) AS rank
+            FROM assigned JOIN probed USING (list_id)
+            WHERE query_id <> neighbor_id
+        ) WHERE rank <= 5
+    ), ne AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id),
+    h AS (SELECT query_id, count(*) AS n_hits
+          FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY query_id)
+    SELECT ne.query_id,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(n_hits, 0) * 1000000 // n_exact AS BIGINT)
+               AS recall_ppm
+    FROM ne LEFT JOIN h USING (query_id)
+    """,
+)
+def q_ann_recall_ivf(spark, sf_dir):
+    # the index-tuning eval loop as an engine query: recall@5 of the IVF
+    # index (16 lists, 4 probes, deterministic centroids) against the
+    # exact cosine top-5, per query — the FAISS-style operating-point
+    # measurement (recall vs probe fraction). Every count and the
+    # integer recall_ppm are value-checked cross-engine. Scale shape:
+    # both top-k tables are |queries| x k rows; the eval join never
+    # touches the corpus again.
+    from real_estate_project1_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        topk_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = emb.filter(F.col("vec_id") < _IVF_N_LISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    exact = brute_force_topk(emb, queries, k=5, round_to=6)
+    approx = ivf_topk(
+        emb, queries, k=5, n_probe=_IVF_N_PROBE, centroids=cents,
+        round_to=6,
+    )
+    return topk_recall(exact, approx)
+
+
+_DSIR_DIM = 4096
+_DSIR_SCALE = 1_000_000
+# shared oracle CTE chain: hashed uni+bigram bucket counts per doc (f),
+# corpus bucket counts (cr/ct), totals (nr/nt), the dim-row ratio model,
+# and per-doc weights — mirrors quality.dsir_importance_weights exactly
+_DSIR_CTES = rf"""
+    w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws
+          FROM documents WHERE doc_id IS NOT NULL),
+    g1 AS (SELECT doc_id, unnest(ws) AS g FROM w),
+    g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+           FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, len(ws) - 1)) AS i
+                 FROM w)),
+    grams AS (SELECT doc_id, g FROM g1 UNION ALL SELECT doc_id, g FROM g2),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_DIM}
+                     AS feature_id,
+                 count(*) AS n
+          FROM grams GROUP BY 1, 2),
+    cr AS (SELECT feature_id, sum(n) AS c_r FROM f GROUP BY feature_id),
+    nr AS (SELECT coalesce(sum(c_r), 0) AS _nr FROM cr),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    ct AS (SELECT feature_id, sum(n) AS c_t
+           FROM f JOIN tgt USING (doc_id) GROUP BY feature_id),
+    nt AS (SELECT coalesce(sum(c_t), 0) AS _nt FROM ct),
+    ratio AS (SELECT cr.feature_id,
+                     (CAST(coalesce(ct.c_t, 0) + 1 AS HUGEINT)
+                      * (nr._nr + {_DSIR_DIM}) * {_DSIR_SCALE})
+                     // ((cr.c_r + 1) * (nt._nt + {_DSIR_DIM})) AS ratio_ppm
+              FROM cr LEFT JOIN ct USING (feature_id)
+              CROSS JOIN nr CROSS JOIN nt),
+    scored AS (SELECT doc_id, sum(n) AS n_grams,
+                      sum(CAST(n AS HUGEINT) * ratio_ppm) AS _sum_r
+               FROM f JOIN ratio USING (feature_id) GROUP BY doc_id),
+    dsirw AS (SELECT d.doc_id,
+                     CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+                     CASE WHEN s.n_grams > 0
+                          THEN CAST(s._sum_r // s.n_grams AS BIGINT)
+                     END AS dsir_weight_ppm
+              FROM documents d LEFT JOIN scored s USING (doc_id))
+"""
+
+
+@_q(
+    "dsir_importance_weights",
+    f"WITH {_DSIR_CTES} SELECT doc_id, n_grams, dsir_weight_ppm FROM dsirw",
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    # DSIR data selection (Xie et al., arXiv:2302.03169): score every raw
+    # document by the hashed-n-gram importance of a TARGET distribution
+    # (here: the corpus's English slice standing in for the paper's
+    # Wikipedia target) over the raw corpus. Module-convention exact
+    # integers (scaled ratio-mean instead of log-sum — see the operator
+    # docstring for the trade); the oracle rebuilds bucket counts, the
+    # dim-row ratio model, and every per-doc weight value-exactly.
+    # Scale shape: each corpus tokenized once (bucket counts derive from
+    # the per-doc feature table), dim-row model broadcasts, text never
+    # shuffles.
+    from real_estate_project1_etl_spark.operators.quality import (
+        dsir_importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        dim=_DSIR_DIM,
+        scale=_DSIR_SCALE,
+    )
+
+
+@_q(
+    "dsir_selected_docs",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_grams, dsir_weight_ppm,
+           cast(dsir_weight_ppm AS double)
+           / cast((('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT
+                   + 1) AS double) AS priority
+    FROM dsirw
+    WHERE n_grams > 0
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_dsir_selected_docs(spark, sf_dir):
+    # the resampling step: DSIR's Gumbel-top-k draw in its deterministic
+    # order-sampling form (sequential Poisson, priority = w/hash-uniform
+    # — same sampler as weighted_sample_docs, so selection is stable
+    # under retries/repartitioning and bit-identical cross-engine).
+    # Top-100 most target-like documents by importance-weighted draw.
+    from real_estate_project1_etl_spark.operators.quality import (
+        dsir_importance_weights,
+        sequential_poisson_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = dsir_importance_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        dim=_DSIR_DIM,
+        scale=_DSIR_SCALE,
+    ).filter(F.col("n_grams") > 0)
+    return sequential_poisson_sample(
+        weights, "dsir_weight_ppm", 100, ["doc_id"], id_order_col="doc_id"
+    ).select("doc_id", "n_grams", "dsir_weight_ppm", "priority")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -123,6 +123,10 @@ HEADLINE = [
     # full build+search chain)
     "incremental_classifier_weights",
     "ivfpq_balanced_adc_topk",
+    # round-12: DSIR data selection (hashed-n-gram importance weights +
+    # order-sampling resample) and the ANN recall@k eval loop
+    "dsir_selected_docs",
+    "ann_recall_ivf",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -189,6 +193,8 @@ COST = {
     "ivfpq_adc_topk": "scan-stage cell assignment + residual PQ encode (broadcast tables), equi join on probed list_id, m lookup-adds per candidate",
     "incremental_classifier_weights": "3 arrival-batch SGD steps folded via initial_weights: per step one doc-keyed margin agg + one feature-keyed gradient agg on the batch slice; each step re-tokenizes its slice (batch-sized, the streaming-ingest cost shape)",
     "ivfpq_balanced_adc_topk": "search against a STANDING index (session-cached ivfpq_encode + balance): probe assignment + per-cell LUTs scan-stage, equi join on (list_id, sub_id), m lookup-adds per candidate — the production regime, no per-call encode",
+    "dsir_selected_docs": "DSIR: raw+target corpora each tokenized once (uni+bigram explode, bucket counts derive from the per-doc feature table), dim-row ratio model broadcast, per-doc weight agg + order-sampling top-k",
+    "ann_recall_ivf": "eval loop: exact brute-force top-5 + IVF top-5 (both corpus passes) + queriesxk recall join",
 }
 
 

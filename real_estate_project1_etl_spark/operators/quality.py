@@ -1101,3 +1101,160 @@ def curriculum_shards(
             ),
         )
     )
+
+
+def _hashed_gram_counts(
+    docs: DataFrame,
+    dim: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """Per-document hashed n-gram (unigram + bigram) bucket counts —
+    DSIR's feature map (Xie et al., arXiv:2302.03169 §3.2: word
+    uni+bigrams hashed into ``dim`` buckets).  Returns
+    ``(id_col, feature_id, n)`` with one row per (doc, bucket) TYPE,
+    Zipf-collapsed before anything shuffles.
+
+    Gram extraction is in-row (``arrays_zip`` of shifted slices — the
+    plain-expression form measured 4.4x the HOF throughput in
+    ``corpus.bigram_lm_scores``); per-token hashing is CPU-bound, so the
+    single-file scan is spread first (``ensure_parallelism``).  The
+    NULL-id filter sits in the shared prefix for stage reuse, for the
+    reasons documented at ``corpus.bigram_lm_scores``.
+    """
+    from ..functions.text import collapse_whitespace
+    from .dedup import shingle_hash_expr
+    from .util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        docs.select(id_col, text_col).filter(F.col(id_col).isNotNull())
+    )
+    ws = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    ln = F.greatest(F.size(ws) - 1, F.lit(0))
+    big = F.arrays_zip(
+        F.slice(ws, 1, ln).alias("w1"), F.slice(ws, 2, ln).alias("w2")
+    )
+    uni_stream = docs.select(F.col(id_col), F.explode(ws).alias("g"))
+    big_stream = (
+        docs.select(F.col(id_col), F.explode(big).alias("b"))
+        .select(
+            id_col,
+            F.concat_ws(" ", F.col("b.w1"), F.col("b.w2")).alias("g"),
+        )
+    )
+    grams = uni_stream.unionByName(big_stream)
+    fid = F.pmod(shingle_hash_expr(F.col("g"), hash_fn), F.lit(dim))
+    return (
+        grams.select(F.col(id_col), fid.alias("feature_id"))
+        # semantically a no-op (pmod of md5/xxhash of a non-null string is
+        # never NULL) but load-bearing for stage reuse: downstream joins
+        # push isnotnull(feature_id) into SOME consumers' subtrees and not
+        # others, and the diverged subtrees stop canonically matching, so
+        # the gram explode executes once per consumer (3x raw, 2x target —
+        # round-12 plan audit).  Declared HERE, in the shared prefix, the
+        # pushed duplicates are subsumed by constraint propagation and
+        # every consumer sees ONE identical aggregate subtree
+        # (ReuseExchange) — the corpus.bigram_lm_scores lesson.
+        .filter(F.col("feature_id").isNotNull())
+        .groupBy(id_col, "feature_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    dim: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169): score every raw
+    document by how much more likely its hashed n-gram features are under
+    a small TARGET corpus (the distribution you want more of — Wikipedia,
+    curated text) than under the raw corpus itself, then resample
+    proportionally.  This is the standard pretraining-data targeting
+    recipe; the reference ETL has no counterpart (its corpus is single
+    -source), so this extends SURVEY §2b's curation family.
+
+    Bucket model, add-1 smoothed over ``dim`` hashed buckets:
+    ``p_t(b) = (c_t(b)+1) / (N_t+dim)``, same for ``p_r``.  DSIR's
+    per-document log importance ``sum_g log(p_t/p_r)`` is replaced by the
+    module-convention EXACT integer statistic: the per-occurrence mean of
+    the scaled probability ratio, ``ratio_ppm(b) = (c_t(b)+1) * (N_r+dim)
+    * scale div ((c_r(b)+1) * (N_t+dim))`` and ``weight_ppm = sum_g
+    n_g * ratio_ppm(g) div n_grams``.  The ratio-mean ranks target-like
+    documents above target-unlike ones exactly as the log form does for
+    near-flat ratios and differs only in tail emphasis; in exchange the
+    score is reproducible bit-for-bit in any engine (no transcendental,
+    no float summation order — the same trade ``corpus.bigram_lm_scores``
+    documents for its perplexity gate).  decimal(38,0) arithmetic
+    end-to-end: at 1e12 grams the product (c_t+1)*(N_r+dim)*scale is
+    ~1e30, still 8 decimal digits of headroom.
+
+    Returns one row per raw document: ``(id_col, n_grams,
+    dsir_weight_ppm)`` — NULL weight for docs with no grams (NULL text).
+    Feed to :func:`sequential_poisson_sample` (weight =
+    ``dsir_weight_ppm``) for the paper's Gumbel-top-k resampling step in
+    its deterministic order-sampling form.
+
+    Scale shape: each corpus is tokenized ONCE — bucket counts derive
+    from the per-doc feature table (``sum(n)``), so the explode subtree
+    is shared (ReuseExchange), exactly the bigram_lm_scores layout.  The
+    ratio table is ``dim`` rows (the model) and BROADCASTS to the per-doc
+    feature stream; corpus totals are single-row broadcasts.  Document
+    text never shuffles — only (doc, bucket, n) triples move, bounded by
+    min(doc grams, dim) per doc.  The target corpus is typically tiny
+    (the paper uses ~1e5 Wikipedia docs vs 1e9 raw): its whole pipeline
+    is a footnote next to the raw scan at 100 TB.
+    """
+    feats_r = _hashed_gram_counts(raw, dim, text_col, id_col, hash_fn)
+    feats_t = _hashed_gram_counts(target, dim, text_col, id_col, hash_fn)
+    c_r = feats_r.groupBy("feature_id").agg(F.sum("n").alias("c_r"))
+    c_t = feats_t.groupBy("feature_id").agg(F.sum("n").alias("c_t"))
+    # corpus totals as count(when(...)) — nullable, so Catalyst can't
+    # rewrite the shared aggregate subtree (see bigram_lm_scores's vocab
+    # note); the value is exact because counts are always > 0
+    n_r = c_r.agg(F.sum(F.when(F.col("c_r") > 0, F.col("c_r"))).alias("_nr"))
+    n_t = c_t.agg(F.sum(F.when(F.col("c_t") > 0, F.col("c_t"))).alias("_nt"))
+    ratio = (
+        c_r.join(c_t, "feature_id", "left")
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "feature_id",
+            F.expr(
+                f"cast((cast(coalesce(c_t, 0) + 1 as decimal(38,0))"
+                f" * (_nr + {int(dim)}) * {int(scale)})"
+                f" div ((c_r + 1) * (coalesce(_nt, 0) + {int(dim)}))"
+                f" as bigint)"
+            ).alias("ratio_ppm"),
+        )
+    )
+    scored = (
+        feats_r.join(F.broadcast(ratio), "feature_id")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(
+                (F.col("n") * F.col("ratio_ppm")).cast("decimal(38,0)")
+            ).alias("_sum_r"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col)).filter(F.col(id_col).isNotNull())
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("cast(_sum_r div n_grams as bigint)"),
+            ).alias("dsir_weight_ppm"),
+        )
+    )

@@ -1217,3 +1217,52 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Recall@k of an ANN result list against the exact top-k — the
+    metric every index-tuning loop optimizes (FAISS/ScaNN report it;
+    Jégou et al., TPAMI 2011 report IVF/PQ operating points as
+    recall@k vs speed).  Both inputs are ``(query_col, neighbor_col,
+    ...)`` top-k tables, e.g. :func:`brute_force_topk` output as the
+    truth and :func:`ivf_topk` / :func:`pq_adc_topk` output as the
+    candidate.
+
+    Returns one row per query: ``(query_col, n_exact, n_hits,
+    recall_ppm)`` with ``recall_ppm = n_hits * scale div n_exact`` —
+    exact integer arithmetic, so the eval itself is differentially
+    checkable (queries absent from ``approx`` score 0, never drop).
+
+    Scale shape: top-k tables are |queries| x k rows — the join is equi
+    on (query, neighbor) and the aggregates are query-keyed; nothing
+    touches the corpus.  At eval sizes (1e4-1e6 queries) this is a
+    broadcast-or-small-shuffle job regardless of corpus scale.
+    """
+    e = exact.select(query_col, neighbor_col)
+    a = approx.select(query_col, neighbor_col)
+    n_exact = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        e.join(a, [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_exact.join(hits, query_col, "left")
+        .select(
+            query_col,
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.expr(
+                f"cast(coalesce(n_hits, 0) * {int(scale)} div n_exact"
+                f" as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )

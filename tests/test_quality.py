@@ -1026,3 +1026,105 @@ def test_fuzz_gopher_repetition_matches_python_model(spark):
     assert got == want, {
         d: (got[d], want[d]) for d in want if got[d] != want[d]
     }
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (round 12)
+# --------------------------------------------------------------------------
+
+
+def _dsir_python_model(rows, target_ids, dim, scale):
+    """Exact python mirror of quality.dsir_importance_weights."""
+    import hashlib
+    import re as _re
+
+    def grams(text):
+        if text is None:
+            return []
+        ws = _re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def fid(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % dim
+
+    feats = {}  # doc -> {fid: n}
+    for doc_id, text in rows:
+        d = feats.setdefault(doc_id, {})
+        for g in grams(text):
+            f = fid(g)
+            d[f] = d.get(f, 0) + 1
+    c_r, c_t = {}, {}
+    for doc_id, d in feats.items():
+        for f, n in d.items():
+            c_r[f] = c_r.get(f, 0) + n
+            if doc_id in target_ids:
+                c_t[f] = c_t.get(f, 0) + n
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    ratio = {
+        f: ((c_t.get(f, 0) + 1) * (n_r + dim) * scale)
+        // ((c + 1) * (n_t + dim))
+        for f, c in c_r.items()
+    }
+    out = {}
+    for doc_id, d in feats.items():
+        n_grams = sum(d.values())
+        if n_grams == 0:
+            out[doc_id] = (0, None)
+        else:
+            s = sum(n * ratio[f] for f, n in d.items())
+            out[doc_id] = (n_grams, s // n_grams)
+    return out
+
+
+def test_dsir_weights_match_python_model(spark):
+    import random
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        dsir_importance_weights,
+    )
+
+    rng = random.Random(1205)
+    target_vocab = ["the", "of", "science", "theory", "model"]
+    junk_vocab = ["zzz", "qqq", "xxыx", "111", "###"]
+    rows = [(0, None), (1, ""), (2, "the theory of science")]
+    for i in range(3, 40):
+        vocab = target_vocab if i % 2 else junk_vocab
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        )
+    target_ids = {i for i, _ in rows if i % 2 and i >= 3}
+    dim, scale = 64, 1_000_000
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = df.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") >= 3))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight_ppm"])
+        for r in dsir_importance_weights(df, tgt, dim=dim, scale=scale).collect()
+    }
+    want = _dsir_python_model(rows, target_ids, dim, scale)
+    # NULL-text doc: no grams, NULL weight
+    assert want[0] == (0, None)
+    assert got == want, {
+        d: (got[d], want[d]) for d in want if got.get(d) != want[d]
+    }
+    # selection sanity: target-vocab docs out-weight junk docs
+    tgt_like = [got[i][1] for i, _ in rows if i >= 3 and i % 2]
+    junk = [got[i][1] for i, _ in rows if i >= 3 and not i % 2]
+    assert min(tgt_like) > max(junk)
+
+
+def test_dsir_weights_empty_target(spark):
+    from real_estate_project1_etl_spark.operators.quality import (
+        dsir_importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    out = dsir_importance_weights(
+        df, df.limit(0), dim=16, scale=1000
+    ).collect()
+    # empty target: every bucket gets the same c_t=0 numerator — weights
+    # defined (no div-by-zero), uniform up to the per-bucket c_r
+    assert len(out) == 2
+    assert all(r["dsir_weight_ppm"] is not None for r in out)

@@ -887,3 +887,26 @@ def test_ivfpq_balance_cells_hot_cluster(spark):
 def normalize_py(v):
     s = sum(x * x for x in v) ** 0.5
     return [x / s for x in v]
+
+
+def test_topk_recall_hand_computed(spark):
+    from real_estate_project1_etl_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2/3 hit; q2: 0/3; q3 missing from approx entirely
+        [(1, 10), (1, 12), (1, 99), (2, 98), (2, 97), (2, 96)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hits"], r["recall_ppm"])
+        for r in topk_recall(exact, approx).collect()
+    }
+    assert got == {
+        1: (3, 2, 666666),
+        2: (3, 0, 0),
+        3: (1, 0, 0),
+    }
