@@ -11010,6 +11010,65 @@ def q_ann_recall_ivf(spark, sf_dir):
     return topk_recall(exact, approx)
 
 
+@_q(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH base AS ({{BIGRAM_LM_ORACLE}}),
+    s AS (SELECT b.doc_id, d.lang, b.lm_score
+          FROM base b JOIN documents d USING (doc_id)
+          WHERE b.n_bigrams > 0),
+    r AS (SELECT doc_id, lang, lm_score,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY lm_score DESC, doc_id) - 1 AS rk,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+          FROM s)
+    SELECT doc_id, lang, lm_score,
+           CAST(rk * 3 // cnt AS INT) AS bucket,
+           CASE rk * 3 // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS bucket_label
+    FROM r
+    """,
+)
+def q_ccnet_perplexity_buckets(spark, sf_dir):
+    # CCNet's head/middle/tail partitioning (Wenzek et al.,
+    # arXiv:1911.00359 §4.4): per language, split the scored corpus into
+    # equal thirds by LM fluency — head is what pretraining recipes keep
+    # first. Ranking is the range-partitioned global-id form (no
+    # per-language single-task window — the 80%-English straggler).
+    # Bucket boundaries, every rank, and the labels are value-checked
+    # cross-engine.
+    from real_estate_project1_etl_spark.operators.corpus import (
+        bigram_lm_scores,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        grouped_rank_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs).filter(F.col("n_bigrams") > 0)
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    out = grouped_rank_buckets(
+        scored, "lang", "lm_score", "doc_id", n_buckets=3
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "lm_score",
+        "bucket",
+        F.when(F.col("bucket") == 0, "head")
+        .when(F.col("bucket") == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket_label"),
+    )
+
+
+# the bucket oracle nests the full bigram-LM oracle as its base CTE —
+# resolved here (not an f-string above) so the two stay in lockstep
+_ORACLE["ccnet_perplexity_buckets"] = _ORACLE["ccnet_perplexity_buckets"].replace(
+    "{BIGRAM_LM_ORACLE}", _ORACLE["bigram_lm_fluency"]
+)
+
+
 _DSIR_DIM = 4096
 _DSIR_SCALE = 1_000_000
 # shared oracle CTE chain: hashed uni+bigram bucket counts per doc (f),

@@ -127,6 +127,7 @@ HEADLINE = [
     # order-sampling resample) and the ANN recall@k eval loop
     "dsir_selected_docs",
     "ann_recall_ivf",
+    "ccnet_perplexity_buckets",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -195,6 +196,7 @@ COST = {
     "ivfpq_balanced_adc_topk": "search against a STANDING index (session-cached ivfpq_encode + balance): probe assignment + per-cell LUTs scan-stage, equi join on (list_id, sub_id), m lookup-adds per candidate — the production regime, no per-call encode",
     "dsir_selected_docs": "DSIR: raw+target corpora each tokenized once (uni+bigram explode, bucket counts derive from the per-doc feature table), dim-row ratio model broadcast, per-doc weight agg + order-sampling top-k",
     "ann_recall_ivf": "eval loop: exact brute-force top-5 + IVF top-5 (both corpus passes) + queriesxk recall join",
+    "ccnet_perplexity_buckets": "bigram-LM scores + range-partitioned global ranking on (lang, -score, id) + group-sized min/count broadcast — no per-language window",
 }
 
 

@@ -1128,3 +1128,54 @@ def test_dsir_weights_empty_target(spark):
     # defined (no div-by-zero), uniform up to the per-bucket c_r
     assert len(out) == 2
     assert all(r["dsir_weight_ppm"] is not None for r in out)
+
+
+def test_grouped_rank_buckets_hand_computed(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        grouped_rank_buckets,
+    )
+
+    rows = [
+        # lang a: 7 docs, scores force order d1..d7 (desc);
+        # buckets of 7 into 3: sizes 3,2,2 -> rk*3//7
+        ("a", 1, 70), ("a", 2, 60), ("a", 3, 60), ("a", 4, 40),
+        ("a", 5, 30), ("a", 6, 20), ("a", 7, 10),
+        # lang b: 2 docs (fewer than buckets): rk*3//2 -> 0, 1
+        ("b", 8, 5), ("b", 9, 99),
+        # lang c: 1 doc -> bucket 0
+        ("c", 10, 1),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score long")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in grouped_rank_buckets(df, "lang", "score", "doc_id", 3).collect()
+    }
+    assert got == {
+        1: 0, 2: 0, 3: 0,          # ties (60,60) break on doc_id
+        4: 1, 5: 1,
+        6: 2, 7: 2,
+        9: 0, 8: 1,                 # desc: 99 first
+        10: 0,
+    }
+    with pytest.raises(ValueError, match="n_buckets"):
+        grouped_rank_buckets(df, "lang", "score", "doc_id", 0)
+
+
+def test_grouped_rank_buckets_ascending(spark):
+    from real_estate_project1_etl_spark.operators.quality import (
+        grouped_rank_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [("x", 1, 10), ("x", 2, 20), ("x", 3, 30), ("x", 4, 40)],
+        "g string, doc_id long, score long",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in grouped_rank_buckets(
+            df, "g", "score", "doc_id", 2, descending=False
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
