@@ -1211,16 +1211,46 @@ def dsir_importance_weights(
     (the paper uses ~1e5 Wikipedia docs vs 1e9 raw): its whole pipeline
     is a footnote next to the raw scan at 100 TB.
     """
+    ratio = dsir_ratio_model(
+        raw, target, dim=dim, text_col=text_col, id_col=id_col,
+        hash_fn=hash_fn, scale=scale,
+    )
+    return dsir_score_with_model(
+        raw, ratio, dim=dim, text_col=text_col, id_col=id_col,
+        hash_fn=hash_fn,
+    )
+
+
+def dsir_ratio_model(
+    raw: DataFrame,
+    target: DataFrame,
+    dim: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The fit stage of :func:`dsir_importance_weights`, exposed for the
+    standing-model regime: fit ONCE at ingest over (raw sample, target),
+    persist the ``dim``-row ``(feature_id, ratio_ppm)`` table, then score
+    any stream or batch against it with
+    :func:`dsir_score_with_model` — the same fit/score split the
+    classifier gate and the standing IVF-PQ index use.
+
+    Buckets absent from the raw sample are absent from the model;
+    :func:`dsir_score_with_model` scores them 0 (a gram the model never
+    saw contributes no evidence either way).
+    """
     feats_r = _hashed_gram_counts(raw, dim, text_col, id_col, hash_fn)
     feats_t = _hashed_gram_counts(target, dim, text_col, id_col, hash_fn)
     c_r = feats_r.groupBy("feature_id").agg(F.sum("n").alias("c_r"))
     c_t = feats_t.groupBy("feature_id").agg(F.sum("n").alias("c_t"))
-    # corpus totals as count(when(...)) — nullable, so Catalyst can't
+    # corpus totals as sum(when(...)) — nullable, so Catalyst can't
     # rewrite the shared aggregate subtree (see bigram_lm_scores's vocab
     # note); the value is exact because counts are always > 0
     n_r = c_r.agg(F.sum(F.when(F.col("c_r") > 0, F.col("c_r"))).alias("_nr"))
     n_t = c_t.agg(F.sum(F.when(F.col("c_t") > 0, F.col("c_t"))).alias("_nt"))
-    ratio = (
+    return (
         c_r.join(c_t, "feature_id", "left")
         .crossJoin(F.broadcast(n_r))
         .crossJoin(F.broadcast(n_t))
@@ -1234,18 +1264,41 @@ def dsir_importance_weights(
             ).alias("ratio_ppm"),
         )
     )
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    ratio: DataFrame,
+    dim: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """The score stage of :func:`dsir_importance_weights`: per-document
+    importance weights against a FIXED ``(feature_id, ratio_ppm)`` model
+    (fit by :func:`dsir_ratio_model`, typically persisted).  This is the
+    streaming-ingest shape: the model broadcasts, each micro-batch is
+    tokenized and scored in one pass, no corpus statistics are touched —
+    see tests/test_streaming.py for the foreachBatch twin.
+
+    Grams hashing to buckets absent from the model score 0 (left join +
+    coalesce), so a stale-but-usable model degrades gracefully instead
+    of dropping documents.
+    """
+    feats = _hashed_gram_counts(docs, dim, text_col, id_col, hash_fn)
     scored = (
-        feats_r.join(F.broadcast(ratio), "feature_id")
+        feats.join(F.broadcast(ratio), "feature_id", "left")
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_grams"),
             F.sum(
-                (F.col("n") * F.col("ratio_ppm")).cast("decimal(38,0)")
+                (F.col("n") * F.coalesce(F.col("ratio_ppm"), F.lit(0)))
+                .cast("decimal(38,0)")
             ).alias("_sum_r"),
         )
     )
     return (
-        raw.select(F.col(id_col)).filter(F.col(id_col).isNotNull())
+        docs.select(F.col(id_col)).filter(F.col(id_col).isNotNull())
         .join(scored, id_col, "left")
         .select(
             id_col,

@@ -858,3 +858,61 @@ def test_streaming_classifier_gate_matches_batch(spark, sf_dir, tmp_path):
     got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got == batch_kept
     assert 0 < len(got) < docs.count()  # the gate actually discriminates
+
+
+def test_streaming_dsir_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Round-12: DSIR importance scoring as a streaming ingest gate —
+    the ratio model fits once in batch (dsir_ratio_model, persisted via
+    localCheckpoint), every micro-batch is scored against the same
+    broadcast table (dsir_score_with_model). Weights and the kept set
+    are identical to batch scoring over the same corpus."""
+    from real_estate_project1_etl_spark.operators.quality import (
+        dsir_ratio_model,
+        dsir_score_with_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    model = dsir_ratio_model(
+        docs, docs.filter(F.col("lang") == "en"), dim=512
+    ).localCheckpoint(eager=True)
+
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight_ppm"])
+        for r in dsir_score_with_model(docs, model, dim=512).collect()
+    }
+    # threshold at the median weight so the gate genuinely splits
+    thr = sorted(w for _, w in batch.values() if w is not None)[
+        len(batch) // 2
+    ]
+    batch_kept = {d for d, (_, w) in batch.items() if w is not None and w >= thr}
+    assert 0 < len(batch_kept) < len(batch)
+
+    src = str(tmp_path / "dsir_src")
+    out_dir = str(tmp_path / "dsir_gated")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    def gate(mb, batch_id):
+        kept = dsir_score_with_model(mb, model, dim=512).filter(
+            F.col("dsir_weight_ppm") >= thr
+        )
+        kept.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight_ppm"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(got) == batch_kept
+    # per-doc values identical, not just membership: micro-batch scoring
+    # against the fixed model reproduces the batch weights exactly
+    assert got == {d: batch[d] for d in batch_kept}
