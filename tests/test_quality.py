@@ -1179,3 +1179,76 @@ def test_grouped_rank_buckets_ascending(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_fuzz_grouped_rank_buckets_matches_python_model(spark):
+    import random
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        grouped_rank_buckets,
+    )
+
+    rng = random.Random(1213)
+    for trial in range(3):
+        n_buckets = rng.choice([1, 2, 3, 5])
+        rows = []
+        did = 0
+        for g in range(rng.randint(1, 6)):
+            # skewed group sizes incl. groups smaller than n_buckets
+            size = rng.choice([1, 2, 3, 10, 60])
+            for _ in range(size):
+                rows.append((f"g{g}", did, rng.randint(0, 8)))  # many ties
+                did += 1
+        df = spark.createDataFrame(
+            rows, "grp string, doc_id long, score long"
+        )
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in grouped_rank_buckets(
+                df, "grp", "score", "doc_id", n_buckets
+            ).collect()
+        }
+        want = {}
+        bygrp = {}
+        for g, d, s in rows:
+            bygrp.setdefault(g, []).append((d, s))
+        for g, items in bygrp.items():
+            items.sort(key=lambda ds: (-ds[1], ds[0]))
+            n = len(items)
+            for rk, (d, _) in enumerate(items):
+                want[d] = rk * n_buckets // n
+        assert got == want, (trial, n_buckets, {
+            d: (got[d], want[d]) for d in want if got[d] != want[d]
+        })
+
+
+def test_fuzz_dsir_weights_matches_python_model(spark):
+    import random
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        dsir_importance_weights,
+    )
+
+    rng = random.Random(1219)
+    vocab = ["a", "bb", "ccc", "éé", "zz", "the", "of", ""]
+    for trial, dim in enumerate([16, 256]):
+        rows = []
+        for i in range(30):
+            nw = rng.randint(0, 15)
+            rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(nw)))
+            )
+        tgt_ids = {i for i, _ in rows if rng.random() < 0.3}
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tgt = df.filter(F.col("doc_id").isin(*tgt_ids) if tgt_ids
+                        else F.lit(False))
+        got = {
+            r["doc_id"]: (r["n_grams"], r["dsir_weight_ppm"])
+            for r in dsir_importance_weights(
+                df, tgt, dim=dim, scale=1_000_000
+            ).collect()
+        }
+        want = _dsir_python_model(rows, tgt_ids, dim, 1_000_000)
+        assert got == want, (trial, dim, {
+            d: (got[d], want[d]) for d in want if got.get(d) != want[d]
+        })
