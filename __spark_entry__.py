@@ -11071,12 +11071,18 @@ _ORACLE["ccnet_perplexity_buckets"] = _ORACLE["ccnet_perplexity_buckets"].replac
 
 _DSIR_DIM = 4096
 _DSIR_SCALE = 1_000_000
-# shared oracle CTE chain: hashed uni+bigram bucket counts per doc (f),
-# corpus bucket counts (cr/ct), totals (nr/nt), the dim-row ratio model,
-# and per-doc weights — mirrors quality.dsir_importance_weights exactly
-_DSIR_CTES = rf"""
+
+
+def _dsir_ctes(rel: str = "documents") -> str:
+    """Shared oracle CTE chain: hashed uni+bigram bucket counts per doc
+    (f), corpus bucket counts (cr/ct), totals (nr/nt), the dim-row ratio
+    model, and per-doc weights — mirrors
+    quality.dsir_importance_weights exactly.  ``rel`` is the raw-corpus
+    relation (must expose doc_id, text, lang); the target slice is its
+    ``lang = 'en'`` subset, as in the registered queries."""
+    return rf"""
     w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws
-          FROM documents WHERE doc_id IS NOT NULL),
+          FROM {rel} WHERE doc_id IS NOT NULL),
     g1 AS (SELECT doc_id, unnest(ws) AS g FROM w),
     g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
            FROM (SELECT doc_id, ws,
@@ -11090,7 +11096,7 @@ _DSIR_CTES = rf"""
           FROM grams GROUP BY 1, 2),
     cr AS (SELECT feature_id, sum(n) AS c_r FROM f GROUP BY feature_id),
     nr AS (SELECT coalesce(sum(c_r), 0) AS _nr FROM cr),
-    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    tgt AS (SELECT doc_id FROM {rel} WHERE lang = 'en'),
     ct AS (SELECT feature_id, sum(n) AS c_t
            FROM f JOIN tgt USING (doc_id) GROUP BY feature_id),
     nt AS (SELECT coalesce(sum(c_t), 0) AS _nt FROM ct),
@@ -11108,8 +11114,11 @@ _DSIR_CTES = rf"""
                      CASE WHEN s.n_grams > 0
                           THEN CAST(s._sum_r // s.n_grams AS BIGINT)
                      END AS dsir_weight_ppm
-              FROM documents d LEFT JOIN scored s USING (doc_id))
+              FROM {rel} d LEFT JOIN scored s USING (doc_id))
 """
+
+
+_DSIR_CTES = _dsir_ctes()
 
 
 @_q(
@@ -11175,6 +11184,119 @@ def q_dsir_selected_docs(spark, sf_dir):
     return sequential_poisson_sample(
         weights, "dsir_weight_ppm", 100, ["doc_id"], id_order_col="doc_id"
     ).select("doc_id", "n_grams", "dsir_weight_ppm", "priority")
+
+
+@_q(
+    "documents_corpus_build_v6",
+    f"""
+    WITH buck AS ({{CCNET_ORACLE}}),
+    kept AS (SELECT doc_id, lang, bucket, bucket_label
+             FROM buck WHERE bucket <= 1),
+    kdocs AS (SELECT d.doc_id, d.text, d.lang
+              FROM documents d JOIN kept USING (doc_id)),
+    dw AS (WITH {_dsir_ctes('kdocs')}
+           SELECT doc_id, n_grams, dsir_weight_ppm FROM dsirw),
+    sel AS (SELECT doc_id, dsir_weight_ppm,
+                   cast(dsir_weight_ppm AS double)
+                   / cast((('0x' || substr(md5(cast(doc_id AS varchar)),
+                                           1, 15))::BIGINT + 1) AS double)
+                       AS priority
+            FROM dw WHERE n_grams > 0
+            ORDER BY priority DESC, doc_id LIMIT 150),
+    tok AS (SELECT doc_id, {{WS_TOKENS}} AS n_tokens FROM documents),
+    p AS (SELECT s.doc_id, s.dsir_weight_ppm, t.n_tokens,
+                 ('0x' || substr(md5(cast(s.doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT AS ph
+          FROM sel s JOIN tok t USING (doc_id) WHERE t.n_tokens > 0),
+    sh AS (SELECT doc_id, dsir_weight_ppm, n_tokens, ph,
+                  cast(ph % 4 AS int) AS shard FROM p),
+    o AS (SELECT doc_id, dsir_weight_ppm, n_tokens, shard,
+                 cast(sum(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY ph, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS bigint) AS "offset"
+          FROM sh)
+    SELECT o.doc_id, k.lang, k.bucket_label, o.dsir_weight_ppm,
+           o.n_tokens, o.shard, o."offset",
+           cast(floor(o."offset" / 512) AS bigint) AS first_seq,
+           cast(floor((o."offset" + o.n_tokens - 1) / 512) AS bigint)
+               AS last_seq
+    FROM o JOIN kept k USING (doc_id)
+    """,
+)
+def q_documents_corpus_build_v6(spark, sf_dir):
+    # v6 flagship: the modern targeted-pretraining export in one funnel —
+    # CCNet keep (per-language head+middle by LM fluency, tail third
+    # dropped), DSIR importance selection over the survivors (en target,
+    # model fit on the kept slice), deterministic top-150 importance
+    # draw, then the packed training layout (512-token sequences, 4
+    # shards). Every stage's values — buckets, weights, the selected
+    # set, offsets and sequence spans — are checked cross-engine via the
+    # composed oracle (the CCNet oracle nests the LM oracle; the DSIR
+    # chain runs against the kept slice).
+    from real_estate_project1_etl_spark.operators.corpus import (
+        bigram_lm_scores,
+    )
+    from real_estate_project1_etl_spark.operators.packing import (
+        pack_sequences,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        dsir_importance_weights,
+        grouped_rank_buckets,
+        sequential_poisson_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs).filter(F.col("n_bigrams") > 0)
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    buck = grouped_rank_buckets(
+        scored, "lang", "lm_score", "doc_id", n_buckets=3
+    )
+    kept = buck.filter(F.col("bucket") <= 1).select(
+        "doc_id", "lang", "bucket"
+    )
+    kdocs = docs.select("doc_id", "text", "lang").join(
+        kept.select("doc_id"), "doc_id"
+    )
+    weights = dsir_importance_weights(
+        kdocs,
+        kdocs.filter(F.col("lang") == "en"),
+        dim=_DSIR_DIM,
+        scale=_DSIR_SCALE,
+    ).filter(F.col("n_grams") > 0)
+    sel = sequential_poisson_sample(
+        weights, "dsir_weight_ppm", 150, ["doc_id"], id_order_col="doc_id"
+    ).select("doc_id", "dsir_weight_ppm")
+    tok = docs.select(
+        "doc_id", T.whitespace_token_count("text").cast("long").alias("n_toks")
+    )
+    plan = pack_sequences(
+        sel.join(tok, "doc_id"), "doc_id", "n_toks", seq_len=512, n_shards=4
+    )
+    return (
+        plan.join(kept, "doc_id")
+        .join(sel, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("bucket") == 0, "head")
+            .otherwise("middle")
+            .alias("bucket_label"),
+            "dsir_weight_ppm",
+            "n_tokens",
+            "shard",
+            F.col("offset"),
+            "first_seq",
+            "last_seq",
+        )
+    )
+
+
+_ORACLE["documents_corpus_build_v6"] = (
+    _ORACLE["documents_corpus_build_v6"]
+    .replace("{CCNET_ORACLE}", _ORACLE["ccnet_perplexity_buckets"])
+    .replace("{WS_TOKENS}", _WS_TOKENS_SQL)
+)
 
 
 # --------------------------------------------------------------------------

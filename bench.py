@@ -128,6 +128,7 @@ HEADLINE = [
     "dsir_selected_docs",
     "ann_recall_ivf",
     "ccnet_perplexity_buckets",
+    "documents_corpus_build_v6",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -197,6 +198,7 @@ COST = {
     "dsir_selected_docs": "DSIR: raw+target corpora each tokenized once (uni+bigram explode, bucket counts derive from the per-doc feature table), dim-row ratio model broadcast, per-doc weight agg + order-sampling top-k",
     "ann_recall_ivf": "eval loop: exact brute-force top-5 + IVF top-5 (both corpus passes) + queriesxk recall join",
     "ccnet_perplexity_buckets": "bigram-LM scores + range-partitioned global ranking on (lang, -score, id) + group-sized min/count broadcast — no per-language window",
+    "documents_corpus_build_v6": "v6 funnel: CCNet keep (LM + buckets) -> DSIR fit+score on survivors -> top-150 importance draw -> 512-token/4-shard packing layout",
 }
 
 
@@ -287,6 +289,10 @@ NOISY = {
     # (1.86 vs 3.16 s — the drift A/B in SCALE.md); a single sample is
     # not a measurement for it
     "containment_quote_pairs",
+    # round-12 continuation: v6 composes the LM pipeline + ranked ids
+    # (driver-coordinated localCheckpoint) + DSIR + packing — jittery
+    "documents_corpus_build_v6",
+    "ccnet_perplexity_buckets",
 }
 
 
