@@ -1343,12 +1343,31 @@ def grouped_rank_buckets(
 
     Returns ``df``'s selected columns plus ``bucket_col`` (int in
     ``[0, n_buckets)``; 0 = best under ``descending=True``).
+
+    NULL scores are the CALLER's contract to resolve (filter or
+    coalesce first — the registered queries filter ``n_bigrams > 0``):
+    a NULL negates to NULL and sorts at one end of the struct order, so
+    it would silently claim a best/worst bucket rather than erroring.
+    NULL group keys are fine — they form their own contiguous group.
     """
     from .util import assign_global_ids
 
     if n_buckets < 1:
         raise ValueError(
             f"grouped_rank_buckets: n_buckets must be >= 1, got {n_buckets}"
+        )
+    # collision-proof internals (the cap_per_key lesson: a caller column
+    # with a reserved name was silently overwritten and destroyed)
+    for reserved in ("_grb_key", "_gid", "_g0", "_gn"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"grouped_rank_buckets: df already has a column "
+                f"{reserved!r} — rename it; this name is reserved"
+            )
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"grouped_rank_buckets: df already has a column "
+            f"{bucket_col!r} — pass a different bucket_col"
         )
     direction = -F.col(score_col) if descending else F.col(score_col)
     key = F.struct(

@@ -1252,3 +1252,22 @@ def test_fuzz_dsir_weights_matches_python_model(spark):
         assert got == want, (trial, dim, {
             d: (got[d], want[d]) for d in want if got.get(d) != want[d]
         })
+
+
+def test_grouped_rank_buckets_reserved_names(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        grouped_rank_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 5, 0)], "g string, doc_id long, score long, _gid long"
+    )
+    with pytest.raises(ValueError, match="_gid"):
+        grouped_rank_buckets(df, "g", "score", "doc_id", 2)
+    df2 = spark.createDataFrame(
+        [("a", 1, 5, 0)], "g string, doc_id long, score long, bucket long"
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        grouped_rank_buckets(df2, "g", "score", "doc_id", 2)
