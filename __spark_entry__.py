@@ -10960,7 +10960,7 @@ def q_boilerplate_line_removal(spark, sf_dir):
             FROM q, cents
         ) WHERE pr <= {_IVF_N_PROBE}
     ), ap AS (
-        SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, rank FROM (
             SELECT query_id, neighbor_id,
                    row_number() OVER (
                        PARTITION BY query_id
@@ -10970,13 +10970,15 @@ def q_boilerplate_line_removal(spark, sf_dir):
             WHERE query_id <> neighbor_id
         ) WHERE rank <= 5
     ), ne AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id),
-    h AS (SELECT query_id, count(*) AS n_hits
+    h AS (SELECT query_id, count(*) AS n_hits, min(rank) AS first_hit_rank
           FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY query_id)
     SELECT ne.query_id,
            CAST(n_exact AS BIGINT) AS n_exact,
            CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
            CAST(coalesce(n_hits, 0) * 1000000 // n_exact AS BIGINT)
-               AS recall_ppm
+               AS recall_ppm,
+           CAST(first_hit_rank AS BIGINT) AS first_hit_rank,
+           CAST(1000000 // first_hit_rank AS BIGINT) AS mrr_ppm
     FROM ne LEFT JOIN h USING (query_id)
     """,
 )
@@ -11067,6 +11069,54 @@ def q_ccnet_perplexity_buckets(spark, sf_dir):
 _ORACLE["ccnet_perplexity_buckets"] = _ORACLE["ccnet_perplexity_buckets"].replace(
     "{BIGRAM_LM_ORACLE}", _ORACLE["bigram_lm_fluency"]
 )
+
+
+@_q("dedup_candidate_recall", None)  # oracle attached below (composed)
+def q_dedup_candidate_recall(spark, sf_dir):
+    # the dedup tuning loop's eval metric: banding recall of the
+    # 0.6-tuned MinHash+LSH pipeline against the EXACT 0.6 Jaccard pair
+    # set (prefix filtering — perfect recall by theorem). n_extra counts
+    # candidate pairs outside the truth set: the two generators share
+    # one shingle construction, so a nonzero value means definition
+    # drift (both engines compute it, value-checked). Mirrors what
+    # ann_recall_ivf does for ANN indexes.
+    from real_estate_project1_etl_spark.operators.dedup import (
+        minhash_near_duplicates,
+        pair_set_recall,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = prefix_filter_jaccard_pairs(docs)  # threshold 0.6, exact
+    cand = minhash_near_duplicates(
+        docs,
+        "text",
+        "doc_id",
+        jaccard_threshold=0.6,
+        round_digits=None,
+        hash_fn="md5_60",
+    )
+    return pair_set_recall(exact, cand)
+
+
+_ORACLE["dedup_candidate_recall"] = f"""
+    WITH ex AS ({_ORACLE["prefix_filter_jaccard_pairs"]}),
+    cand AS (WITH {_minhash_pairs_ctes(0.6)} SELECT id_a, id_b FROM pairs),
+    h AS (SELECT count(*) AS n_found
+          FROM cand c JOIN ex e ON c.id_a = e.id_a AND c.id_b = e.id_b),
+    x AS (SELECT count(*) AS n_extra
+          FROM cand c LEFT JOIN ex e
+               ON c.id_a = e.id_a AND c.id_b = e.id_b
+          WHERE e.id_a IS NULL),
+    t AS (SELECT count(*) AS n_true FROM ex)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_extra AS BIGINT) AS n_extra,
+           CAST(CASE WHEN n_true > 0
+                THEN n_found * 1000000 // n_true END AS BIGINT)
+               AS recall_ppm
+    FROM t CROSS JOIN h CROSS JOIN x
+"""
 
 
 _DSIR_DIM = 4096

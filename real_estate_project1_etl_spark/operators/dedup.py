@@ -1326,3 +1326,51 @@ def ngram_novelty_scores(
             / F.col("n_grams")
         ).alias("novelty"),
     )
+
+
+def pair_set_recall(
+    exact_pairs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Candidate-generation recall for a dedup pipeline — the tuning
+    metric for every LSH banding / blocking-key choice (how many TRUE
+    near-dup pairs does the candidate generator surface?), mirroring
+    what :func:`~.similarity.topk_recall` does for ANN indexes.
+
+    ``exact_pairs`` is the ground-truth pair set (e.g.
+    :func:`prefix_filter_jaccard_pairs` — exact, perfect recall by
+    theorem); ``candidate_pairs`` the pipeline under test (e.g.
+    :func:`minhash_near_duplicates` — banding can miss pairs near the
+    threshold).  Returns ONE row: ``(n_true, n_found, n_extra,
+    recall_ppm)`` in exact integers — ``n_extra`` counts candidate
+    pairs outside the truth set (nonzero means the two pipelines
+    disagree on the pair DEFINITION, worth failing loudly on in a
+    tuning loop; verified-candidate generators like minhash emit 0).
+
+    Scale shape: pair tables are output-sized (bounded by the
+    generators' own sub-quadratic guarantees); the metric joins are equi
+    on the id pair and the three aggregates are single-row broadcasts.
+    """
+    a, b = id_cols
+    e = exact_pairs.select(a, b)
+    c = candidate_pairs.select(a, b)
+    n_true = e.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = c.join(e, [a, b]).agg(F.count(F.lit(1)).alias("n_found"))
+    n_extra = c.join(e, [a, b], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_extra))
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_found").cast("bigint").alias("n_found"),
+            F.col("n_extra").cast("bigint").alias("n_extra"),
+            F.expr(
+                f"cast(CASE WHEN n_true > 0 THEN n_found * {int(scale)}"
+                f" div n_true END as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )

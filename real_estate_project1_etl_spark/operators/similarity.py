@@ -1235,34 +1235,59 @@ def topk_recall(
     candidate.
 
     Returns one row per query: ``(query_col, n_exact, n_hits,
-    recall_ppm)`` with ``recall_ppm = n_hits * scale div n_exact`` —
-    exact integer arithmetic, so the eval itself is differentially
-    checkable (queries absent from ``approx`` score 0, never drop).
+    recall_ppm, first_hit_rank, mrr_ppm)`` with ``recall_ppm = n_hits *
+    scale div n_exact`` — exact integer arithmetic, so the eval itself
+    is differentially checkable (queries absent from ``approx`` score 0,
+    never drop).  When ``approx`` carries a ``rank_col`` column (the
+    in-repo top-k operators all emit ``rank``), ``first_hit_rank`` is
+    the best approx rank holding a TRUE neighbor and ``mrr_ppm = scale
+    div first_hit_rank`` its scaled reciprocal (the MRR numerator —
+    average over queries downstream); both NULL when the query has no
+    hits, and omitted entirely when ``approx`` has no rank column.
 
     Scale shape: top-k tables are |queries| x k rows — the join is equi
     on (query, neighbor) and the aggregates are query-keyed; nothing
     touches the corpus.  At eval sizes (1e4-1e6 queries) this is a
     broadcast-or-small-shuffle job regardless of corpus scale.
     """
+    rank_col = "rank" if "rank" in approx.columns else None
+    if rank_col:
+        dtype = dict(approx.dtypes)[rank_col]
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            # a string rank would min() LEXICALLY ("10" < "2") and emit a
+            # silently-wrong MRR — the rrf integer-guard lesson
+            raise TypeError(
+                f"topk_recall: approx column 'rank' must be integer, got "
+                f"{dtype}"
+            )
     e = exact.select(query_col, neighbor_col)
-    a = approx.select(query_col, neighbor_col)
+    a = approx.select(
+        query_col, neighbor_col,
+        *([F.col(rank_col).alias("_apx_rank")] if rank_col else []),
+    )
     n_exact = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    hit_aggs = [F.count(F.lit(1)).alias("n_hits")]
+    if rank_col:
+        hit_aggs.append(F.min("_apx_rank").alias("first_hit_rank"))
     hits = (
         e.join(a, [query_col, neighbor_col])
         .groupBy(query_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(*hit_aggs)
     )
-    return (
-        n_exact.join(hits, query_col, "left")
-        .select(
-            query_col,
-            F.col("n_exact").cast("bigint").alias("n_exact"),
-            F.coalesce(F.col("n_hits"), F.lit(0))
-            .cast("bigint")
-            .alias("n_hits"),
-            F.expr(
-                f"cast(coalesce(n_hits, 0) * {int(scale)} div n_exact"
-                f" as bigint)"
-            ).alias("recall_ppm"),
-        )
-    )
+    out_cols = [
+        F.col(query_col),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(
+            f"cast(coalesce(n_hits, 0) * {int(scale)} div n_exact"
+            f" as bigint)"
+        ).alias("recall_ppm"),
+    ]
+    if rank_col:
+        out_cols += [
+            F.col("first_hit_rank").cast("bigint").alias("first_hit_rank"),
+            F.expr(f"cast({int(scale)} div first_hit_rank as bigint)").alias(
+                "mrr_ppm"
+            ),
+        ]
+    return n_exact.join(hits, query_col, "left").select(*out_cols)

@@ -910,3 +910,44 @@ def test_topk_recall_hand_computed(spark):
         2: (3, 0, 0),
         3: (1, 0, 0),
     }
+
+
+def test_topk_recall_mrr_with_ranked_approx(spark):
+    from real_estate_project1_etl_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: first true neighbor at approx rank 2; q2: at rank 1;
+        # q3: no hits -> NULL rank and NULL mrr
+        [(1, 99, 1), (1, 11, 2), (2, 20, 1), (3, 98, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {
+        r["query_id"]: (
+            r["n_hits"], r["recall_ppm"], r["first_hit_rank"], r["mrr_ppm"]
+        )
+        for r in topk_recall(exact, approx).collect()
+    }
+    assert got == {
+        1: (1, 500000, 2, 500000),
+        2: (1, 1000000, 1, 1000000),
+        3: (0, 0, None, None),
+    }
+
+
+def test_topk_recall_rejects_string_rank(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10)], "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, "2")], "query_id long, neighbor_id long, rank string"
+    )
+    with pytest.raises(TypeError, match="rank"):
+        topk_recall(exact, approx)
