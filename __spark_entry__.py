@@ -11071,6 +11071,66 @@ _ORACLE["ccnet_perplexity_buckets"] = _ORACLE["ccnet_perplexity_buckets"].replac
 )
 
 
+_KCORE_K = 60
+
+
+def _kcore_oracle(k: int, n_rounds: int = 8) -> str:
+    """Unrolled peeling rounds (the pagerank/BPE oracle pattern): after
+    the fixed point every further round is a no-op, so a fixed unroll
+    depth past the measured 1-3 rounds checks the FIXED POINT, not just
+    n rounds."""
+    ctes = [
+        "parts AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk"
+        " FROM lineitem)",
+        "e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM parts x"
+        " JOIN parts y ON x.ok = y.ok AND x.pk < y.pk)",
+        # MATERIALIZED throughout (the batched-BPE oracle lesson): each
+        # round references its predecessor three times, so an inlined
+        # unroll expands 3^n copies of the base scan — DuckDB exhausts
+        # file handles before it exhausts CPU
+        "r0 AS MATERIALIZED (SELECT a, b FROM e0"
+        " UNION SELECT b AS a, a AS b FROM e0)",
+    ]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED"
+            f" (SELECT a, count(*) AS c FROM r{p} GROUP BY a)"
+        )
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM d{i} WHERE c >= {k})"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT r{p}.a, r{p}.b FROM r{p}"
+            f" JOIN k{i} x ON r{p}.a = x.a"
+            f" JOIN k{i} y ON r{p}.b = y.a)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT a AS id, count(*) AS core_deg FROM r{n_rounds}"
+        f" GROUP BY a HAVING count(*) >= {k}"
+    )
+
+
+@_q("copurchase_kcore", _kcore_oracle(_KCORE_K))
+def q_copurchase_kcore(spark, sf_dir):
+    # k-core decomposition (Seidman 1983) of the co-purchase graph —
+    # the graph-quality filter (dense-community extraction / spam-farm
+    # pruning) completing the components/PageRank/triangles family.
+    # Iterative peeling converges in 1-3 rounds on this graph at every
+    # SF; the oracle unrolls 8 rounds, so extra rounds being no-ops IS
+    # the fixed-point check. Exact set arithmetic — membership and every
+    # core degree value-checked.
+    from real_estate_project1_etl_spark.operators.graph import (
+        copurchase_edges,
+        kcore,
+    )
+
+    return kcore(
+        copurchase_edges(_t(spark, sf_dir, "lineitem")), k=_KCORE_K
+    )
+
+
 @_q("dedup_candidate_recall", None)  # oracle attached below (composed)
 def q_dedup_candidate_recall(spark, sf_dir):
     # the dedup tuning loop's eval metric: banding recall of the

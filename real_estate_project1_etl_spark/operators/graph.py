@@ -366,3 +366,67 @@ def nhop_min_distance(
     for lv in levels[1:]:
         all_levels = all_levels.unionAll(lv)
     return all_levels.groupBy("id").agg(F.min("d").alias("dist"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983, "Network
+    structure and minimum degree"): repeatedly drop nodes whose degree in
+    the SURVIVING subgraph is < ``k`` until a fixed point — the classic
+    graph-quality filter (spam-farm pruning, dense-community extraction)
+    the components/PageRank/triangles family was missing.
+
+    ``edges`` is undirected ``(a, b)``; returns ``(id, core_deg)`` for
+    every node of the k-core, ``core_deg`` its degree within the core —
+    exact integers, deterministic (set arithmetic only), so the whole
+    fixed point is oracle-checkable as unrolled rounds.
+
+    Scale shape: each round is one degree aggregation + two semi-join
+    restrictions on the shrinking edge set — O(rounds) shuffles, edges
+    only ever shrink, node ids and counts shuffle but no payload.  The
+    edge set is re-materialized per round (``localCheckpoint``) exactly
+    like :func:`connected_components`' pointer tables: without the cut,
+    round r's plan nests r copies of the full history.  ``max_iter``
+    bounds the driver loop; ``_stats['converged']`` records whether the
+    fixed point was reached (an unconverged result is a SUPERSET of the
+    k-core) and ``_stats['rounds']`` the rounds executed.
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    und = (
+        edges.select("a", "b")
+        .unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    rounds = 0
+    converged = False
+    while rounds < max_iter:
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        n_nodes = deg.count()
+        n_keep = keep.count()
+        if n_keep == n_nodes or n_keep == 0:
+            converged = True
+            break
+        cur = (
+            cur.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+    if _stats is not None:
+        _stats["rounds"] = rounds
+        _stats["converged"] = converged
+    out = cur.groupBy("a").agg(F.count(F.lit(1)).alias("core_deg"))
+    return out.filter(F.col("core_deg") >= k).select(
+        F.col("a").alias("id"), F.col("core_deg")
+    )

@@ -951,3 +951,52 @@ def test_topk_recall_rejects_string_rank(spark):
     )
     with pytest.raises(TypeError, match="rank"):
         topk_recall(exact, approx)
+
+
+def test_kcore_hand_computed_cascade(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.graph import kcore
+
+    # triangle {1,2,3} with a chain 3-4-5-6 hanging off it: the 2-core
+    # is exactly the triangle, and the chain peels one node per round
+    # (6 first, then 5, then 4) — a genuine multi-round cascade
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "a long, b long",
+    )
+    st = {}
+    got = {
+        r["id"]: r["core_deg"] for r in kcore(edges, 2, _stats=st).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert st["converged"] and st["rounds"] == 3
+
+    # a path has no 2-core: peels to empty
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    assert kcore(path, 2).count() == 0
+
+    # k=1 keeps every non-isolated node at its full degree
+    got1 = {r["id"]: r["core_deg"] for r in kcore(path, 1).collect()}
+    assert got1 == {1: 1, 2: 2, 3: 2, 4: 1}
+
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(path, 0)
+
+
+def test_kcore_max_iter_superset(spark):
+    from real_estate_project1_etl_spark.operators.graph import kcore
+
+    # chain 1-2-3-4-5: k=2 needs multiple peel rounds; max_iter=1 stops
+    # early -> result is a SUPERSET of the (empty) 2-core, flagged
+    # unconverged
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    st = {}
+    early = kcore(chain, 2, max_iter=1, _stats=st)
+    assert not st["converged"]
+    assert early.count() >= 0  # superset, never raises
+    st2 = {}
+    assert kcore(chain, 2, _stats=st2).count() == 0
+    assert st2["converged"]
