@@ -411,8 +411,15 @@ def kcore(
     while rounds < max_iter:
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("a")
-        n_nodes = deg.count()
-        n_keep = keep.count()
+        # ONE driver action per round: total nodes and surviving nodes
+        # from the same aggregate (two separate counts doubled the
+        # per-round latency — the loop is driver-action-bound on small
+        # graphs)
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("deg") >= k).cast("int")).alias("nk"),
+        ).collect()[0]
+        n_nodes, n_keep = row["n"], row["nk"] or 0
         if n_keep == n_nodes or n_keep == 0:
             converged = True
             break

@@ -1000,3 +1000,41 @@ def test_kcore_max_iter_superset(spark):
     st2 = {}
     assert kcore(chain, 2, _stats=st2).count() == 0
     assert st2["converged"]
+
+
+def test_fuzz_kcore_matches_python_model(spark):
+    import random
+
+    from real_estate_project1_etl_spark.operators.graph import kcore
+
+    def py_kcore(pairs, k):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+        return {n: len(nb) for n, nb in adj.items()}
+
+    rng = random.Random(1223)
+    for trial in range(2):
+        # kept small: the peel loop is driver-action-bound (one action
+        # per round), and sparse random graphs cascade ~1 node/round
+        n_nodes = rng.randint(5, 12)
+        n_edges = rng.randint(4, 22)
+        pairs = set()
+        while len(pairs) < n_edges:
+            a, b = rng.randint(0, n_nodes), rng.randint(0, n_nodes)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        k = rng.randint(2, 3)
+        df = spark.createDataFrame(sorted(pairs), "a long, b long")
+        got = {r["id"]: r["core_deg"] for r in kcore(df, k).collect()}
+        want = py_kcore(pairs, k)
+        assert got == want, (trial, k, sorted(pairs), got, want)
