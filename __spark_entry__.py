@@ -11409,6 +11409,193 @@ _ORACLE["documents_corpus_build_v6"] = (
 )
 
 
+@_q(
+    "source_quality_quantiles",
+    """
+    SELECT doc_id, source, cast(n_chars AS bigint) AS score,
+           cast((2 * (row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) - 1) + 1)
+                * 500000
+                // (count(*) OVER (PARTITION BY source)) AS bigint)
+               AS quantile_ppm
+    FROM documents WHERE n_chars IS NOT NULL
+    """,
+)
+def q_source_quality_quantiles(spark, sf_dir):
+    # per-source quantile (ECDF) normalization — calibrate a quality
+    # score across heterogeneous sources so one global predicate keeps
+    # "the top X% of EVERY source" (the continuous analogue of CCNet
+    # buckets; a single raw-score threshold would keep whichever source
+    # scores high wholesale). Midrank ppm integers, value-checked
+    # against the window form the range-partitioned ranking replaces.
+    from real_estate_project1_etl_spark.operators.quality import (
+        grouped_quantile_ppm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.filter(F.col("n_chars").isNotNull()).select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("score")
+    )
+    out = grouped_quantile_ppm(scored, "source", "score", "doc_id")
+    return out.select("doc_id", "source", "score", "quantile_ppm")
+
+
+_WP_VOCAB = tuple(
+    [c for c in "abcdefghijklmnopqrstuvxyz"]  # note: no "w" — words that
+    # need it ("window", "row") become [UNK], exercising the OOV path in
+    # BOTH engines, not just in unit tests
+    + ["th", "the", "er", "in", "on", "st", "an", "re", "es", "sc", "ta"]
+)
+_WP_MAX_WORD = 24
+
+
+def _wordpiece_oracle() -> str:
+    # Unrolled max-munch trajectory (the kcore/BPE-train oracle pattern):
+    # step k consumes the longest vocab piece matching at the cursor of
+    # every still-unfinished word; _WP_MAX_WORD steps bound any word the
+    # encoder accepts, so the unroll reaches the fixed point. Each step
+    # MATERIALIZED — an inlined unroll re-expands its predecessor per
+    # reference (the batched-BPE 3^n lesson). Longest-match is
+    # max(length) over an equality prefix join; two same-length matches
+    # at one cursor are the same string, so argmax needs no tiebreak.
+    vals = ", ".join(f"('{p}')" for p in _WP_VOCAB)
+    ctes = [
+        f"vocab(piece) AS (SELECT * FROM (VALUES {vals}))",
+        r"""occ AS (SELECT unnest(string_split(lower(trim(
+            regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS wd
+            FROM documents)""",
+        "wc AS MATERIALIZED (SELECT wd, count(*) AS n FROM occ GROUP BY wd)",
+        f"""s0 AS (SELECT wd, 1 AS pos, CAST([] AS VARCHAR[]) AS toks,
+            length(wd) > {_WP_MAX_WORD} AS fail FROM wc)""",
+    ]
+    for k in range(1, _WP_MAX_WORD + 1):
+        p = k - 1
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+            SELECT s.wd, max(length(v.piece)) AS len
+            FROM s{p} s JOIN vocab v
+              ON NOT s.fail AND s.pos <= length(s.wd)
+             AND substr(s.wd, s.pos, length(v.piece)) = v.piece
+            GROUP BY s.wd)"""
+        )
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+            SELECT s.wd, s.pos + coalesce(b.len, 0) AS pos,
+                   CASE WHEN b.len IS NULL THEN s.toks
+                        ELSE list_append(s.toks, substr(s.wd, s.pos, b.len))
+                   END AS toks,
+                   s.fail OR (s.pos <= length(s.wd) AND b.len IS NULL) AS fail
+            FROM s{p} s LEFT JOIN b{k} b USING (wd))"""
+        )
+    last = f"s{_WP_MAX_WORD}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    fin AS (SELECT wd,
+                   CASE WHEN length(wd) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN fail OR pos <= length(wd) THEN ['[UNK]']
+                        ELSE toks END AS toks
+            FROM {last}),
+    t AS (SELECT wc.n, unnest(f.toks) AS token FROM fin f JOIN wc USING (wd)),
+    c AS (SELECT token, cast(sum(n) AS bigint) AS n_occurrences
+          FROM t GROUP BY token)
+    SELECT token, n_occurrences, rank FROM (
+        SELECT token, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+        FROM c) WHERE rank <= 20
+    """
+    )
+
+
+@_q("wordpiece_token_stats", _wordpiece_oracle())
+def q_wordpiece_token_stats(spark, sf_dir):
+    # WordPiece max-munch ENCODING (Wu et al., arXiv:1609.08144 §4.1) —
+    # the inference-time tokenizer twin of bpe_token_stats: greedy
+    # longest-prefix matching of every word against a piece vocabulary,
+    # out-of-vocabulary words collapsing to [UNK] (the vocab omits "w"
+    # so the OOV path is live at corpus scale, not just in unit tests).
+    # Top-20 piece census weighted by Zipf-collapsed word frequency; the
+    # oracle replays the whole max-munch trajectory (every cursor
+    # position of every distinct word), so the segmentation itself is
+    # differentially checked. Pure JVM expressions — one aggregate fold
+    # per DISTINCT word, no UDF, no Python.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        wordpiece_token_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_token_frequencies(
+        docs, list(_WP_VOCAB), top_k=20, max_word_len=_WP_MAX_WORD
+    )
+
+
+@_q(
+    "unimax_language_budgets",
+    """
+    WITH sizes AS (
+      SELECT lang, cast(sum(length(text)) AS bigint) AS n_chars
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    tot AS (SELECT cast(sum(n_chars) * 4 // 5 AS bigint) AS b FROM sizes),
+    ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (ORDER BY n_chars, lang) AS i,
+             count(*) OVER () AS l,
+             sum(n_chars) OVER (ORDER BY n_chars, lang
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS pp
+      FROM sizes
+    ),
+    flagged AS (
+      SELECT r.*, t.b,
+             CASE WHEN n_chars * (l - i + 1) <= b - pp THEN 1 ELSE 0 END AS p
+      FROM ranked r CROSS JOIN tot t
+    ),
+    capped AS (
+      SELECT *, min(p) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS allp
+      FROM flagged
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN allp = 1 THEN n_chars ELSE 0 END) AS sm,
+             sum(allp) AS m, max(l) AS l2, max(b) AS b2
+      FROM capped
+    )
+    SELECT c.lang, c.n_chars,
+           cast(CASE WHEN c.allp = 1 THEN c.n_chars
+                ELSE (a.b2 - a.sm) // (a.l2 - a.m) END AS bigint)
+               AS budget_chars,
+           cast(CASE WHEN c.n_chars > 0 THEN
+                (CASE WHEN c.allp = 1 THEN c.n_chars
+                 ELSE (a.b2 - a.sm) // (a.l2 - a.m) END) * 1000000
+                // c.n_chars END AS bigint) AS epochs_ppm
+    FROM capped c CROSS JOIN agg a
+    """,
+)
+def q_unimax_language_budgets(spark, sf_dir):
+    # UniMax language sampling (Chung et al., ICLR 2023,
+    # arXiv:2304.09151): allocate a character budget of 80% of the
+    # corpus across languages with an epoch cap of 1 — the tail
+    # languages are kept whole (epoch-capped), the head language
+    # absorbs the downsampling. Breakpoint, every budget, and the
+    # ppm epoch ratios are exact integers, value-checked cross-engine.
+    # The per-language sizes are the model-sized aggregate; the
+    # closed-form allocation windows run over that dim table only.
+    from real_estate_project1_etl_spark.operators.quality import (
+        unimax_budgets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sizes = docs.filter(F.col("lang").isNotNull()).groupBy("lang").agg(
+        F.sum(F.length("text")).cast("bigint").alias("n_chars")
+    )
+    total = sizes.agg(F.sum("n_chars").alias("t")).first()["t"]
+    b = (int(total) * 4) // 5
+    return unimax_budgets(
+        sizes, "lang", "n_chars", b, max_epochs=1,
+        budget_col="budget_chars",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -1389,3 +1389,181 @@ def grouped_rank_buckets(
         )
         .drop("_grb_key", "_gid", "_g0", "_gn")
     )
+
+
+def unimax_budgets(
+    sizes: DataFrame,
+    group_col: str,
+    size_col: str,
+    total_budget: int,
+    max_epochs: int = 1,
+    budget_col: str = "budget",
+    epochs_ppm_col: str = "epochs_ppm",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al., UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining, ICLR 2023, arXiv:2304.09151): split ``total_budget``
+    units (chars/tokens) across groups so that no group is repeated more
+    than ``max_epochs`` times, and whatever budget the epoch cap frees
+    up is shared UNIFORMLY among the groups large enough to absorb it.
+
+    The paper's sequential loop (visit languages smallest-first;
+    allocate ``min(max_epochs * n_i, remaining / groups_left)``) has a
+    closed form because cappedness is monotone in group size: once one
+    group takes the uniform share instead of its cap, the per-group
+    share is invariant for every later (larger) group — ``remaining``
+    and ``groups_left`` shrink in lockstep. So there is a breakpoint
+    rank ``m``: groups ranked ``1..m`` (ascending size) are epoch-capped
+    at ``max_epochs * n_i``; the rest each get
+    ``(total_budget - max_epochs * prefix_m) div (L - m)``, floored to
+    keep every output an exact integer (bit-stable cross-engine).
+
+    ``m`` falls out of one cumulative window: row ``i`` is capped iff
+    every rank ``<= i`` satisfies
+    ``max_epochs * n_i * (L - i + 1) <= total_budget
+    - max_epochs * prefix(i-1)`` — the loop condition with the
+    all-capped prefix substituted — enforced with a running ``min`` of
+    the predicate, so a later spurious match can't resurrect cappedness.
+
+    Scale shape: ``sizes`` is the MODEL-SIZED per-group aggregate
+    (languages, sources — the caller reduces the corpus first, one
+    map-side-combined agg at any corpus size); the windows here run over
+    that dim table, not the data, so the single-task window is dim-rows
+    deep. Rank ties break on ``group_col`` for determinism.
+
+    Returns ``sizes``'s two key columns plus ``budget_col`` (bigint) and
+    ``epochs_ppm_col`` (bigint, ``budget * 1e6 div n`` — parts-per-
+    million epochs so downstream samplers consume an exact integer;
+    NULL for an empty group). Rows with NULL group or size are the
+    caller's contract to resolve (they'd sort differently across
+    engines and poison the breakpoint).
+    """
+    from pyspark.sql import Window
+
+    if max_epochs < 1:
+        raise ValueError(
+            f"unimax_budgets: max_epochs must be >= 1, got {max_epochs}"
+        )
+    if total_budget < 0:
+        raise ValueError(
+            f"unimax_budgets: total_budget must be >= 0, got {total_budget}"
+        )
+    for reserved in ("_i", "_L", "_pp", "_p", "_allp", "_sm", "_m"):
+        if reserved in sizes.columns:
+            raise ValueError(
+                f"unimax_budgets: sizes already has a column {reserved!r}"
+                " — rename it; this name is reserved"
+            )
+    c = int(max_epochs)
+    b = int(total_budget)
+    n = F.col(size_col).cast("bigint")
+    w_ord = Window.orderBy(n, F.col(group_col))
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = sizes.select(
+        F.col(group_col),
+        n.alias(size_col),
+        F.row_number().over(w_ord).alias("_i"),
+        F.count(F.lit(1)).over(w_all).alias("_L"),
+        (F.sum(n).over(w_run) - n).alias("_pp"),
+    )
+    flagged = ranked.withColumn(
+        "_p",
+        (
+            (F.lit(c) * n * (F.col("_L") - F.col("_i") + 1))
+            <= (F.lit(b) - F.lit(c) * F.col("_pp"))
+        ).cast("int"),
+    ).withColumn("_allp", F.min("_p").over(w_run))
+    scoped = flagged.withColumn(
+        "_sm",
+        F.sum(F.when(F.col("_allp") == 1, n).otherwise(F.lit(0))).over(w_all),
+    ).withColumn("_m", F.sum("_allp").over(w_all))
+    # the uniform share must FLOOR as integer division (`div`), not
+    # truncate through a double — doubles round-trip differently across
+    # engines once budgets pass 2^53
+    out = scoped.withColumn(
+        budget_col,
+        F.when(F.col("_allp") == 1, F.lit(c) * n).otherwise(
+            F.expr(
+                f"(cast({b} as bigint) - cast({c} as bigint) * _sm)"
+                f" div (_L - _m)"
+            )
+        ).cast("bigint"),
+    )
+    return out.withColumn(
+        epochs_ppm_col,
+        F.when(
+            n > 0, F.expr(f"({budget_col} * cast(1000000 as bigint)) div {size_col}")
+        ).cast("bigint"),
+    ).select(group_col, size_col, budget_col, epochs_ppm_col)
+
+
+def grouped_quantile_ppm(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    descending: bool = False,
+    quantile_col: str = "quantile_ppm",
+) -> DataFrame:
+    """Per-group quantile (ECDF) normalization — map every row's score
+    to its midrank quantile WITHIN its group, in exact ppm integers:
+    ``(2*rank + 1) * 500000 div group_size`` for a 0-based rank ordered
+    by (``score_col``, ``id_col``).
+
+    This is the score-calibration step a heterogeneous-corpus gate needs
+    before comparing quality scores across sources: a fasttext/LM score
+    distribution differs per domain, so a single global threshold keeps
+    whatever the best-scored SOURCE is, not the best documents of each.
+    Quantile-normalizing per source makes "top 30% of every source"
+    expressible as one global predicate (``quantile_ppm >= 700000``) —
+    the per-domain analogue of CCNet's per-language buckets, continuous
+    instead of categorical (:func:`grouped_rank_buckets` is the
+    bucketed special case).
+
+    Scale shape: identical to :func:`grouped_rank_buckets` — global
+    range-partitioned ids on the composite key (no per-group
+    single-task window), one group-sized broadcast back. Midrank keeps
+    the output symmetric (the mean quantile of any group is exactly
+    500000 up to flooring) and never emits 0 or 1000000, so downstream
+    log/logit transforms stay finite. NULL scores are the caller's
+    contract, as in :func:`grouped_rank_buckets`.
+    """
+    from .util import assign_global_ids
+
+    for reserved in ("_gqp_key", "_gid", "_g0", "_gn"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"grouped_quantile_ppm: df already has a column "
+                f"{reserved!r} — rename it; this name is reserved"
+            )
+    if quantile_col in df.columns:
+        raise ValueError(
+            f"grouped_quantile_ppm: df already has a column "
+            f"{quantile_col!r} — pass a different quantile_col"
+        )
+    direction = -F.col(score_col) if descending else F.col(score_col)
+    key = F.struct(
+        F.col(group_col).alias("g"),
+        direction.alias("s"),
+        F.col(id_col).alias("i"),
+    )
+    ranked = assign_global_ids(
+        df.withColumn("_gqp_key", key), "_gqp_key", "_gid"
+    )
+    grp = ranked.groupBy(group_col).agg(
+        F.min("_gid").alias("_g0"), F.count(F.lit(1)).alias("_gn")
+    )
+    return (
+        ranked.join(F.broadcast(grp), group_col)
+        .withColumn(
+            quantile_col,
+            F.expr(
+                "cast((2 * (_gid - _g0) + 1) * cast(500000 as bigint)"
+                " div _gn as bigint)"
+            ),
+        )
+        .drop("_gqp_key", "_gid", "_g0", "_gn")
+    )

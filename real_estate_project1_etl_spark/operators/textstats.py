@@ -1502,3 +1502,185 @@ def bpe_train_merges_batched(
         merges[: int(n_merges)],
         "rank int, round int, left string, right string, pair_count bigint",
     )
+
+
+def _wp_word_tokens(
+    w: Column,
+    vmap: Column,
+    max_piece_len: int,
+    max_word_len: int,
+    unk_token: str,
+    continuation_prefix: str | None,
+) -> Column:
+    """Greedy longest-match-first (max-munch) WordPiece encoding of one
+    word column against a membership map, returning its token array —
+    the WordPiece/BERT inference-time algorithm (Wu et al.,
+    arXiv:1609.08144 §4.1; Devlin et al., arXiv:1810.04805).
+
+    One :func:`~pyspark.sql.functions.aggregate` fold of a struct state
+    ``(pos, toks, fail)`` over ``max_word_len`` steps (a word of W chars
+    yields at most W pieces, so the unroll depth bounds the word length,
+    BERT's ``max_input_chars_per_word`` behavior: longer words — and
+    words the vocab can't cover — become ``unk_token``).  Each step
+    probes every prefix length ``1..max_piece_len`` of the unconsumed
+    suffix against the vocab map (``map_contains_key`` — never throws,
+    ANSI session or not) and consumes the LONGEST member.  With
+    ``continuation_prefix`` (BERT's ``"##"``), non-initial probes look
+    up (and emit) the prefixed form.  Entirely JVM expressions — no
+    UDF, no shuffle; the caller decides whether to Zipf-collapse to
+    distinct words first.
+    """
+    L = F.length(w)
+    init = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("toks"),
+        (L > max_word_len).alias("fail"),
+    )
+
+    def key_of(raw: Column, pos: Column) -> Column:
+        if continuation_prefix is None:
+            return raw
+        return F.when(pos == 1, raw).otherwise(
+            F.concat(F.lit(continuation_prefix), raw)
+        )
+
+    def step(acc: Column, _x: Column) -> Column:
+        done = acc["fail"] | (acc["pos"] > L)
+        lens = F.sequence(
+            F.lit(1), F.least(F.lit(max_piece_len), L - acc["pos"] + 1)
+        )
+        matched = F.filter(
+            lens,
+            lambda i: F.map_contains_key(
+                vmap, key_of(w.substr(acc["pos"], i), acc["pos"])
+            ),
+        )
+        n_m = F.size(matched)
+        best = F.when(n_m > 0, F.element_at(matched, n_m))
+        advanced = F.struct(
+            (acc["pos"] + best).cast("int").alias("pos"),
+            F.concat(
+                acc["toks"],
+                F.array(key_of(w.substr(acc["pos"], best), acc["pos"])),
+            ).alias("toks"),
+            F.lit(False).alias("fail"),
+        )
+        failed = F.struct(
+            acc["pos"].alias("pos"),
+            acc["toks"].alias("toks"),
+            F.lit(True).alias("fail"),
+        )
+        return F.when(done, acc).otherwise(
+            F.when(n_m > 0, advanced).otherwise(failed)
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_word_len))),
+        init,
+        step,
+        lambda acc: F.when(L == 0, F.array().cast("array<string>"))
+        .when(
+            acc["fail"] | (acc["pos"] <= L), F.array(F.lit(unk_token))
+        )
+        .otherwise(acc["toks"]),
+    )
+
+
+def _wp_vocab_map(vocab: list[str]) -> tuple[Column, int]:
+    if not vocab:
+        raise ValueError("wordpiece_segment: vocab must be non-empty")
+    seen = set()
+    for v in vocab:
+        if not v:
+            raise ValueError("wordpiece_segment: vocab pieces cannot be empty")
+        if v in seen:
+            raise ValueError(f"wordpiece_segment: duplicate vocab piece {v!r}")
+        seen.add(v)
+    vmap = F.map_from_arrays(
+        F.array(*[F.lit(v) for v in vocab]),
+        F.array(*[F.lit(True) for _ in vocab]),
+    )
+    return vmap, max(len(v) for v in vocab)
+
+
+def wordpiece_segment(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_token: str = "[UNK]",
+    max_word_len: int = 24,
+    continuation_prefix: str | None = None,
+) -> DataFrame:
+    """WordPiece max-munch subword segmentation — ``(id_col, tokens)``
+    encoding every whitespace word of ``text_col`` against ``vocab`` by
+    greedy longest-prefix matching (see :func:`_wp_word_tokens`).
+
+    Together with :func:`bpe_segment` (merge-fold BPE apply) this
+    completes the tokenizer-application pair for both trained-vocab
+    conventions: BPE tables replay merges; WordPiece vocabs are matched
+    max-munch.  Pass ``continuation_prefix="##"`` with a BERT-style
+    vocab (``##``-prefixed continuation pieces) for exact BERT
+    semantics; the default position-agnostic mode treats ``vocab`` as a
+    set of subwords valid anywhere in a word.
+
+    Scale shape: scan-stage only — the vocab ships as a map literal
+    inside the expression (a production 30k-piece vocab would move to a
+    broadcast single-row map via the :func:`bpe_segment_table` pattern);
+    zero shuffles, zero Python.
+    """
+    vmap, max_piece = _wp_vocab_map(vocab)
+    words = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    seg = F.transform(
+        words,
+        lambda w: _wp_word_tokens(
+            w, vmap, max_piece, max_word_len, unk_token, continuation_prefix
+        ),
+    )
+    return docs.select(F.col(id_col), F.flatten(seg).alias("tokens"))
+
+
+def wordpiece_token_frequencies(
+    docs: DataFrame,
+    vocab: list[str],
+    top_k: int = 20,
+    text_col: str = "text",
+    unk_token: str = "[UNK]",
+    max_word_len: int = 24,
+    continuation_prefix: str | None = None,
+) -> DataFrame:
+    """Corpus-wide WordPiece token census: ``(token, n_occurrences,
+    rank)`` for the ``top_k`` most frequent pieces (``unk_token`` rows
+    count words the vocab cannot cover — the out-of-vocabulary audit a
+    tokenizer rollout runs before committing to a vocab).
+
+    Zipf-collapsed like :func:`bpe_token_frequencies`: the max-munch
+    fold runs once per DISTINCT word, weighted back by word frequency —
+    fold cost scales with vocabulary bytes, not corpus bytes.
+    """
+    vmap, max_piece = _wp_vocab_map(vocab)
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    toks = wc.select(
+        "n",
+        F.explode(
+            _wp_word_tokens(
+                F.col("w"),
+                vmap,
+                max_piece,
+                max_word_len,
+                unk_token,
+                continuation_prefix,
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.sum("n").alias("n_occurrences"))
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(top_k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n_occurrences", "rank"
+    )

@@ -695,3 +695,137 @@ def test_bpe_train_batched_greedy_rule_fills_rounds_fuller(spark):
 
     with _pytest.raises(ValueError, match="accept_rule"):
         bpe_train_merges_batched(docs, 4, accept_rule="luby")
+
+
+def _wp_munch_model(word, vocab, maxw=24, prefix=None, unk="[UNK]"):
+    """Independent python max-munch reference (Wu et al. 1609.08144
+    §4.1): greedy longest vocab prefix, UNK on no-match or over-length."""
+    if word == "":
+        return []
+    if len(word) > maxw:
+        return [unk]
+    maxp = max(len(v) for v in vocab)
+    pos, toks = 0, []
+    while pos < len(word):
+        hit = None
+        for n in range(min(maxp, len(word) - pos), 0, -1):
+            raw = word[pos : pos + n]
+            key = raw if (prefix is None or pos == 0) else prefix + raw
+            if key in vocab:
+                hit = (n, key)
+                break
+        if hit is None:
+            return [unk]
+        toks.append(hit[1])
+        pos += hit[0]
+    return toks
+
+
+def test_wordpiece_segment_matches_python_model(spark):
+    import random
+    import re
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        wordpiece_segment,
+    )
+
+    vocab = list("abcdefghijklmnopqrstuvwxyz") + [
+        "th", "the", "er", "ing", "ion", "an", "re", "es",
+    ]
+    rng = random.Random(41)
+    texts = [
+        "The thing  reacting\tther",
+        "",
+        "   ",
+        "supercalifragilisticexpialidocious word",  # > max_word_len -> UNK
+        "a1b c.d e",  # digits/punct not in vocab -> UNK
+        "thththing",
+    ]
+    for _ in range(25):
+        texts.append(
+            " ".join(
+                "".join(rng.choice("abct.h1") for _ in range(rng.randint(0, 28)))
+                for _ in range(rng.randint(1, 6))
+            )
+        )
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in wordpiece_segment(docs, vocab).collect()
+    }
+    vs = set(vocab)
+    for i, t in enumerate(texts):
+        words = re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        want = [tok for w in words for tok in _wp_munch_model(w, vs)]
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_wordpiece_segment_bert_continuation_mode(spark):
+    from real_estate_project1_etl_spark.operators.textstats import (
+        wordpiece_segment,
+    )
+
+    # BERT-style vocab: continuation pieces carry the ## prefix and are
+    # only eligible (and emitted) past the first cursor position
+    vocab = ["un", "aff", "able", "##aff", "##able", "##ab", "a", "##a"]
+    docs = spark.createDataFrame(
+        [(0, "unaffable affable aunaff")], "doc_id long, text string"
+    )
+    [row] = wordpiece_segment(
+        docs, vocab, continuation_prefix="##"
+    ).collect()
+    # "unaffable" -> un ##aff ##able; "affable" starts with word-initial
+    # "aff"; "aunaff" -> a then ##a... fails mid-word -> [UNK]
+    assert row["tokens"] == [
+        "un", "##aff", "##able", "aff", "##able", "[UNK]",
+    ]
+
+
+def test_wordpiece_segment_validates_vocab(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        wordpiece_segment,
+    )
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        wordpiece_segment(docs, [])
+    with pytest.raises(ValueError, match="empty"):
+        wordpiece_segment(docs, ["a", ""])
+    with pytest.raises(ValueError, match="duplicate"):
+        wordpiece_segment(docs, ["a", "a"])
+
+
+def test_wordpiece_segment_trained_vocab_integration(spark):
+    # train WordPiece merges in-engine, build the piece vocab from the
+    # corpus alphabet + merge products, and encode with max-munch — the
+    # full train->apply loop using only engine operators
+    from real_estate_project1_etl_spark.operators.textstats import (
+        bpe_train_merges,
+        wordpiece_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train_merges(
+        docs, 4, min_frequency=1, pair_score="wordpiece"
+    )
+    pieces = [
+        r["left"] + r["right"] for r in merges.orderBy("rank").collect()
+    ]
+    alphabet = sorted(set("lowerst"))
+    vocab = alphabet + pieces
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in wordpiece_segment(docs, vocab).collect()
+    }
+    # every word is coverable by the alphabet, so no UNKs; the trained
+    # pieces must actually be used (fewer tokens than characters)
+    for toks in out.values():
+        assert "[UNK]" not in toks
+        assert len(toks) < len("lowlowerlowest" * 3)

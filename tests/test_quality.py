@@ -1271,3 +1271,150 @@ def test_grouped_rank_buckets_reserved_names(spark):
     )
     with pytest.raises(ValueError, match="bucket"):
         grouped_rank_buckets(df2, "g", "score", "doc_id", 2)
+
+
+def _unimax_loop_model(sizes: dict, budget: int, cap: int) -> dict:
+    """The paper's sequential allocation loop (Chung et al., ICLR 2023
+    §3, Algorithm 1) run in EXACT rational arithmetic — the independent
+    spec the closed-form engine implementation must reproduce (uniform
+    shares floored to integers at the end, matching the operator's
+    documented integerization)."""
+    from fractions import Fraction
+
+    items = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    remaining = Fraction(budget)
+    out = {}
+    for j, (g, n) in enumerate(items):
+        left = len(items) - j
+        share = remaining / left
+        if cap * n <= share:
+            out[g] = cap * n
+            remaining -= cap * n
+        else:
+            out[g] = int(share)  # Fraction.__int__ floors for >= 0
+            remaining -= share
+    return out
+
+
+def test_unimax_budgets_hand_computed(spark):
+    from real_estate_project1_etl_spark.operators.quality import (
+        unimax_budgets,
+    )
+
+    # interior breakpoint: a+b epoch-capped (cap 4), c absorbs the rest
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 1000)], "lang string, n bigint"
+    )
+    got = {
+        r["lang"]: (r["budget"], r["epochs_ppm"])
+        for r in unimax_budgets(df, "lang", "n", 500, 4).collect()
+    }
+    assert got == {
+        "a": (40, 4000000),
+        "b": (40, 4000000),
+        "c": (420, 420000),
+    }
+    # all capped: leftover budget stays unallocated (corpus too small)
+    got2 = {
+        r["lang"]: r["budget"]
+        for r in unimax_budgets(df, "lang", "n", 10**9, 2).collect()
+    }
+    assert got2 == {"a": 20, "b": 20, "c": 2000}
+    # empty group: zero budget, NULL epochs
+    df3 = spark.createDataFrame(
+        [("a", 0), ("b", 7)], "lang string, n bigint"
+    )
+    got3 = {
+        r["lang"]: (r["budget"], r["epochs_ppm"])
+        for r in unimax_budgets(df3, "lang", "n", 100, 3).collect()
+    }
+    assert got3 == {"a": (0, None), "b": (21, 3000000)}
+
+
+def test_unimax_budgets_validates_params(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        unimax_budgets,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "lang string, n bigint")
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_budgets(df, "lang", "n", 10, 0)
+    with pytest.raises(ValueError, match="total_budget"):
+        unimax_budgets(df, "lang", "n", -1, 1)
+    bad = spark.createDataFrame([("a", 1, 0)], "lang string, n bigint, _i int")
+    with pytest.raises(ValueError, match="_i"):
+        unimax_budgets(bad, "lang", "n", 10, 1)
+
+
+def test_fuzz_unimax_budgets_matches_loop_model(spark):
+    import random
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        unimax_budgets,
+    )
+
+    rng = random.Random(2026)
+    for trial in range(6):
+        k = rng.randint(1, 9)
+        sizes = {f"g{j}": rng.randint(0, 2000) for j in range(k)}
+        budget = rng.randint(0, 12000)
+        cap = rng.randint(1, 5)
+        df = spark.createDataFrame(
+            list(sizes.items()), "lang string, n bigint"
+        )
+        got = {
+            r["lang"]: r["budget"]
+            for r in unimax_budgets(df, "lang", "n", budget, cap).collect()
+        }
+        want = _unimax_loop_model(sizes, budget, cap)
+        assert got == want, (trial, sizes, budget, cap, got, want)
+
+
+def test_grouped_quantile_ppm_hand_computed(spark):
+    from real_estate_project1_etl_spark.operators.quality import (
+        grouped_quantile_ppm,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("a", 4, 40), ("b", 5, 7)],
+        "src string, doc_id long, score long",
+    )
+    got = {
+        r["doc_id"]: r["quantile_ppm"]
+        for r in grouped_quantile_ppm(df, "src", "score", "doc_id").collect()
+    }
+    # group a: midranks (2k+1)/8 -> 125000, 375000, 625000, 875000;
+    # singleton group b -> 500000
+    assert got == {1: 125000, 2: 375000, 3: 625000, 4: 875000, 5: 500000}
+    desc = {
+        r["doc_id"]: r["quantile_ppm"]
+        for r in grouped_quantile_ppm(
+            df, "src", "score", "doc_id", descending=True
+        ).collect()
+    }
+    assert desc == {1: 875000, 2: 625000, 3: 375000, 4: 125000, 5: 500000}
+
+
+def test_grouped_quantile_ppm_reserved_and_ties(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.quality import (
+        grouped_quantile_ppm,
+    )
+
+    bad = spark.createDataFrame(
+        [("a", 1, 1, 0)], "src string, doc_id long, score long, _gid int"
+    )
+    with pytest.raises(ValueError, match="_gid"):
+        grouped_quantile_ppm(bad, "src", "score", "doc_id")
+    # ties break on id deterministically
+    df = spark.createDataFrame(
+        [("a", i, 5) for i in range(4)], "src string, doc_id long, score long"
+    )
+    got = {
+        r["doc_id"]: r["quantile_ppm"]
+        for r in grouped_quantile_ppm(df, "src", "score", "doc_id").collect()
+    }
+    assert got == {0: 125000, 1: 375000, 2: 625000, 3: 875000}
