@@ -129,6 +129,9 @@ HEADLINE = [
     "ann_recall_ivf",
     "ccnet_perplexity_buckets",
     "documents_corpus_build_v6",
+    # round-12b: WordPiece max-munch encoding (the tokenizer-apply twin
+    # of bpe_token_stats — aggregate-fold cursor state per distinct word)
+    "wordpiece_token_stats",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -199,6 +202,7 @@ COST = {
     "ann_recall_ivf": "eval loop: exact brute-force top-5 + IVF top-5 (both corpus passes) + queriesxk recall join",
     "ccnet_perplexity_buckets": "bigram-LM scores + range-partitioned global ranking on (lang, -score, id) + group-sized min/count broadcast — no per-language window",
     "documents_corpus_build_v6": "v6 funnel: CCNet keep (LM + buckets) -> DSIR fit+score on survivors -> top-150 importance draw -> 512-token/4-shard packing layout",
+    "wordpiece_token_stats": "max-munch aggregate fold per DISTINCT word (Zipf-collapsed) + weighted count agg + top-k; vocab ships as a map literal; no Python, no text shuffle",
 }
 
 
