@@ -11362,11 +11362,21 @@ def q_documents_corpus_build_v6(spark, sf_dir):
     buck = grouped_rank_buckets(
         scored, "lang", "lm_score", "doc_id", n_buckets=3
     )
-    kept = buck.filter(F.col("bucket") <= 1).select(
-        "doc_id", "lang", "bucket"
+    # Pin the funnel's narrow waists (the triangles/phash lesson, r12b
+    # exchange audit): kept feeds 2 consumers, kdocs feeds both DSIR
+    # sides, sel feeds packing AND the final join — without the
+    # barriers each reference re-executes the whole upstream
+    # CCNet/DSIR subtree (measured interleaved: 8.6 -> 6.1 s at sf0.1,
+    # checksum byte-identical). All three are survivor/model-sized.
+    kept = (
+        buck.filter(F.col("bucket") <= 1)
+        .select("doc_id", "lang", "bucket")
+        .localCheckpoint(eager=True)
     )
-    kdocs = docs.select("doc_id", "text", "lang").join(
-        kept.select("doc_id"), "doc_id"
+    kdocs = (
+        docs.select("doc_id", "text", "lang")
+        .join(kept.select("doc_id"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     weights = dsir_importance_weights(
         kdocs,
@@ -11374,9 +11384,13 @@ def q_documents_corpus_build_v6(spark, sf_dir):
         dim=_DSIR_DIM,
         scale=_DSIR_SCALE,
     ).filter(F.col("n_grams") > 0)
-    sel = sequential_poisson_sample(
-        weights, "dsir_weight_ppm", 150, ["doc_id"], id_order_col="doc_id"
-    ).select("doc_id", "dsir_weight_ppm")
+    sel = (
+        sequential_poisson_sample(
+            weights, "dsir_weight_ppm", 150, ["doc_id"], id_order_col="doc_id"
+        )
+        .select("doc_id", "dsir_weight_ppm")
+        .localCheckpoint(eager=True)
+    )
     tok = docs.select(
         "doc_id", T.whitespace_token_count("text").cast("long").alias("n_toks")
     )
