@@ -11463,7 +11463,7 @@ _WP_VOCAB = tuple(
 _WP_MAX_WORD = 24
 
 
-def _wordpiece_oracle() -> str:
+def _wordpiece_oracle(final: str | None = None) -> str:
     # Unrolled max-munch trajectory (the kcore/BPE-train oracle pattern):
     # step k consumes the longest vocab piece matching at the cursor of
     # every still-unfinished word; _WP_MAX_WORD steps bound any word the
@@ -11475,7 +11475,7 @@ def _wordpiece_oracle() -> str:
     vals = ", ".join(f"('{p}')" for p in _WP_VOCAB)
     ctes = [
         f"vocab(piece) AS (SELECT * FROM (VALUES {vals}))",
-        r"""occ AS (SELECT unnest(string_split(lower(trim(
+        r"""occ AS (SELECT lang, unnest(string_split(lower(trim(
             regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS wd
             FROM documents)""",
         "wc AS MATERIALIZED (SELECT wd, count(*) AS n FROM occ GROUP BY wd)",
@@ -11502,15 +11502,7 @@ def _wordpiece_oracle() -> str:
             FROM s{p} s LEFT JOIN b{k} b USING (wd))"""
         )
     last = f"s{_WP_MAX_WORD}"
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f""",
-    fin AS (SELECT wd,
-                   CASE WHEN length(wd) = 0 THEN CAST([] AS VARCHAR[])
-                        WHEN fail OR pos <= length(wd) THEN ['[UNK]']
-                        ELSE toks END AS toks
-            FROM {last}),
+    census = """
     t AS (SELECT wc.n, unnest(f.toks) AS token FROM fin f JOIN wc USING (wd)),
     c AS (SELECT token, cast(sum(n) AS bigint) AS n_occurrences
           FROM t GROUP BY token)
@@ -11519,6 +11511,16 @@ def _wordpiece_oracle() -> str:
                row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
         FROM c) WHERE rank <= 20
     """
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    fin AS (SELECT wd,
+                   CASE WHEN length(wd) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN fail OR pos <= length(wd) THEN ['[UNK]']
+                        ELSE toks END AS toks
+            FROM {last}),"""
+        + (final if final is not None else census)
     )
 
 
@@ -11607,6 +11609,69 @@ def q_unimax_language_budgets(spark, sf_dir):
     return unimax_budgets(
         sizes, "lang", "n_chars", b, max_epochs=1,
         budget_col="budget_chars",
+    )
+
+
+_WP_FERTILITY_FINAL = """
+    wcl AS (SELECT lang, wd, count(*) AS n FROM occ
+            WHERE lang IS NOT NULL GROUP BY lang, wd),
+    fert AS (SELECT w.lang,
+                    sum(w.n * CASE WHEN length(w.wd) > 0 THEN 1 ELSE 0 END)
+                        AS n_words,
+                    sum(w.n * len(f.toks)) AS n_pieces
+             FROM wcl w JOIN fin f USING (wd) GROUP BY w.lang)
+    SELECT lang, cast(n_words AS bigint) AS n_words,
+           cast(n_pieces AS bigint) AS n_pieces,
+           cast(CASE WHEN n_words > 0 THEN n_pieces * 1000000 // n_words END
+                AS bigint) AS fertility_ppm
+    FROM fert
+"""
+
+
+@_q("wordpiece_token_stats_table", _wordpiece_oracle())
+def q_wordpiece_token_stats_table(spark, sf_dir):
+    # the broadcast-vocab-TABLE path of the WordPiece encoder (production
+    # vocab.txt shape: one piece per row, collapsed to a single broadcast
+    # map row with in-plan empty/over-length piece rejection — the form a
+    # 30k-piece vocab must take to stay inside codegen limits). Same
+    # oracle as wordpiece_token_stats: both encoder forms must produce
+    # the identical census, so this entry driver-verifies the table
+    # plumbing end to end (the bpe_token_stats_table precedent).
+    from real_estate_project1_etl_spark.operators.textstats import (
+        wordpiece_segment_table,
+    )
+
+    vocab = spark.createDataFrame([(v,) for v in _WP_VOCAB], "piece string")
+    docs = _t(spark, sf_dir, "documents")
+    toks = wordpiece_segment_table(
+        docs, vocab, max_word_len=_WP_MAX_WORD
+    ).select(F.explode("tokens").alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(20)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n_occurrences", "rank"
+    )
+
+
+@_q("tokenizer_fertility_by_lang", _wordpiece_oracle(_WP_FERTILITY_FINAL))
+def q_tokenizer_fertility_by_lang(spark, sf_dir):
+    # tokenizer fertility audit (pieces per word, ppm) per language —
+    # the multilingual vocab-equity metric (Rust et al.,
+    # arXiv:2012.15613): a vocab undertrained on a language segments it
+    # into more pieces, inflating its effective sequence length. The
+    # fold runs once per DISTINCT word corpus-wide (languages share
+    # spellings), then joins back to the (lang, word) count table; the
+    # oracle replays the trajectory and the weighted aggregation.
+    from real_estate_project1_etl_spark.operators.textstats import (
+        wordpiece_fertility_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_fertility_by_group(
+        docs, list(_WP_VOCAB), "lang", max_word_len=_WP_MAX_WORD
     )
 
 

@@ -1684,3 +1684,143 @@ def wordpiece_token_frequencies(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "token", "n_occurrences", "rank"
     )
+
+
+def wordpiece_segment_table(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    piece_col: str = "piece",
+    unk_token: str = "[UNK]",
+    max_word_len: int = 24,
+    max_piece_len: int = 16,
+    continuation_prefix: str | None = None,
+) -> DataFrame:
+    """:func:`wordpiece_segment` with the vocabulary as a DATAFRAME —
+    the production path for real tokenizer vocabularies (a 30k-piece
+    ``vocab.txt`` loaded as one-piece-per-row), where building a 30k-key
+    map literal would blow past codegen limits.
+
+    The vocab collapses to ONE row holding a membership map
+    (``map_from_arrays`` over ``collect_list``) and ships as a
+    broadcast; the per-word max-munch fold is the identical expression,
+    so the plan is :func:`wordpiece_segment`'s plus one
+    BroadcastNestedLoopJoin of a single row (the
+    :func:`bpe_segment_table` pattern). ``max_piece_len`` bounds the
+    per-cursor probe count and must be >= the longest UNPREFIXED piece
+    the vocab contains — enforced IN-PLAN with a ``raise_error`` branch
+    since the table contents aren't visible at build time (probing
+    shorter than a real piece would silently under-segment).  Empty
+    pieces are likewise rejected in-plan; duplicates fail in the map
+    builder (Spark's default DUPLICATED_MAP_KEY policy is EXCEPTION).
+    """
+    prefix_len = len(continuation_prefix or "")
+    eff_len = F.when(
+        (F.lit(prefix_len) > 0)
+        & F.col(piece_col).startswith(continuation_prefix or ""),
+        F.length(piece_col) - prefix_len,
+    ).otherwise(F.length(piece_col))
+    checked = F.when(
+        F.col(piece_col).isNull() | (F.length(piece_col) == 0),
+        F.raise_error(
+            F.lit("wordpiece_segment_table: vocab pieces cannot be empty")
+        ),
+    ).when(
+        eff_len > max_piece_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "wordpiece_segment_table: piece longer than "
+                    f"max_piece_len={max_piece_len}: "
+                ),
+                F.col(piece_col),
+            )
+        ),
+    ).otherwise(F.col(piece_col))
+    vrow = vocab.agg(
+        F.map_from_arrays(
+            F.collect_list(checked),
+            F.transform(F.collect_list(checked), lambda _: F.lit(True)),
+        ).alias("_vmap")
+    )
+    words = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+    seg = F.transform(
+        words,
+        lambda w: _wp_word_tokens(
+            w,
+            F.col("_vmap"),
+            max_piece_len,
+            max_word_len,
+            unk_token,
+            continuation_prefix,
+        ),
+    )
+    return (
+        docs.join(F.broadcast(vrow))
+        .select(F.col(id_col), F.flatten(seg).alias("tokens"))
+    )
+
+
+def wordpiece_fertility_by_group(
+    docs: DataFrame,
+    vocab: list[str],
+    group_col: str,
+    text_col: str = "text",
+    unk_token: str = "[UNK]",
+    max_word_len: int = 24,
+    continuation_prefix: str | None = None,
+) -> DataFrame:
+    """Tokenizer fertility per group — mean subword pieces emitted per
+    word (ppm integers), the standard multilingual-vocab equity metric
+    (a vocab undertrained on a language segments it into many more
+    pieces, inflating its effective sequence length and training cost;
+    cf. the fertility tables in mBERT/XLM-R tokenizer analyses, e.g.
+    Rust et al., arXiv:2012.15613).
+
+    Returns ``(group_col, n_words, n_pieces, fertility_ppm)`` with
+    ``fertility_ppm = n_pieces * 1e6 div n_words`` — exact integers.
+    Empty words (consecutive whitespace artifacts) count in neither;
+    out-of-vocabulary words count as ONE piece (the [UNK] emission) —
+    include them or pre-filter by OOV rate depending on the audit.
+
+    Scale shape: the max-munch fold runs once per DISTINCT word
+    corpus-wide (not per group — groups share spellings), then joins
+    back to the (group, word) count table: fold cost scales with
+    vocabulary bytes, the joins with the Zipf-collapsed count tables.
+    """
+    vmap, max_piece = _wp_vocab_map(vocab)
+    words = docs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col),
+        F.explode(
+            F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+        ).alias("w"),
+    )
+    wc = words.groupBy(group_col, "w").agg(F.count(F.lit(1)).alias("n"))
+    pieces = (
+        wc.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.size(
+                _wp_word_tokens(
+                    F.col("w"),
+                    vmap,
+                    max_piece,
+                    max_word_len,
+                    unk_token,
+                    continuation_prefix,
+                )
+            ).cast("bigint").alias("np"),
+            (F.length("w") > 0).cast("bigint").alias("is_word"),
+        )
+    )
+    per = wc.join(pieces, "w")
+    return per.groupBy(group_col).agg(
+        F.sum(F.col("n") * F.col("is_word")).alias("n_words"),
+        F.sum(F.col("n") * F.col("np")).alias("n_pieces"),
+        F.expr(
+            "cast(sum(n * np) * cast(1000000 as bigint)"
+            " div nullif(sum(n * is_word), 0) as bigint)"
+        ).alias("fertility_ppm"),
+    )

@@ -829,3 +829,64 @@ def test_wordpiece_segment_trained_vocab_integration(spark):
     for toks in out.values():
         assert "[UNK]" not in toks
         assert len(toks) < len("lowlowerlowest" * 3)
+
+
+def test_wordpiece_segment_table_matches_literal_fold(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.textstats import (
+        wordpiece_segment,
+        wordpiece_segment_table,
+    )
+
+    vocab = list("abcdefghijklmnopqrstuvwxyz") + ["th", "the", "ing"]
+    docs = spark.createDataFrame(
+        [(0, "The thing reacting"), (1, "a.b xyz")],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: r["tokens"]
+        for r in wordpiece_segment(docs, vocab).collect()
+    }
+    vdf = spark.createDataFrame([(v,) for v in vocab], "piece string")
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in wordpiece_segment_table(docs, vdf).collect()
+    }
+    assert got == want
+    # in-plan rejection: a piece longer than max_piece_len would
+    # silently under-segment, so it must fail loudly
+    bad = spark.createDataFrame(
+        [("a",), ("toolongpiece",)], "piece string"
+    )
+    with pytest.raises(Exception, match="max_piece_len"):
+        wordpiece_segment_table(docs, bad, max_piece_len=4).collect()
+    empty = spark.createDataFrame([("a",), ("",)], "piece string")
+    with pytest.raises(Exception, match="empty"):
+        wordpiece_segment_table(docs, empty).collect()
+
+
+def test_wordpiece_fertility_by_group_hand_computed(spark):
+    from real_estate_project1_etl_spark.operators.textstats import (
+        wordpiece_fertility_by_group,
+    )
+
+    vocab = ["a", "b", "ab"]
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "ab ab a"),  # 3 words -> 3 pieces
+            (1, "en", "abab"),  # 1 word -> ab ab = 2 pieces
+            (2, "de", "zzz a"),  # [UNK] + a -> 2 pieces / 2 words
+            (3, None, "ab"),  # NULL group dropped
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["lang"]: (r["n_words"], r["n_pieces"], r["fertility_ppm"])
+        for r in wordpiece_fertility_by_group(docs, vocab, "lang").collect()
+    }
+    # en: words [ab, ab, a, abab] -> pieces [1, 1, 1, 2] = 5/4
+    assert got == {
+        "en": (4, 5, 1250000),
+        "de": (2, 2, 1000000),
+    }
