@@ -11546,10 +11546,11 @@ def q_wordpiece_token_stats(spark, sf_dir):
     )
 
 
-@_q(
-    "unimax_language_budgets",
-    """
-    WITH sizes AS (
+# shared by the unimax_language_budgets and unimax_sampled_corpus
+# oracles — the closed-form breakpoint windows over the per-language
+# dim (see quality.unimax_budgets)
+_UNIMAX_CTES = """
+    sizes AS (
       SELECT lang, cast(sum(length(text)) AS bigint) AS n_chars
       FROM documents WHERE lang IS NOT NULL GROUP BY lang
     ),
@@ -11575,17 +11576,25 @@ def q_wordpiece_token_stats(spark, sf_dir):
       SELECT sum(CASE WHEN allp = 1 THEN n_chars ELSE 0 END) AS sm,
              sum(allp) AS m, max(l) AS l2, max(b) AS b2
       FROM capped
+    ),
+    alloc AS (
+      SELECT c.lang, c.n_chars,
+             cast(CASE WHEN c.allp = 1 THEN c.n_chars
+                  ELSE (a.b2 - a.sm) // (a.l2 - a.m) END AS bigint)
+                 AS budget_chars,
+             cast(CASE WHEN c.n_chars > 0 THEN
+                  (CASE WHEN c.allp = 1 THEN c.n_chars
+                   ELSE (a.b2 - a.sm) // (a.l2 - a.m) END) * 1000000
+                  // c.n_chars END AS bigint) AS epochs_ppm
+      FROM capped c CROSS JOIN agg a
     )
-    SELECT c.lang, c.n_chars,
-           cast(CASE WHEN c.allp = 1 THEN c.n_chars
-                ELSE (a.b2 - a.sm) // (a.l2 - a.m) END AS bigint)
-               AS budget_chars,
-           cast(CASE WHEN c.n_chars > 0 THEN
-                (CASE WHEN c.allp = 1 THEN c.n_chars
-                 ELSE (a.b2 - a.sm) // (a.l2 - a.m) END) * 1000000
-                // c.n_chars END AS bigint) AS epochs_ppm
-    FROM capped c CROSS JOIN agg a
-    """,
+"""
+
+
+@_q(
+    "unimax_language_budgets",
+    "WITH " + _UNIMAX_CTES
+    + " SELECT lang, n_chars, budget_chars, epochs_ppm FROM alloc",
 )
 def q_unimax_language_budgets(spark, sf_dir):
     # UniMax language sampling (Chung et al., ICLR 2023,
@@ -11609,6 +11618,57 @@ def q_unimax_language_budgets(spark, sf_dir):
     return unimax_budgets(
         sizes, "lang", "n_chars", b, max_epochs=1,
         budget_col="budget_chars",
+    )
+
+
+@_q(
+    "unimax_sampled_corpus",
+    "WITH " + _UNIMAX_CTES + """
+    SELECT d.doc_id, d.lang, cast(d.n_chars AS bigint) AS n_chars,
+           a.epochs_ppm AS sample_rate_ppm
+    FROM documents d JOIN alloc a USING (lang)
+    WHERE (('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+              ::HUGEINT * 1000000
+          < a.epochs_ppm::HUGEINT * 1152921504606846976
+    """,
+)
+def q_unimax_sampled_corpus(spark, sf_dir):
+    # the UniMax allocation made OPERATIONAL: each language's budget
+    # becomes a deterministic per-language sampling rate (epochs_ppm,
+    # which C=1 caps at 1e6), applied as a 60-bit content-hash
+    # threshold — retry/partition-stable membership, zero shuffle on
+    # the corpus (the budgets are a broadcast dim row per language).
+    # The keep predicate is exact 128-bit integer arithmetic
+    # (hash * 1e6 < rate * 2^60 in decimal(38,0)/HUGEINT), so
+    # membership is bit-identical cross-engine — no float thresholds.
+    from real_estate_project1_etl_spark.operators.quality import (
+        unimax_budgets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    sizes = docs.groupBy("lang").agg(
+        F.sum(F.length("text")).cast("bigint").alias("n_chars")
+    )
+    total = sizes.agg(F.sum("n_chars").alias("t")).first()["t"]
+    rates = unimax_budgets(
+        sizes, "lang", "n_chars", (int(total) * 4) // 5, max_epochs=1,
+        budget_col="budget_chars",
+    ).select("lang", F.col("epochs_ppm").alias("sample_rate_ppm"))
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(
+            h60.cast("decimal(38,0)") * F.lit(1000000)
+            < F.col("sample_rate_ppm").cast("decimal(38,0)")
+            * F.lit(1152921504606846976).cast("decimal(38,0)")
+        )
+    )
+    return kept.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "sample_rate_ppm",
     )
 
 
