@@ -916,3 +916,64 @@ def test_streaming_dsir_gate_matches_batch(spark, sf_dir, tmp_path):
     # per-doc values identical, not just membership: micro-batch scoring
     # against the fixed model reproduces the batch weights exactly
     assert got == {d: batch[d] for d in batch_kept}
+
+
+def test_streaming_unimax_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Round-12b: UniMax language sampling as a streaming ingest gate —
+    the per-language rates fit once in batch (unimax_budgets over the
+    historical size census, pinned), every micro-batch applies the same
+    broadcast rate row via the stateless 128-bit hash-threshold
+    predicate. Kept set identical to the batch gate over the same
+    corpus (membership is content-hash determined, so arrival order and
+    micro-batch boundaries cannot change it)."""
+    from real_estate_project1_etl_spark.operators.quality import (
+        unimax_budgets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).filter(F.col("lang").isNotNull())
+    sizes = docs.groupBy("lang").agg(
+        F.sum(F.length("text")).cast("bigint").alias("n_chars")
+    )
+    total = sizes.agg(F.sum("n_chars").alias("t")).first()["t"]
+    rates = unimax_budgets(
+        sizes, "lang", "n_chars", (int(total) * 4) // 5, max_epochs=1
+    ).select("lang", "epochs_ppm").localCheckpoint(eager=True)
+
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keep = (
+        h60.cast("decimal(38,0)") * F.lit(1000000)
+        < F.col("epochs_ppm").cast("decimal(38,0)")
+        * F.lit(1152921504606846976).cast("decimal(38,0)")
+    )
+
+    batch_kept = {
+        r["doc_id"]
+        for r in docs.join(F.broadcast(rates), "lang").filter(keep).collect()
+    }
+    n_docs = docs.count()
+    assert 0 < len(batch_kept) < n_docs  # the gate genuinely splits
+
+    src = str(tmp_path / "um_src")
+    out_dir = str(tmp_path / "um_gated")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    def gate(mb, batch_id):
+        kept = mb.join(F.broadcast(rates), "lang").filter(keep)
+        kept.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "um_ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == batch_kept
