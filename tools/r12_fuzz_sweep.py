@@ -10,6 +10,10 @@ sweep recorded in NOTES.md, incl. r11's):
   relational 5000-5899, window 2100-2499, nulls 1900-2299,
   text 2100-2499, numeric 1700-1999, datetime 1500-1799,
   training(bpe batched) 1000-1099
+
+An integer argv[1] OFFSET shifts every range (third-session sweep used
+OFFSET=900 -> relational 5900-6799 etc.), keeping each re-sweep on
+seeds disjoint from all committed suites and prior sweeps.
 """
 import os
 import sys
@@ -30,6 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def main():
+    offset = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     spark = get_spark("r12-fuzz-sweep", cpus=16, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -56,7 +61,7 @@ def main():
         )
     li = load_table(spark, SF_DIR, "lineitem")
     orders = load_table(spark, SF_DIR, "orders")
-    for seed in range(5000, 5900):
+    for seed in range(5000 + offset, 5900 + offset):
         def _r():
             build, sql = tfr._gen_case(seed)
             assert canon(build(spark, li, orders).toPandas()) == canon(
@@ -68,7 +73,7 @@ def main():
     # --- window --------------------------------------------------------
     import test_fuzz_window as tfw
 
-    for seed in range(2100, 2500):
+    for seed in range(2100 + offset, 2500 + offset):
         def _w():
             build, sql = tfw._gen_case(seed)
             assert canon(build(li).toPandas()) == canon(
@@ -80,7 +85,7 @@ def main():
     # --- numeric -------------------------------------------------------
     import test_fuzz_numeric as tfn
 
-    for seed in range(1700, 2000):
+    for seed in range(1700 + offset, 2000 + offset):
         def _n():
             s_expr, d_expr = tfn._gen_case(seed)
             s = canon(
@@ -105,7 +110,7 @@ def main():
 
     import test_fuzz_nulls as tfnl
 
-    for seed in range(1900, 2300):
+    for seed in range(1900 + offset, 2300 + offset):
         def _nl():
             rng = random.Random(10_000 + seed)
             c2 = duckdb.connect()
@@ -128,7 +133,7 @@ def main():
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
     )
     docs = load_table(spark, SF_DIR, "documents")
-    for seed in range(2100, 2500):
+    for seed in range(2100 + offset, 2500 + offset):
         def _t():
             spark_e, sql_e = tft._gen_expr(seed)
             s = canon(
@@ -150,7 +155,7 @@ def main():
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
     )
     events = load_table(spark, SF_DIR, "events")
-    for seed in range(1500, 1800):
+    for seed in range(1500 + offset, 1800 + offset):
         def _d():
             spark_e, sql_e = tfd._gen_expr(seed)
             s = canon(
@@ -172,7 +177,7 @@ def main():
         bpe_train_merges_batched,
     )
 
-    for seed in range(1000, 1100):
+    for seed in range(1000 + offset, 1100 + offset):
         def _b():
             rng = random.Random(50_000 + seed)
             dd = tftr._random_corpus(rng)
