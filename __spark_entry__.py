@@ -11696,23 +11696,17 @@ def q_wordpiece_token_stats_table(spark, sf_dir):
     # 30k-piece vocab must take to stay inside codegen limits). Same
     # oracle as wordpiece_token_stats: both encoder forms must produce
     # the identical census, so this entry driver-verifies the table
-    # plumbing end to end (the bpe_token_stats_table precedent).
+    # plumbing end to end (the bpe_token_stats_table precedent). Zipf-
+    # collapsed like the literal path — the first registration encoded
+    # per OCCURRENCE and cost 68 s at sf0.1 vs 0.8 s collapsed.
     from real_estate_project1_etl_spark.operators.textstats import (
-        wordpiece_segment_table,
+        wordpiece_token_frequencies_table,
     )
 
     vocab = spark.createDataFrame([(v,) for v in _WP_VOCAB], "piece string")
     docs = _t(spark, sf_dir, "documents")
-    toks = wordpiece_segment_table(
-        docs, vocab, max_word_len=_WP_MAX_WORD
-    ).select(F.explode("tokens").alias("token"))
-    counts = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
-    )
-    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(20)
-    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "token", "n_occurrences", "rank"
+    return wordpiece_token_frequencies_table(
+        docs, vocab, top_k=20, max_word_len=_WP_MAX_WORD
     )
 
 

@@ -1824,3 +1824,84 @@ def wordpiece_fertility_by_group(
             " div nullif(sum(n * is_word), 0) as bigint)"
         ).alias("fertility_ppm"),
     )
+
+
+def wordpiece_token_frequencies_table(
+    docs: DataFrame,
+    vocab: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    piece_col: str = "piece",
+    unk_token: str = "[UNK]",
+    max_word_len: int = 24,
+    max_piece_len: int = 16,
+    continuation_prefix: str | None = None,
+) -> DataFrame:
+    """:func:`wordpiece_token_frequencies` with the vocabulary as a
+    DATAFRAME (the :func:`wordpiece_segment_table` broadcast-map-row
+    path, same in-plan piece validation).
+
+    Zipf-collapses to DISTINCT words BEFORE the max-munch fold, exactly
+    like the literal-vocab census — measured at sf0.1 the collapse is
+    the difference between 0.8 s and 68 s: the per-occurrence fold
+    (every word of every document) is ~80x the distinct-word fold on
+    natural text, and the gap widens with corpus size (Heaps' law).
+    ``wordpiece_segment_table`` remains the right shape only when the
+    PRODUCT is per-document token arrays."""
+    prefix_len = len(continuation_prefix or "")
+    eff_len = F.when(
+        (F.lit(prefix_len) > 0)
+        & F.col(piece_col).startswith(continuation_prefix or ""),
+        F.length(piece_col) - prefix_len,
+    ).otherwise(F.length(piece_col))
+    checked = F.when(
+        F.col(piece_col).isNull() | (F.length(piece_col) == 0),
+        F.raise_error(
+            F.lit(
+                "wordpiece_token_frequencies_table: vocab pieces cannot"
+                " be empty"
+            )
+        ),
+    ).when(
+        eff_len > max_piece_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "wordpiece_token_frequencies_table: piece longer than"
+                    f" max_piece_len={max_piece_len}: "
+                ),
+                F.col(piece_col),
+            )
+        ),
+    ).otherwise(F.col(piece_col))
+    vrow = vocab.agg(
+        F.map_from_arrays(
+            F.collect_list(checked),
+            F.transform(F.collect_list(checked), lambda _: F.lit(True)),
+        ).alias("_vmap")
+    )
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    toks = wc.join(F.broadcast(vrow)).select(
+        "n",
+        F.explode(
+            _wp_word_tokens(
+                F.col("w"),
+                F.col("_vmap"),
+                max_piece_len,
+                max_word_len,
+                unk_token,
+                continuation_prefix,
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.sum("n").alias("n_occurrences"))
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(top_k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n_occurrences", "rank"
+    )
