@@ -11592,6 +11592,86 @@ _UNIMAX_CTES = """
 
 
 @_q(
+    "kmv_weekly_rollup_users",
+    f"""
+    WITH base AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             user_id
+      FROM events),
+    d AS (SELECT DISTINCT week, day,
+                 {_MD5_60_SQL.format(c="user_id")} AS h
+          FROM base),
+    r AS (SELECT week, day, h,
+                 row_number() OVER (PARTITION BY week, day ORDER BY h) AS rn
+          FROM d),
+    daysk AS (SELECT week, h FROM r WHERE rn <= 64),
+    u AS (SELECT DISTINCT week, h FROM daysk),
+    m AS (SELECT week, h,
+                 row_number() OVER (PARTITION BY week ORDER BY h) AS rn
+          FROM u),
+    mk AS (SELECT week, count(*) AS n_sample, max(h) AS kth
+           FROM m WHERE rn <= 64 GROUP BY week),
+    wd AS (SELECT DISTINCT week, h FROM d),
+    wr AS (SELECT week, h,
+                  row_number() OVER (PARTITION BY week ORDER BY h) AS rn
+           FROM wd),
+    wk AS (SELECT week, count(*) AS n_sample, max(h) AS kth
+           FROM wr WHERE rn <= 64 GROUP BY week),
+    ex AS (SELECT week, count(DISTINCT user_id) AS exact_distinct
+           FROM base GROUP BY week)
+    SELECT mk.week,
+           cast(mk.n_sample AS BIGINT) AS n_sample,
+           ex.exact_distinct,
+           CASE WHEN mk.n_sample < 64 THEN cast(mk.n_sample AS double)
+                ELSE 63.0 * 1152921504606846976.0 / cast(mk.kth AS double)
+           END AS kmv_estimate,
+           CASE WHEN wk.n_sample < 64 THEN cast(wk.n_sample AS double)
+                ELSE 63.0 * 1152921504606846976.0 / cast(wk.kth AS double)
+           END AS scratch_estimate
+    FROM mk JOIN wk USING (week) JOIN ex USING (week)
+    """,
+)
+def q_kmv_weekly_rollup_users(spark, sf_dir):
+    # mergeable-sketch ROLLUP: daily KMV sketches (the stored form — at
+    # most 64 longs per day) merge into weekly distinct-user estimates
+    # without rescanning the fact table; the query also computes the
+    # from-scratch weekly sketch and the exact count, so the oracle
+    # value-checks the merge identity (bottom-k of the union of child
+    # samples == the period's own bottom-k) AND the estimator, per week.
+    # This is the count-distinct reaggregation pattern a 100 TB metrics
+    # store runs nightly: facts scanned once at sketch-build, every
+    # coarser period is O(k) per child group.
+    from real_estate_project1_etl_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = kmv_sketch(ev, ["week", "day"], "user_id", k=64)
+    merged = kmv_merge_estimate(daily, ["week"], k=64)
+    scratch = kmv_distinct(ev, ["week"], "user_id", k=64).select(
+        "week", F.col("kmv_estimate").alias("scratch_estimate")
+    )
+    ex = ev.groupBy("week").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        merged.join(scratch, "week")
+        .join(ex, "week")
+        .select(
+            "week", "n_sample", "exact_distinct",
+            "kmv_estimate", "scratch_estimate",
+        )
+    )
+
+
+@_q(
     "unimax_language_budgets",
     "WITH " + _UNIMAX_CTES
     + " SELECT lang, n_chars, budget_chars, epochs_ppm FROM alloc",

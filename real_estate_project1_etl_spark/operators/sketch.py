@@ -282,3 +282,71 @@ def join_size_estimate(
         .cast("bigint")
         .alias("join_size_est"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Materialize the per-group KMV sketch itself — one row per group
+    with ``kmv_hashes``, the sorted bottom-``k`` distinct 60-bit hashes
+    of ``value_col`` — the form a rollup table STORES so coarser periods
+    re-aggregate from sketches instead of rescanning facts
+    (:func:`kmv_merge_estimate`).
+
+    The whole sketch is ≤ k longs per group and, like everything in this
+    module, engine-reproducible bit-for-bit (md5-derived hashes, no RNG,
+    no JVM-private register format — the reason this rollup is on the
+    differential ledger while an HLL++ binary column never could be).
+    """
+    d = df.select(*group_cols, md5_60(value_col).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    km = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return km.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("h")).alias("kmv_hashes")
+    )
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame,
+    rollup_cols: list[str],
+    k: int = 64,
+    hashes_col: str = "kmv_hashes",
+) -> DataFrame:
+    """Merge stored KMV sketches up a hierarchy (days → weeks → months)
+    and estimate the merged distinct count — WITHOUT touching the fact
+    table: the classic mergeable-sketch rollup (Bar-Yossef et al.;
+    the same union rule as theta-sketch algebra).
+
+    Merge rule: bottom-``k`` of the distinct union of the child
+    samples. This equals the bottom-``k`` the union's full hash set
+    would produce, because any hash among the union's true bottom-k is
+    necessarily within its own child's bottom-k (if k smaller hashes
+    existed in that child, they would all precede it in the union too —
+    contradiction). So a rollup from stored sketches is EXACTLY the
+    sketch of the rolled-up period: no estimator drift stacks across
+    levels, and the estimate matches what a from-scratch sketch of the
+    period yields (the registered query's oracle checks this equality).
+
+    Returns one row per rollup group: ``n_sample``, ``kth_hash``
+    (2^60-capped sentinel NOT applied — exact regime is ``n_sample <
+    k``), ``kmv_estimate`` (same estimator expression tree as
+    :func:`kmv_distinct`, so IEEE doubles reproduce cross-engine).
+
+    Scale shape: the fact table is scanned ONCE ever (at sketch-build
+    time); each rollup level exchanges ≤ k longs per child group.
+    """
+    ex = (
+        sketches.select(*rollup_cols, F.explode(hashes_col).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*rollup_cols).orderBy("h")
+    km = ex.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = km.groupBy(*rollup_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("n_sample") < k, F.col("n_sample").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_DOMAIN) / F.col("kth_hash").cast("double")
+    )
+    return agg.withColumn("kmv_estimate", est)

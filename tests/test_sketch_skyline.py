@@ -247,3 +247,44 @@ def test_join_size_estimate_empty_intersection(spark):
     b = spark.createDataFrame([(99,)], "k long")
     r = join_size_estimate(a, "k", b, "k", log2_frac=0).collect()[0]
     assert r["sampled_pairs"] == 0 and r["join_size_est"] == 0
+
+
+def test_kmv_merge_equals_from_scratch_sketch(spark):
+    # the merge identity the rollup rests on: bottom-k of the union of
+    # child bottom-k samples == bottom-k of the union's full hash set,
+    # for every rollup group — estimates must be IDENTICAL doubles, not
+    # merely close
+    import random
+
+    from real_estate_project1_etl_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    for child in range(8):
+        parent = f"w{child // 4}"
+        for _ in range(300):
+            rows.append((parent, f"d{child}", rng.randint(0, 5000)))
+    df = spark.createDataFrame(rows, "parent string, child string, v long")
+    daily = kmv_sketch(df, ["parent", "child"], "v", k=32)
+    merged = {
+        r["parent"]: (r["n_sample"], r["kth_hash"], r["kmv_estimate"])
+        for r in kmv_merge_estimate(daily, ["parent"], k=32).collect()
+    }
+    scratch = {
+        r["parent"]: (r["n_sample"], r["kth_hash"], r["kmv_estimate"])
+        for r in kmv_distinct(df, ["parent"], "v", k=32).collect()
+    }
+    assert merged == scratch
+    # exact regime survives the merge: tiny children under k distinct
+    tiny = spark.createDataFrame(
+        [("p", "a", 1), ("p", "a", 2), ("p", "b", 2), ("p", "b", 3)],
+        "parent string, child string, v long",
+    )
+    [r] = kmv_merge_estimate(
+        kmv_sketch(tiny, ["parent", "child"], "v", k=32), ["parent"], k=32
+    ).collect()
+    assert (r["n_sample"], r["kmv_estimate"]) == (3, 3.0)
