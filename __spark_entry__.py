@@ -11810,6 +11810,268 @@ def q_tokenizer_fertility_by_lang(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# classifier evaluation battery (operators/evalmetrics.py)
+# --------------------------------------------------------------------------
+
+
+def _binary_eval_sql_tail(thr: int = 0) -> str:
+    # DuckDB mirror of evalmetrics.binary_classifier_eval over a CTE
+    # ``sc(doc_id, s, y, p)``: the Mann-Whitney midrank AUC, tie-grouped
+    # average precision (module nested-div convention: precision floors
+    # first, the weighted mean floors second — both engines replay both
+    # truncations), milli-prob Brier, 10-bin ECE, and the threshold
+    # confusion — every metric exact integer arithmetic.
+    return f"""
+    eg AS (SELECT s, count(*) AS c, sum(y) AS cp FROM sc GROUP BY s),
+    eo AS (SELECT c, cp,
+             coalesce(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS r_low,
+             sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum_n,
+             sum(cp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum_tp
+           FROM eg),
+    erk AS (SELECT coalesce(sum(cp * (2 * r_low + c + 1)), 0) AS s2,
+                   coalesce(sum(cp * ((1000000 * cum_tp) // cum_n)), 0)
+                       AS ap_num
+            FROM eo),
+    etot AS (SELECT count(*) AS n, coalesce(sum(y), 0) AS n_pos,
+                    coalesce(sum(CASE WHEN s >= {thr} AND y = 1
+                                      THEN 1 ELSE 0 END), 0) AS tp,
+                    coalesce(sum(CASE WHEN s >= {thr} AND y = 0
+                                      THEN 1 ELSE 0 END), 0) AS fp,
+                    coalesce(sum(CASE WHEN s < {thr} AND y = 1
+                                      THEN 1 ELSE 0 END), 0) AS fn,
+                    coalesce(sum((p - 1000 * y) * (p - 1000 * y)), 0)
+                        AS brier_num
+             FROM sc),
+    ebin AS (SELECT least(p * 10 // 1000, 9) AS b,
+                    sum(p) AS sp, sum(y) AS pos
+             FROM sc GROUP BY b),
+    ece AS (SELECT coalesce(sum(abs(sp - 1000 * pos)), 0) AS ece_num
+            FROM ebin)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n - n_pos AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0
+                THEN CAST((1000000 * (s2 - n_pos * (n_pos + 1)))
+                          // (2 * n_pos * (n - n_pos)) AS BIGINT)
+           END AS auc_ppm,
+           CASE WHEN n_pos > 0 THEN CAST(ap_num // n_pos AS BIGINT)
+           END AS ap_ppm,
+           CAST(brier_num // n AS BIGINT) AS brier_ppm,
+           CAST((1000 * ece_num) // n AS BIGINT) AS ece_ppm,
+           CAST((1000000 * (n - fp - fn)) // n AS BIGINT) AS accuracy_ppm,
+           CASE WHEN tp + fp > 0
+                THEN CAST((1000000 * tp) // (tp + fp) AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN n_pos > 0
+                THEN CAST((1000000 * tp) // n_pos AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
+           END AS f1_ppm
+    FROM etot CROSS JOIN erk CROSS JOIN ece
+    """
+
+
+# gate-scored corpus with labels and the clipped milli-prob link — shared
+# by the eval-report and calibration queries (same construction as
+# quality_classifier_gate's oracle, same hard-sigmoid link as training)
+_GATE_SCORED_CTES = rf"""
+    w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512
+                     AS feature_id,
+                 count(*) AS n
+          FROM t GROUP BY doc_id, feature_id),
+    wt AS (SELECT i AS feature_id,
+                  (i * 2654435761) % 2001 - 1000 AS weight_milli
+           FROM generate_series(0, 511) AS gs(i)),
+    sagg AS (SELECT doc_id, sum(n * coalesce(weight_milli, 0)) AS score
+             FROM f LEFT JOIN wt USING (feature_id) GROUP BY doc_id),
+    sc AS (SELECT d.doc_id,
+                  CAST(coalesce(sagg.score, 0) AS BIGINT) AS s,
+                  CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS y,
+                  least(greatest(500 + coalesce(sagg.score, 0) // 4, 0),
+                        1000) AS p
+           FROM documents d LEFT JOIN sagg USING (doc_id))"""
+
+
+def _gate_scored_df(spark, sf_dir):
+    from real_estate_project1_etl_spark.operators.quality import (
+        hashed_linear_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.range(512).select(
+        F.col("id").alias("feature_id"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias(
+            "weight_milli"
+        ),
+    )
+    scored = hashed_linear_classifier(docs, weights, dim=512, threshold_milli=0)
+    return scored.select(
+        "doc_id",
+        "score_milli",
+        (F.col("doc_id") % 2 == 0).cast("int").alias("label"),
+        F.expr("least(greatest(500 + score_milli div 4, 0), 1000)").alias(
+            "p_milli"
+        ),
+    )
+
+
+@_q(
+    "classifier_eval_report",
+    f"WITH {_GATE_SCORED_CTES},{_binary_eval_sql_tail(0)}",
+)
+def q_classifier_eval_report(spark, sf_dir):
+    # the EVAL half of the quality loop (eval-loop family, alongside
+    # topk_recall / pair_set_recall): AUC (Mann-Whitney midranks), AP,
+    # Brier, ECE, and the threshold confusion for the linear quality
+    # gate against the deterministic doc_id%2 labels — all ppm-exact
+    # integers, every metric value-checked cross-engine.  One corpus
+    # pass + a distinct-score (model-sized) rank sweep.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        binary_classifier_eval,
+    )
+
+    return binary_classifier_eval(
+        _gate_scored_df(spark, sf_dir),
+        score_col="score_milli",
+        label_col="label",
+        p_milli_col="p_milli",
+        threshold_milli=0,
+    )
+
+
+@_q(
+    "classifier_calibration_bins",
+    f"""
+    WITH {_GATE_SCORED_CTES}
+    SELECT CAST(least(p * 10 // 1000, 9) AS INT) AS bin,
+           count(*) AS n,
+           CAST((1000 * sum(p)) // count(*) AS BIGINT) AS conf_ppm,
+           CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS acc_ppm
+    FROM sc GROUP BY bin
+    """,
+)
+def q_classifier_calibration_bins(spark, sf_dir):
+    # reliability-diagram table for the same gate: equal-width milli-prob
+    # bins, mean predicted confidence vs empirical positive rate (ppm) —
+    # the per-bin decomposition whose weighted gap is the report's ECE.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    return calibration_bins(
+        _gate_scored_df(spark, sf_dir),
+        p_milli_col="p_milli",
+        label_col="label",
+        n_bins=10,
+    )
+
+
+def _classifier_train_holdout_oracle(
+    dim: int = _CLS_TRAIN_DIM, n_iters: int = _CLS_TRAIN_ITERS
+) -> str:
+    # train on the doc_id%3<>0 folds (membership filtered in the margin
+    # and residual CTEs, like the SGD oracle), score the HELD-OUT
+    # doc_id%3=0 slice with the final weights, then run the full eval
+    # battery on the held-out scores — the train/test split every real
+    # eval loop needs, value-checked end to end.
+    its = []
+    mem = "doc_id % 3 <> 0"
+    for i in range(1, n_iters + 1):
+        its.append(f"""
+    m{i} AS (SELECT f.doc_id, sum(f.n * w.wm) AS m
+             FROM f JOIN w{i - 1} w USING (feature_id)
+             WHERE {mem} GROUP BY f.doc_id),
+    r{i} AS (SELECT y.doc_id,
+                    least(greatest(500 + coalesce(m.m, 0) // 4, 0), 1000)
+                        - y.y * 1000 AS r
+             FROM (SELECT * FROM y WHERE {mem}) y
+             LEFT JOIN m{i} m USING (doc_id)),
+    g{i} AS (SELECT f.feature_id, sum(r.r * f.n) AS g
+             FROM f JOIN r{i} r USING (doc_id) GROUP BY f.feature_id),
+    w{i} AS (SELECT w.feature_id,
+                    CAST(w.wm - coalesce(g.g // 64, 0) AS BIGINT) AS wm
+             FROM w{i - 1} w LEFT JOIN g{i} g USING (feature_id))""")
+    return rf"""
+    WITH wd AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS tok FROM wd),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % {dim}
+                     AS feature_id,
+                 count(*) AS n
+          FROM t GROUP BY doc_id, feature_id),
+    y AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+          FROM documents),
+    w0 AS (SELECT CAST(i AS BIGINT) AS feature_id, CAST(0 AS BIGINT) AS wm
+           FROM generate_series(0, {dim - 1}) AS gs(i)),{",".join(its)},
+    mh AS (SELECT f.doc_id, sum(f.n * w.wm) AS m
+           FROM f JOIN w{n_iters} w USING (feature_id)
+           WHERE doc_id % 3 = 0 GROUP BY f.doc_id),
+    sc AS (SELECT d.doc_id,
+                  CAST(coalesce(mh.m, 0) AS BIGINT) AS s,
+                  CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS y,
+                  least(greatest(500 + coalesce(mh.m, 0) // 4, 0), 1000)
+                      AS p
+           FROM documents d LEFT JOIN mh USING (doc_id)
+           WHERE d.doc_id % 3 = 0),{_binary_eval_sql_tail(0)}
+    """
+
+
+@_q("trained_classifier_holdout_eval", _classifier_train_holdout_oracle())
+def q_trained_classifier_holdout_eval(spark, sf_dir):
+    # the full train -> held-out-eval loop IN the engine: fit the hashed
+    # classifier on the doc_id%3<>0 folds (same integer trajectory the
+    # train oracle unrolls, membership-filtered), score the held-out
+    # doc_id%3=0 slice with the final weights, and emit the one-row eval
+    # report — AUC/AP/Brier/ECE/confusion, every number an exact integer
+    # the oracle's unrolled-training + rank-sweep SQL reproduces.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        binary_classifier_eval,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        hashed_linear_classifier,
+        train_hashed_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    w = train_hashed_classifier(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        dim=_CLS_TRAIN_DIM,
+        n_iters=_CLS_TRAIN_ITERS,
+        lr_num=1,
+        lr_den=64,
+    )
+    held = docs.filter(F.col("doc_id") % 3 == 0)
+    scored = hashed_linear_classifier(
+        held,
+        w.select("feature_id", "weight_milli"),
+        dim=_CLS_TRAIN_DIM,
+        threshold_milli=0,
+    )
+    scored = scored.join(
+        held.select("doc_id", "label"), "doc_id"
+    ).withColumn(
+        "p_milli",
+        F.expr("least(greatest(500 + score_milli div 4, 0), 1000)"),
+    )
+    return binary_classifier_eval(
+        scored,
+        score_col="score_milli",
+        label_col="label",
+        p_milli_col="p_milli",
+        threshold_milli=0,
+    )
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 

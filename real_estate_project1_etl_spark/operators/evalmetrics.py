@@ -1,0 +1,202 @@
+"""Binary-classifier evaluation metrics — the eval half of the quality
+loop, integer-exact so every number is differentially checkable.
+
+The reference has no model surface at all (its only gate is the row-wise
+price filters, reference: transform.py:34-58); a modern curation pipeline
+trains quality classifiers IN the engine (operators/quality.py
+``train_hashed_classifier``) and must also evaluate them in the engine —
+sklearn on a driver-side ``collect()`` stops being an option the moment
+the eval slice outgrows one machine. This module computes the standard
+binary-classification report as pure DataFrame aggregations:
+
+- **ROC-AUC** via the Mann-Whitney rank-sum identity (Fawcett, "An
+  introduction to ROC analysis", Pattern Recognition Letters 2006): with
+  ties credited 1/2 (midranks), ``AUC = (2*R_pos - n_pos*(n_pos+1)) /
+  (2*n_pos*n_neg)`` where ``R_pos`` is the positive class's ascending
+  rank sum. Doubling the midrank sum keeps it an INTEGER:
+  ``2*R_pos = sum over score groups cp*(2*r_low + c + 1)``.
+- **Average precision** (PR-AUC, step interpolation, ties grouped): the
+  descending-score sweep advances one DISTINCT score at a time, so tied
+  scores enter together (the standard tie rule);
+  ``AP = sum_g (tp_g/n_pos) * precision_g``. Module nested-``div``
+  convention: ``precision_ppm`` floors first, then the weighted sum
+  floors — both engines replay the same two truncations.
+- **Brier score** (Brier, Monthly Weather Review 1950): probabilities are
+  milli-units, so ``(p_milli - 1000*y)^2`` is already ppm — the mean is
+  one integer division.
+- **ECE** (expected calibration error, equal-width bins — Naeini et al.
+  AAAI'15; Guo et al., arXiv:1706.04599): the bin-weighted
+  ``|confidence - accuracy|`` telescopes to exact integers:
+  ``ECE = (1/(1000*N)) * sum_b |sum_p_b - 1000*pos_b|``.
+- threshold confusion metrics (accuracy / precision / recall / F1, ppm).
+
+Scale shape: ONE pass over the scored rows for totals + confusion +
+Brier + ECE (all partial-aggregable); ROC/AP run on the Zipf-collapsed
+DISTINCT-score table (scores are integer milli — model-sized; quantize
+first if a score were ever continuous), whose two cumulative windows are
+vocabulary-sized, never corpus-sized. Everything stays bigint-exact up
+to ~3e9 eval rows (``n_pos*n`` must fit int64); eval slices beyond that
+should sample first (``quality.stratified_hash_sample`` — the
+retry-stable sampler), which is what an eval set is anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["binary_classifier_eval", "calibration_bins"]
+
+
+def _base(
+    scored: DataFrame, score_col: str, label_col: str, p_milli_col: str
+) -> DataFrame:
+    return scored.select(
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("bigint").alias("y"),
+        F.col(p_milli_col).cast("bigint").alias("p"),
+    )
+
+
+def binary_classifier_eval(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+    p_milli_col: str = "p_milli",
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """One-row evaluation report for a scored binary classifier.
+
+    ``scored`` carries an integer ranking score (``score_col``, used for
+    AUC/AP and the threshold confusion), a 0/1 label, and a calibrated
+    probability in milli-units [0, 1000] (``p_milli_col``, used for
+    Brier/ECE). Returns ``(n, n_pos, n_neg, auc_ppm, ap_ppm, brier_ppm,
+    ece_ppm, accuracy_ppm, precision_ppm, recall_ppm, f1_ppm)`` — ratio
+    metrics are ppm bigints, NULL where undefined (single-class AUC,
+    zero predicted positives).
+    """
+    base = _base(scored, score_col, label_col, p_milli_col)
+
+    pred = (F.col("s") >= F.lit(int(threshold_milli))).cast("bigint")
+    d = F.col("p") - F.lit(1000) * F.col("y")
+    nb = F.least(F.expr("p * 10 div 1000"), F.lit(9))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("y"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum(pred * F.col("y")), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(pred * (1 - F.col("y"))), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum((1 - pred) * F.col("y")), F.lit(0)).alias("fn"),
+        F.coalesce(F.sum(d * d), F.lit(0)).alias("brier_num"),
+    )
+    # ECE bins pre-aggregate (<= 10 rows), then the absolute-gap sum
+    eb = base.groupBy(nb.alias("b")).agg(
+        F.sum("p").alias("sp"), F.sum("y").alias("pos")
+    )
+    ec = eb.agg(
+        F.coalesce(
+            F.sum(F.abs(F.col("sp") - F.lit(1000) * F.col("pos"))), F.lit(0)
+        ).alias("ece_num")
+    )
+    # distinct-score sweep: ascending ranks for AUC, descending for AP
+    g = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cp")
+    )
+    w_asc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    o = g.select(
+        "c",
+        "cp",
+        F.coalesce(F.sum("c").over(w_asc), F.lit(0)).alias("r_low"),
+        F.sum("c").over(w_desc).alias("cum_n"),
+        F.sum("cp").over(w_desc).alias("cum_tp"),
+    )
+    rk = o.agg(
+        F.coalesce(
+            F.sum(
+                F.col("cp")
+                * (F.lit(2) * F.col("r_low") + F.col("c") + F.lit(1))
+            ),
+            F.lit(0),
+        ).alias("s2"),
+        F.coalesce(
+            F.sum(F.col("cp") * F.expr("(1000000 * cum_tp) div cum_n")),
+            F.lit(0),
+        ).alias("ap_num"),
+    )
+
+    r = tot.crossJoin(rk).crossJoin(ec)
+    n_neg = F.col("n") - F.col("n_pos")
+    return r.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (n_neg > 0),
+            F.expr(
+                "(1000000 * (s2 - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * (n - n_pos))"
+            ),
+        )
+        .cast("bigint")
+        .alias("auc_ppm"),
+        F.when(F.col("n_pos") > 0, F.expr("ap_num div n_pos"))
+        .cast("bigint")
+        .alias("ap_ppm"),
+        F.expr("brier_num div n").cast("bigint").alias("brier_ppm"),
+        F.expr("(1000 * ece_num) div n").cast("bigint").alias("ece_ppm"),
+        F.expr("(1000000 * (n - fp - fn)) div n")
+        .cast("bigint")
+        .alias("accuracy_ppm"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(1000000 * tp) div (tp + fp)"),
+        )
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.when(F.col("n_pos") > 0, F.expr("(1000000 * tp) div n_pos"))
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr("(2000000 * tp) div (2 * tp + fp + fn)"),
+        )
+        .cast("bigint")
+        .alias("f1_ppm"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    p_milli_col: str = "p_milli",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table: equal-width probability bins with mean
+    predicted confidence vs empirical positive rate (both ppm) — the
+    per-bin decomposition whose weighted gap is the ECE. One aggregation
+    exchange; at most ``n_bins`` output rows."""
+    if n_bins < 1:
+        raise ValueError("calibration_bins: n_bins must be >= 1")
+    base = scored.select(
+        F.col(p_milli_col).cast("bigint").alias("p"),
+        F.col(label_col).cast("bigint").alias("y"),
+    )
+    b = F.least(
+        F.expr(f"p * {int(n_bins)} div 1000"), F.lit(int(n_bins) - 1)
+    )
+    return (
+        base.groupBy(b.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sp"),
+            F.sum("y").alias("pos"),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(1000 * sp) div n").cast("bigint").alias("conf_ppm"),
+            F.expr("(1000000 * pos) div n").cast("bigint").alias("acc_ppm"),
+        )
+    )

@@ -1,0 +1,181 @@
+"""Classifier-eval battery vs an independent pure-python model —
+midrank AUC (ties), tie-grouped AP, Brier/ECE integer identities, and
+the degenerate single-class / empty-confusion NULL contracts."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_project1_etl_spark.operators.evalmetrics import (
+    binary_classifier_eval,
+    calibration_bins,
+)
+
+
+def _py_eval(rows, thr=0):
+    """(s, y, p) triples -> dict of exact-integer metrics, written as an
+    INDEPENDENT model: sorts + pair counting in rationals, the module's
+    floor-division convention applied only at the ppm boundary."""
+    n = len(rows)
+    n_pos = sum(y for _, y, _ in rows)
+    n_neg = n - n_pos
+    out = {"n": n, "n_pos": n_pos, "n_neg": n_neg}
+    # AUC by literal pair counting (the definition, not the rank identity)
+    if n_pos and n_neg:
+        num = Fraction(0)
+        for s1, y1, _ in rows:
+            if y1 != 1:
+                continue
+            for s0, y0, _ in rows:
+                if y0 != 0:
+                    continue
+                if s1 > s0:
+                    num += 1
+                elif s1 == s0:
+                    num += Fraction(1, 2)
+        v = Fraction(1_000_000) * num / (n_pos * n_neg)
+        out["auc_ppm"] = v.numerator // v.denominator
+    else:
+        out["auc_ppm"] = None
+    # AP: descending distinct-score sweep, nested floor divisions
+    if n_pos:
+        groups = {}
+        for s, y, _ in rows:
+            c, cp = groups.get(s, (0, 0))
+            groups[s] = (c + 1, cp + y)
+        cum_n = cum_tp = 0
+        ap_num = 0
+        for s in sorted(groups, reverse=True):
+            c, cp = groups[s]
+            cum_n += c
+            cum_tp += cp
+            ap_num += cp * ((1_000_000 * cum_tp) // cum_n)
+        out["ap_ppm"] = ap_num // n_pos
+    else:
+        out["ap_ppm"] = None
+    out["brier_ppm"] = sum((p - 1000 * y) ** 2 for _, y, p in rows) // n
+    bins = {}
+    for _, y, p in rows:
+        b = min(p * 10 // 1000, 9)
+        sp, pos = bins.get(b, (0, 0))
+        bins[b] = (sp + p, pos + y)
+    out["ece_ppm"] = (
+        1000 * sum(abs(sp - 1000 * pos) for sp, pos in bins.values())
+    ) // n
+    tp = sum(1 for s, y, _ in rows if s >= thr and y == 1)
+    fp = sum(1 for s, y, _ in rows if s >= thr and y == 0)
+    fn = sum(1 for s, y, _ in rows if s < thr and y == 1)
+    out["accuracy_ppm"] = (1_000_000 * (n - fp - fn)) // n
+    out["precision_ppm"] = (
+        (1_000_000 * tp) // (tp + fp) if tp + fp else None
+    )
+    out["recall_ppm"] = (1_000_000 * tp) // n_pos if n_pos else None
+    out["f1_ppm"] = (
+        (2_000_000 * tp) // (2 * tp + fp + fn) if 2 * tp + fp + fn else None
+    )
+    return out
+
+
+def _run(spark, rows, thr=0):
+    df = spark.createDataFrame(rows, "s bigint, y int, p bigint")
+    got = binary_classifier_eval(
+        df, score_col="s", label_col="y", p_milli_col="p", threshold_milli=thr
+    ).collect()[0]
+    return {k: got[k] for k in got.asDict()}
+
+
+def test_eval_matches_python_model_with_ties(spark):
+    # deterministic pseudo-random triples with heavy score ties
+    rows = []
+    for i in range(200):
+        h = (i * 2654435761) % 997
+        s = (h % 21) - 10          # 21 distinct scores -> many ties
+        y = 1 if (h % 3) else 0
+        p = min(max(500 + s * 37, 0), 1000)
+        rows.append((s, y, p))
+    assert _run(spark, rows) == _py_eval(rows)
+
+
+def test_eval_perfect_and_reversed_ranking(spark):
+    perfect = [(i, 1 if i >= 50 else 0, min(i * 10, 1000)) for i in range(100)]
+    assert _run(spark, perfect)["auc_ppm"] == 1_000_000
+    reverse = [(-i, 1 if i >= 50 else 0, 500) for i in range(100)]
+    assert _run(spark, reverse)["auc_ppm"] == 0
+    allties = [(7, i % 2, 500) for i in range(10)]
+    assert _run(spark, allties)["auc_ppm"] == 500_000
+
+
+def test_eval_single_class_nulls(spark):
+    rows = [(i, 1, 800) for i in range(5)]
+    got = _run(spark, rows)
+    assert got["auc_ppm"] is None
+    assert got["recall_ppm"] == 1_000_000
+    assert got == _py_eval(rows)
+    rows0 = [(-i - 1, 0, 100) for i in range(5)]
+    got0 = _run(spark, rows0, thr=0)
+    assert got0["auc_ppm"] is None and got0["ap_ppm"] is None
+    assert got0["precision_ppm"] is None  # no predicted positives
+    assert got0 == _py_eval(rows0)
+
+
+def test_eval_threshold_moves_confusion(spark):
+    rows = [(s, y, 500) for s, y in [(-5, 0), (-1, 1), (2, 0), (9, 1)]]
+    lo = _run(spark, rows, thr=-10)
+    hi = _run(spark, rows, thr=5)
+    assert lo["recall_ppm"] == 1_000_000 and lo["precision_ppm"] == 500_000
+    assert hi["recall_ppm"] == 500_000 and hi["precision_ppm"] == 1_000_000
+    assert lo == _py_eval(rows, thr=-10) and hi == _py_eval(rows, thr=5)
+
+
+def test_calibration_bins_identity_and_clip(spark):
+    rows = []
+    for i in range(300):
+        h = (i * 1103515245 + 12345) % 2048
+        p = h % 1001            # includes p == 1000 (clips into bin 9)
+        y = 1 if h % 5 < 2 else 0
+        rows.append((0, y, p))
+    df = spark.createDataFrame(rows, "s bigint, y int, p bigint")
+    got = {
+        r["bin"]: (r["n"], r["conf_ppm"], r["acc_ppm"])
+        for r in calibration_bins(
+            df, p_milli_col="p", label_col="y", n_bins=10
+        ).collect()
+    }
+    bins = {}
+    for _, y, p in rows:
+        b = min(p * 10 // 1000, 9)
+        n, sp, pos = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, sp + p, pos + y)
+    want = {
+        b: (n, (1000 * sp) // n, (1_000_000 * pos) // n)
+        for b, (n, sp, pos) in bins.items()
+    }
+    assert got == want
+    # ECE identity: report's ece_ppm == bin-weighted |conf - acc| gap
+    rep = binary_classifier_eval(
+        df, score_col="s", label_col="y", p_milli_col="p"
+    ).collect()[0]
+    ece_num = sum(abs(sp - 1000 * pos) for _, sp, pos in bins.values())
+    assert rep["ece_ppm"] == (1000 * ece_num) // len(rows)
+
+
+def test_calibration_bins_rejects_bad_n_bins(spark):
+    df = spark.createDataFrame([(0, 1, 500)], "s bigint, y int, p bigint")
+    with pytest.raises(ValueError):
+        calibration_bins(df, p_milli_col="p", label_col="y", n_bins=0)
+
+
+def test_holdout_eval_auc_beats_chance(spark, sf_dir):
+    # the registered train->holdout-eval loop separates the planted
+    # doc_id%2 labels on unseen docs well above chance (the weak but
+    # real signal: label correlates with doc content via the generator)
+    import __spark_entry__ as entry
+
+    got = entry.queries()["trained_classifier_holdout_eval"](
+        spark, sf_dir
+    ).collect()[0]
+    assert got["n"] > 0 and got["n_pos"] > 0 and got["n_neg"] > 0
+    assert got["auc_ppm"] is not None and got["auc_ppm"] > 500_000
