@@ -11809,6 +11809,67 @@ def q_tokenizer_fertility_by_lang(spark, sf_dir):
     )
 
 
+def _hist_rollup_est_sql(q: int) -> str:
+    # the selected-bucket interpolation for one permille, as a MAX over
+    # the per-group cumulative walk (exactly one bucket satisfies the
+    # rank-containment predicate)
+    t = f"(n * {q} + 999) // 1000"
+    lo = "(CAST(1 AS BIGINT) << bucket)"
+    return (
+        f"CAST(max(CASE WHEN cum_below < {t} AND {t} <= cum_below + cnt "
+        f"THEN {lo} + ({lo} * ({t} - cum_below)) // cnt END) AS BIGINT) "
+        f"AS p{q}_est"
+    )
+
+
+@_q(
+    "totalprice_monthly_quantile_rollup",
+    f"""
+    WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                      CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    d AS (SELECT day, length(bin(cents)) - 1 AS bucket, count(*) AS cnt
+          FROM o WHERE cents >= 1 GROUP BY day, bucket),
+    m AS (SELECT substr(day, 1, 7) AS month, bucket, sum(cnt) AS cnt
+          FROM d GROUP BY month, bucket),
+    c AS (SELECT month, bucket, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY month ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_below,
+                 sum(cnt) OVER (PARTITION BY month) AS n
+          FROM m)
+    SELECT month, CAST(max(n) AS BIGINT) AS n,
+           {_hist_rollup_est_sql(500)},
+           {_hist_rollup_est_sql(900)},
+           {_hist_rollup_est_sql(990)}
+    FROM c GROUP BY month
+    """,
+)
+def q_totalprice_monthly_quantile_rollup(spark, sf_dir):
+    # mergeable QUANTILE-sketch rollup (the third member of the sketch
+    # family: KMV = distinct, CMS = frequency, log2-histogram =
+    # quantiles): daily power-of-two-bucket histograms of the order
+    # value in cents roll up to monthly p50/p90/p99 estimates by
+    # summing counters — the fact table is scanned once ever, each
+    # rollup level exchanges <= 63 longs per child group, and the
+    # integer bucket function (length(bin(v))-1) plus integer
+    # interpolation make estimates bit-identical cross-engine.
+    from real_estate_project1_etl_spark.operators.sketch import (
+        hist_merge_quantiles,
+        log2_hist_sketch,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    daily = log2_hist_sketch(od, ["day"], "cents")
+    monthly = daily.select(
+        F.substring("day", 1, 7).alias("month"), "bucket", "cnt"
+    )
+    return hist_merge_quantiles(monthly, ["month"], permilles=(500, 900, 990))
+
+
 # --------------------------------------------------------------------------
 # classifier evaluation battery (operators/evalmetrics.py)
 # --------------------------------------------------------------------------

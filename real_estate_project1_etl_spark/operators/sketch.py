@@ -46,8 +46,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "cms_build",
     "cms_estimate",
+    "hist_merge_quantiles",
     "kmv_distinct",
     "kmv_set_overlap",
+    "log2_hist_sketch",
     "md5_60",
 ]
 
@@ -350,3 +352,95 @@ def kmv_merge_estimate(
         F.lit(float(k - 1)) * F.lit(_DOMAIN) / F.col("kth_hash").cast("double")
     )
     return agg.withColumn("kmv_estimate", est)
+
+
+def log2_hist_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group power-of-two-bucket histogram sketch of a positive
+    integer measure: bucket ``b`` covers ``[2^b, 2^(b+1))``, computed as
+    ``length(bin(v)) - 1`` — pure integer arithmetic, so the bucket
+    function (unlike ``floor(log2(v))``, knife-edged at powers of two
+    in floating point) is bit-identical in any engine with a
+    binary-string function.
+
+    This is the quantile-estimation member of the module's mergeable
+    family (KMV = distinct counts, CMS = frequencies): bucket counters
+    are ADDITIVE, so per-day / per-partition sketches roll up by summing
+    cells (:func:`hist_merge_quantiles`) without rescanning facts, and a
+    rollup of stored sketches is EXACTLY the sketch of the rolled-up
+    period. Log-spaced buckets bound the relative quantile error by the
+    bucket width (factor-of-two raw; the within-bucket interpolation
+    does much better on smooth data) for any value range — the classic
+    HDR-histogram / DDSketch trade (Masson et al., VLDB'19: relative-
+    error quantile sketches are log-bucket histograms).
+
+    ``value_col`` must be a positive bigint (``v >= 1``) — map your
+    measure to integral units first (cents, microseconds, bytes).
+    Output: one ``(group_cols..., bucket, cnt)`` row per non-empty
+    bucket — at most 63 rows per group regardless of input size.
+    """
+    v = F.col(value_col)
+    b = (F.length(F.bin(v)) - F.lit(1)).cast("int")
+    return (
+        df.filter(v >= 1)
+        .groupBy(*group_cols, b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge_quantiles(
+    sketches: DataFrame,
+    rollup_cols: list[str],
+    permilles: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Merge stored log2-histogram sketches up a hierarchy (days →
+    weeks/months) and estimate quantiles of the merged distribution —
+    without touching the fact table.
+
+    Quantile convention (exact integer arithmetic, engine-mirrorable):
+    target rank ``r_q = ceil(q/1000 * N)`` (the inverted-CDF quantile on
+    the sorted multiset), located in the first bucket whose cumulative
+    count reaches it; the estimate interpolates uniformly within the
+    bucket: ``est = 2^b + (2^b * (r_q - cum_below)) div cnt_b`` (bucket
+    width IS the lower bound for power-of-two buckets).
+
+    Returns one row per rollup group: ``n`` plus one ``p{q}_est`` bigint
+    column per requested permille.
+
+    Scale shape: merge is one sum-aggregation over ≤ 63-row-per-child
+    sketch tables; the cumulative walk runs on the merged ≤ 63-row-per-
+    group table (two tiny window passes, partitioned by the rollup key —
+    never a per-fact window). The fact table was scanned once ever, at
+    sketch-build time.
+    """
+    if not permilles or any(not 0 < q <= 1000 for q in permilles):
+        raise ValueError(
+            f"hist_merge_quantiles: permilles must be in (0, 1000], got {permilles!r}"
+        )
+    merged = sketches.groupBy(*rollup_cols, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w_below = (
+        Window.partitionBy(*rollup_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*rollup_cols)
+    cum = merged.select(
+        *rollup_cols,
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("cum_below"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    lower = "shiftleft(cast(1 as bigint), bucket)"
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in permilles:
+        target = f"(n * {int(q)} + 999) div 1000"
+        hit = F.expr(f"cum_below < {target} and {target} <= cum_below + cnt")
+        est = F.expr(f"{lower} + ({lower} * ({target} - cum_below)) div cnt")
+        aggs.append(
+            F.max(F.when(hit, est)).cast("bigint").alias(f"p{int(q)}_est")
+        )
+    return cum.groupBy(*rollup_cols).agg(*aggs)

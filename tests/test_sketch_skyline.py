@@ -288,3 +288,90 @@ def test_kmv_merge_equals_from_scratch_sketch(spark):
         kmv_sketch(tiny, ["parent", "child"], "v", k=32), ["parent"], k=32
     ).collect()
     assert (r["n_sample"], r["kmv_estimate"]) == (3, 3.0)
+
+
+def test_log2_hist_bucket_function_and_bounds(spark):
+    from real_estate_project1_etl_spark.operators.sketch import (
+        log2_hist_sketch,
+    )
+
+    rows = [(1, "g"), (2, "g"), (3, "g"), (4, "g"), (1023, "g"), (1024, "g"),
+            (0, "g"), (-7, "g")]  # <1 rows are dropped by contract
+    df = spark.createDataFrame(rows, "v bigint, g string")
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in log2_hist_sketch(df, ["g"], "v").collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 1, 9: 1, 10: 1}
+
+
+def test_hist_rollup_merge_equals_from_scratch(spark):
+    # the mergeability identity: day sketches summed into a week equal
+    # the sketch built directly on the week's rows — counters AND the
+    # derived quantile estimates
+    from real_estate_project1_etl_spark.operators.sketch import (
+        hist_merge_quantiles,
+        log2_hist_sketch,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (f"d{i % 7}", rng.randrange(1, 1_000_000)) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "day string, v bigint")
+    daily = log2_hist_sketch(df, ["day"], "v")
+    via_merge = hist_merge_quantiles(
+        daily.select(F.lit("w1").alias("week"), "bucket", "cnt"), ["week"]
+    ).collect()[0]
+    direct = hist_merge_quantiles(
+        log2_hist_sketch(
+            df.select(F.lit("w1").alias("week"), "v"), ["week"], "v"
+        ),
+        ["week"],
+    ).collect()[0]
+    assert via_merge.asDict() == direct.asDict()
+
+
+def test_hist_rollup_quantiles_within_bucket_error(spark):
+    # log-bucket quantile estimates land within a factor of 2 of the
+    # exact inverted-CDF quantile (the bucket-width bound), and the
+    # estimates are monotone across permilles
+    from real_estate_project1_etl_spark.operators.sketch import (
+        hist_merge_quantiles,
+        log2_hist_sketch,
+    )
+
+    rng = random.Random(101)
+    vals = [rng.randrange(1, 500_000) for _ in range(5000)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v bigint"
+    )
+    got = hist_merge_quantiles(
+        log2_hist_sketch(df, ["g"], "v"), ["g"], permilles=(500, 900, 990)
+    ).collect()[0]
+    sv = sorted(vals)
+    for q in (500, 900, 990):
+        target = (len(sv) * q + 999) // 1000
+        exact = sv[target - 1]
+        est = got[f"p{q}_est"]
+        assert exact / 2 <= est <= exact * 2, (q, exact, est)
+    assert got["p500_est"] <= got["p900_est"] <= got["p990_est"]
+    assert got["n"] == len(vals)
+
+
+def test_hist_rollup_rejects_bad_permilles(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.sketch import (
+        hist_merge_quantiles,
+        log2_hist_sketch,
+    )
+
+    df = spark.createDataFrame([("g", 5)], "g string, v bigint")
+    sk = log2_hist_sketch(df, ["g"], "v")
+    with pytest.raises(ValueError):
+        hist_merge_quantiles(sk, ["g"], permilles=())
+    with pytest.raises(ValueError):
+        hist_merge_quantiles(sk, ["g"], permilles=(0,))
+    with pytest.raises(ValueError):
+        hist_merge_quantiles(sk, ["g"], permilles=(1001,))
