@@ -11809,6 +11809,107 @@ def q_tokenizer_fertility_by_lang(spark, sf_dir):
     )
 
 
+#: 20% test fraction as a 60-bit hash cutoff — floor(0.2 * 2^60), exact
+_SPLIT_TEST_T = (1 << 60) // 5
+
+
+@_q(
+    "leakage_free_split_audit",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(0.6)},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ),
+    sp AS (
+        SELECT d.doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(
+                        coalesce(l.comp, d.doc_id) AS VARCHAR)), 1, 15)
+                    )::BIGINT < {_SPLIT_TEST_T}
+                    THEN 'test' ELSE 'train' END AS sp_atomic,
+               CASE WHEN ('0x' || substr(md5(CAST(
+                        d.doc_id AS VARCHAR)), 1, 15)
+                    )::BIGINT < {_SPLIT_TEST_T}
+                    THEN 'test' ELSE 'train' END AS sp_naive
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+    pj AS (
+        SELECT a.sp_atomic AS a_atomic, b.sp_atomic AS b_atomic,
+               a.sp_naive AS a_naive, b.sp_naive AS b_naive
+        FROM pairs p
+        JOIN sp a ON a.doc_id = p.id_a
+        JOIN sp b ON b.doc_id = p.id_b)
+    SELECT 'atomic' AS method,
+           (SELECT count(*) FROM sp WHERE sp_atomic = 'train')::BIGINT
+               AS n_train,
+           (SELECT count(*) FROM sp WHERE sp_atomic = 'test')::BIGINT
+               AS n_test,
+           (SELECT coalesce(sum(CASE WHEN a_atomic <> b_atomic
+                                     THEN 1 ELSE 0 END), 0)
+            FROM pj)::BIGINT AS leaked_pairs
+    UNION ALL
+    SELECT 'naive',
+           (SELECT count(*) FROM sp WHERE sp_naive = 'train')::BIGINT,
+           (SELECT count(*) FROM sp WHERE sp_naive = 'test')::BIGINT,
+           (SELECT coalesce(sum(CASE WHEN a_naive <> b_naive
+                                     THEN 1 ELSE 0 END), 0)
+            FROM pj)::BIGINT
+    """,
+)
+def q_leakage_free_split_audit(spark, sf_dir):
+    # LEAKAGE-FREE train/test split (Lee et al., arXiv:2107.06499 §4's
+    # contamination class): near-dup components (minhash 0.6 banding ->
+    # connected components — the near_dup_components pipeline) are
+    # assigned ATOMICALLY by hashing the component representative at a
+    # 20% test cutoff, vs the naive per-document hash split. The audit
+    # counts near-dup pairs straddling the split: structurally 0 for
+    # the atomic method, > 0 for naive whenever any component's members
+    # hash to both sides — both numbers value-checked cross-engine.
+    from real_estate_project1_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from real_estate_project1_etl_spark.operators.quality import (
+        component_atomic_split,
+        split_leakage_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", round_digits=None, hash_fn="md5_60"
+    )
+    labels = connected_components(pairs, "id_a", "id_b", max_iter=10)
+    ids = docs.select("doc_id")
+    atomic = component_atomic_split(ids, labels, _SPLIT_TEST_T)
+    naive = ids.select(
+        "doc_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            < F.lit(_SPLIT_TEST_T),
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    a = split_leakage_count(pairs, atomic).select(
+        F.lit("atomic").alias("method"), "n_train", "n_test", "leaked_pairs"
+    )
+    n = split_leakage_count(pairs, naive).select(
+        F.lit("naive").alias("method"), "n_train", "n_test", "leaked_pairs"
+    )
+    return a.unionAll(n)
+
+
 def _hist_rollup_est_sql(q: int) -> str:
     # the selected-bucket interpolation for one permille, as a MAX over
     # the per-group cumulative walk (exactly one bucket satisfies the
