@@ -12053,7 +12053,7 @@ _GATE_SCORED_CTES = rf"""
            FROM generate_series(0, 511) AS gs(i)),
     sagg AS (SELECT doc_id, sum(n * coalesce(weight_milli, 0)) AS score
              FROM f LEFT JOIN wt USING (feature_id) GROUP BY doc_id),
-    sc AS (SELECT d.doc_id,
+    sc AS (SELECT d.doc_id, d.lang,
                   CAST(coalesce(sagg.score, 0) AS BIGINT) AS s,
                   CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS y,
                   least(greatest(500 + coalesce(sagg.score, 0) // 4, 0),
@@ -12074,8 +12074,9 @@ def _gate_scored_df(spark, sf_dir):
         ),
     )
     scored = hashed_linear_classifier(docs, weights, dim=512, threshold_milli=0)
-    return scored.select(
+    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",
+        "lang",
         "score_milli",
         (F.col("doc_id") % 2 == 0).cast("int").alias("label"),
         F.expr("least(greatest(500 + score_milli div 4, 0), 1000)").alias(
@@ -12132,6 +12133,47 @@ def q_classifier_calibration_bins(spark, sf_dir):
         p_milli_col="p_milli",
         label_col="label",
         n_bins=10,
+    )
+
+
+@_q(
+    "gate_auc_by_lang",
+    f"""
+    WITH {_GATE_SCORED_CTES},
+    gg AS (SELECT lang, s, count(*) AS c, sum(y) AS cp
+           FROM sc GROUP BY lang, s),
+    go AS (SELECT lang, c, cp,
+                  coalesce(sum(c) OVER (PARTITION BY lang ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS r_low
+           FROM gg),
+    gp AS (SELECT lang, sum(c) AS n, sum(cp) AS n_pos,
+                  sum(cp * (2 * r_low + c + 1)) AS s2
+           FROM go GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n - n_pos AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0
+                THEN CAST((1000000 * (s2 - n_pos * (n_pos + 1)))
+                          // (2 * n_pos * (n - n_pos)) AS BIGINT)
+           END AS auc_ppm
+    FROM gp
+    """,
+)
+def q_gate_auc_by_lang(spark, sf_dir):
+    # SLICED eval: per-language AUC of the linear gate — the fairness /
+    # regression-surface discipline (a gate fine in aggregate can be
+    # chance-level on a language slice). Same midrank rank-sum identity
+    # as the aggregate report; the cumulative window partitions on lang,
+    # so no single-task sweep.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        grouped_auc_ppm,
+    )
+
+    return grouped_auc_ppm(
+        _gate_scored_df(spark, sf_dir),
+        ["lang"],
+        score_col="score_milli",
+        label_col="label",
     )
 
 

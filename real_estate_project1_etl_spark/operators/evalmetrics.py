@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_classifier_eval", "calibration_bins"]
+__all__ = ["binary_classifier_eval", "calibration_bins", "grouped_auc_ppm"]
 
 
 def _base(
@@ -199,4 +199,69 @@ def calibration_bins(
             F.expr("(1000 * sp) div n").cast("bigint").alias("conf_ppm"),
             F.expr("(1000000 * pos) div n").cast("bigint").alias("acc_ppm"),
         )
+    )
+
+
+def grouped_auc_ppm(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-group ROC-AUC (midrank Mann-Whitney, same integer identity as
+    :func:`binary_classifier_eval`) — the sliced-eval discipline: a gate
+    that looks fine in aggregate can be chance-level (or inverted) on a
+    language/source slice, exactly the failure multilingual curation
+    audits for (cf. the per-language fertility audit in
+    :func:`~.textstats.wordpiece_fertility_by_group`).
+
+    Returns one row per group: ``(group_cols..., n, n_pos, n_neg,
+    auc_ppm)`` with ``auc_ppm`` NULL for single-class slices.
+
+    Scale shape: the rank sweep runs on the per-(group, distinct-score)
+    table — Zipf-collapsed, model-sized per group; the cumulative window
+    partitions on the group key, so no single-task global sort. One
+    aggregation exchange on (group, score), one on group.
+    """
+    base = scored.select(
+        *group_cols,
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("bigint").alias("y"),
+    )
+    g = base.groupBy(*group_cols, "s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cp")
+    )
+    w_asc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = g.select(
+        *group_cols,
+        "c",
+        "cp",
+        F.coalesce(F.sum("c").over(w_asc), F.lit(0)).alias("r_low"),
+    )
+    per = o.groupBy(*group_cols).agg(
+        F.sum("c").alias("n"),
+        F.sum("cp").alias("n_pos"),
+        F.sum(
+            F.col("cp") * (F.lit(2) * F.col("r_low") + F.col("c") + F.lit(1))
+        ).alias("s2"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    return per.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (n_neg > 0),
+            F.expr(
+                "(1000000 * (s2 - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * (n - n_pos))"
+            ),
+        )
+        .cast("bigint")
+        .alias("auc_ppm"),
     )

@@ -179,3 +179,35 @@ def test_holdout_eval_auc_beats_chance(spark, sf_dir):
     ).collect()[0]
     assert got["n"] > 0 and got["n_pos"] > 0 and got["n_neg"] > 0
     assert got["auc_ppm"] is not None and got["auc_ppm"] > 500_000
+
+
+def test_grouped_auc_matches_per_group_python_model(spark):
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        grouped_auc_ppm,
+    )
+
+    rows = []
+    for i in range(300):
+        h = (i * 48271) % 1009
+        grp = ["en", "de", "cs"][h % 3]
+        s = (h % 13) - 6
+        y = 1 if h % 4 else 0
+        rows.append((grp, s, y))
+    # single-class slice: every 'xx' row positive -> NULL AUC
+    rows += [("xx", i, 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, s bigint, y int")
+    got = {
+        r["g"]: (r["n"], r["n_pos"], r["n_neg"], r["auc_ppm"])
+        for r in grouped_auc_ppm(
+            df, ["g"], score_col="s", label_col="y"
+        ).collect()
+    }
+    for grp in ("en", "de", "cs", "xx"):
+        sub = [(s, y, 500) for g, s, y in rows if g == grp]
+        want = _py_eval(sub)
+        assert got[grp] == (
+            want["n"],
+            want["n_pos"],
+            want["n_neg"],
+            want["auc_ppm"],
+        ), grp
