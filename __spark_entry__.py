@@ -11809,6 +11809,75 @@ def q_tokenizer_fertility_by_lang(spark, sf_dir):
     )
 
 
+def _power_iteration_oracle(dim: int = 64, n_iters: int = 8) -> str:
+    # DuckDB mirror of spectral.quantized_scatter +
+    # power_iteration_top_component: exact 2^8 quantization, centered
+    # scatter n*G - s s^T, the 36-bit scatter cap and 20-bit iterate cap
+    # as integer bin-length shifts, and the iteration unrolled as
+    # (u, shift, v) CTE triples — the full trajectory value-checked.
+    # every u{k} feeds both m{k} and v{k}, and cm feeds every level:
+    # without MATERIALIZED, DuckDB inlines the references and the
+    # evaluation tree doubles per iteration (the batched-BPE 3^n lesson)
+    its = []
+    for k in range(1, n_iters + 1):
+        its.append(f"""
+    u{k} AS MATERIALIZED (SELECT cm.i, CAST(sum(cm.c * v.v) AS BIGINT) AS u
+             FROM cm JOIN v{k - 1} v ON v.i = cm.j GROUP BY cm.i),
+    m{k} AS (SELECT greatest(length(bin(CAST(max(abs(u)) AS BIGINT)))
+                             - 20, 0) AS sh FROM u{k}),
+    v{k} AS MATERIALIZED (SELECT i, u // (CAST(1 AS BIGINT) << sh) AS v
+             FROM u{k} CROSS JOIN m{k})""")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    n AS (SELECT count(*) AS n FROM e),
+    q AS MATERIALIZED (SELECT vec_id, i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 256) AS BIGINT)
+                     AS q
+          FROM e, generate_series(1, {dim}) AS gs(i)),
+    g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+          FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+    s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY i),
+    c0 AS (SELECT g.i, g.j, n.n * g.g - sa.s * sb.s AS c
+           FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
+           CROSS JOIN n),
+    tc AS (SELECT greatest(length(bin(CAST(max(abs(c)) AS BIGINT))) - 36,
+                           0) AS t FROM c0),
+    cm AS MATERIALIZED (SELECT i, j, c // (CAST(1 AS BIGINT) << t) AS c
+           FROM c0 CROSS JOIN tc),
+    v0 AS (SELECT i, CAST(1 AS BIGINT) AS v
+           FROM generate_series(1, {dim}) AS gs(i)),{",".join(its)},
+    mv AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM v{n_iters})
+    SELECT v{n_iters}.i,
+           CASE WHEN mv.m > 0
+                THEN CAST((1000000 * v{n_iters}.v) // mv.m AS BIGINT)
+           END AS v_ppm
+    FROM v{n_iters} CROSS JOIN mv
+    """
+
+
+@_q("embeddings_top_component", _power_iteration_oracle())
+def q_embeddings_top_component(spark, sf_dir):
+    # SPECTRAL family: dominant principal direction of the embedding
+    # corpus by exact-integer power iteration (von Mises 1929) on the
+    # centered scatter n*G - s s^T — the primitive behind embedding
+    # whitening, ABTT common-direction removal (Mu & Viswanath,
+    # ICLR'18), snapshot drift detection, and balanced ANN split axes.
+    # The only corpus-sized exchange is the d^2-cell scatter partial
+    # aggregation; iterations are broadcast joins on model-sized
+    # tables. Every step is truncating-integer arithmetic, so the
+    # 8-iteration trajectory and the ppm direction are value-checked
+    # cross-engine; numpy eigenvector alignment is pinned in
+    # tests/test_spectral.py.
+    from real_estate_project1_etl_spark.operators.spectral import (
+        power_iteration_top_component,
+        quantized_scatter,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = quantized_scatter(emb, "embedding", "vec_id", scale_pow2=8)
+    return power_iteration_top_component(c, dim=64, n_iters=8)
+
+
 #: 20% test fraction as a 60-bit hash cutoff — floor(0.2 * 2^60), exact
 _SPLIT_TEST_T = (1 << 60) // 5
 

@@ -1,0 +1,162 @@
+"""Spectral ops over embedding columns: exact-integer scatter matrix +
+power-iteration dominant principal component.
+
+The reference has no vector surface at all (SURVEY §2b north-star gap);
+a training-data pipeline uses the corpus's dominant principal direction
+constantly — embedding whitening/decorrelation, drift detection between
+crawl snapshots, picking the split axis for balanced ANN cells (the
+IVF-PQ hot-cell story in operators/similarity.py), or ABTT-style
+common-direction removal (Mu & Viswanath, ICLR'18 "All-but-the-Top").
+At 100 TB the data matrix never fits anywhere, but PCA only needs the
+d x d scatter — a perfectly partial-aggregable sum of per-row outer
+products — and power iteration on that tiny matrix (von Mises &
+Pollaczek-Geiringer 1929; the PageRank of linear algebra) needs one
+broadcast-sized matrix-vector product per step.
+
+Everything is EXACT integer arithmetic so the whole trajectory is
+engine-mirrorable (the module's oracle-determinism discipline):
+
+- floats quantize by a power-of-two scale: ``q = floor(x * 2^s)`` —
+  float->double is exact, multiplying by 2^s is exact IEEE, floor is
+  engine-identical; q is a bigint.
+- the CENTERED scatter is computed without ever forming rational means:
+  ``C = n * G - s s^T`` where ``G = sum q q^T`` and ``s = sum q``
+  (n^2 times the covariance — exact, PSD).
+- magnitude control is deterministic truncation, not float scaling:
+  C is right-shifted to <= 36 significant bits, each iterate to <= 20
+  bits (``x div 2^t`` with ``t = max(bitlen(max|x|) - cap, 0)`` and
+  ``bitlen = length(bin(|x|))`` — integer expressions both engines
+  evaluate identically; headroom: |Cv| <= 2^(36+20+log2 d) < 2^63 for
+  d <= 64). Truncation perturbs the iteration by < 2^-19 per step —
+  far below the eigengap of any direction worth extracting — and the
+  OUTPUT is deterministic arithmetic either way, so correctness never
+  rests on the perturbation being small; only numpy-alignment does
+  (pinned in tests).
+- the reported direction is scale-free: ``v_ppm = (1e6 * v_i) div
+  max|v|`` — ppm of the largest component, sign fixed by the all-ones
+  start vector.
+
+Scale shape: quantization + per-row outer products live in the scan
+stage; the ONLY corpus-sized exchange is the (i, j)-keyed partial
+aggregation to d^2 = 4096 cells (map-side combine does almost all of
+it). The scatter, the shift scalars, and every iterate are model-sized
+(d^2 / 1 / d rows); iterates re-checkpoint per step, capping lineage the
+train_hashed_classifier way. Nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["power_iteration_top_component", "quantized_scatter"]
+
+#: bit caps: scatter <= 2^36, iterate <= 2^20 — |C v| < 2^63 for d <= 64
+_C_BITS = 36
+_V_BITS = 20
+
+
+def quantized_scatter(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_pow2: int = 8,
+) -> DataFrame:
+    """Exact centered scatter matrix of the quantized embeddings:
+    ``(i, j, c)`` with 1-based dims and ``c = n * sum(q_i q_j) -
+    sum(q_i) * sum(q_j)``, right-shifted to <= 2^36 so downstream
+    matrix-vector products cannot overflow. One corpus pass; the output
+    is d^2 rows."""
+    q = emb.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(vec_col).alias("_pos", "_x"),
+    ).select(
+        "_vid",
+        (F.col("_pos") + 1).alias("i"),
+        F.floor(F.col("_x").cast("double") * F.lit(float(1 << scale_pow2)))
+        .cast("bigint")
+        .alias("q"),
+    )
+    g = (
+        q.join(q.select(F.col("_vid"), F.col("i").alias("j"), F.col("q").alias("qj")), "_vid")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("q") * F.col("qj")).alias("g"))
+    )
+    s = q.groupBy("i").agg(F.sum("q").alias("s"))
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    c0 = (
+        g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
+        .join(
+            F.broadcast(
+                s.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("c"),
+        )
+    )
+    t = c0.agg(
+        F.greatest(
+            F.length(F.bin(F.max(F.abs(F.col("c"))))) - F.lit(_C_BITS),
+            F.lit(0),
+        ).alias("t")
+    )
+    return c0.crossJoin(F.broadcast(t)).select(
+        "i",
+        "j",
+        F.expr("c div (shiftleft(cast(1 as bigint), t))").alias("c"),
+    )
+
+
+def power_iteration_top_component(
+    scatter: DataFrame, dim: int, n_iters: int = 8
+) -> DataFrame:
+    """Dominant principal direction of a (shift-capped) scatter matrix
+    by deterministic power iteration: start from all-ones, multiply,
+    right-shift each iterate to <= 2^20 significant bits, repeat.
+    Returns ``(i, v_ppm)`` — the direction in ppm of its largest
+    |component|, sign inherited from the all-ones start."""
+    if dim < 1 or dim > 64:
+        raise ValueError(
+            f"power_iteration_top_component: dim must be in [1, 64], got {dim!r}"
+        )
+    if n_iters < 1:
+        raise ValueError(
+            f"power_iteration_top_component: n_iters must be >= 1, got {n_iters!r}"
+        )
+    spark = scatter.sparkSession
+    cm = scatter.localCheckpoint(eager=True)
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("i"), F.lit(1).cast("bigint").alias("v")
+    )
+    for _ in range(n_iters):
+        u = (
+            cm.join(
+                F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))),
+                "j",
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+        )
+        sh = u.agg(
+            F.greatest(
+                F.length(F.bin(F.max(F.abs(F.col("u"))))) - F.lit(_V_BITS),
+                F.lit(0),
+            ).alias("sh")
+        )
+        v = (
+            u.crossJoin(F.broadcast(sh))
+            .select(
+                "i",
+                F.expr("u div (shiftleft(cast(1 as bigint), sh))").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    m = v.agg(F.max(F.abs(F.col("v"))).alias("m"))
+    return v.crossJoin(F.broadcast(m)).select(
+        "i", F.expr("(1000000 * v) div m").cast("bigint").alias("v_ppm")
+    )

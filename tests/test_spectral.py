@@ -1,0 +1,119 @@
+"""Spectral family: exact-integer scatter + power iteration — replayed
+step-for-step by an independent python integer model, aligned with
+numpy's dense eigendecomposition, and pinned on planted geometry."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from real_estate_project1_etl_spark.operators.spectral import (
+    power_iteration_top_component,
+    quantized_scatter,
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Spark's ``div`` /
+    DuckDB's ``//`` semantics, NOT python's floor ``//``."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def _py_model(vectors, dim, n_iters=8, scale=256):
+    q = [[math.floor(x * scale) for x in v] for v in vectors]
+    n = len(q)
+    s = [sum(row[i] for row in q) for i in range(dim)]
+    c = [
+        [
+            n * sum(row[i] * row[j] for row in q) - s[i] * s[j]
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    t = max(max(abs(x) for r in c for x in r).bit_length() - 36, 0)
+    c = [[_tdiv(x, 1 << t) for x in r] for r in c]
+    v = [1] * dim
+    for _ in range(n_iters):
+        u = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        sh = max(max(abs(x) for x in u).bit_length() - 20, 0)
+        v = [_tdiv(x, 1 << sh) for x in u]
+    m = max(abs(x) for x in v)
+    if m == 0:
+        return {i + 1: None for i in range(dim)}, c
+    return {i + 1: _tdiv(1_000_000 * x, m) for i, x in enumerate(v)}, c
+
+
+def _run(spark, vectors, dim, n_iters=8):
+    df = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(vectors)],
+        "vec_id bigint, embedding array<double>",
+    )
+    sc = quantized_scatter(df, "embedding", "vec_id", scale_pow2=8)
+    out = power_iteration_top_component(sc, dim=dim, n_iters=n_iters)
+    return {r["i"]: r["v_ppm"] for r in out.collect()}
+
+
+def test_power_iteration_replays_python_integer_model(spark):
+    rng = np.random.default_rng(7)
+    dim = 8
+    vectors = (rng.standard_normal((40, dim)) * 0.3).tolist()
+    got = _run(spark, vectors, dim)
+    want, _ = _py_model(vectors, dim)
+    assert got == want
+
+
+def test_dominant_direction_aligns_with_numpy_eig(spark):
+    rng = np.random.default_rng(11)
+    dim = 12
+    u = rng.standard_normal(dim)
+    u /= np.linalg.norm(u)
+    # planted spike: strong u component + small isotropic noise
+    data = (
+        np.outer(rng.standard_normal(200) * 2.0, u)
+        + rng.standard_normal((200, dim)) * 0.05
+    )
+    got = _run(spark, data.tolist(), dim, n_iters=8)
+    v = np.array([got[i + 1] for i in range(dim)], dtype=float)
+    # numpy eigenvector of the SAME shifted integer scatter the engine used
+    _, c = _py_model(data.tolist(), dim)
+    w, vecs = np.linalg.eigh(np.array(c, dtype=float))
+    top = vecs[:, np.argmax(w)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    # and the planted direction itself is recovered
+    cos_u = abs(v @ u) / (np.linalg.norm(v) * np.linalg.norm(u))
+    assert cos_u > 0.99, cos_u
+
+
+def test_degenerate_zero_scatter_yields_null_direction(spark):
+    vectors = [[0.25, -0.5, 0.125]] * 10  # identical rows -> C == 0
+    got = _run(spark, vectors, 3)
+    assert got == {1: None, 2: None, 3: None}
+
+
+def test_power_iteration_validations(spark):
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id bigint, embedding array<double>"
+    )
+    sc = quantized_scatter(df, "embedding", "vec_id")
+    with pytest.raises(ValueError):
+        power_iteration_top_component(sc, dim=0)
+    with pytest.raises(ValueError):
+        power_iteration_top_component(sc, dim=65)
+    with pytest.raises(ValueError):
+        power_iteration_top_component(sc, dim=2, n_iters=0)
+
+
+def test_registered_query_direction_is_unit_scaled(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["embeddings_top_component"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 64
+    vals = [r["v_ppm"] for r in rows]
+    assert all(v is not None for v in vals)
+    assert max(abs(v) for v in vals) == 1_000_000  # ppm-of-max scaling
