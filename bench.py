@@ -132,6 +132,15 @@ HEADLINE = [
     # round-12b: WordPiece max-munch encoding (the tokenizer-apply twin
     # of bpe_token_stats — aggregate-fold cursor state per distinct word)
     "wordpiece_token_stats",
+    # round-12c: the eval half of the quality loop (gate inference +
+    # AUC/AP/Brier/ECE report; train -> held-out eval), the mergeable
+    # quantile-sketch rollup, the leakage-free component-atomic split
+    # audit, and the spectral top-component power iteration
+    "classifier_eval_report",
+    "trained_classifier_holdout_eval",
+    "totalprice_monthly_quantile_rollup",
+    "leakage_free_split_audit",
+    "embeddings_top_component",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -203,6 +212,11 @@ COST = {
     "ccnet_perplexity_buckets": "bigram-LM scores + range-partitioned global ranking on (lang, -score, id) + group-sized min/count broadcast — no per-language window",
     "documents_corpus_build_v6": "v6 funnel: CCNet keep (LM + buckets) -> DSIR fit+score on survivors -> top-150 importance draw -> 512-token/4-shard packing layout",
     "wordpiece_token_stats": "max-munch aggregate fold per DISTINCT word (Zipf-collapsed) + weighted count agg + top-k; vocab ships as a map literal; no Python, no text shuffle",
+    "classifier_eval_report": "gate inference (token hash + feature agg) + one totals pass + distinct-score rank sweep (model-sized windows); metrics all integer",
+    "trained_classifier_holdout_eval": "3-iter integer GD on 2/3 folds (feature table checkpointed once) + held-out scoring + eval sweep",
+    "totalprice_monthly_quantile_rollup": "one orders scan -> <=63-bucket daily sketches; rollup + quantile walk on model-sized tables",
+    "leakage_free_split_audit": "minhash banding + CC (checkpointed) + two split hashes + pair-endpoint joins; pair-volume-bound",
+    "embeddings_top_component": "d^2-cell scatter partial agg (one corpus pass) + 8 broadcast mat-vec steps on checkpointed 64-row iterates",
 }
 
 

@@ -67,22 +67,41 @@ def quantized_scatter(
     sum(q_i) * sum(q_j)``, right-shifted to <= 2^36 so downstream
     matrix-vector products cannot overflow. One corpus pass; the output
     is d^2 rows."""
-    q = emb.select(
-        F.col(id_col).alias("_vid"),
-        F.posexplode(vec_col).alias("_pos", "_x"),
+    # quantize the whole vector once per row; the outer product is a
+    # chained double posexplode over the SAME array — no self-join, no
+    # shuffle of the exploded table: the d^2 products are generated in
+    # the scan stage and map-side partial aggregation collapses each
+    # task to <= d^2 cells before the single tiny exchange
+    qv = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+        f" * {float(1 << scale_pow2)}) as bigint))"
+    )
+    rows = emb.select(qv.alias("_qv"))
+    # symmetry: generate only j >= i (slice the array from position i),
+    # halving the explode volume; mirror the strict upper triangle after
+    # the aggregation (4096-row table — free)
+    pairs = rows.select(
+        F.posexplode("_qv").alias("_i0", "_qi"), F.col("_qv")
     ).select(
-        "_vid",
-        (F.col("_pos") + 1).alias("i"),
-        F.floor(F.col("_x").cast("double") * F.lit(float(1 << scale_pow2)))
-        .cast("bigint")
-        .alias("q"),
+        (F.col("_i0") + 1).alias("i"),
+        F.col("_qi"),
+        F.posexplode(
+            F.expr("slice(_qv, _i0 + 1, size(_qv) - _i0)")
+        ).alias("_j0", "_qj"),
     )
-    g = (
-        q.join(q.select(F.col("_vid"), F.col("i").alias("j"), F.col("q").alias("qj")), "_vid")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("q") * F.col("qj")).alias("g"))
+    g_up = pairs.groupBy(
+        "i", (F.col("i") + F.col("_j0")).alias("j")
+    ).agg(F.sum(F.col("_qi") * F.col("_qj")).alias("g"))
+    g = g_up.unionAll(
+        g_up.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
     )
-    s = q.groupBy("i").agg(F.sum("q").alias("s"))
+    s = (
+        rows.select(F.posexplode("_qv").alias("_i0", "_qi"))
+        .groupBy((F.col("_i0") + 1).alias("i"))
+        .agg(F.sum("_qi").alias("s"))
+    )
     n = emb.agg(F.count(F.lit(1)).alias("n"))
     c0 = (
         g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
