@@ -11809,7 +11809,7 @@ def q_tokenizer_fertility_by_lang(spark, sf_dir):
     )
 
 
-def _power_iteration_oracle(dim: int = 64, n_iters: int = 8) -> str:
+def _power_iteration_ctes(dim: int = 64, n_iters: int = 8) -> str:
     # DuckDB mirror of spectral.quantized_scatter +
     # power_iteration_top_component: exact 2^8 quantization, centered
     # scatter n*G - s s^T, the 36-bit scatter cap and 20-bit iterate cap
@@ -11846,13 +11846,57 @@ def _power_iteration_oracle(dim: int = 64, n_iters: int = 8) -> str:
            FROM c0 CROSS JOIN tc),
     v0 AS (SELECT i, CAST(1 AS BIGINT) AS v
            FROM generate_series(1, {dim}) AS gs(i)),{",".join(its)},
-    mv AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM v{n_iters})
-    SELECT v{n_iters}.i,
+    mv AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM v{n_iters}),
+    vp AS MATERIALIZED (SELECT v{n_iters}.i,
            CASE WHEN mv.m > 0
                 THEN CAST((1000000 * v{n_iters}.v) // mv.m AS BIGINT)
            END AS v_ppm
-    FROM v{n_iters} CROSS JOIN mv
+    FROM v{n_iters} CROSS JOIN mv)
     """
+
+
+def _power_iteration_oracle(dim: int = 64, n_iters: int = 8) -> str:
+    return f"{_power_iteration_ctes(dim, n_iters)} SELECT i, v_ppm FROM vp"
+
+
+def _abtt_oracle(dim: int = 64, n_iters: int = 8) -> str:
+    # fit (the full power-iteration chain) + apply: residual multiplied
+    # through by den = v.v so there is NO division — r = den*q - (q.v)*v,
+    # exactly orthogonal to v by integer identity
+    return f"""{_power_iteration_ctes(dim, n_iters)},
+    num AS (SELECT q.vec_id, sum(q.q * vp.v_ppm) AS num
+            FROM q JOIN vp USING (i) GROUP BY q.vec_id),
+    den AS (SELECT sum(v_ppm * v_ppm) AS den FROM vp)
+    SELECT q.vec_id, q.i,
+           CAST(den.den * q.q - num.num * vp.v_ppm AS BIGINT) AS r
+    FROM q JOIN vp USING (i)
+    JOIN num ON num.vec_id = q.vec_id
+    CROSS JOIN den
+    """
+
+
+@_q("embeddings_abtt_residuals", _abtt_oracle())
+def q_embeddings_abtt_residuals(spark, sf_dir):
+    # fit + APPLY: remove the corpus's dominant direction from every
+    # embedding — ABTT common-direction removal (Mu & Viswanath,
+    # ICLR'18). Division-free residual r = (v.v)*q - (q.v)*v: a positive
+    # scaling of the projection residual (cosine/top-k downstream are
+    # scale-invariant) that is EXACTLY orthogonal to v — r.v = 0 as an
+    # integer identity, checked in tests. The direction is a d-row
+    # broadcast; everything per-row is scan-stage work.
+    from real_estate_project1_etl_spark.operators.spectral import (
+        power_iteration_top_component,
+        quantized_scatter,
+        remove_component,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = power_iteration_top_component(
+        quantized_scatter(emb, "embedding", "vec_id", scale_pow2=8),
+        dim=64,
+        n_iters=8,
+    )
+    return remove_component(emb, comp, "embedding", "vec_id", scale_pow2=8)
 
 
 @_q("embeddings_top_component", _power_iteration_oracle())

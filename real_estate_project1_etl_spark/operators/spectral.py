@@ -49,7 +49,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["power_iteration_top_component", "quantized_scatter"]
+__all__ = [
+    "power_iteration_top_component",
+    "quantized_scatter",
+    "remove_component",
+]
 
 #: bit caps: scatter <= 2^36, iterate <= 2^20 — |C v| < 2^63 for d <= 64
 _C_BITS = 36
@@ -178,4 +182,63 @@ def power_iteration_top_component(
     m = v.agg(F.max(F.abs(F.col("v"))).alias("m"))
     return v.crossJoin(F.broadcast(m)).select(
         "i", F.expr("(1000000 * v) div m").cast("bigint").alias("v_ppm")
+    )
+
+
+def remove_component(
+    emb: DataFrame,
+    component: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_pow2: int = 8,
+    comp_idx_col: str = "i",
+    comp_val_col: str = "v_ppm",
+) -> DataFrame:
+    """APPLY half of the spectral pair (fit = scatter + power iteration):
+    remove a direction from every embedding — ABTT common-direction
+    removal (Mu & Viswanath, ICLR'18 "All-but-the-Top"), the
+    post-processing that measurably improves similarity search on raw
+    embedding corpora.
+
+    Exact integer arithmetic with NO division: for quantized row ``q``
+    and direction ``v``, the residual is returned multiplied through by
+    ``den = v.v``:  ``r = den * q - (q.v) * v`` — a positive scaling of
+    the true projection residual (direction-preserving; downstream
+    cosine / top-k are scale-invariant), and EXACTLY orthogonal to v:
+    ``r.v = den*(q.v) - (q.v)*den = 0`` — an integer identity both
+    engines reproduce bit-for-bit (and the module's tests assert).
+
+    ``component`` is a ``(comp_idx_col 1-based, comp_val_col)`` table —
+    :func:`power_iteration_top_component`'s output shape. Returns
+    exploded ``(id_col, i, r)`` rows.
+
+    Scale shape: the direction is a d-row broadcast; quantization, the
+    dot product (one array fold after a zip via the posexploded join)
+    and the residual are scan-stage per-row work; output is narrow.
+    """
+    qv = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+        f" * {float(1 << scale_pow2)}) as bigint))"
+    )
+    ex = emb.select(F.col(id_col), qv.alias("_qv")).select(
+        id_col, F.posexplode("_qv").alias("_i0", "_q")
+    ).select(id_col, (F.col("_i0") + 1).alias("i"), F.col("_q"))
+    comp = component.select(
+        F.col(comp_idx_col).alias("i"), F.col(comp_val_col).alias("_v")
+    )
+    j = ex.join(F.broadcast(comp), "i")
+    dots = j.groupBy(id_col).agg(
+        F.sum(F.col("_q") * F.col("_v")).alias("_num")
+    )
+    den = comp.agg(F.sum(F.col("_v") * F.col("_v")).alias("_den"))
+    return (
+        j.join(dots, id_col)
+        .crossJoin(F.broadcast(den))
+        .select(
+            id_col,
+            "i",
+            (F.col("_den") * F.col("_q") - F.col("_num") * F.col("_v"))
+            .cast("bigint")
+            .alias("r"),
+        )
     )

@@ -117,3 +117,57 @@ def test_registered_query_direction_is_unit_scaled(spark, sf_dir):
     vals = [r["v_ppm"] for r in rows]
     assert all(v is not None for v in vals)
     assert max(abs(v) for v in vals) == 1_000_000  # ppm-of-max scaling
+
+
+def test_remove_component_exact_orthogonality_and_model(spark):
+    from real_estate_project1_etl_spark.operators.spectral import (
+        remove_component,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 6
+    vecs = (rng.standard_normal((30, dim)) * 0.4).tolist()
+    emb = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    comp_vals = [317, -250, 991, 12, -44, 600]
+    comp = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(comp_vals)], "i int, v_ppm bigint"
+    )
+    out = remove_component(emb, comp, "embedding", "vec_id").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["vec_id"], {})[r["i"]] = r["r"]
+    den = sum(v * v for v in comp_vals)
+    for vid, v in enumerate(vecs):
+        q = [math.floor(x * 256) for x in v]
+        num = sum(qi * vi for qi, vi in zip(q, comp_vals))
+        want = [den * qi - num * vi for qi, vi in zip(q, comp_vals)]
+        assert [got[vid][i + 1] for i in range(dim)] == want
+        # exact orthogonality: r . v == 0 (integer identity)
+        assert sum(w * vi for w, vi in zip(want, comp_vals)) == 0
+
+
+def test_registered_abtt_residuals_orthogonal_to_component(spark, sf_dir):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    comp = {
+        r["i"]: r["v_ppm"]
+        for r in entry.queries()["embeddings_top_component"](
+            spark, sf_dir
+        ).collect()
+    }
+    res = entry.queries()["embeddings_abtt_residuals"](spark, sf_dir)
+    vdf = res.sparkSession.createDataFrame(
+        [(i, v) for i, v in comp.items()], "i int, v bigint"
+    )
+    dots = (
+        res.join(F.broadcast(vdf), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("r") * F.col("v")).alias("dot"))
+        .agg(F.sum(F.abs(F.col("dot"))).alias("total"))
+        .collect()[0]["total"]
+    )
+    assert dots == 0
