@@ -11809,6 +11809,32 @@ def q_tokenizer_fertility_by_lang(spark, sf_dir):
     )
 
 
+def _pi_chain(mat: str, pfx: str, dim: int, n_iters: int) -> str:
+    # one power-iteration chain over matrix CTE ``mat``, CTE names
+    # prefixed ``pfx`` (so deflated chains coexist), ending in
+    # ``vp{pfx}(i, v_ppm)``.  Every u feeds both its shift scalar and
+    # the next iterate: MATERIALIZED, or DuckDB's inlining doubles the
+    # evaluation tree per level (the batched-BPE 3^n lesson).
+    its = []
+    for k in range(1, n_iters + 1):
+        its.append(f"""
+    {pfx}u{k} AS MATERIALIZED (SELECT m.i, CAST(sum(m.c * v.v) AS BIGINT) AS u
+             FROM {mat} m JOIN {pfx}v{k - 1} v ON v.i = m.j GROUP BY m.i),
+    {pfx}m{k} AS (SELECT greatest(length(bin(CAST(max(abs(u)) AS BIGINT)))
+                             - 20, 0) AS sh FROM {pfx}u{k}),
+    {pfx}v{k} AS MATERIALIZED (SELECT i, u // (CAST(1 AS BIGINT) << sh) AS v
+             FROM {pfx}u{k} CROSS JOIN {pfx}m{k})""")
+    return f"""{pfx}v0 AS (SELECT i, CAST(1 AS BIGINT) AS v
+           FROM generate_series(1, {dim}) AS gs(i)),{",".join(its)},
+    {pfx}mv AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM {pfx}v{n_iters}),
+    vp{pfx} AS MATERIALIZED (SELECT {pfx}v{n_iters}.i,
+           CASE WHEN {pfx}mv.m > 0
+                THEN CAST((1000000 * {pfx}v{n_iters}.v) // {pfx}mv.m
+                          AS BIGINT)
+           END AS v_ppm
+    FROM {pfx}v{n_iters} CROSS JOIN {pfx}mv)"""
+
+
 def _power_iteration_ctes(dim: int = 64, n_iters: int = 8) -> str:
     # DuckDB mirror of spectral.quantized_scatter +
     # power_iteration_top_component: exact 2^8 quantization, centered
@@ -11818,15 +11844,6 @@ def _power_iteration_ctes(dim: int = 64, n_iters: int = 8) -> str:
     # every u{k} feeds both m{k} and v{k}, and cm feeds every level:
     # without MATERIALIZED, DuckDB inlines the references and the
     # evaluation tree doubles per iteration (the batched-BPE 3^n lesson)
-    its = []
-    for k in range(1, n_iters + 1):
-        its.append(f"""
-    u{k} AS MATERIALIZED (SELECT cm.i, CAST(sum(cm.c * v.v) AS BIGINT) AS u
-             FROM cm JOIN v{k - 1} v ON v.i = cm.j GROUP BY cm.i),
-    m{k} AS (SELECT greatest(length(bin(CAST(max(abs(u)) AS BIGINT)))
-                             - 20, 0) AS sh FROM u{k}),
-    v{k} AS MATERIALIZED (SELECT i, u // (CAST(1 AS BIGINT) << sh) AS v
-             FROM u{k} CROSS JOIN m{k})""")
     return f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     n AS (SELECT count(*) AS n FROM e),
@@ -11844,19 +11861,58 @@ def _power_iteration_ctes(dim: int = 64, n_iters: int = 8) -> str:
                            0) AS t FROM c0),
     cm AS MATERIALIZED (SELECT i, j, c // (CAST(1 AS BIGINT) << t) AS c
            FROM c0 CROSS JOIN tc),
-    v0 AS (SELECT i, CAST(1 AS BIGINT) AS v
-           FROM generate_series(1, {dim}) AS gs(i)),{",".join(its)},
-    mv AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM v{n_iters}),
-    vp AS MATERIALIZED (SELECT v{n_iters}.i,
-           CASE WHEN mv.m > 0
-                THEN CAST((1000000 * v{n_iters}.v) // mv.m AS BIGINT)
-           END AS v_ppm
-    FROM v{n_iters} CROSS JOIN mv)
+    {_pi_chain("cm", "", dim, n_iters)}
     """
 
 
 def _power_iteration_oracle(dim: int = 64, n_iters: int = 8) -> str:
     return f"{_power_iteration_ctes(dim, n_iters)} SELECT i, v_ppm FROM vp"
+
+
+def _top2_components_oracle(dim: int = 64, n_iters: int = 8) -> str:
+    # component 1 = the base chain; Hotelling deflation with the
+    # 2^11-truncated direction (D = (w.w)C - (Cw)w^T, exact integers,
+    # D w == 0 identically), 36-bit re-cap, then a second prefixed chain
+    sh = 1 << 11
+    return f"""{_power_iteration_ctes(dim, n_iters)},
+    w2 AS (SELECT i, v_ppm // {sh} AS w FROM vp),
+    ww2 AS (SELECT sum(w * w) AS ww FROM w2),
+    cw2 AS (SELECT m.i, CAST(sum(m.c * w.w) AS BIGINT) AS u
+            FROM cm m JOIN w2 w ON w.i = m.j GROUP BY m.i),
+    d2 AS (SELECT m.i, m.j, ww2.ww * m.c - cw2.u * w.w AS c
+           FROM cm m JOIN w2 w ON w.i = m.j
+           JOIN cw2 ON cw2.i = m.i CROSS JOIN ww2),
+    dt2 AS (SELECT greatest(length(bin(CAST(max(abs(c)) AS BIGINT))) - 36,
+                            0) AS t FROM d2),
+    cm2 AS MATERIALIZED (SELECT i, j, c // (CAST(1 AS BIGINT) << t) AS c
+           FROM d2 CROSS JOIN dt2),
+    {_pi_chain("cm2", "b", dim, n_iters)}
+    SELECT 1 AS component, i, v_ppm FROM vp
+    UNION ALL
+    SELECT 2 AS component, i, v_ppm FROM vpb
+    """
+
+
+@_q("embeddings_top2_components", _top2_components_oracle())
+def q_embeddings_top2_components(spark, sf_dir):
+    # top-2 principal directions: power iteration + exact-integer
+    # Hotelling deflation (D = (w.w)C - (Cw)w^T annihilates the
+    # extracted direction IDENTICALLY, so deflation error never depends
+    # on convergence; orthogonal eigenvalues scale by the positive w.w,
+    # order-preserving). Both trajectories value-checked cross-engine;
+    # numpy top-2 alignment pinned in tests/test_spectral.py.
+    from real_estate_project1_etl_spark.operators.spectral import (
+        power_iteration_components,
+        quantized_scatter,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return power_iteration_components(
+        quantized_scatter(emb, "embedding", "vec_id", scale_pow2=8),
+        dim=64,
+        n_components=2,
+        n_iters=8,
+    )
 
 
 def _abtt_oracle(dim: int = 64, n_iters: int = 8) -> str:

@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "deflate",
+    "power_iteration_components",
     "power_iteration_top_component",
     "quantized_scatter",
     "remove_component",
@@ -242,3 +244,83 @@ def remove_component(
             .alias("r"),
         )
     )
+
+
+#: deflation direction shift: w = v_ppm div 2^11 keeps |w| <= 2^9, so
+#: |(w.w)*C| <= 2^(24+36) and |(Cw)*w| <= 2^(51+9) — both under 2^61
+_DEFLATE_SHIFT = 11
+
+
+def deflate(scatter: DataFrame, component: DataFrame) -> DataFrame:
+    """Hotelling deflation in exact integers: with the truncated
+    direction ``w = v_ppm div 2^11``, return ``D = (w.w)*C - (C w) w^T``
+    re-capped to <= 2^36.  ``D w = (w.w)(C w) - (C w)(w.w) = 0`` is an
+    integer IDENTITY — the deflated matrix annihilates exactly the
+    direction that was extracted, however imperfectly converged, so
+    deflation error never depends on convergence quality. Eigenvalues
+    orthogonal to ``w`` scale by the positive constant ``w.w``
+    (order-preserving), which the 36-bit re-cap then normalizes away.
+
+    Model-sized throughout: d^2-row joins against d-row broadcasts."""
+    w = component.select(
+        F.col("i"), F.expr(f"v_ppm div {1 << _DEFLATE_SHIFT}").alias("w")
+    )
+    ww = w.agg(F.sum(F.col("w") * F.col("w")).alias("ww"))
+    wj = w.select(F.col("i").alias("j"), F.col("w"))
+    cw = (
+        scatter.join(F.broadcast(wj), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("u"))
+    )
+    d0 = (
+        scatter.join(F.broadcast(wj), "j")
+        .join(F.broadcast(cw), "i")
+        .crossJoin(F.broadcast(ww))
+        .select(
+            "i",
+            "j",
+            (F.col("ww") * F.col("c") - F.col("u") * F.col("w")).alias("c"),
+        )
+    )
+    t = d0.agg(
+        F.greatest(
+            F.length(F.bin(F.max(F.abs(F.col("c"))))) - F.lit(_C_BITS),
+            F.lit(0),
+        ).alias("t")
+    )
+    return d0.crossJoin(F.broadcast(t)).select(
+        "i",
+        "j",
+        F.expr("c div (shiftleft(cast(1 as bigint), t))").alias("c"),
+    )
+
+
+def power_iteration_components(
+    scatter: DataFrame, dim: int, n_components: int = 2, n_iters: int = 8
+) -> DataFrame:
+    """Top-``n_components`` principal directions by power iteration +
+    Hotelling deflation. Returns ``(component 1-based, i, v_ppm)`` —
+    each direction in ppm of its largest |entry|. Like everything in
+    this module the full trajectory is exact truncating-integer
+    arithmetic, so both directions are engine-mirrorable; alignment
+    with numpy's top-2 eigenvectors is pinned in tests."""
+    if n_components < 1:
+        raise ValueError(
+            "power_iteration_components: n_components must be >= 1, got "
+            f"{n_components!r}"
+        )
+    outs = []
+    cm = scatter
+    for c in range(1, n_components + 1):
+        comp = power_iteration_top_component(cm, dim=dim, n_iters=n_iters)
+        outs.append(
+            comp.select(
+                F.lit(c).cast("int").alias("component"), "i", "v_ppm"
+            )
+        )
+        if c < n_components:
+            cm = deflate(cm, comp)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -171,3 +171,70 @@ def test_registered_abtt_residuals_orthogonal_to_component(spark, sf_dir):
         .collect()[0]["total"]
     )
     assert dots == 0
+
+
+def test_top2_components_match_numpy_and_deflation_identity(spark):
+    from real_estate_project1_etl_spark.operators.spectral import (
+        power_iteration_components,
+        quantized_scatter,
+    )
+
+    rng = np.random.default_rng(19)
+    dim = 10
+    u1 = rng.standard_normal(dim); u1 /= np.linalg.norm(u1)
+    u2 = rng.standard_normal(dim)
+    u2 -= (u2 @ u1) * u1; u2 /= np.linalg.norm(u2)
+    data = (
+        np.outer(rng.standard_normal(300) * 3.0, u1)
+        + np.outer(rng.standard_normal(300) * 1.2, u2)
+        + rng.standard_normal((300, dim)) * 0.03
+    )
+    emb = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(data.tolist())],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = power_iteration_components(
+        quantized_scatter(emb, "embedding", "vec_id"), dim=dim,
+        n_components=2,
+    ).collect()
+    comps = {1: [0] * dim, 2: [0] * dim}
+    for r in out:
+        comps[r["component"]][r["i"] - 1] = r["v_ppm"]
+    v1 = np.array(comps[1], dtype=float)
+    v2 = np.array(comps[2], dtype=float)
+
+    def cos(a, b):
+        return abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    assert cos(v1, u1) > 0.99, cos(v1, u1)
+    assert cos(v2, u2) > 0.99, cos(v2, u2)
+    assert cos(v1, v2) < 0.05  # near-orthogonal directions
+
+    # deflation identity on the exact integer model: D w == 0
+    _, c = _py_model(data.tolist(), dim)
+    # engine's first component == python model's
+    want1, _ = _py_model(data.tolist(), dim)
+    assert comps[1] == [want1[i + 1] for i in range(dim)]
+    w = [_tdiv(v, 1 << 11) for v in comps[1]]
+    ww = sum(x * x for x in w)
+    cw = [sum(c[i][j] * w[j] for j in range(dim)) for i in range(dim)]
+    dw_raw = [
+        sum((ww * c[i][j] - cw[i] * w[j]) * w[j] for j in range(dim))
+        for i in range(dim)
+    ]
+    assert all(x == 0 for x in dw_raw)
+
+
+def test_components_validation(spark):
+    from real_estate_project1_etl_spark.operators.spectral import (
+        power_iteration_components,
+        quantized_scatter,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id bigint, embedding array<double>"
+    )
+    sc = quantized_scatter(df, "embedding", "vec_id")
+    with _pytest.raises(ValueError):
+        power_iteration_components(sc, dim=2, n_components=0)
