@@ -12346,6 +12346,45 @@ def q_gate_auc_by_lang(spark, sf_dir):
     )
 
 
+@_q(
+    "gate_roc_points",
+    f"""
+    WITH {_GATE_SCORED_CTES},
+    gg AS (SELECT s, count(*) AS c, sum(y) AS cp FROM sc GROUP BY s),
+    go AS (SELECT s AS threshold,
+                  sum(cp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS tp,
+                  sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW)
+                  - sum(cp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS fp
+           FROM gg),
+    gt AS (SELECT coalesce(sum(y), 0) AS n_pos,
+                  count(*) - coalesce(sum(y), 0) AS n_neg FROM sc)
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CASE WHEN n_pos > 0
+                THEN CAST((1000000 * tp) // n_pos AS BIGINT) END AS tpr_ppm,
+           CASE WHEN n_neg > 0
+                THEN CAST((1000000 * fp) // n_neg AS BIGINT) END AS fpr_ppm
+    FROM go CROSS JOIN gt
+    """,
+)
+def q_gate_roc_points(spark, sf_dir):
+    # the ROC curve as DATA: tie-grouped staircase points per distinct
+    # gate score (predict positive iff score >= threshold) — the
+    # plot-ready artifact whose trapezoid area is the report's midrank
+    # AUC. Same Zipf-collapsed sweep; never a per-threshold pass.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        roc_points,
+    )
+
+    return roc_points(
+        _gate_scored_df(spark, sf_dir),
+        score_col="score_milli",
+        label_col="label",
+    )
+
+
 def _classifier_train_holdout_oracle(
     dim: int = _CLS_TRAIN_DIM, n_iters: int = _CLS_TRAIN_ITERS
 ) -> str:

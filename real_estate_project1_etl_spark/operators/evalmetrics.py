@@ -45,7 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_classifier_eval", "calibration_bins", "grouped_auc_ppm"]
+__all__ = [
+    "binary_classifier_eval",
+    "calibration_bins",
+    "grouped_auc_ppm",
+    "roc_points",
+]
 
 
 def _base(
@@ -264,4 +269,54 @@ def grouped_auc_ppm(
         )
         .cast("bigint")
         .alias("auc_ppm"),
+    )
+
+
+def roc_points(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """ROC curve as data: one point per DISTINCT score threshold —
+    ``(threshold, tp, fp, tpr_ppm, fpr_ppm)`` where the classifier
+    predicts positive iff ``score >= threshold`` (ties enter together,
+    so the curve is the tie-grouped staircase whose trapezoid area is
+    the midrank AUC). Returns at most |distinct scores| rows — the
+    plot-ready artifact, computed without ever materializing per-row
+    predictions per threshold.
+
+    Scale shape: same Zipf-collapsed distinct-score sweep as
+    :func:`binary_classifier_eval` — one aggregation exchange, one
+    model-sized cumulative window."""
+    base = scored.select(
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("bigint").alias("y"),
+    )
+    g = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cp")
+    )
+    w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    o = g.select(
+        F.col("s").alias("threshold"),
+        F.sum("cp").over(w_desc).alias("tp"),
+        (F.sum("c").over(w_desc) - F.sum("cp").over(w_desc)).alias("fp"),
+    )
+    tot = base.agg(
+        F.coalesce(F.sum("y"), F.lit(0)).alias("n_pos"),
+        (F.count(F.lit(1)) - F.coalesce(F.sum("y"), F.lit(0))).alias(
+            "n_neg"
+        ),
+    )
+    return o.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.when(F.col("n_pos") > 0, F.expr("(1000000 * tp) div n_pos"))
+        .cast("bigint")
+        .alias("tpr_ppm"),
+        F.when(F.col("n_neg") > 0, F.expr("(1000000 * fp) div n_neg"))
+        .cast("bigint")
+        .alias("fpr_ppm"),
     )

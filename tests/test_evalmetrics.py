@@ -211,3 +211,49 @@ def test_grouped_auc_matches_per_group_python_model(spark):
             want["n_neg"],
             want["auc_ppm"],
         ), grp
+
+
+def test_roc_points_staircase_and_trapezoid_equals_auc(spark):
+    from fractions import Fraction as Fr
+
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        roc_points,
+    )
+
+    rows = []
+    for i in range(240):
+        h = (i * 69621) % 1013
+        s = (h % 17) - 8
+        y = 1 if h % 3 else 0
+        rows.append((s, y, 500))
+    df = spark.createDataFrame(rows, "s bigint, y int, p bigint")
+    pts = sorted(
+        (
+            (r["threshold"], r["tp"], r["fp"], r["tpr_ppm"], r["fpr_ppm"])
+            for r in roc_points(
+                df, score_col="s", label_col="y"
+            ).collect()
+        ),
+        key=lambda t: -t[0],
+    )
+    n_pos = sum(y for _, y, _ in rows)
+    n_neg = len(rows) - n_pos
+    # python staircase from scratch
+    want = []
+    tp = fp = 0
+    for thr in sorted({s for s, _, _ in rows}, reverse=True):
+        tp += sum(1 for s, y, _ in rows if s == thr and y == 1)
+        fp += sum(1 for s, y, _ in rows if s == thr and y == 0)
+        want.append(
+            (thr, tp, fp, 1_000_000 * tp // n_pos, 1_000_000 * fp // n_neg)
+        )
+    assert pts == want
+    # trapezoid area under the tie-grouped staircase == midrank AUC
+    area = Fr(0)
+    prev_tp = prev_fp = 0
+    for _, tp, fp, _, _ in want:
+        area += Fr(tp + prev_tp, 2) * (fp - prev_fp)
+        prev_tp, prev_fp = tp, fp
+    auc = _py_eval([(s, y, p) for s, y, p in rows])["auc_ppm"]
+    v = Fr(1_000_000) * area / (n_pos * n_neg)
+    assert v.numerator // v.denominator == auc
