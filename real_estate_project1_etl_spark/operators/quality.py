@@ -245,7 +245,11 @@ def component_atomic_split(
     endpoints of any pair share a component, hence a hash, hence a side.
 
     ``labels`` is the ``(id, comp)`` table; ids absent from it (docs
-    with no near-dup edge) are their own singleton component.
+    with no near-dup edge) are their own singleton component. A label
+    table with DUPLICATE ids would silently duplicate corpus rows
+    through the join (the failure class the round-11 advice flagged on
+    initial_weights), so distinctness is validated with one tiny
+    aggregate before the plan is returned — malformed labels fail loud.
     ``test_threshold`` is the integer 60-bit hash cutoff (use
     :func:`hash_threshold_fractions` semantics: ``floor(frac * 2^60)``).
     Returns ``(id_col, comp, split)`` with split in {'train', 'test'} —
@@ -257,6 +261,16 @@ def component_atomic_split(
     are row-local scan-stage expressions.
     """
     lab = labels.select(F.col("id").alias(id_col), F.col("comp"))
+    chk = lab.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col(id_col)).alias("_nd"),
+    ).collect()[0]
+    if chk["_n"] != chk["_nd"]:
+        raise ValueError(
+            "component_atomic_split: labels carry duplicate ids "
+            f"({chk['_n']} rows, {chk['_nd']} distinct) — a duplicate "
+            "would silently duplicate corpus rows through the join"
+        )
     comp = F.coalesce(F.col("comp"), F.col(id_col))
     h = _hash60(["_comp_key"])
     return (
@@ -290,7 +304,9 @@ def split_leakage_count(
     endpoints landed on different sides — 0 iff the split is leakage-
     free w.r.t. that pair graph (the invariant
     :func:`component_atomic_split` guarantees by construction and this
-    audit proves empirically).
+    audit proves empirically). Pairs with an endpoint absent from
+    ``split_df`` are excluded from the leak count (inner joins) — audit
+    the same corpus you split.
 
     Scale shape: two broadcast-sized equi-joins of the pair list against
     the (id, split) table keyed on the id — pair volume is the banded

@@ -42,6 +42,16 @@ aggregation to d^2 = 4096 cells (map-side combine does almost all of
 it). The scatter, the shift scalars, and every iterate are model-sized
 (d^2 / 1 / d rows); iterates re-checkpoint per step, capping lineage the
 train_hashed_classifier way. Nothing is collected to the driver.
+
+Row-count bound (int64): centering forms ``n*G - s*s`` with
+``|G| <= n * 2^(2*scale_pow2)``, so the scatter stays exact up to
+``n ~ 2^(23.5 - (scale_pow2 - 8))`` rows (~11M vectors at the default
+2^8 scale). Beyond that, either sample the scatter input (a uniform
+hash sample estimates the same covariance — the eval-battery precedent)
+or promote the three sums to decimal(38,0)/HUGEINT before centering and
+derive the 36-bit cap from the decimal's digit count — the documented
+production variant; the 36-bit cap already normalizes whatever scale
+the sums arrive at.
 """
 
 from __future__ import annotations

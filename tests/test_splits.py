@@ -89,3 +89,14 @@ def test_registered_split_audit_invariants(spark, sf_dir):
     assert n_docs == rows["naive"]["n_train"] + rows["naive"]["n_test"]
     assert rows["atomic"]["leaked_pairs"] == 0
     assert rows["naive"]["leaked_pairs"] >= 0
+
+
+def test_atomic_split_rejects_duplicate_label_ids(spark):
+    import pytest as _pytest
+
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    bad = spark.createDataFrame(
+        [(1, 1), (1, 2)], "id bigint, comp bigint"
+    )
+    with _pytest.raises(ValueError, match="duplicate ids"):
+        component_atomic_split(ids, bad, HALF)
