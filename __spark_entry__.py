@@ -11955,6 +11955,60 @@ def q_embeddings_abtt_residuals(spark, sf_dir):
     return remove_component(emb, comp, "embedding", "vec_id", scale_pow2=8)
 
 
+def _power_iteration_hp_oracle(dim: int = 64, n_iters: int = 8) -> str:
+    # the decimal/HUGEINT accumulation variant: sums and centering never
+    # leave HUGEINT (mirrors accumulate='decimal' — the >11M-row regime
+    # where int64 sums would wrap silently), and the 36-bit cap derives
+    # from the max cell's DIGIT count: t = (10*digits) div 3 + 1 - 36
+    # (over-shifts <= 3 bits; deterministic in both engines).
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+    q AS MATERIALIZED (SELECT vec_id, i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 256) AS BIGINT)
+                     AS q
+          FROM e, generate_series(1, {dim}) AS gs(i)),
+    g AS (SELECT a.i AS i, b.i AS j,
+                 sum(CAST(a.q AS HUGEINT) * b.q) AS g
+          FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+    s AS (SELECT i, sum(CAST(q AS HUGEINT)) AS s FROM q GROUP BY i),
+    c0 AS (SELECT g.i, g.j, n.n * g.g - sa.s * sb.s AS c
+           FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
+           CROSS JOIN n),
+    tc AS (SELECT greatest(
+                     (10 * length(CAST(max(abs(c)) AS VARCHAR))) // 3
+                     + 1 - 36, 0) AS t FROM c0),
+    cm AS MATERIALIZED (SELECT i, j,
+           CAST(c // (CAST(1 AS HUGEINT) << t) AS BIGINT) AS c
+           FROM c0 CROSS JOIN tc),
+    {_pi_chain("cm", "", dim, n_iters)}
+    SELECT i, v_ppm FROM vp
+    """
+
+
+@_q("embeddings_top_component_hp", _power_iteration_hp_oracle())
+def q_embeddings_top_component_hp(spark, sf_dir):
+    # the overflow-proof scatter regime: decimal(38,0) accumulation
+    # (exact to ~2^126) with the digit-count 36-bit cap — the variant a
+    # >11M-vector corpus REQUIRES, since non-ANSI int64 sums wrap
+    # silently past 2^63 (the wrap is demonstrated, and this path
+    # proven exact against the python big-int model, in
+    # tests/test_spectral.py). Same power iteration downstream.
+    from real_estate_project1_etl_spark.operators.spectral import (
+        power_iteration_top_component,
+        quantized_scatter,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(
+        quantized_scatter(
+            emb, "embedding", "vec_id", scale_pow2=8, accumulate="decimal"
+        ),
+        dim=64,
+        n_iters=8,
+    )
+
+
 @_q("embeddings_top_component", _power_iteration_oracle())
 def q_embeddings_top_component(spark, sf_dir):
     # SPECTRAL family: dominant principal direction of the embedding

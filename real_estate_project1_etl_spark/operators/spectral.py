@@ -77,12 +77,30 @@ def quantized_scatter(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale_pow2: int = 8,
+    accumulate: str = "bigint",
 ) -> DataFrame:
     """Exact centered scatter matrix of the quantized embeddings:
     ``(i, j, c)`` with 1-based dims and ``c = n * sum(q_i q_j) -
     sum(q_i) * sum(q_j)``, right-shifted to <= 2^36 so downstream
     matrix-vector products cannot overflow. One corpus pass; the output
-    is d^2 rows."""
+    is d^2 rows.
+
+    ``accumulate='bigint'`` (default) is exact while ``n * n *
+    2^(2*scale_pow2)`` fits int64 (~11M rows at scale 2^8) — beyond
+    that Spark's non-ANSI int64 sum WRAPS SILENTLY, so for larger
+    corpora use ``accumulate='decimal'``: sums, centering, and the cap
+    all run in decimal(38,0) (exact to ~2^126; DuckDB mirror: HUGEINT),
+    with the 36-bit cap derived from the DIGIT count of the max cell —
+    ``t = max(0, (10*digits) div 3 + 1 - 36)`` over-shifts by <= 3 bits
+    (10/3 > log2(10)), a deterministic integer spec both engines
+    replay. The two modes produce (slightly) different capped matrices
+    by construction — each is its own differential spec; both feed the
+    same power iteration."""
+    if accumulate not in ("bigint", "decimal"):
+        raise ValueError(
+            f"quantized_scatter: accumulate must be 'bigint' or 'decimal',"
+            f" got {accumulate!r}"
+        )
     # quantize the whole vector once per row; the outer product is a
     # chained double posexplode over the SAME array — no self-join, no
     # shuffle of the exploded table: the d^2 products are generated in
@@ -105,20 +123,28 @@ def quantized_scatter(
             F.expr("slice(_qv, _i0 + 1, size(_qv) - _i0)")
         ).alias("_j0", "_qj"),
     )
+    dec = accumulate == "decimal"
+    prod = F.col("_qi") * F.col("_qj")
     g_up = pairs.groupBy(
         "i", (F.col("i") + F.col("_j0")).alias("j")
-    ).agg(F.sum(F.col("_qi") * F.col("_qj")).alias("g"))
+    ).agg(
+        F.sum(prod.cast("decimal(38,0)") if dec else prod).alias("g")
+    )
     g = g_up.unionAll(
         g_up.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
     )
+    sv = F.col("_qi").cast("decimal(38,0)") if dec else F.col("_qi")
     s = (
         rows.select(F.posexplode("_qv").alias("_i0", "_qi"))
         .groupBy((F.col("_i0") + 1).alias("i"))
-        .agg(F.sum("_qi").alias("s"))
+        .agg(F.sum(sv).alias("s"))
     )
-    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    cnt = F.count(F.lit(1))
+    n = emb.agg(
+        (cnt.cast("decimal(38,0)") if dec else cnt).alias("n")
+    )
     c0 = (
         g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
         .join(
@@ -134,6 +160,28 @@ def quantized_scatter(
             (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("c"),
         )
     )
+    if dec:
+        # digit-count cap: value < 10^digits < 2^((10*digits) div 3 + 1)
+        t = c0.agg(
+            F.greatest(
+                F.expr(
+                    "(10 * length(cast(max(abs(c)) as string))) div 3"
+                    f" + 1 - {_C_BITS}"
+                ),
+                F.lit(0),
+            ).alias("t")
+        )
+        # 2^t as decimal via a split shift (t can exceed a bigint shift)
+        pow2 = (
+            "cast(shiftleft(cast(1 as bigint), least(t, 60)) as"
+            " decimal(38,0)) * cast(shiftleft(cast(1 as bigint),"
+            " greatest(t - 60, 0)) as decimal(38,0))"
+        )
+        return c0.crossJoin(F.broadcast(t)).select(
+            "i",
+            "j",
+            F.expr(f"cast(c div ({pow2}) as bigint)").alias("c"),
+        )
     t = c0.agg(
         F.greatest(
             F.length(F.bin(F.max(F.abs(F.col("c"))))) - F.lit(_C_BITS),

@@ -238,3 +238,88 @@ def test_components_validation(spark):
     sc = quantized_scatter(df, "embedding", "vec_id")
     with _pytest.raises(ValueError):
         power_iteration_components(sc, dim=2, n_components=0)
+
+
+def _py_scatter_hp(vectors, dim, scale_pow2):
+    q = [[math.floor(x * (1 << scale_pow2)) for x in v] for v in vectors]
+    n = len(q)
+    s = [sum(r[i] for r in q) for i in range(dim)]
+    c = [
+        [n * sum(r[i] * r[j] for r in q) - s[i] * s[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    m = max(abs(x) for r in c for x in r)
+    t = max((10 * len(str(m))) // 3 + 1 - 36, 0)
+    return {
+        (i + 1, j + 1): _tdiv(c[i][j], 1 << t)
+        for i in range(dim)
+        for j in range(dim)
+    }
+
+
+def test_decimal_scatter_exact_where_bigint_wraps(spark):
+    # scale 2^20 with 5000 near-1.0 rows pushes the centered cell past
+    # 2^63: the non-ANSI bigint path wraps SILENTLY; the decimal path
+    # must match the python big-int model exactly
+    rng = np.random.default_rng(23)
+    dim = 4
+    vecs = rng.uniform(0.6, 1.0, size=(5000, dim)).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    want = _py_scatter_hp(vecs, dim, 20)
+    # sanity: this really is the int64 overflow regime — the n*G and
+    # s*s centering INTERMEDIATES exceed 2^63 (the final centered cell
+    # may cancel back into range, which is exactly why the wrap is
+    # silent and dangerous)
+    q = [[math.floor(x * (1 << 20)) for x in v] for v in vecs]
+    n = len(q)
+    inter_max = max(
+        n * max(sum(r[i] * r[j] for r in q) for i in range(dim) for j in range(dim)),
+        max(sum(r[i] for r in q) for i in range(dim)) ** 2,
+    )
+    assert inter_max > 2**63, inter_max
+
+    got = {
+        (r["i"], r["j"]): r["c"]
+        for r in quantized_scatter(
+            df, "embedding", "vec_id", scale_pow2=20, accumulate="decimal"
+        ).collect()
+    }
+    assert got == want
+
+    # and the bigint path really does diverge here (silent wrap) — the
+    # reason accumulate='decimal' exists
+    wrapped = {
+        (r["i"], r["j"]): r["c"]
+        for r in quantized_scatter(
+            df, "embedding", "vec_id", scale_pow2=20, accumulate="bigint"
+        ).collect()
+    }
+    assert wrapped != want
+
+
+def test_decimal_scatter_matches_digit_cap_model_small(spark):
+    rng = np.random.default_rng(29)
+    dim = 6
+    vecs = (rng.standard_normal((80, dim)) * 0.4).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): r["c"]
+        for r in quantized_scatter(
+            df, "embedding", "vec_id", scale_pow2=8, accumulate="decimal"
+        ).collect()
+    }
+    assert got == _py_scatter_hp(vecs, dim, 8)
+
+
+def test_scatter_rejects_bad_accumulate(spark):
+    df = spark.createDataFrame(
+        [(0, [0.1])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        quantized_scatter(df, accumulate="float")
