@@ -11844,25 +11844,38 @@ def _power_iteration_ctes(dim: int = 64, n_iters: int = 8) -> str:
     # every u{k} feeds both m{k} and v{k}, and cm feeds every level:
     # without MATERIALIZED, DuckDB inlines the references and the
     # evaluation tree doubles per iteration (the batched-BPE 3^n lesson)
-    return f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    n AS (SELECT count(*) AS n FROM e),
-    q AS MATERIALIZED (SELECT vec_id, i,
+    return f"WITH {_scatter_pi_ctes('', '', dim, n_iters)}"
+
+
+def _scatter_pi_ctes(
+    pfx: str, where: str, dim: int = 64, n_iters: int = 8
+) -> str:
+    # one full scatter + power-iteration chain over an optionally
+    # row-filtered embeddings slice, every CTE name prefixed so two
+    # chains (e.g. snapshot A vs B) coexist in one statement; ends in
+    # ``vp{pfx}(i, v_ppm)``
+    wh = f"WHERE {where}" if where else ""
+    return f"""{pfx}e AS (SELECT vec_id, embedding FROM embeddings {wh}),
+    {pfx}n AS (SELECT count(*) AS n FROM {pfx}e),
+    {pfx}q AS MATERIALIZED (SELECT vec_id, i,
                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 256) AS BIGINT)
                      AS q
-          FROM e, generate_series(1, {dim}) AS gs(i)),
-    g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
-          FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
-    s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY i),
-    c0 AS (SELECT g.i, g.j, n.n * g.g - sa.s * sb.s AS c
-           FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
-           CROSS JOIN n),
-    tc AS (SELECT greatest(length(bin(CAST(max(abs(c)) AS BIGINT))) - 36,
-                           0) AS t FROM c0),
-    cm AS MATERIALIZED (SELECT i, j, c // (CAST(1 AS BIGINT) << t) AS c
-           FROM c0 CROSS JOIN tc),
-    {_pi_chain("cm", "", dim, n_iters)}
-    """
+          FROM {pfx}e, generate_series(1, {dim}) AS gs(i)),
+    {pfx}g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+          FROM {pfx}q a JOIN {pfx}q b ON a.vec_id = b.vec_id
+          GROUP BY a.i, b.i),
+    {pfx}s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s
+               FROM {pfx}q GROUP BY i),
+    {pfx}c0 AS (SELECT g.i, g.j, n.n * g.g - sa.s * sb.s AS c
+           FROM {pfx}g g JOIN {pfx}s sa ON sa.i = g.i
+           JOIN {pfx}s sb ON sb.i = g.j
+           CROSS JOIN {pfx}n n),
+    {pfx}tc AS (SELECT greatest(length(bin(CAST(max(abs(c)) AS BIGINT)))
+                                - 36, 0) AS t FROM {pfx}c0),
+    {pfx}cm AS MATERIALIZED (SELECT i, j,
+           c // (CAST(1 AS BIGINT) << t) AS c
+           FROM {pfx}c0 CROSS JOIN {pfx}tc),
+    {_pi_chain(f"{pfx}cm", pfx, dim, n_iters)}"""
 
 
 def _power_iteration_oracle(dim: int = 64, n_iters: int = 8) -> str:
@@ -11984,6 +11997,56 @@ def _power_iteration_hp_oracle(dim: int = 64, n_iters: int = 8) -> str:
     {_pi_chain("cm", "", dim, n_iters)}
     SELECT i, v_ppm FROM vp
     """
+
+
+@_q(
+    "embedding_direction_drift",
+    f"""
+    WITH {_scatter_pi_ctes("pa", "vec_id % 2 = 0")},
+    {_scatter_pi_ctes("pb", "vec_id % 2 = 1")},
+    dd AS (SELECT sum(x.v_ppm * x.v_ppm) AS a_norm2,
+                  sum(y.v_ppm * y.v_ppm) AS b_norm2,
+                  sum(x.v_ppm * y.v_ppm) AS dot
+           FROM vppa x JOIN vppb y USING (i))
+    SELECT CAST(a_norm2 AS BIGINT) AS a_norm2,
+           CAST(b_norm2 AS BIGINT) AS b_norm2,
+           CAST(dot AS BIGINT) AS dot,
+           CASE WHEN a_norm2 > 0 AND b_norm2 > 0
+                THEN CAST((CAST(1000000 AS HUGEINT) * dot * dot)
+                          // (CAST(a_norm2 AS HUGEINT) * b_norm2)
+                          AS BIGINT)
+           END AS cos2_ppm
+    FROM dd
+    """,
+)
+def q_embedding_direction_drift(spark, sf_dir):
+    # snapshot DRIFT: squared-cosine alignment between the dominant
+    # principal directions of two corpus slices (even vs odd vec_id —
+    # the stand-in for crawl A vs crawl B). Distribution shift rotates
+    # the top direction long before aggregate norms move; squaring
+    # removes the iteration's arbitrary sign, and the statistic is one
+    # truncating division over exact integer dot products. Near 1e6
+    # here (the halves share a distribution) — the value itself is
+    # value-checked cross-engine.
+    from real_estate_project1_etl_spark.operators.spectral import (
+        direction_drift,
+        power_iteration_top_component,
+        quantized_scatter,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def comp(sl):
+        return power_iteration_top_component(
+            quantized_scatter(sl, "embedding", "vec_id", scale_pow2=8),
+            dim=64,
+            n_iters=8,
+        )
+
+    return direction_drift(
+        comp(emb.filter(F.col("vec_id") % 2 == 0)),
+        comp(emb.filter(F.col("vec_id") % 2 == 1)),
+    )
 
 
 @_q("embeddings_top_component_hp", _power_iteration_hp_oracle())

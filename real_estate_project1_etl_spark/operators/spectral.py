@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "deflate",
+    "direction_drift",
     "power_iteration_components",
     "power_iteration_top_component",
     "quantized_scatter",
@@ -382,3 +383,42 @@ def power_iteration_components(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def direction_drift(comp_a: DataFrame, comp_b: DataFrame) -> DataFrame:
+    """Squared-cosine alignment between two extracted directions — the
+    drift statistic for comparing embedding snapshots (a distribution
+    shift between crawls rotates the dominant principal direction long
+    before aggregate norms move; cf. the ABTT observation that the top
+    direction carries corpus-wide commonality).
+
+    One row: ``(a_norm2, b_norm2, dot, cos2_ppm)`` with ``cos2_ppm =
+    (1e6 * dot^2) div (a_norm2 * b_norm2)`` — squaring removes the
+    power iteration's arbitrary sign, and the single truncating
+    division keeps the statistic an exact integer (intermediates in
+    decimal(38,0): dot <= 64e12, dot^2 <= 4.1e27). 1e6 = identical
+    directions; 0 = orthogonal (maximal drift).
+
+    Scale shape: a d-row join — free; the cost lives in building the
+    two components.
+    """
+    a = comp_a.select(F.col("i"), F.col("v_ppm").alias("_va"))
+    b = comp_b.select(F.col("i"), F.col("v_ppm").alias("_vb"))
+    j = a.join(b, "i").agg(
+        F.sum(F.col("_va") * F.col("_va")).alias("a_norm2"),
+        F.sum(F.col("_vb") * F.col("_vb")).alias("b_norm2"),
+        F.sum(F.col("_va") * F.col("_vb")).alias("dot"),
+    )
+    return j.select(
+        F.col("a_norm2").cast("bigint").alias("a_norm2"),
+        F.col("b_norm2").cast("bigint").alias("b_norm2"),
+        F.col("dot").cast("bigint").alias("dot"),
+        F.when(
+            (F.col("a_norm2") > 0) & (F.col("b_norm2") > 0),
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0)) * dot * dot)"
+                " div (cast(a_norm2 as decimal(38,0)) * b_norm2)"
+                " as bigint)"
+            ),
+        ).alias("cos2_ppm"),
+    )

@@ -323,3 +323,83 @@ def test_scatter_rejects_bad_accumulate(spark):
     )
     with pytest.raises(ValueError):
         quantized_scatter(df, accumulate="float")
+
+
+def test_direction_drift_identical_orthogonal_and_planted(spark):
+    from real_estate_project1_etl_spark.operators.spectral import (
+        direction_drift,
+    )
+
+    def mk(vals):
+        return spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(vals)], "i int, v_ppm bigint"
+        )
+
+    same = mk([1_000_000, -400_000, 250_000])
+    r = direction_drift(same, same).collect()[0]
+    assert r["cos2_ppm"] == 1_000_000 and r["dot"] == r["a_norm2"]
+
+    ortho = direction_drift(
+        mk([1_000_000, 0]), mk([0, 1_000_000])
+    ).collect()[0]
+    assert ortho["cos2_ppm"] == 0 and ortho["dot"] == 0
+
+    # sign-flip invariance: the squared cosine ignores the iteration's
+    # arbitrary sign
+    flipped = direction_drift(
+        mk([1_000_000, -400_000]), mk([-1_000_000, 400_000])
+    ).collect()[0]
+    assert flipped["cos2_ppm"] == 1_000_000
+
+    # degenerate NULL direction -> NULL statistic
+    degen = direction_drift(mk([0, 0]), mk([1_000_000, 0])).collect()[0]
+    assert degen["cos2_ppm"] is None
+
+
+def test_drift_detects_planted_rotation(spark):
+    # two snapshots sharing a planted spike align; rotating the spike
+    # in snapshot B drives the statistic toward 0
+    from real_estate_project1_etl_spark.operators.spectral import (
+        direction_drift,
+        power_iteration_components,
+        quantized_scatter,
+    )
+
+    rng = np.random.default_rng(31)
+    dim = 8
+    u = rng.standard_normal(dim); u /= np.linalg.norm(u)
+    w = rng.standard_normal(dim)
+    w -= (w @ u) * u; w /= np.linalg.norm(w)
+
+    def snap(direction, seed):
+        r = np.random.default_rng(seed)
+        data = (
+            np.outer(r.standard_normal(150) * 2.0, direction)
+            + r.standard_normal((150, dim)) * 0.05
+        )
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(data.tolist())],
+            "vec_id bigint, embedding array<double>",
+        )
+        return power_iteration_top_component(
+            quantized_scatter(df, "embedding", "vec_id"), dim=dim
+        )
+
+    same = direction_drift(snap(u, 1), snap(u, 2)).collect()[0]
+    rotated = direction_drift(snap(u, 1), snap(w, 3)).collect()[0]
+    assert same["cos2_ppm"] > 990_000, same
+    assert rotated["cos2_ppm"] < 10_000, rotated
+
+
+def test_registered_drift_statistic_in_range(spark, sf_dir):
+    # the testdata embeddings are near-isotropic (no spectral gap), so
+    # the halves' top directions are noise-determined — the registered
+    # query pins the STATISTIC's contract (exact integers, in range),
+    # not a geometry the corpus doesn't have
+    import __spark_entry__ as entry
+
+    r = entry.queries()["embedding_direction_drift"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r["a_norm2"] > 0 and r["b_norm2"] > 0
+    assert r["cos2_ppm"] is not None and 0 <= r["cos2_ppm"] <= 1_000_000
