@@ -12196,6 +12196,47 @@ def q_leakage_free_split_audit(spark, sf_dir):
     return a.unionAll(n)
 
 
+@_q(
+    "totalprice_benford_audit",
+    """
+    WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    b AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM v WHERE c >= 1),
+    cnts AS (SELECT digit, count(*) AS n_obs FROM b GROUP BY digit),
+    tot AS (SELECT count(*) AS n FROM b),
+    bp(digit, benford_ppm) AS (VALUES
+        (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+    SELECT bp.digit,
+           CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+           CASE WHEN t.n > 0
+                THEN CAST((1000000 * coalesce(c.n_obs, 0)) // t.n
+                          AS BIGINT) END AS obs_ppm,
+           CAST(bp.benford_ppm AS BIGINT) AS benford_ppm,
+           CASE WHEN t.n > 0
+                THEN CAST((1000000 * coalesce(c.n_obs, 0)) // t.n
+                          - bp.benford_ppm AS BIGINT) END AS delta_ppm
+    FROM bp LEFT JOIN cnts c USING (digit) CROSS JOIN tot t
+    """,
+)
+def q_totalprice_benford_audit(spark, sf_dir):
+    # forensic data-quality screen (Benford 1938; Nigrini's audit
+    # practice): first-significant-digit distribution of the order
+    # value in cents vs the log10(1+1/d) expectation — capped, binned,
+    # defaulted or fabricated numeric columns break it. String-head
+    # digit extraction (no float log/pow), fixed ppm constants summing
+    # to exactly 1e6, one 9-cell aggregation.
+    from real_estate_project1_etl_spark.operators.profile import (
+        benford_first_digit_audit,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    return benford_first_digit_audit(od, "cents")
+
+
 def _hist_rollup_est_sql(q: int) -> str:
     # the selected-bucket interpolation for one permille, as a MAX over
     # the per-group cumulative walk (exactly one bucket satisfies the

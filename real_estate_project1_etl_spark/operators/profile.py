@@ -62,3 +62,79 @@ def profile_columns(
         ),
         F.col("_rows").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+#: Benford's law first-digit probabilities, ppm (log10(1 + 1/d) * 1e6,
+#: rounded; the nine constants sum to exactly 1,000,000)
+BENFORD_PPM = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+
+
+def benford_first_digit_audit(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """First-significant-digit distribution of a positive integer
+    measure vs Benford's law — the forensic screen for fabricated or
+    clipped numeric columns (Benford 1938; Nigrini's fraud-audit
+    practice): naturally-occurring multiplicative data follows
+    ``P(d) = log10(1 + 1/d)``; data that was capped, binned, defaulted
+    or invented does not.
+
+    The first digit is the head of the decimal string rendering of the
+    bigint (no float ``log``/``pow`` anywhere — their rounding is
+    engine-specific), the expectation constants are fixed ppm integers
+    summing to exactly 1e6, and the comparison is one truncating
+    division per digit — bit-identical cross-engine. Rows with
+    ``value_col < 1`` are excluded (no first significant digit).
+
+    Returns 9 rows: ``(digit, n_obs, obs_ppm, benford_ppm,
+    delta_ppm)`` with ``delta_ppm = obs_ppm - benford_ppm`` (signed);
+    digits with zero observations still appear (n_obs = 0).
+
+    Scale shape: one scan + one 9-cell aggregation; the digit
+    extraction is a scan-stage expression.
+    """
+    v = F.col(value_col).cast("bigint")
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    base = df.filter(v >= 1).select(digit.alias("digit"))
+    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    spark = df.sparkSession
+    dims = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_PPM.items()],
+        "digit int, benford_ppm bigint",
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        dims.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_obs"),
+            F.when(
+                F.col("_n") > 0,
+                F.expr("(1000000 * coalesce(n_obs, 0)) div _n"),
+            )
+            .cast("bigint")
+            .alias("obs_ppm"),
+            "benford_ppm",
+            F.when(
+                F.col("_n") > 0,
+                F.expr(
+                    "(1000000 * coalesce(n_obs, 0)) div _n - benford_ppm"
+                ),
+            )
+            .cast("bigint")
+            .alias("delta_ppm"),
+        )
+    )

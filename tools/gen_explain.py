@@ -138,6 +138,8 @@ SHOW = [
     "totalprice_monthly_quantile_rollup",
     "leakage_free_split_audit",
     "embeddings_abtt_residuals",
+    "gate_roc_points",
+    "totalprice_benford_audit",
 ]
 
 
