@@ -12543,6 +12543,55 @@ def q_gate_roc_points(spark, sf_dir):
     )
 
 
+@_q(
+    "gate_score_ks",
+    f"""
+    WITH {_GATE_SCORED_CTES},
+    kg AS (SELECT s AS v,
+                  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cb
+           FROM sc GROUP BY s),
+    kc AS (SELECT v,
+                  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS cum_a,
+                  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS cum_b
+           FROM kg),
+    kt AS (SELECT coalesce(sum(ca), 0) AS n_a,
+                  coalesce(sum(cb), 0) AS n_b FROM kg),
+    kd AS (SELECT v, cum_a * n_b - cum_b * n_a AS d
+           FROM kc CROSS JOIN kt),
+    km AS (SELECT max(abs(d)) AS ks_num FROM kd),
+    ka AS (SELECT min(v) AS at_value
+           FROM kd CROSS JOIN km WHERE abs(d) = ks_num)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST((CAST(1000000 AS HUGEINT) * ks_num)
+                          // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+           END AS ks_ppm,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN at_value END AS at_value
+    FROM kt CROSS JOIN km CROSS JOIN ka
+    """,
+)
+def q_gate_score_ks(spark, sf_dir):
+    # classifier SEPARATION by the two-sample Kolmogorov-Smirnov
+    # statistic (the credit-scoring standard alongside AUC): max ECDF
+    # gap between the gate-score distributions of the two label
+    # classes, cross-multiplied to exact integers, single decimal ppm
+    # division at the end. Doubles as the score-distribution drift
+    # detector between corpus snapshots.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        ks_statistic,
+    )
+
+    sc = _gate_scored_df(spark, sf_dir)
+    return ks_statistic(
+        sc.filter(F.col("label") == 1),
+        sc.filter(F.col("label") == 0),
+        value_col="score_milli",
+    )
+
+
 def _classifier_train_holdout_oracle(
     dim: int = _CLS_TRAIN_DIM, n_iters: int = _CLS_TRAIN_ITERS
 ) -> str:

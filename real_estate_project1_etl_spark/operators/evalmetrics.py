@@ -49,6 +49,7 @@ __all__ = [
     "binary_classifier_eval",
     "calibration_bins",
     "grouped_auc_ppm",
+    "ks_statistic",
     "roc_points",
 ]
 
@@ -319,4 +320,87 @@ def roc_points(
         F.when(F.col("n_neg") > 0, F.expr("(1000000 * fp) div n_neg"))
         .cast("bigint")
         .alias("fpr_ppm"),
+    )
+
+
+def ks_statistic(
+    a: DataFrame, b: DataFrame, value_col: str = "v"
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over integer values —
+    ``max |ECDF_a - ECDF_b|`` — as exact integer arithmetic: the ECDFs
+    are compared cross-multiplied (``|cum_a * n_b - cum_b * n_a|``), so
+    no rationals appear until the single final ppm division (done in
+    decimal(38,0) — ``n_a * n_b`` exceeds the 1e6-scaled int64 headroom
+    past ~3M rows per side).
+
+    Two standing uses: the SEPARATION measure of a classifier (KS of
+    the score distributions of positives vs negatives — the
+    credit-scoring standard alongside AUC), and score-distribution
+    DRIFT between corpus snapshots (the scalar twin of
+    :func:`~.spectral.direction_drift`).
+
+    One row: ``(n_a, n_b, ks_ppm, at_value)`` — ``at_value`` is the
+    smallest value attaining the supremum (deterministic tie-break);
+    ``ks_ppm`` NULL when either side is empty.
+
+    Scale shape: one aggregation to the merged DISTINCT-value table
+    (values are integer scores — model-sized; quantize first if
+    continuous, the eval-battery contract), one cumulative window over
+    it, one max. Never a per-row pass after the first aggregation.
+    """
+    ua = a.select(
+        F.col(value_col).cast("bigint").alias("v"),
+        F.lit(1).alias("_ca"),
+        F.lit(0).alias("_cb"),
+    )
+    ub = b.select(
+        F.col(value_col).cast("bigint").alias("v"),
+        F.lit(0).alias("_ca"),
+        F.lit(1).alias("_cb"),
+    )
+    g = (
+        ua.unionAll(ub)
+        .groupBy("v")
+        .agg(F.sum("_ca").alias("ca"), F.sum("_cb").alias("cb"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = g.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum("cb"), F.lit(0)).alias("n_b"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        (F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        .alias("_d"),
+    )
+    m = d.agg(F.max(F.abs(F.col("_d"))).alias("_ks_num"))
+    at = (
+        d.crossJoin(F.broadcast(m))
+        .filter(F.abs(F.col("_d")) == F.col("_ks_num"))
+        .agg(F.min("v").alias("at_value"))
+    )
+    return (
+        tot.crossJoin(m)
+        .crossJoin(at)
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.expr(
+                    "cast((cast(1000000 as decimal(38,0)) * _ks_num)"
+                    " div (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+                ),
+            ).alias("ks_ppm"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("at_value")
+            ).alias("at_value"),
+        )
     )

@@ -257,3 +257,58 @@ def test_roc_points_staircase_and_trapezoid_equals_auc(spark):
     auc = _py_eval([(s, y, p) for s, y, p in rows])["auc_ppm"]
     v = Fr(1_000_000) * area / (n_pos * n_neg)
     assert v.numerator // v.denominator == auc
+
+
+def test_ks_statistic_matches_python_model(spark):
+    from fractions import Fraction as Fr
+
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        ks_statistic,
+    )
+
+    def run(va, vb):
+        a = spark.createDataFrame([(v,) for v in va], "v bigint")
+        b = spark.createDataFrame([(v,) for v in vb], "v bigint")
+        r = ks_statistic(a, b, "v").collect()[0]
+        return (r["n_a"], r["n_b"], r["ks_ppm"], r["at_value"])
+
+    def model(va, vb):
+        na, nb = len(va), len(vb)
+        vals = sorted(set(va) | set(vb))
+        best, at = -1, None
+        ca = cb = 0
+        for v in vals:
+            ca += sum(1 for x in va if x == v)
+            cb += sum(1 for x in vb if x == v)
+            d = abs(ca * nb - cb * na)
+            if d > best:
+                best, at = d, v
+        p = Fr(1_000_000) * best / (na * nb)
+        return (na, nb, p.numerator // p.denominator, at)
+
+    # shifted, overlapping, tied-heavy pseudo-random samples
+    va = [((i * 48271) % 53) - 10 for i in range(140)]
+    vb = [((i * 16807) % 53) - 3 for i in range(90)]
+    assert run(va, vb) == model(va, vb)
+
+    # identical multisets -> KS 0
+    assert run(va, va)[2] == 0
+    # disjoint supports -> KS exactly 1e6 at the lower sample's max
+    lo = [1, 2, 3]
+    hi = [10, 11]
+    assert run(lo, hi) == (3, 2, 1_000_000, 3)
+    # empty side -> NULL
+    r = ks_statistic(
+        spark.createDataFrame([(1,)], "v bigint"),
+        spark.createDataFrame([], "v bigint"),
+        "v",
+    ).collect()[0]
+    assert r["ks_ppm"] is None and r["at_value"] is None
+
+
+def test_registered_gate_ks_separates_label_classes(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    r = entry.queries()["gate_score_ks"](spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["ks_ppm"] is not None and 0 <= r["ks_ppm"] <= 1_000_000
