@@ -12544,6 +12544,43 @@ def q_gate_roc_points(spark, sf_dir):
 
 
 @_q(
+    "gate_pr_points",
+    f"""
+    WITH {_GATE_SCORED_CTES},
+    pg AS (SELECT s, count(*) AS c, sum(y) AS cp FROM sc GROUP BY s),
+    po AS (SELECT s AS threshold,
+                  sum(cp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS tp,
+                  sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS cum_n
+           FROM pg),
+    pt AS (SELECT coalesce(sum(y), 0) AS n_pos FROM sc)
+    SELECT threshold, CAST(tp AS BIGINT) AS tp,
+           CAST(cum_n - tp AS BIGINT) AS fp,
+           CAST((1000000 * tp) // cum_n AS BIGINT) AS precision_ppm,
+           CASE WHEN n_pos > 0
+                THEN CAST((1000000 * tp) // n_pos AS BIGINT)
+           END AS recall_ppm
+    FROM po CROSS JOIN pt
+    """,
+)
+def q_gate_pr_points(spark, sf_dir):
+    # the PR curve as data — the tie-grouped staircase whose
+    # tp-delta-weighted precision sum is the report's ap_ppm exactly
+    # (identity asserted in tests). Same distinct-score sweep as
+    # gate_roc_points; never a per-threshold pass.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        pr_points,
+    )
+
+    return pr_points(
+        _gate_scored_df(spark, sf_dir),
+        score_col="score_milli",
+        label_col="label",
+    )
+
+
+@_q(
     "gate_score_ks",
     f"""
     WITH {_GATE_SCORED_CTES},

@@ -50,6 +50,7 @@ __all__ = [
     "calibration_bins",
     "grouped_auc_ppm",
     "ks_statistic",
+    "pr_points",
     "roc_points",
 ]
 
@@ -403,4 +404,45 @@ def ks_statistic(
                 (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("at_value")
             ).alias("at_value"),
         )
+    )
+
+
+def pr_points(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision-recall curve as data: one point per DISTINCT score
+    threshold (ties enter together) — ``(threshold, tp, fp,
+    precision_ppm, recall_ppm)`` for the predict-positive-iff
+    ``score >= threshold`` sweep. The tie-grouped sum ``sum(tp_delta *
+    precision_ppm) div n_pos`` over these points IS the report's
+    ``ap_ppm`` (the identity tests assert). Same model-sized
+    distinct-score sweep as :func:`roc_points`."""
+    base = scored.select(
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("bigint").alias("y"),
+    )
+    g = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cp")
+    )
+    w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    o = g.select(
+        F.col("s").alias("threshold"),
+        F.sum("cp").over(w_desc).alias("tp"),
+        F.sum("c").over(w_desc).alias("cum_n"),
+    )
+    tot = base.agg(F.coalesce(F.sum("y"), F.lit(0)).alias("n_pos"))
+    return o.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        F.col("tp").cast("bigint").alias("tp"),
+        (F.col("cum_n") - F.col("tp")).cast("bigint").alias("fp"),
+        F.expr("(1000000 * tp) div cum_n")
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.when(F.col("n_pos") > 0, F.expr("(1000000 * tp) div n_pos"))
+        .cast("bigint")
+        .alias("recall_ppm"),
     )

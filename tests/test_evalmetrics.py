@@ -312,3 +312,59 @@ def test_registered_gate_ks_separates_label_classes(spark, sf_dir):
     r = entry.queries()["gate_score_ks"](spark, sf_dir).collect()[0]
     assert r["n_a"] > 0 and r["n_b"] > 0
     assert r["ks_ppm"] is not None and 0 <= r["ks_ppm"] <= 1_000_000
+
+
+def test_pr_points_staircase_and_ap_identity(spark):
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        binary_classifier_eval,
+        pr_points,
+    )
+
+    rows = []
+    for i in range(220):
+        h = (i * 40503) % 1021
+        s = (h % 15) - 7
+        y = 1 if h % 3 else 0
+        rows.append((s, y, 500))
+    df = spark.createDataFrame(rows, "s bigint, y int, p bigint")
+    pts = sorted(
+        (
+            (
+                r["threshold"],
+                r["tp"],
+                r["fp"],
+                r["precision_ppm"],
+                r["recall_ppm"],
+            )
+            for r in pr_points(df, score_col="s", label_col="y").collect()
+        ),
+        key=lambda t: -t[0],
+    )
+    n_pos = sum(y for _, y, _ in rows)
+    tp = cum = 0
+    want = []
+    for thr in sorted({s for s, _, _ in rows}, reverse=True):
+        grp = [(s, y) for s, y, _ in rows if s == thr]
+        tp += sum(y for _, y in grp)
+        cum += len(grp)
+        want.append(
+            (
+                thr,
+                tp,
+                cum - tp,
+                (1_000_000 * tp) // cum,
+                (1_000_000 * tp) // n_pos,
+            )
+        )
+    assert pts == want
+    # AP identity: tp-delta-weighted precision over the staircase ==
+    # the report's ap_ppm
+    ap_num = 0
+    prev_tp = 0
+    for _, tp_k, _, prec, _ in want:
+        ap_num += (tp_k - prev_tp) * prec
+        prev_tp = tp_k
+    rep = binary_classifier_eval(
+        df, score_col="s", label_col="y", p_milli_col="p"
+    ).collect()[0]
+    assert rep["ap_ppm"] == ap_num // n_pos
