@@ -11921,7 +11921,7 @@ def q_embeddings_top2_components(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return power_iteration_components(
-        quantized_scatter(emb, "embedding", "vec_id", scale_pow2=8),
+        quantized_scatter(emb, "embedding", scale_pow2=8),
         dim=64,
         n_components=2,
         n_iters=8,
@@ -11961,7 +11961,7 @@ def q_embeddings_abtt_residuals(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     comp = power_iteration_top_component(
-        quantized_scatter(emb, "embedding", "vec_id", scale_pow2=8),
+        quantized_scatter(emb, "embedding", scale_pow2=8),
         dim=64,
         n_iters=8,
     )
@@ -12038,7 +12038,7 @@ def q_embedding_direction_drift(spark, sf_dir):
 
     def comp(sl):
         return power_iteration_top_component(
-            quantized_scatter(sl, "embedding", "vec_id", scale_pow2=8),
+            quantized_scatter(sl, "embedding", scale_pow2=8),
             dim=64,
             n_iters=8,
         )
@@ -12091,7 +12091,7 @@ def q_embeddings_top_component(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    c = quantized_scatter(emb, "embedding", "vec_id", scale_pow2=8)
+    c = quantized_scatter(emb, "embedding", scale_pow2=8)
     return power_iteration_top_component(c, dim=64, n_iters=8)
 
 

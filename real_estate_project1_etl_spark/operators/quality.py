@@ -230,6 +230,7 @@ def component_atomic_split(
     labels: DataFrame,
     test_threshold: int,
     id_col: str = "doc_id",
+    labels_id_col: str = "id",
 ) -> DataFrame:
     """Leakage-free train/test assignment: every member of a near-dup
     component goes to the SAME side, because the split hash is taken on
@@ -244,8 +245,15 @@ def component_atomic_split(
     makes cross-split near-dup pairs structurally impossible: both
     endpoints of any pair share a component, hence a hash, hence a side.
 
-    ``labels`` is the ``(id, comp)`` table; ids absent from it (docs
-    with no near-dup edge) are their own singleton component. A label
+    ``labels`` is the ``(labels_id_col, comp)`` table (default id column
+    name ``id``, the :func:`~.graph.connected_components` output); ids
+    absent from it (docs with no near-dup edge) are their own singleton
+    component. The returned ``comp`` column is kept in the ID COLUMN'S
+    NATIVE TYPE (labels' comp is cast to it before the singleton
+    coalesce) so non-numeric string ids keep their own id as the
+    singleton component instead of silently turning NULL under a bigint
+    cast — the split hash itself always runs on the string form either
+    way. A label
     table with DUPLICATE ids would silently duplicate corpus rows
     through the join (the failure class the round-11 advice flagged on
     initial_weights), so distinctness is validated with one tiny
@@ -260,7 +268,7 @@ def component_atomic_split(
     a small fraction of a deduplicated corpus); the hash and the split
     are row-local scan-stage expressions.
     """
-    lab = labels.select(F.col("id").alias(id_col), F.col("comp"))
+    lab = labels.select(F.col(labels_id_col).alias(id_col), F.col("comp"))
     chk = lab.agg(
         F.count(F.lit(1)).alias("_n"),
         F.count_distinct(F.col(id_col)).alias("_nd"),
@@ -271,14 +279,15 @@ def component_atomic_split(
             f"({chk['_n']} rows, {chk['_nd']} distinct) — a duplicate "
             "would silently duplicate corpus rows through the join"
         )
-    comp = F.coalesce(F.col("comp"), F.col(id_col))
+    id_type = ids.schema[id_col].dataType
+    comp = F.coalesce(F.col("comp").cast(id_type), F.col(id_col))
     h = _hash60(["_comp_key"])
     return (
         ids.select(id_col)
         .join(lab, id_col, "left")
         .select(
             id_col,
-            comp.cast("bigint").alias("comp"),
+            comp.alias("comp"),
             comp.cast("string").alias("_comp_key"),
         )
         .select(

@@ -418,6 +418,18 @@ def hist_merge_quantiles(
         raise ValueError(
             f"hist_merge_quantiles: permilles must be in (0, 1000], got {permilles!r}"
         )
+    if len(set(permilles)) != len(permilles):
+        raise ValueError(
+            "hist_merge_quantiles: duplicate permilles would produce"
+            f" duplicate p{{q}}_est output columns, got {permilles!r}"
+        )
+    reserved = {"bucket", "cnt", "cum_below", "n"}
+    bad = [c for c in rollup_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            "hist_merge_quantiles: rollup_cols collide with internal/"
+            f"output column names {sorted(reserved)}: {bad!r}"
+        )
     merged = sketches.groupBy(*rollup_cols, "bucket").agg(
         F.sum("cnt").alias("cnt")
     )

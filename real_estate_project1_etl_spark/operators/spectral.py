@@ -56,6 +56,8 @@ the sums arrive at.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,7 +78,6 @@ _V_BITS = 20
 def quantized_scatter(
     emb: DataFrame,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     scale_pow2: int = 8,
     accumulate: str = "bigint",
 ) -> DataFrame:
@@ -96,11 +97,24 @@ def quantized_scatter(
     (10/3 > log2(10)), a deterministic integer spec both engines
     replay. The two modes produce (slightly) different capped matrices
     by construction — each is its own differential spec; both feed the
-    same power iteration."""
+    same power iteration.
+
+    The bigint row-count bound is GUARDED at runtime, not just
+    documented: the plan itself raises (Spark ``raise_error``) while
+    computing the centered cells if ``n > isqrt(2^(63 - 2*scale_pow2))``
+    — the point past which ``n * g`` / ``s_i * s_j`` can cross 2^63 and
+    Spark's non-ANSI int64 arithmetic would wrap SILENTLY. The check is
+    evaluated on the d^2-row aggregated table (cost: one comparison per
+    cell), so exceeding the exactness envelope fails loud instead of
+    returning a wrapped — plausible-looking — scatter."""
     if accumulate not in ("bigint", "decimal"):
         raise ValueError(
             f"quantized_scatter: accumulate must be 'bigint' or 'decimal',"
             f" got {accumulate!r}"
+        )
+    if not 0 <= scale_pow2 <= 30:
+        raise ValueError(
+            f"quantized_scatter: scale_pow2 must be in [0, 30], got {scale_pow2!r}"
         )
     # quantize the whole vector once per row; the outer product is a
     # chained double posexplode over the SAME array — no self-join, no
@@ -146,6 +160,23 @@ def quantized_scatter(
     n = emb.agg(
         (cnt.cast("decimal(38,0)") if dec else cnt).alias("n")
     )
+    cval = F.col("n") * F.col("g") - F.col("si") * F.col("sj")
+    if not dec:
+        # runtime exactness guard (ADVICE r12): past this row count the
+        # centering intermediates can cross 2^63 and non-ANSI int64
+        # arithmetic wraps silently — fail loud inside the plan instead
+        n_max = math.isqrt(1 << (63 - 2 * scale_pow2))
+        cval = F.when(
+            F.col("n") > F.lit(n_max),
+            F.raise_error(
+                F.lit(
+                    "quantized_scatter: bigint accumulation is exact only"
+                    f" to n <= {n_max} rows at scale 2^{scale_pow2}"
+                    " (n*n*2^(2*scale) must fit int64); rerun with"
+                    " accumulate='decimal'"
+                )
+            ).cast("bigint"),
+        ).otherwise(cval)
     c0 = (
         g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
         .join(
@@ -155,11 +186,7 @@ def quantized_scatter(
             "j",
         )
         .crossJoin(F.broadcast(n))
-        .select(
-            "i",
-            "j",
-            (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("c"),
-        )
+        .select("i", "j", cval.alias("c"))
     )
     if dec:
         # digit-count cap: value < 10^digits < 2^((10*digits) div 3 + 1)

@@ -375,3 +375,12 @@ def test_hist_rollup_rejects_bad_permilles(spark):
         hist_merge_quantiles(sk, ["g"], permilles=(0,))
     with pytest.raises(ValueError):
         hist_merge_quantiles(sk, ["g"], permilles=(1001,))
+    # r12 ADVICE: duplicate permilles → duplicate p{q}_est columns
+    with pytest.raises(ValueError, match="duplicate permilles"):
+        hist_merge_quantiles(sk, ["g"], permilles=(500, 500))
+    # r12 ADVICE: rollup col colliding with internal/output names
+    sk2 = log2_hist_sketch(
+        df.withColumnRenamed("g", "n"), ["n"], "v"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        hist_merge_quantiles(sk2, ["n"])

@@ -51,7 +51,7 @@ def _run(spark, vectors, dim, n_iters=8):
         [(i, list(map(float, v))) for i, v in enumerate(vectors)],
         "vec_id bigint, embedding array<double>",
     )
-    sc = quantized_scatter(df, "embedding", "vec_id", scale_pow2=8)
+    sc = quantized_scatter(df, "embedding", scale_pow2=8)
     out = power_iteration_top_component(sc, dim=dim, n_iters=n_iters)
     return {r["i"]: r["v_ppm"] for r in out.collect()}
 
@@ -98,7 +98,7 @@ def test_power_iteration_validations(spark):
     df = spark.createDataFrame(
         [(0, [0.1, 0.2])], "vec_id bigint, embedding array<double>"
     )
-    sc = quantized_scatter(df, "embedding", "vec_id")
+    sc = quantized_scatter(df, "embedding")
     with pytest.raises(ValueError):
         power_iteration_top_component(sc, dim=0)
     with pytest.raises(ValueError):
@@ -194,7 +194,7 @@ def test_top2_components_match_numpy_and_deflation_identity(spark):
         "vec_id bigint, embedding array<double>",
     )
     out = power_iteration_components(
-        quantized_scatter(emb, "embedding", "vec_id"), dim=dim,
+        quantized_scatter(emb, "embedding"), dim=dim,
         n_components=2,
     ).collect()
     comps = {1: [0] * dim, 2: [0] * dim}
@@ -235,7 +235,7 @@ def test_components_validation(spark):
     df = spark.createDataFrame(
         [(0, [0.1, 0.2])], "vec_id bigint, embedding array<double>"
     )
-    sc = quantized_scatter(df, "embedding", "vec_id")
+    sc = quantized_scatter(df, "embedding")
     with _pytest.raises(ValueError):
         power_iteration_components(sc, dim=2, n_components=0)
 
@@ -284,20 +284,18 @@ def test_decimal_scatter_exact_where_bigint_wraps(spark):
     got = {
         (r["i"], r["j"]): r["c"]
         for r in quantized_scatter(
-            df, "embedding", "vec_id", scale_pow2=20, accumulate="decimal"
+            df, "embedding", scale_pow2=20, accumulate="decimal"
         ).collect()
     }
     assert got == want
 
-    # and the bigint path really does diverge here (silent wrap) — the
-    # reason accumulate='decimal' exists
-    wrapped = {
-        (r["i"], r["j"]): r["c"]
-        for r in quantized_scatter(
-            df, "embedding", "vec_id", scale_pow2=20, accumulate="bigint"
+    # and the bigint path in this regime FAILS LOUD (r12 ADVICE guard):
+    # n = 5000 > isqrt(2^(63-40)) = 2896, so the plan raises instead of
+    # returning a silently-wrapped scatter
+    with pytest.raises(Exception, match="bigint accumulation is exact only"):
+        quantized_scatter(
+            df, "embedding", scale_pow2=20, accumulate="bigint"
         ).collect()
-    }
-    assert wrapped != want
 
 
 def test_decimal_scatter_matches_digit_cap_model_small(spark):
@@ -311,7 +309,7 @@ def test_decimal_scatter_matches_digit_cap_model_small(spark):
     got = {
         (r["i"], r["j"]): r["c"]
         for r in quantized_scatter(
-            df, "embedding", "vec_id", scale_pow2=8, accumulate="decimal"
+            df, "embedding", scale_pow2=8, accumulate="decimal"
         ).collect()
     }
     assert got == _py_scatter_hp(vecs, dim, 8)
@@ -323,6 +321,26 @@ def test_scatter_rejects_bad_accumulate(spark):
     )
     with pytest.raises(ValueError):
         quantized_scatter(df, accumulate="float")
+    with pytest.raises(ValueError):
+        quantized_scatter(df, scale_pow2=31)
+
+
+def test_scatter_bigint_guard_fires_just_past_bound(spark):
+    # at scale 2^30 the bigint exactness bound is isqrt(2^3) = 2 rows:
+    # 2 rows pass, 3 rows raise inside the plan (r12 ADVICE guard)
+    ok = spark.createDataFrame(
+        [(0, [0.5, 0.25]), (1, [0.125, 0.75])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert (
+        quantized_scatter(ok, "embedding", scale_pow2=30).count() == 4
+    )
+    bad = spark.createDataFrame(
+        [(0, [0.5, 0.25]), (1, [0.125, 0.75]), (2, [0.1, 0.2])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="bigint accumulation is exact only"):
+        quantized_scatter(bad, "embedding", scale_pow2=30).collect()
 
 
 def test_direction_drift_identical_orthogonal_and_planted(spark):
@@ -382,7 +400,7 @@ def test_drift_detects_planted_rotation(spark):
             "vec_id bigint, embedding array<double>",
         )
         return power_iteration_top_component(
-            quantized_scatter(df, "embedding", "vec_id"), dim=dim
+            quantized_scatter(df, "embedding"), dim=dim
         )
 
     same = direction_drift(snap(u, 1), snap(u, 2)).collect()[0]

@@ -100,3 +100,34 @@ def test_atomic_split_rejects_duplicate_label_ids(spark):
     )
     with _pytest.raises(ValueError, match="duplicate ids"):
         component_atomic_split(ids, bad, HALF)
+
+
+def test_atomic_split_string_ids_keep_native_comp(spark):
+    # r12 ADVICE: non-numeric string ids must NOT yield NULL comp for
+    # singletons — comp stays in the id's native type, and the hash
+    # decision still runs on the string form of the component rep
+    ids = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-solo",)], "doc_id string"
+    )
+    labels = spark.createDataFrame(
+        [("doc-a", 7), ("doc-b", 7)], "id string, comp bigint"
+    )
+    sp = component_atomic_split(ids, labels, HALF)
+    assert dict(sp.dtypes)["comp"] == "string"
+    rows = {r["doc_id"]: (r["comp"], r["split"]) for r in sp.collect()}
+    assert rows["doc-a"][0] == rows["doc-b"][0] == "7"
+    assert rows["doc-solo"][0] == "doc-solo"  # own id, not NULL
+    for d, (comp, s) in rows.items():
+        assert s == ("test" if _hash60_py(comp) < HALF else "train")
+
+
+def test_atomic_split_labels_id_col_param(spark):
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], "member_id bigint, comp bigint"
+    )
+    sp = component_atomic_split(
+        ids, labels, HALF, labels_id_col="member_id"
+    )
+    rows = {r["doc_id"]: r["comp"] for r in sp.collect()}
+    assert rows == {1: 1, 2: 1, 3: 3}

@@ -119,7 +119,7 @@ def main():
         # scatter and every iterate, so the work happens at build time
         t0 = time.time()
         top = power_iteration_top_component(
-            quantized_scatter(emb, "embedding", "vec_id"), dim=64
+            quantized_scatter(emb, "embedding"), dim=64
         )
         checksum(top)
         t = time.time() - t0
