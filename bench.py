@@ -138,6 +138,10 @@ HEADLINE = [
     # audit, and the spectral top-component power iteration
     "classifier_eval_report",
     "trained_classifier_holdout_eval",
+    # round-13: standing-weights regime — eval-only against the
+    # session-cached trained weight table (trained_classifier_holdout_eval
+    # keeps timing the honest build+eval chain)
+    "trained_classifier_standing_eval",
     "totalprice_monthly_quantile_rollup",
     "leakage_free_split_audit",
     "embeddings_top_component",
@@ -214,6 +218,7 @@ COST = {
     "wordpiece_token_stats": "max-munch aggregate fold per DISTINCT word (Zipf-collapsed) + weighted count agg + top-k; vocab ships as a map literal; no Python, no text shuffle",
     "classifier_eval_report": "gate inference (token hash + feature agg) + one totals pass + distinct-score rank sweep (model-sized windows); metrics all integer",
     "trained_classifier_holdout_eval": "3-iter integer GD on 2/3 folds (feature table checkpointed once) + held-out scoring + eval sweep",
+    "trained_classifier_standing_eval": "eval against STANDING weights (session-cached train artifact, plan-fingerprint keyed): held-out scoring + rank sweep only — the recurring production cost",
     "totalprice_monthly_quantile_rollup": "one orders scan -> <=63-bucket daily sketches; rollup + quantile walk on model-sized tables",
     "leakage_free_split_audit": "minhash banding + CC (checkpointed) + two split hashes + pair-endpoint joins; pair-volume-bound",
     "embeddings_top_component": "d^2-cell scatter partial agg (one corpus pass) + 8 broadcast mat-vec steps on checkpointed 64-row iterates",

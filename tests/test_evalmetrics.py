@@ -368,3 +368,62 @@ def test_pr_points_staircase_and_ap_identity(spark):
         df, score_col="s", label_col="y", p_milli_col="p"
     ).collect()[0]
     assert rep["ap_ppm"] == ap_num // n_pos
+
+
+def test_standing_eval_matches_holdout_and_serves_cached_weights(
+    spark, sf_dir
+):
+    # round-13 standing-weights regime: (a) value-identical to the
+    # honest build+eval chain (they share the oracle verbatim, this pins
+    # it engine-side too), (b) the second call serves the SAME cached
+    # weight artifact — no re-train
+    import __spark_entry__ as entry
+    from real_estate_project1_etl_spark.plans import session_cache
+
+    def n_weight_entries():
+        return sum(
+            1
+            for k in session_cache.cache_info()
+            if k[1] == "trained_classifier_weights"
+        )
+
+    q = entry.queries()["trained_classifier_standing_eval"]
+    got1 = q(spark, sf_dir).collect()
+    n1 = n_weight_entries()
+    assert n1 >= 1
+    got2 = q(spark, sf_dir).collect()
+    assert n_weight_entries() == n1  # HIT — no new build
+    assert got1 == got2
+    want = entry.queries()["trained_classifier_holdout_eval"](
+        spark, sf_dir
+    ).collect()
+    assert got1 == want
+
+
+def test_standing_eval_training_slice_drift_rebuilds(spark, sf_dir):
+    # a CHANGED training slice (different fold predicate over the same
+    # parquet-rooted generator shape the query uses) must be a
+    # fingerprint MISS — fresh train, never a stale serve
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.plans.session_cache import (
+        get_or_build,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 5 != 0)
+    calls = []
+
+    def mk(df):
+        def build():
+            calls.append(1)
+            return df.select("doc_id").limit(1)
+
+        return build
+
+    get_or_build(a, "t13_weights_drift", mk(a))
+    get_or_build(a, "t13_weights_drift", mk(a))  # identical slice: HIT
+    assert len(calls) == 1
+    get_or_build(b, "t13_weights_drift", mk(b))  # drifted slice: MISS
+    assert len(calls) == 2
