@@ -2717,18 +2717,77 @@ def q_normalized_embeddings(spark, sf_dir):
     )
 
 
-@_q("approx_distinct_and_percentile")
+@_q(
+    "approx_distinct_and_percentile",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts_exact,
+           quantile_cont(CAST(floor(l_extendedprice * 100) AS BIGINT), 0.5)
+               AS p50_exact_cents,
+           TRUE AS nd_approx_ok,
+           TRUE AS p50_approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct_and_percentile(spark, sf_dir):
     # sketch aggregates (HLL++ / KLL-style): mergeable, single-pass, the
-    # 100 TB substitutes for exact COUNT(DISTINCT) and percentile. Approx
-    # by design -> rows-only check; accuracy pinned by a tolerance test.
-    return (
-        _t(spark, sf_dir, "lineitem")
+    # 100 TB substitutes for exact COUNT(DISTINCT) and percentile.
+    # Round-13 full-value-oracle form (r12 verdict item 5): the sketch
+    # internals aren't cross-engine comparable, but their ACCURACY
+    # CONTRACT is — so the output carries the exact twins (count
+    # distinct; the type-7 interpolated median on integer cents, where
+    # half-integer doubles are exact in both engines) plus two verified
+    # bound flags the oracle pins to TRUE: HLL++ within 5% of the exact
+    # distinct count, and the KLL-style percentile's EXACT Rank (counted
+    # against the data) within +/-0.5% of the target rank (the sketch's
+    # epsilon = 1/accuracy = 0.1%, checked with 5x slack). Both sketches
+    # are deterministic (HLL merge is commutative; percentile_approx is
+    # rank-deterministic), so the flags are stable facts, not flaky
+    # assertions — a failing bound now breaks the driver gate instead of
+    # hiding in a rows-only row.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_partkey",
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias(
+            "cents"
+        ),
+    )
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("l_partkey").alias("nd_parts_exact"),
+        F.expr("percentile(cents, 0.5d)").alias("p50_exact_cents"),
+        F.approx_count_distinct("l_partkey").alias("_nd_approx"),
+        F.percentile_approx("cents", F.lit(0.5), F.lit(1000)).alias(
+            "_p50_approx"
+        ),
+    )
+    ranks = (
+        li.join(
+            F.broadcast(a.select("l_returnflag", "_p50_approx")),
+            "l_returnflag",
+        )
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("nd_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
+            F.sum(
+                (F.col("cents") < F.col("_p50_approx")).cast("bigint")
+            ).alias("_lt"),
+            F.sum(
+                (F.col("cents") <= F.col("_p50_approx")).cast("bigint")
+            ).alias("_le"),
         )
+    )
+    return a.join(ranks, "l_returnflag").select(
+        "l_returnflag",
+        "nd_parts_exact",
+        "p50_exact_cents",
+        (
+            F.abs(F.col("_nd_approx") - F.col("nd_parts_exact")) * 20
+            <= F.col("nd_parts_exact")
+        ).alias("nd_approx_ok"),
+        (
+            (F.col("_lt") * 1000 <= F.col("_n") * 505)
+            & (F.col("_le") * 1000 >= F.col("_n") * 495)
+        ).alias("p50_approx_ok"),
     )
 
 
@@ -4165,16 +4224,50 @@ def q_lsh_multiprobe_topk(spark, sf_dir):
     )
 
 
-@_q("linear_trend_per_user")
+@_q(
+    "linear_trend_per_user",
+    """
+    WITH e AS (
+        SELECT user_id,
+               CAST(event_id AS HUGEINT) AS x,
+               CAST(floor(value * 1000000) AS HUGEINT) AS y
+        FROM events
+        WHERE event_id IS NOT NULL AND value IS NOT NULL),
+    s AS (
+        SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM e GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               CAST((1000000 * (n * sxy - sx * sy))
+                    // ((n * sxx - sx * sx) * 1000000) AS BIGINT)
+           END AS slope_ppm,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               CAST((1000000 * (sy * (n * sxx - sx * sx)
+                                - (n * sxy - sx * sy) * sx))
+                    // (n * (n * sxx - sx * sx) * 1000000) AS BIGINT)
+           END AS intercept_ppm
+    FROM s
+    """,
+)
 def q_linear_trend_per_user(spark, sf_dir):
-    # per-key model fit (one OLS line per user) — grouped-map pattern;
-    # float-sum order makes it non-oracle-able, pinned by a property test
-    from real_estate_project1_etl_spark.operators.groups import group_linear_fit
-
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.col("event_id").cast("double").alias("x"), F.col("value").alias("y")
+    # per-key model fit (one OLS line per user), round-13 EXACT form:
+    # the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) in one
+    # decimal(38,0) groupBy aggregation (map-side combine; no grouped-
+    # map pandas kernel, no Arrow transfer — strictly better at scale
+    # than the applyInPandas numpy fit it replaces, which remains in
+    # operators/groups.py as the general grouped-map pattern), slope and
+    # intercept as truncating integer ppm divisions of exact rationals —
+    # fully value-oracle-able where the float polyfit was rows-only.
+    from real_estate_project1_etl_spark.operators.groups import (
+        group_linear_fit_exact,
     )
-    return group_linear_fit(ev, ["user_id"], "x", "y")
+
+    ev = _t(spark, sf_dir, "events")
+    return group_linear_fit_exact(
+        ev, ["user_id"], "event_id", "value", y_scale=1_000_000
+    )
 
 
 # --------------------------------------------------------------------------

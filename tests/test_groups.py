@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from real_estate_project1_etl_spark.operators.groups import (
@@ -156,3 +158,66 @@ def test_user_value_anomalies_match_numpy(spark, sf_dir):
     assert set(got) == set(expected)
     for eid, z in expected.items():
         assert abs(got[eid] - z) < 1e-6, (eid, got[eid], z)
+
+
+def test_group_linear_fit_exact_matches_bigint_model(spark):
+    # exact-rational python model over the same quantized inputs —
+    # slopes/intercepts as truncating ppm divisions (Spark div == //
+    # toward zero; inputs here are all non-negative)
+    from real_estate_project1_etl_spark.operators.groups import (
+        group_linear_fit_exact,
+    )
+
+    rows = []
+    for i in range(200):
+        g = "ab"[i % 2]
+        rows.append((g, i, 2.5 * i + 7.25 + (i % 5) * 0.125))
+    rows.append(("solo", 999, 3.0))  # degenerate: one point -> NULL fit
+    df = spark.createDataFrame(rows, "g string, x bigint, y double")
+    got = {
+        r["g"]: (r["n_points"], r["slope_ppm"], r["intercept_ppm"])
+        for r in group_linear_fit_exact(df, ["g"], "x", "y").collect()
+    }
+
+    def model(pts):
+        q = [(x, math.floor(y * 1_000_000)) for x, y in pts]
+        n = len(q)
+        sx = sum(x for x, _ in q)
+        sy = sum(y for _, y in q)
+        sxy = sum(x * y for x, y in q)
+        sxx = sum(x * x for x, _ in q)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            return (n, None, None)
+
+        def tdiv(a, b):
+            qq = abs(a) // abs(b)
+            return qq if (a >= 0) == (b > 0) else -qq
+
+        return (
+            n,
+            tdiv(1_000_000 * num, den * 1_000_000),
+            tdiv(
+                1_000_000 * (sy * den - num * sx),
+                n * den * 1_000_000,
+            ),
+        )
+
+    for g in ("a", "b", "solo"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        assert got[g] == model(pts), g
+    # sanity: slope of y = 2.5x + ... is ~2_500_000 ppm
+    assert abs(got["a"][1] - 2_500_000) < 30_000
+
+
+def test_group_linear_fit_exact_rejects_bad_scale(spark):
+    import pytest
+
+    from real_estate_project1_etl_spark.operators.groups import (
+        group_linear_fit_exact,
+    )
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, x bigint, y double")
+    with pytest.raises(ValueError):
+        group_linear_fit_exact(df, ["g"], "x", "y", y_scale=0)

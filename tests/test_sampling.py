@@ -11,6 +11,9 @@ from real_estate_project1_etl_spark.sources.parquet import load_table
 
 
 def test_sketches_within_tolerance(spark, sf_dir):
+    # round-13 form: the query itself carries exact twins + verified
+    # bound flags (oracle pins them TRUE); this test re-checks the exact
+    # twins independently and that every bound flag held
     got = {
         r.l_returnflag: r
         for r in entry_mod.queries()["approx_distinct_and_percentile"](
@@ -23,14 +26,18 @@ def test_sketches_within_tolerance(spark, sf_dir):
         for r in li.groupBy("l_returnflag")
         .agg(
             F.count_distinct("l_partkey").alias("nd"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr(
+                "percentile(cast(floor(l_extendedprice * 100) as bigint),"
+                " 0.5)"
+            ).alias("p50c"),
         )
         .collect()
     }
     for flag, row in got.items():
-        assert abs(row.nd_parts - exact[flag].nd) / exact[flag].nd < 0.05
-        # KLL-ish sketch with accuracy 1000 on ~thousands of rows: within 5%
-        assert abs(row.p50_price - exact[flag].p50) / exact[flag].p50 < 0.05
+        assert row.nd_parts_exact == exact[flag].nd
+        assert row.p50_exact_cents == exact[flag].p50c
+        assert row.nd_approx_ok, flag
+        assert row.p50_approx_ok, flag
 
 
 def test_stratified_sample_proportions_and_determinism(spark, sf_dir):
