@@ -120,9 +120,9 @@ SHOW = [
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
     "ann_recall_ivf",
-    # documents_corpus_build_v6 omitted: its static plan is ~5k lines of
-    # the nested LM+DSIR chains already shown above — see the metric
-    # audits instead (tools/r12_dsir_plan_audit.py)
+    # documents_corpus_build_v6 is not curated here (its static plan is
+    # ~5k lines of the nested LM+DSIR chains) but lands anyway via the
+    # always-included bench_top10() set below — round-12 verdict item 3
     # round-12b: tokenizer apply + allocation + calibration
     "wordpiece_token_stats",
     "tokenizer_fertility_by_lang",
@@ -143,6 +143,18 @@ SHOW = [
 ]
 
 
+def bench_top10() -> list[str]:
+    """The 10 costliest BENCH_FULL queries — ALWAYS shown (round-12
+    verdict item 3: the plans a reviewer most wants to read are exactly
+    the top bench costs; representative-list curation must not be able
+    to drop them). tests/test_explain_md.py asserts top-10 ⊆ EXPLAIN.md."""
+    import json
+
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+        q = json.load(f)["queries"]
+    return [n for n, _ in sorted(q.items(), key=lambda kv: -kv[1])[:10]]
+
+
 def main() -> None:
     spark = get_spark(
         "explain", cpus=4, shuffle_partitions=4,
@@ -150,13 +162,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
+    show = list(SHOW) + [n for n in bench_top10() if n not in SHOW]
     out = [
         "# EXPLAIN — formatted physical plans (AQE off for readability)\n",
         "Generated by `tools/gen_explain.py`. Things to check: filters in",
         "`PushedFilters`, pruned `ReadSchema`, `BroadcastHashJoin` for dims,",
-        "`TakeOrderedAndProject` for top-k, codegen stage ids `(N)`.\n",
+        "`TakeOrderedAndProject` for top-k, codegen stage ids `(N)`.",
+        "The 10 costliest BENCH_FULL queries are always included (appended",
+        "at the end when not already in the curated list).\n",
     ]
-    for name in SHOW:
+    for name in show:
         df = queries[name](spark, "/root/testdata/sf0.001")
         jvm = spark.sparkContext._jvm
         plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
