@@ -1242,12 +1242,19 @@ def _hashed_gram_counts(
     ``(id_col, feature_id, n)`` with one row per (doc, bucket) TYPE,
     Zipf-collapsed before anything shuffles.
 
-    Gram extraction is in-row (``arrays_zip`` of shifted slices — the
-    plain-expression form measured 4.4x the HOF throughput in
-    ``corpus.bigram_lm_scores``); per-token hashing is CPU-bound, so the
-    single-file scan is spread first (``ensure_parallelism``).  The
-    NULL-id filter sits in the shared prefix for stage reuse, for the
-    reasons documented at ``corpus.bigram_lm_scores``.
+    Gram extraction is in-row and SINGLE-PASS (round-13 v6 anatomy): the
+    unigram and bigram streams used to be a union of two explodes, which
+    scanned and re-tokenized the corpus twice — ``concat(ws,
+    zip_with(shifted slices, concat_ws))`` builds all n + (n-1) grams in
+    one array, so one Generate emits the identical gram multiset from
+    one tokenize (measured 1.00 -> 0.66 s for the per-corpus feature
+    pass at sf0.1; the zip_with lambda is interpreted per element, but
+    paying it beats a second corpus scan — the inverse of the
+    bigram_lm_scores 4.4x HOF lesson, where the explode was not
+    duplicated).  Per-token hashing is CPU-bound, so the single-file
+    scan is spread first (``ensure_parallelism``).  The NULL-id filter
+    sits in the shared prefix for stage reuse, for the reasons
+    documented at ``corpus.bigram_lm_scores``.
     """
     from ..functions.text import collapse_whitespace
     from .dedup import shingle_hash_expr
@@ -1258,19 +1265,31 @@ def _hashed_gram_counts(
     )
     ws = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
     ln = F.greatest(F.size(ws) - 1, F.lit(0))
-    big = F.arrays_zip(
-        F.slice(ws, 1, ln).alias("w1"), F.slice(ws, 2, ln).alias("w2")
+    allg = F.concat(
+        ws,
+        F.zip_with(
+            F.slice(ws, 1, ln),
+            F.slice(ws, 2, ln),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
     )
-    uni_stream = docs.select(F.col(id_col), F.explode(ws).alias("g"))
-    big_stream = (
-        docs.select(F.col(id_col), F.explode(big).alias("b"))
-        .select(
-            id_col,
-            F.concat_ws(" ", F.col("b.w1"), F.col("b.w2")).alias("g"),
+    grams = docs.select(F.col(id_col), F.explode(allg).alias("g"))
+    # bucket id: for md5_60 with a power-of-two dim, the low bits of the
+    # 60-bit value only depend on the LOW hex digits — convert just
+    # ceil(log16(dim)) chars instead of all 15 and pmod (value-identical
+    # to pmod(md5_60, dim), asserted below; measured another ~10% off
+    # the feature pass).  Other hash_fn / dim shapes keep the full hash.
+    if hash_fn == "md5_60" and dim > 0 and (dim & (dim - 1)) == 0:
+        n_hex = max(1, -(-(dim - 1).bit_length() // 4))
+        assert (16**n_hex) % dim == 0
+        fid = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("g")), 16 - n_hex, n_hex), 16, 10
+            ).cast("long"),
+            F.lit(dim),
         )
-    )
-    grams = uni_stream.unionByName(big_stream)
-    fid = F.pmod(shingle_hash_expr(F.col("g"), hash_fn), F.lit(dim))
+    else:
+        fid = F.pmod(shingle_hash_expr(F.col("g"), hash_fn), F.lit(dim))
     return (
         grams.select(F.col(id_col), fid.alias("feature_id"))
         # semantically a no-op (pmod of md5/xxhash of a non-null string is
