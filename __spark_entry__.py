@@ -11484,8 +11484,17 @@ def q_documents_corpus_build_v6(spark, sf_dir):
         .select("doc_id", "dsir_weight_ppm")
         .localCheckpoint(eager=True)
     )
-    tok = docs.select(
-        "doc_id", T.whitespace_token_count("text").cast("long").alias("n_toks")
+    # token-count ONLY the selected 150 docs: the broadcast semi-join
+    # runs BEFORE the per-row token count, so the projection evaluates
+    # on the survivors instead of the whole corpus (a join against a
+    # Project cannot prune the projection's per-row work by itself —
+    # round-13 v6 anatomy, S4)
+    tok = (
+        docs.join(F.broadcast(sel.select("doc_id")), "doc_id")
+        .select(
+            "doc_id",
+            T.whitespace_token_count("text").cast("long").alias("n_toks"),
+        )
     )
     plan = pack_sequences(
         sel.join(tok, "doc_id"), "doc_id", "n_toks", seq_len=512, n_shards=4

@@ -100,9 +100,14 @@ def main() -> None:
         t["S3 dsir_select"] = time.monotonic() - t0
 
         t0 = time.monotonic()
-        tok = docs.select(
-            "doc_id",
-            T.whitespace_token_count("text").cast("long").alias("n_toks"),
+        tok = (
+            docs.join(F.broadcast(sel.select("doc_id")), "doc_id")
+            .select(
+                "doc_id",
+                T.whitespace_token_count("text").cast("long").alias(
+                    "n_toks"
+                ),
+            )
         )
         plan = pack_sequences(
             sel.join(tok, "doc_id"), "doc_id", "n_toks",
