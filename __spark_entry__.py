@@ -12167,10 +12167,41 @@ def q_embeddings_top_component_hp(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return power_iteration_top_component(
         quantized_scatter(
-            emb, "embedding", "vec_id", scale_pow2=8, accumulate="decimal"
+            emb, "embedding", scale_pow2=8, accumulate="decimal"
         ),
         dim=64,
         n_iters=8,
+    )
+
+
+@_q("embeddings_top_component_incremental", _power_iteration_hp_oracle())
+def q_embeddings_top_component_incremental(spark, sf_dir):
+    # the INCREMENTAL-maintenance twin (round-13, streaming monitor's
+    # batch form): the corpus arrives as three arbitrary slices, each
+    # contributing only its ADDITIVE scatter partials (Gram cells /
+    # dim sums / count — operators/spectral.scatter_partials); the
+    # merged partials reconstruct the EXACT decimal scatter through the
+    # same digit-cap code path, so this query shares
+    # embeddings_top_component_hp's ORACLE VERBATIM — the driver
+    # compare proves incremental == from-scratch cross-engine. The
+    # streaming form (per-micro-batch delta partitions, restart-
+    # crossing stream==batch) is streaming/spectral_monitor.py, pinned
+    # by tests/test_streaming_spectral.py.
+    from real_estate_project1_etl_spark.operators.spectral import (
+        power_iteration_top_component,
+        scatter_from_partials,
+        scatter_partials,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    parts = None
+    for k in range(3):
+        p = scatter_partials(
+            emb.filter(F.col("vec_id") % 3 == k), "embedding", scale_pow2=8
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return power_iteration_top_component(
+        scatter_from_partials(parts), dim=64, n_iters=8
     )
 
 

@@ -68,6 +68,8 @@ __all__ = [
     "power_iteration_top_component",
     "quantized_scatter",
     "remove_component",
+    "scatter_from_partials",
+    "scatter_partials",
 ]
 
 #: bit caps: scatter <= 2^36, iterate <= 2^20 — |C v| < 2^63 for d <= 64
@@ -189,27 +191,7 @@ def quantized_scatter(
         .select("i", "j", cval.alias("c"))
     )
     if dec:
-        # digit-count cap: value < 10^digits < 2^((10*digits) div 3 + 1)
-        t = c0.agg(
-            F.greatest(
-                F.expr(
-                    "(10 * length(cast(max(abs(c)) as string))) div 3"
-                    f" + 1 - {_C_BITS}"
-                ),
-                F.lit(0),
-            ).alias("t")
-        )
-        # 2^t as decimal via a split shift (t can exceed a bigint shift)
-        pow2 = (
-            "cast(shiftleft(cast(1 as bigint), least(t, 60)) as"
-            " decimal(38,0)) * cast(shiftleft(cast(1 as bigint),"
-            " greatest(t - 60, 0)) as decimal(38,0))"
-        )
-        return c0.crossJoin(F.broadcast(t)).select(
-            "i",
-            "j",
-            F.expr(f"cast(c div ({pow2}) as bigint)").alias("c"),
-        )
+        return _digit_cap(c0)
     t = c0.agg(
         F.greatest(
             F.length(F.bin(F.max(F.abs(F.col("c"))))) - F.lit(_C_BITS),
@@ -221,6 +203,133 @@ def quantized_scatter(
         "j",
         F.expr("c div (shiftleft(cast(1 as bigint), t))").alias("c"),
     )
+
+
+def _digit_cap(c0: DataFrame) -> DataFrame:
+    """Right-shift decimal(38,0) centered cells to <= 2^36 significant
+    bits using the DIGIT-count bound ``value < 10^digits <
+    2^((10*digits) div 3 + 1)`` (10/3 > log2(10), so the shift
+    over-estimates by <= 3 bits) — the deterministic integer spec both
+    engines replay.  Shared by :func:`quantized_scatter`'s decimal path
+    and :func:`scatter_from_partials`, which must emit IDENTICAL capped
+    matrices for the stream==batch contract."""
+    t = c0.agg(
+        F.greatest(
+            F.expr(
+                "(10 * length(cast(max(abs(c)) as string))) div 3"
+                f" + 1 - {_C_BITS}"
+            ),
+            F.lit(0),
+        ).alias("t")
+    )
+    # 2^t as decimal via a split shift (t can exceed a bigint shift)
+    pow2 = (
+        "cast(shiftleft(cast(1 as bigint), least(t, 60)) as"
+        " decimal(38,0)) * cast(shiftleft(cast(1 as bigint),"
+        " greatest(t - 60, 0)) as decimal(38,0))"
+    )
+    return c0.crossJoin(F.broadcast(t)).select(
+        "i",
+        "j",
+        F.expr(f"cast(c div ({pow2}) as bigint)").alias("c"),
+    )
+
+
+def scatter_partials(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale_pow2: int = 8,
+) -> DataFrame:
+    """ADDITIVE sufficient statistics of the quantized scatter as one
+    tall decimal(38,0) table ``(kind, i, j, val)`` — the mergeable form
+    for incremental/streaming maintenance:
+
+    - ``kind='g'``: upper-triangle Gram cells ``sum(q_i q_j)``, j >= i;
+    - ``kind='s'``: per-dimension sums ``sum(q_i)`` (j = 0);
+    - ``kind='n'``: the row count (i = j = 0).
+
+    All three are plain sums, so partials from any split of the corpus
+    (micro-batches, partitions, snapshots) merge by summing ``val`` —
+    and :func:`scatter_from_partials` on the merged table is
+    VALUE-IDENTICAL to ``quantized_scatter(all_rows,
+    accumulate='decimal')`` (pinned in tests and by the streaming
+    monitor's stream==batch test).  The decimal accumulation makes the
+    merged statistics exact at any corpus size (no bigint wrap), which
+    is why the partials form has no 'bigint' mode.
+
+    Scale shape per batch/partition: one scan, one partial aggregation
+    to <= d^2/2 + d + 1 cells — the store grows by a model-sized delta
+    per batch, never by rows.
+    """
+    qv = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+        f" * {float(1 << scale_pow2)}) as bigint))"
+    )
+    rows = emb.select(qv.alias("_qv"))
+    pairs = rows.select(
+        F.posexplode("_qv").alias("_i0", "_qi"), F.col("_qv")
+    ).select(
+        (F.col("_i0") + 1).alias("i"),
+        F.col("_qi"),
+        F.posexplode(
+            F.expr("slice(_qv, _i0 + 1, size(_qv) - _i0)")
+        ).alias("_j0", "_qj"),
+    )
+    g_up = pairs.groupBy(
+        "i", (F.col("i") + F.col("_j0")).alias("j")
+    ).agg(
+        F.sum(
+            (F.col("_qi") * F.col("_qj")).cast("decimal(38,0)")
+        ).alias("val")
+    )
+    s = (
+        rows.select(F.posexplode("_qv").alias("_i0", "_qi"))
+        .groupBy((F.col("_i0") + 1).alias("i"))
+        .agg(F.sum(F.col("_qi").cast("decimal(38,0)")).alias("val"))
+        .select("i", F.lit(0).alias("j"), "val")
+    )
+    n = emb.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("val")
+    ).select(F.lit(0).alias("i"), F.lit(0).alias("j"), "val")
+    return (
+        g_up.select(F.lit("g").alias("kind"), "i", "j", "val")
+        .unionByName(s.select(F.lit("s").alias("kind"), "i", "j", "val"))
+        .unionByName(n.select(F.lit("n").alias("kind"), "i", "j", "val"))
+    )
+
+
+def scatter_from_partials(partials: DataFrame) -> DataFrame:
+    """Merge additive scatter partials (sum ``val`` per cell) and
+    reconstruct the capped centered scatter ``(i, j, c)`` — value-
+    identical to ``quantized_scatter(union_of_inputs,
+    accumulate='decimal')`` because centering and the digit-count cap
+    run on the exact merged sums through the same shared code path
+    (:func:`_digit_cap`)."""
+    m = partials.groupBy("kind", "i", "j").agg(F.sum("val").alias("val"))
+    g_up = m.filter(F.col("kind") == "g").select("i", "j", F.col("val").alias("g"))
+    g = g_up.unionAll(
+        g_up.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    s = m.filter(F.col("kind") == "s").select("i", F.col("val").alias("s"))
+    n = m.filter(F.col("kind") == "n").select(F.col("val").alias("n"))
+    c0 = (
+        g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
+        .join(
+            F.broadcast(
+                s.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("c"),
+        )
+    )
+    return _digit_cap(c0)
 
 
 def power_iteration_top_component(
