@@ -152,6 +152,19 @@ def get_spark(
             _state_store_provider_class(),
         )
     )
+    # live-backend classpath opt-ins (round-13 verdict item 7): a JDBC
+    # driver or hadoop-aws must be on the classpath BEFORE the JVM
+    # launches — expose the standard knobs as env vars so the opt-in
+    # live smoke tests (tests/test_live_backends.py) can be run by a
+    # networked operator without editing code. No effect when the
+    # session already exists (getOrCreate ignores new conf then) or when
+    # the vars are unset (the sandbox default).
+    jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if jars:
+        builder = builder.config("spark.jars", jars)
+    pkgs = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES")
+    if pkgs:
+        builder = builder.config("spark.jars.packages", pkgs)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
