@@ -12205,6 +12205,102 @@ def q_embeddings_top_component_incremental(spark, sf_dir):
     )
 
 
+def _kmeans_ctes(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    # integer-exact Lloyd unrolled (operators/clustering.py): truncated-
+    # mean centroids keep every quantity integer, so the full trajectory
+    # — assignments, updates, final distances — mirrors exactly.
+    # MATERIALIZED on every reused CTE (the batched-BPE inlining lesson).
+    its = []
+    for i in range(1, n_iters + 1):
+        its.append(f"""
+    kd{i} AS (SELECT b.vec_id, c.cluster,
+                     sum((b.qd - c.m) * (b.qd - c.m)) AS dist2
+              FROM kb b JOIN kc{i - 1} c USING (d)
+              GROUP BY b.vec_id, c.cluster),
+    ka{i} AS MATERIALIZED (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, cluster) AS rn
+            FROM kd{i}) WHERE rn = 1),
+    ku{i} AS (SELECT a.cluster, b.d, sum(b.qd) // count(*) AS m_new
+              FROM ka{i} a JOIN kb b USING (vec_id)
+              GROUP BY a.cluster, b.d),
+    kc{i} AS MATERIALIZED (
+        SELECT c.cluster, c.d, coalesce(u.m_new, c.m) AS m
+        FROM kc{i - 1} c LEFT JOIN ku{i} u
+          ON u.cluster = c.cluster AND u.d = c.d)""")
+    return f"""kb AS MATERIALIZED (
+        SELECT vec_id, i AS d,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 256) AS BIGINT)
+                   AS qd
+        FROM embeddings, generate_series(1, {dim}) AS gs(i)
+        WHERE vec_id IS NOT NULL),
+    kc0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cluster, d, qd AS m
+                         FROM kb WHERE vec_id < {k}),{",".join(its)},
+    kfd AS (SELECT b.vec_id, c.cluster,
+                   sum((b.qd - c.m) * (b.qd - c.m)) AS dist2
+            FROM kb b JOIN kc{n_iters} c USING (d)
+            GROUP BY b.vec_id, c.cluster),
+    kfa AS MATERIALIZED (
+        SELECT vec_id, cluster, dist2 FROM (
+            SELECT vec_id, cluster, dist2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, cluster) AS rn
+            FROM kfd) WHERE rn = 1)"""
+
+
+@_q(
+    "embeddings_kmeans_assign",
+    f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2 FROM kfa
+    """,
+)
+def q_embeddings_kmeans_assign(spark, sf_dir):
+    # the missing TRAIN step of the IVF family: integer-exact Lloyd
+    # k-means (Lloyd 1982; IVF coarse quantizer, Jégou et al. 2011
+    # §IV) — truncated-mean centroids keep assignments, updates, and
+    # distances exact bigints, so the WHOLE 3-iteration trajectory is
+    # value-checked cross-engine (the oracle unrolls it, MATERIALIZED).
+    # Ties go to the lowest cluster id; empty clusters keep their
+    # previous centroid; init = vectors 0..7 (deterministic — the
+    # ivfpq queries' id convention).
+    from real_estate_project1_etl_spark.operators.clustering import (
+        kmeans_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans_quantized(emb, k=8, n_iters=3)
+    return assign
+
+
+@_q(
+    "embeddings_kmeans_summary",
+    f"""
+    WITH {_kmeans_ctes()}
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dist2) AS BIGINT) AS inertia
+    FROM kfa GROUP BY cluster
+    """,
+)
+def q_embeddings_kmeans_summary(spark, sf_dir):
+    # per-cell population + exact inertia (sum of squared quantized
+    # distances) of the trained k-means — the balance/quality report an
+    # IVF operator reads before deciding cell splits (the hot-cell
+    # balancing story in operators/similarity.py).
+    from real_estate_project1_etl_spark.operators.clustering import (
+        kmeans_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans_quantized(emb, k=8, n_iters=3)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist2").alias("inertia"),
+    )
+
+
 @_q("embeddings_top_component", _power_iteration_oracle())
 def q_embeddings_top_component(spark, sf_dir):
     # SPECTRAL family: dominant principal direction of the embedding
