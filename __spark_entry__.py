@@ -12665,6 +12665,48 @@ def q_classifier_eval_report(spark, sf_dir):
     )
 
 
+@_q("classifier_eval_report_incremental", _ORACLE["classifier_eval_report"])
+def q_classifier_eval_report_incremental(spark, sf_dir):
+    # the INCREMENTAL-maintenance twin (round-13, eval monitor's batch
+    # form): scored rows arrive as three arbitrary slices, each
+    # contributing only its ADDITIVE (s, y, p, cnt) contingency delta;
+    # the merged table feeds the WEIGHTED eval
+    # (binary_classifier_eval(weight_col='cnt')), which is value-
+    # identical to evaluating the expanded rows — so this query shares
+    # classifier_eval_report's ORACLE VERBATIM and the driver compare
+    # proves incremental == row-level cross-engine. The streaming form
+    # (per-micro-batch delta partitions, restart-crossing stream==batch)
+    # is streaming/eval_monitor.py, pinned by
+    # tests/test_streaming_eval.py.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        binary_classifier_eval,
+    )
+
+    scored = _gate_scored_df(spark, sf_dir)
+    parts = None
+    for k in range(3):
+        delta = (
+            scored.filter(F.col("doc_id") % 3 == k)
+            .select(
+                F.col("score_milli").cast("bigint").alias("s"),
+                F.col("label").cast("bigint").alias("y"),
+                F.col("p_milli").cast("bigint").alias("p"),
+            )
+            .groupBy("s", "y", "p")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parts = delta if parts is None else parts.unionByName(delta)
+    merged = parts.groupBy("s", "y", "p").agg(F.sum("cnt").alias("cnt"))
+    return binary_classifier_eval(
+        merged,
+        score_col="s",
+        label_col="y",
+        p_milli_col="p",
+        threshold_milli=0,
+        weight_col="cnt",
+    )
+
+
 @_q(
     "classifier_calibration_bins",
     f"""

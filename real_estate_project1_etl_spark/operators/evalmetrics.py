@@ -56,12 +56,22 @@ __all__ = [
 
 
 def _base(
-    scored: DataFrame, score_col: str, label_col: str, p_milli_col: str
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    p_milli_col: str,
+    weight_col: str | None = None,
 ) -> DataFrame:
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
     return scored.select(
         F.col(score_col).cast("bigint").alias("s"),
         F.col(label_col).cast("bigint").alias("y"),
         F.col(p_milli_col).cast("bigint").alias("p"),
+        w.alias("w"),
     )
 
 
@@ -71,6 +81,7 @@ def binary_classifier_eval(
     label_col: str = "label",
     p_milli_col: str = "p_milli",
     threshold_milli: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One-row evaluation report for a scored binary classifier.
 
@@ -81,23 +92,34 @@ def binary_classifier_eval(
     ece_ppm, accuracy_ppm, precision_ppm, recall_ppm, f1_ppm)`` — ratio
     metrics are ppm bigints, NULL where undefined (single-class AUC,
     zero predicted positives).
+
+    ``weight_col`` (round-13): an optional per-row multiplicity — the
+    report over a ``(s, y, p, cnt)`` CONTINGENCY table (the additive
+    sufficient statistic the streaming eval monitor maintains) is then
+    value-identical to the report over the expanded rows. Every count
+    and sum below is weighted; the rank sweep already runs on the
+    distinct-score table, so weighting only changes its c/cp inputs.
     """
-    base = _base(scored, score_col, label_col, p_milli_col)
+    base = _base(scored, score_col, label_col, p_milli_col, weight_col)
 
     pred = (F.col("s") >= F.lit(int(threshold_milli))).cast("bigint")
     d = F.col("p") - F.lit(1000) * F.col("y")
     nb = F.least(F.expr("p * 10 div 1000"), F.lit(9))
+    w = F.col("w")
     tot = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("y"), F.lit(0)).alias("n_pos"),
-        F.coalesce(F.sum(pred * F.col("y")), F.lit(0)).alias("tp"),
-        F.coalesce(F.sum(pred * (1 - F.col("y"))), F.lit(0)).alias("fp"),
-        F.coalesce(F.sum((1 - pred) * F.col("y")), F.lit(0)).alias("fn"),
-        F.coalesce(F.sum(d * d), F.lit(0)).alias("brier_num"),
+        F.coalesce(F.sum(w), F.lit(0)).alias("n"),
+        F.coalesce(F.sum(F.col("y") * w), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum(pred * F.col("y") * w), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(pred * (1 - F.col("y")) * w), F.lit(0)).alias("fp"),
+        F.coalesce(
+            F.sum((1 - pred) * F.col("y") * w), F.lit(0)
+        ).alias("fn"),
+        F.coalesce(F.sum(d * d * w), F.lit(0)).alias("brier_num"),
     )
     # ECE bins pre-aggregate (<= 10 rows), then the absolute-gap sum
     eb = base.groupBy(nb.alias("b")).agg(
-        F.sum("p").alias("sp"), F.sum("y").alias("pos")
+        F.sum(F.col("p") * w).alias("sp"),
+        F.sum(F.col("y") * w).alias("pos"),
     )
     ec = eb.agg(
         F.coalesce(
@@ -106,7 +128,7 @@ def binary_classifier_eval(
     )
     # distinct-score sweep: ascending ranks for AUC, descending for AP
     g = base.groupBy("s").agg(
-        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cp")
+        F.sum(w).alias("c"), F.sum(F.col("y") * w).alias("cp")
     )
     w_asc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(
