@@ -12708,6 +12708,58 @@ def q_classifier_eval_report_incremental(spark, sf_dir):
 
 
 @_q(
+    "feature_label_chi2_topk",
+    f"""
+    WITH w AS (SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents
+               WHERE doc_id IS NOT NULL),
+    t AS (SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512
+                     AS feature_id
+          FROM (SELECT doc_id, unnest(ws) AS tok FROM w)),
+    y AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+          FROM documents WHERE doc_id IS NOT NULL),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(y) AS HUGEINT) AS p FROM y),
+    ct AS (SELECT t.feature_id,
+                  CAST(sum(y.y) AS HUGEINT) AS a,
+                  CAST(sum(1 - y.y) AS HUGEINT) AS b
+           FROM t JOIN y USING (doc_id) GROUP BY t.feature_id),
+    x AS (SELECT feature_id, a + b AS df_docs,
+                 CASE WHEN (a + b) > 0 AND (n - a - b) > 0
+                           AND p > 0 AND (n - p) > 0
+                      THEN CAST((1000000 * n
+                                 * (a * ((n - p) - b) - b * (p - a))
+                                 * (a * ((n - p) - b) - b * (p - a)))
+                           // ((a + b) * (n - a - b) * p * (n - p))
+                           AS BIGINT)
+                 END AS chi2_ppm
+          FROM ct CROSS JOIN nn)
+    SELECT feature_id, CAST(df_docs AS BIGINT) AS df_docs, chi2_ppm
+    FROM x ORDER BY chi2_ppm DESC NULLS LAST, feature_id LIMIT 20
+    """,
+)
+def q_feature_label_chi2_topk(spark, sf_dir):
+    # feature SELECTION for the quality-classifier family (Yang &
+    # Pedersen 1997): chi-square association between each hashed
+    # bag-of-words bucket (the exact feature map the gate/trainer use)
+    # and the doc_id%2 label, on document-presence 2x2 tables — exact
+    # decimal ppm, top-20 by association with a total tiebreak, every
+    # value checked cross-engine.
+    from real_estate_project1_etl_spark.operators.quality import (
+        feature_label_chi2,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    return (
+        feature_label_chi2(docs, dim=512)
+        .orderBy(F.col("chi2_ppm").desc_nulls_last(), "feature_id")
+        .limit(20)
+    )
+
+
+@_q(
     "classifier_calibration_bins",
     f"""
     WITH {_GATE_SCORED_CTES}

@@ -1712,3 +1712,92 @@ def grouped_quantile_ppm(
         )
         .drop("_gqp_key", "_gid", "_g0", "_gn")
     )
+
+
+def feature_label_chi2(
+    docs: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Per-feature chi-square association with a binary label over the
+    SAME hashed bag-of-words feature map the classifier family uses —
+    the classic feature-selection statistic for text classification
+    (Yang & Pedersen 1997, "A Comparative Study on Feature Selection in
+    Text Categorization", ICML: chi2 and IG are the strongest pruning
+    criteria).  Run it before :func:`train_hashed_classifier` to audit
+    which hash buckets carry label signal, or after to sanity-check that
+    the learned weights concentrate where the association is.
+
+    Per feature ``f`` the document-presence 2x2 table (presence, not
+    counts — the text-CAT convention):
+
+    ============== =========== ===========
+    _              label = 1   label = 0
+    contains f     a           b
+    lacks f        P - a       (N-P) - b
+    ============== =========== ===========
+
+    ``chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))``, emitted as the
+    truncating integer ``chi2_ppm`` (ppm, decimal(38,0) intermediates —
+    ``1e6 * N * (ad-bc)^2`` is ~2e23 at 5k docs, ~1e38 headroom to 3e8
+    docs; shard-and-merge the contingency counts beyond that). Features
+    with a zero margin (present in every doc, or a single-class corpus)
+    get NULL — undefined, not 0.
+
+    Returns ``(feature_id, df_docs, chi2_ppm)`` — one row per feature
+    bucket observed in the corpus.
+
+    Scale shape: tokenize + hash in the scan stage; presence collapses
+    the token stream to DISTINCT (doc, feature) before anything
+    shuffles; the contingency aggregation is one exchange on
+    feature_id to <= dim rows; the (N, P) totals broadcast.
+    """
+    from .corpus import tokenize_positions
+    from .dedup import shingle_hash_expr
+    from .util import ensure_parallelism
+
+    fid = F.pmod(shingle_hash_expr(F.col("w"), hash_fn), F.lit(dim))
+    y = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("bigint").alias("_y"),
+    )
+    pres = (
+        tokenize_positions(
+            ensure_parallelism(
+                docs.filter(F.col(id_col).isNotNull()).select(
+                    F.col(id_col).alias("doc_id"), F.col(text_col)
+                )
+            ),
+            text_col,
+        )
+        .select("doc_id", fid.alias("feature_id"))
+        .distinct()
+    )
+    tot = y.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.coalesce(F.sum("_y"), F.lit(0)).cast("decimal(38,0)").alias("_p"),
+    )
+    ct = (
+        pres.join(y, "doc_id")
+        .groupBy("feature_id")
+        .agg(
+            F.sum("_y").cast("decimal(38,0)").alias("_a"),
+            F.sum(F.lit(1) - F.col("_y")).cast("decimal(38,0)").alias("_b"),
+        )
+    )
+    # c = P - a, d = (N - P) - b; margins (a+b), (n-a-b), P, (n-P)
+    num = "(_a * ((_n - _p) - _b) - _b * (_p - _a))"
+    den = "((_a + _b) * (_n - _a - _b) * _p * (_n - _p))"
+    return ct.crossJoin(F.broadcast(tot)).select(
+        "feature_id",
+        F.expr("cast(_a + _b as bigint)").alias("df_docs"),
+        F.expr(
+            f"case when (_a + _b) > 0 and (_n - _a - _b) > 0"
+            f" and _p > 0 and (_n - _p) > 0 then"
+            f" cast((1000000 * _n * {num} * {num}) div {den} as bigint)"
+            " end"
+        ).alias("chi2_ppm"),
+    )
