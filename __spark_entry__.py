@@ -12760,6 +12760,60 @@ def q_feature_label_chi2_topk(spark, sf_dir):
 
 
 @_q(
+    "bloom_prefiltered_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-02-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bloom_prefiltered_revenue(spark, sf_dir):
+    # Bloom semi-join REDUCTION (Bloom 1970; the explicit form of
+    # Spark's SPARK-32268 runtime filters): the January-1996 order keys
+    # build an 8 KiB (word_idx, bits) filter table; lineitem is pruned
+    # by 3 broadcast bit-probes IN THE SCAN STAGE before the real join.
+    # A Bloom filter has no false negatives and the exact join removes
+    # its false positives, so the result is provably identical to the
+    # plain join — which is exactly the oracle (no bloom modeling): the
+    # driver compare certifies the reduction is result-preserving, the
+    # test pins that it actually prunes. At 100 TB this is the
+    # difference between shuffling the whole fact table and shuffling
+    # the ~2% of it a selective dim filter survives.
+    from real_estate_project1_etl_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01"))
+    )
+    bf = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+    li = bloom_prefilter(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", bf
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@_q(
     "classifier_calibration_bins",
     f"""
     WITH {_GATE_SCORED_CTES}
