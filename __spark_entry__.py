@@ -12814,6 +12814,52 @@ def q_bloom_prefiltered_revenue(spark, sf_dir):
 
 
 @_q(
+    "gate_isotonic_calibration",
+    f"""
+    WITH {_GATE_SCORED_CTES},
+    gq AS (SELECT s, CAST(count(*) AS HUGEINT) AS c,
+                  CAST(sum(y) AS HUGEINT) AS cp
+           FROM sc GROUP BY s),
+    cm AS MATERIALIZED (
+        SELECT s, c, cp,
+               sum(c) OVER (ORDER BY s) AS ctot,
+               sum(cp) OVER (ORDER BY s) AS stot
+        FROM gq),
+    pr AS (SELECT j.s AS js, k.s AS ks,
+                  (1000000 * (k.stot - (j.stot - j.cp)))
+                  // (k.ctot - (j.ctot - j.c)) AS frac
+           FROM cm j JOIN cm k ON j.s <= k.s),
+    mn AS (SELECT js, ks,
+                  min(frac) OVER (PARTITION BY js ORDER BY ks DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS rmin
+           FROM pr),
+    io AS (SELECT ks AS s, max(rmin) AS iso FROM mn GROUP BY ks)
+    SELECT g.s, CAST(g.c AS BIGINT) AS n, CAST(g.cp AS BIGINT) AS n_pos,
+           CAST(io.iso AS BIGINT) AS iso_ppm
+    FROM gq g JOIN io USING (s)
+    """,
+)
+def q_gate_isotonic_calibration(spark, sf_dir):
+    # isotonic (monotone) calibration of the quality gate's ranking
+    # score (Zadrozny & Elkan KDD'02; PAV) via the minimax closed form
+    # — distributable where classic PAV's adjacent pooling is
+    # inherently sequential. floor commutes with min/max, so the
+    # ppm-truncated minimax equals floor(1e6 * exact isotonic fit):
+    # every row value-checked cross-engine. Pairs are blocks^2 of the
+    # distinct-score table — corpus-size-independent.
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        isotonic_calibration_ppm,
+    )
+
+    return isotonic_calibration_ppm(
+        _gate_scored_df(spark, sf_dir),
+        score_col="score_milli",
+        label_col="label",
+    )
+
+
+@_q(
     "classifier_calibration_bins",
     f"""
     WITH {_GATE_SCORED_CTES}

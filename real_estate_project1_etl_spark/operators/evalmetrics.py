@@ -468,3 +468,90 @@ def pr_points(
         .cast("bigint")
         .alias("recall_ppm"),
     )
+
+
+def isotonic_calibration_ppm(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Isotonic (monotone) probability calibration of a ranking score —
+    the non-parametric alternative to Platt scaling (Zadrozny & Elkan,
+    KDD'02 "Transforming classifier scores into accurate multiclass
+    probability estimates"; Robertson et al. 1988 for the PAV
+    algorithm). Returns one row per DISTINCT score: ``(s, n, n_pos,
+    iso_ppm)`` with ``iso_ppm`` the isotonic-regression fit of the
+    positive rate, non-decreasing in ``s``.
+
+    Classic PAV is sequential (pool adjacent violators until monotone),
+    which distributes badly. This uses the equivalent MINIMAX closed
+    form (Robertson, Wright & Dykstra 1988, Thm 1.4.4):
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(y[j..k])
+
+    over the distinct-score blocks. Exactness: means are compared/
+    reported after ``floor((1e6 * sum) / count)`` — and because floor
+    is monotone non-decreasing, ``min`` and ``max`` COMMUTE with it
+    (``min_k floor(x_k) = floor(min_k x_k)``), so the ppm result equals
+    ``floor(1e6 * exact isotonic fit)`` — engine-mirrorable truncating
+    integer arithmetic end to end, no float summation anywhere.
+
+    Scale shape: the corpus collapses to the distinct-score table first
+    (Zipf/domain-bounded — the same table every rank sweep here runs
+    on); the minimax is O(blocks^2) pair rows with one per-j window and
+    one aggregation — at the gate's ~2k distinct scores that is ~4M
+    tiny rows, embarrassingly parallel (partitioned by j), and
+    independent of corpus row count. The prefix-sum window over the
+    distinct-score table is single-partition by construction — bounded,
+    the module's standing convention.
+    """
+    base = scored.select(
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("bigint").alias("y"),
+    )
+    g = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cp")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "s",
+        "c",
+        "cp",
+        F.sum("c").over(w).alias("_ct"),
+        F.sum("cp").over(w).alias("_st"),
+    )
+    j = cum.select(
+        F.col("s").alias("_js"),
+        (F.col("_ct") - F.col("c")).alias("_c0"),
+        (F.col("_st") - F.col("cp")).alias("_s0"),
+    )
+    k = cum.select(
+        F.col("s").alias("_ks"),
+        F.col("_ct").alias("_c1"),
+        F.col("_st").alias("_s1"),
+    )
+    pairs = j.join(k, F.col("_js") <= F.col("_ks")).select(
+        "_js",
+        "_ks",
+        F.expr("(1000000 * (_s1 - _s0)) div (_c1 - _c0)").alias("frac"),
+    )
+    wmin = (
+        Window.partitionBy("_js")
+        .orderBy(F.col("_ks").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = pairs.select(
+        "_js", "_ks", F.min("frac").over(wmin).alias("_rmin")
+    )
+    iso = m.groupBy(F.col("_ks").alias("s")).agg(
+        F.max("_rmin").alias("iso_ppm")
+    )
+    return (
+        g.join(iso, "s")
+        .select(
+            "s",
+            F.col("c").cast("bigint").alias("n"),
+            F.col("cp").cast("bigint").alias("n_pos"),
+            F.col("iso_ppm").cast("bigint").alias("iso_ppm"),
+        )
+    )

@@ -427,3 +427,57 @@ def test_standing_eval_training_slice_drift_rebuilds(spark, sf_dir):
     assert len(calls) == 1
     get_or_build(b, "t13_weights_drift", mk(b))  # drifted slice: MISS
     assert len(calls) == 2
+
+
+def test_isotonic_calibration_matches_classic_pav(spark):
+    # the minimax closed form must equal CLASSIC pool-adjacent-violators
+    # run with exact fractions, floored to ppm (floor commutes with the
+    # pooling's min/max structure)
+    from fractions import Fraction
+
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        isotonic_calibration_ppm,
+    )
+
+    rows = []
+    for i in range(500):
+        h = (i * 48271) % 1009
+        s = h % 40  # 40 distinct scores, plenty of ties
+        # noisy monotone-ish signal with deliberate violations
+        y = 1 if (h % 100) < 30 + s + (15 if s % 7 == 0 else 0) else 0
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "score_milli bigint, label int")
+    got = {
+        r["s"]: (r["n"], r["n_pos"], r["iso_ppm"])
+        for r in isotonic_calibration_ppm(df).collect()
+    }
+
+    # classic PAV over distinct-score blocks, exact rationals
+    blocks = {}
+    for s, y in rows:
+        c, p = blocks.get(s, (0, 0))
+        blocks[s] = (c + 1, p + y)
+    order = sorted(blocks)
+    stack = []  # (count, pos) pooled blocks, with their score members
+    members = []
+    for s in order:
+        c, p = blocks[s]
+        stack.append((c, p))
+        members.append([s])
+        while len(stack) > 1 and Fraction(stack[-1][1], stack[-1][0]) < (
+            Fraction(stack[-2][1], stack[-2][0])
+        ):
+            c2, p2 = stack.pop()
+            c1, p1 = stack.pop()
+            stack.append((c1 + c2, p1 + p2))
+            m2 = members.pop()
+            members[-1].extend(m2)
+    want = {}
+    for (c, p), ms in zip(stack, members):
+        fit = (1_000_000 * p) // c
+        for s in ms:
+            want[s] = (blocks[s][0], blocks[s][1], fit)
+    assert got == want
+    # monotone in s
+    vals = [got[s][2] for s in order]
+    assert vals == sorted(vals)
