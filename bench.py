@@ -145,6 +145,15 @@ HEADLINE = [
     "totalprice_monthly_quantile_rollup",
     "leakage_free_split_audit",
     "embeddings_top_component",
+    # round-13: IVF coarse-quantizer TRAINING (integer-exact Lloyd),
+    # isotonic calibration (distributable PAV via the minimax form),
+    # bloom semi-join reduction (result-preserving fact pruning), and
+    # the incremental eval twin (additive contingency store -> weighted
+    # report — the streaming monitor's batch form)
+    "embeddings_kmeans_assign",
+    "gate_isotonic_calibration",
+    "bloom_prefiltered_revenue",
+    "classifier_eval_report_incremental",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -219,6 +228,10 @@ COST = {
     "classifier_eval_report": "gate inference (token hash + feature agg) + one totals pass + distinct-score rank sweep (model-sized windows); metrics all integer",
     "trained_classifier_holdout_eval": "3-iter integer GD on 2/3 folds (feature table checkpointed once) + held-out scoring + eval sweep",
     "trained_classifier_standing_eval": "eval against STANDING weights (session-cached train artifact, plan-fingerprint keyed): held-out scoring + rank sweep only — the recurring production cost",
+    "embeddings_kmeans_assign": "3 Lloyd iterations: per-iter one pass over the (vec,d,q) long table, k*d centroids broadcast, (vec,cluster) partial agg; centroids re-checkpoint per step",
+    "gate_isotonic_calibration": "gate inference + distinct-score collapse, then blocks^2 pair table with per-j running-min window + argmax agg — corpus-size-independent after the collapse",
+    "bloom_prefiltered_revenue": "8KiB bitmap agg over Jan-1996 order keys + 3 broadcast bit-probe joins prune lineitem IN THE SCAN STAGE before the exact join",
+    "classifier_eval_report_incremental": "3 per-slice contingency deltas (s,y,p,cnt) merged additively, then the WEIGHTED rank sweep — the eval monitor's batch twin",
     "totalprice_monthly_quantile_rollup": "one orders scan -> <=63-bucket daily sketches; rollup + quantile walk on model-sized tables",
     "leakage_free_split_audit": "minhash banding + CC (checkpointed) + two split hashes + pair-endpoint joins; pair-volume-bound",
     "embeddings_top_component": "d^2-cell scatter partial agg (one corpus pass) + 8 broadcast mat-vec steps on checkpointed 64-row iterates",
