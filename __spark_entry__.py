@@ -12860,6 +12860,81 @@ def q_gate_isotonic_calibration(spark, sf_dir):
 
 
 @_q(
+    "source_concentration_audit",
+    """
+    WITH c AS (SELECT source AS g, CAST(count(*) AS HUGEINT) AS c
+               FROM documents GROUP BY source),
+    r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, g) AS HUGEINT)
+                 AS r FROM c),
+    a AS (SELECT sum(c) AS n, CAST(count(*) AS HUGEINT) AS m,
+                 max(c) AS top, sum(c * c) AS sq, sum(r * c) AS rc
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(m AS BIGINT) AS n_groups,
+           CAST((1000000 * top) // n AS BIGINT) AS top_share_ppm,
+           CAST((1000000 * sq) // (n * n) AS BIGINT) AS hhi_ppm,
+           CAST(CASE WHEN m > 1
+                     THEN (1000000 * (2 * rc - (m + 1) * n)) // (m * n)
+                     ELSE 0 END AS BIGINT) AS gini_ppm
+    FROM a
+    """,
+)
+def q_source_concentration_audit(spark, sf_dir):
+    # data-mixing governance: how concentrated is the corpus across
+    # sources — top share, Herfindahl-Hirschman index, Gini (rank form;
+    # tie-order invariant, so no tiebreak contract is needed) — the
+    # diagnostic read before domain caps / UniMax budgets are set. All
+    # ppm-exact decimal integers, value-checked cross-engine.
+    from real_estate_project1_etl_spark.operators.profile import (
+        concentration_audit,
+    )
+
+    return concentration_audit(_t(spark, sf_dir, "documents"), "source")
+
+
+@_q(
+    "event_rate_changepoint",
+    """
+    WITH b AS (SELECT strftime(date_trunc('hour', ts),
+                               '%Y-%m-%d %H:00:00') AS bucket
+               FROM events),
+    c AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS x
+          FROM b GROUP BY bucket),
+    p AS (SELECT bucket, sum(x) OVER (ORDER BY bucket) AS pre,
+                 CAST(row_number() OVER (ORDER BY bucket) AS HUGEINT)
+                     AS t
+          FROM c),
+    tcnt AS (SELECT sum(x) AS n, CAST(count(*) AS HUGEINT) AS nb FROM c),
+    d AS (SELECT bucket, n, nb, abs(nb * pre - t * n) AS dev
+          FROM p CROSS JOIN tcnt)
+    SELECT CAST(nb AS BIGINT) AS n_buckets,
+           CAST(n AS BIGINT) AS n_events,
+           bucket AS cp_bucket,
+           CAST(dev AS BIGINT) AS max_dev,
+           CAST(CASE WHEN n > 0 THEN (1000000 * dev) // (nb * n)
+                     ELSE 0 END AS BIGINT) AS cusum_ppm
+    FROM d ORDER BY dev DESC, bucket LIMIT 1
+    """,
+)
+def q_event_rate_changepoint(spark, sf_dir):
+    # drift monitoring: CUSUM change-point (Page 1954) over the hourly
+    # event-arrival counts — where did the rate break, and how hard.
+    # The mean never materializes as a rational (D_t = T*prefix - t*N,
+    # exact integers), ties to the earliest hour, deviation normalized
+    # to ppm — the whole statistic value-checked cross-engine.
+    from real_estate_project1_etl_spark.operators.timeseries import (
+        rate_changepoint,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+        ).alias("bucket")
+    )
+    return rate_changepoint(ev, "bucket")
+
+
+@_q(
     "classifier_calibration_bins",
     f"""
     WITH {_GATE_SCORED_CTES}

@@ -138,3 +138,64 @@ def benford_first_digit_audit(
             .alias("delta_ppm"),
         )
     )
+
+
+def concentration_audit(
+    df: DataFrame, group_col: str
+) -> DataFrame:
+    """Concentration report of a categorical column — the data-mixing
+    governance audit a pretraining pipeline runs on ``source``/domain
+    before deciding caps (the domain_capped_corpus / unimax family's
+    diagnostic twin): one row ``(n_rows, n_groups, top_share_ppm,
+    hhi_ppm, gini_ppm)``.
+
+    - ``top_share_ppm``: largest group's share;
+    - ``hhi_ppm``: Herfindahl–Hirschman index ``sum(share^2)`` (the
+      antitrust concentration standard) — 1e6/n_groups = uniform,
+      1e6 = single source;
+    - ``gini_ppm``: Gini coefficient via the rank form ``(2*sum(r*c_r)
+      - (m+1)*N) / (m*N)`` over counts sorted ascending (Gini 1912;
+      tie-order invariant: equal counts contribute the same sum under
+      any rank assignment, so the statistic is deterministic without a
+      tiebreak contract).
+
+    All three are truncating integer ppm with decimal(38,0)
+    intermediates (``sum(c^2)`` crosses int64 near 3e9 rows in one
+    group; HUGEINT mirror). NULL group values form their own group —
+    an audit that silently dropped NULL sources would under-report
+    concentration.
+
+    Scale shape: one aggregation to the group-count table (model-sized
+    — sources/domains, not rows), then rank + three scalars on it; the
+    rank window is over the model-sized table only.
+    """
+    from pyspark.sql import Window
+
+    c = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")
+    )
+    w = Window.orderBy("_c", "_g")
+    r = c.select(
+        "_c", F.row_number().over(w).cast("decimal(38,0)").alias("_r")
+    )
+    return r.agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_m"),
+        F.max("_c").alias("_top"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sq"),
+        F.sum(F.col("_r") * F.col("_c")).alias("_rc"),
+    ).select(
+        F.expr("cast(_n as bigint)").alias("n_rows"),
+        F.expr("cast(_m as bigint)").alias("n_groups"),
+        F.expr("cast((1000000 * _top) div _n as bigint)").alias(
+            "top_share_ppm"
+        ),
+        F.expr("cast((1000000 * _sq) div (_n * _n) as bigint)").alias(
+            "hhi_ppm"
+        ),
+        F.expr(
+            "cast(case when _m > 1 then"
+            " (1000000 * (2 * _rc - (_m + 1) * _n)) div (_m * _n)"
+            " else 0 end as bigint)"
+        ).alias("gini_ppm"),
+    )

@@ -187,3 +187,66 @@ def interval_concurrency(
     ).select(
         F.date_format("d", "yyyy-MM-dd").alias("day"), "net_change", "open_count"
     )
+
+
+def rate_changepoint(
+    df: DataFrame,
+    bucket_col: str,
+) -> DataFrame:
+    """CUSUM change-point over a pre-bucketed event stream (Page 1954,
+    Biometrika 41: cumulative-sum drift detection — the standard monitor
+    for "did the arrival rate shift, and when"): one row ``(n_buckets,
+    n_events, cp_bucket, max_dev, cusum_ppm)``.
+
+    Statistic, exact integers end to end: with per-bucket counts
+    ``x_1..x_T`` in bucket order and total ``N``, the mean-centered
+    cumulative sum scaled by ``T`` is ``D_t = T * prefix_t - t * N``
+    (integer — no rational mean ever materializes). The change point is
+    ``argmax_t |D_t|`` with ties to the EARLIEST bucket, ``max_dev =
+    max |D_t|``, and ``cusum_ppm = (1e6 * max|D_t|) div (T * N)`` — the
+    normalized deviation in [0, ~250000]; ~0 = steady rate, large =
+    a pronounced rate break at ``cp_bucket``.
+
+    Scale shape: one aggregation collapses events to the bucket-count
+    table (model-sized — hours/days, not events); the prefix window,
+    the argmax, and the scalars all run on that table. decimal(38,0)
+    intermediates: ``T * prefix`` crosses int64 only past ~3e9 buckets
+    x events — HUGEINT mirror.
+    """
+    from pyspark.sql import Window
+
+    c = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_x")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("bucket")
+    pre = c.select(
+        "bucket",
+        F.sum("_x").over(w).alias("_pre"),
+        F.row_number().over(wt).cast("decimal(38,0)").alias("_t"),
+    )
+    tot = c.agg(
+        F.sum("_x").alias("_n"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_tt"),
+    )
+    d = pre.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "_n",
+        "_tt",
+        "_t",
+        F.expr("abs(_tt * _pre - _t * _n)").alias("_dev"),
+    )
+    return (
+        d.orderBy(F.col("_dev").desc(), "bucket")
+        .limit(1)
+        .select(
+            F.expr("cast(_tt as bigint)").alias("n_buckets"),
+            F.expr("cast(_n as bigint)").alias("n_events"),
+            F.col("bucket").alias("cp_bucket"),
+            F.expr("cast(_dev as bigint)").alias("max_dev"),
+            F.expr(
+                "cast(case when _n > 0 then (1000000 * _dev) div (_tt * _n)"
+                " else 0 end as bigint)"
+            ).alias("cusum_ppm"),
+        )
+    )
