@@ -12250,6 +12250,77 @@ def _kmeans_ctes(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
             FROM kfd) WHERE rn = 1)"""
 
 
+def _pq_ctes(
+    dim: int = 64, n_sub: int = 4, n_codes: int = 8, n_iters: int = 2
+) -> str:
+    # per-subspace integer Lloyd unrolled — the kmeans CTEs with the
+    # subspace key threaded through every join/group (all subspaces
+    # train in one pass, exactly like the engine side)
+    sd = dim // n_sub
+    its = []
+    for i in range(1, n_iters + 1):
+        its.append(f"""
+    pd{i} AS (SELECT b.sub, b.vec_id, c.cluster,
+                     sum((b.qd - c.m) * (b.qd - c.m)) AS dist2
+              FROM pb b JOIN pc{i - 1} c ON c.sub = b.sub AND c.d = b.d
+              GROUP BY b.sub, b.vec_id, c.cluster),
+    pa{i} AS MATERIALIZED (
+        SELECT sub, vec_id, cluster FROM (
+            SELECT sub, vec_id, cluster,
+                   row_number() OVER (PARTITION BY sub, vec_id
+                                      ORDER BY dist2, cluster) AS rn
+            FROM pd{i}) WHERE rn = 1),
+    pu{i} AS (SELECT a.sub, a.cluster, b.d,
+                     sum(b.qd) // count(*) AS m_new
+              FROM pa{i} a JOIN pb b
+                ON b.sub = a.sub AND b.vec_id = a.vec_id
+              GROUP BY a.sub, a.cluster, b.d),
+    pc{i} AS MATERIALIZED (
+        SELECT c.sub, c.cluster, c.d, coalesce(u.m_new, c.m) AS m
+        FROM pc{i - 1} c LEFT JOIN pu{i} u
+          ON u.sub = c.sub AND u.cluster = c.cluster AND u.d = c.d)""")
+    return f"""pb AS MATERIALIZED (
+        SELECT CAST((i - 1) // {sd} AS INT) AS sub, vec_id,
+               CAST((i - 1) % {sd} + 1 AS INT) AS d,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 256) AS BIGINT)
+                   AS qd
+        FROM embeddings, generate_series(1, {dim}) AS gs(i)
+        WHERE vec_id IS NOT NULL),
+    pc0 AS MATERIALIZED (
+        SELECT sub, CAST(vec_id AS INT) AS cluster, d, qd AS m
+        FROM pb WHERE vec_id < {n_codes}),{",".join(its)}"""
+
+
+@_q(
+    "pq_trained_codebooks",
+    f"""
+    WITH {_pq_ctes()}
+    SELECT sub AS subspace, cluster AS code, d, CAST(m AS BIGINT) AS m
+    FROM pc2
+    """,
+)
+def q_pq_trained_codebooks(spark, sf_dir):
+    # PQ codebook TRAINING (Jégou et al. 2011 §II): 4 subspaces x 8
+    # codes, 2 integer-Lloyd iterations — every subspace trains in the
+    # SAME distributed pass (the subspace key rides every aggregation;
+    # the codebook table broadcasts whole). Output = the trained
+    # codebooks (subspace, code, local dim, quantized centroid), the
+    # table operators/similarity.py's ivfpq_encode consumes — the whole
+    # training trajectory value-checked cross-engine via the unrolled
+    # per-subspace oracle.
+    from real_estate_project1_etl_spark.operators.clustering import (
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _assign, books = pq_train_codebooks(
+        emb, dim=64, n_subspaces=4, n_codes=8, n_iters=2
+    )
+    return books.select(
+        "subspace", F.col("cluster").alias("code"), "d", "m"
+    )
+
+
 @_q(
     "embeddings_kmeans_assign",
     f"""

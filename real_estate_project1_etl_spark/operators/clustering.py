@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_assign", "kmeans_quantized"]
+__all__ = ["kmeans_assign", "kmeans_quantized", "pq_train_codebooks"]
 
 
 def _quantized_long(
@@ -65,21 +65,31 @@ def _quantized_long(
     )
 
 
-def kmeans_assign(base_long: DataFrame, cents: DataFrame) -> DataFrame:
+def kmeans_assign(
+    base_long: DataFrame,
+    cents: DataFrame,
+    group_col: str | None = None,
+) -> DataFrame:
     """One assignment pass: nearest centroid per vector, ties to the
     lowest cluster id. ``base_long`` is the ``(vec_id, d, qd)`` table,
     ``cents`` the ``(cluster, d, m)`` table (broadcast — model-sized).
     Returns ``(vec_id, cluster, dist2)`` with the exact squared L2
-    distance in quantized units."""
+    distance in quantized units.
+
+    ``group_col`` (round-13 PQ extension): when set, both tables carry
+    that column and every key includes it — N independent k-means
+    problems (e.g. PQ subspaces) assign in ONE distributed pass."""
+    gk = [group_col] if group_col else []
     diff = F.col("qd") - F.col("m")
     dist = (
-        base_long.join(F.broadcast(cents), "d")
-        .groupBy("vec_id", "cluster")
+        base_long.join(F.broadcast(cents), gk + ["d"])
+        .groupBy(*gk, "vec_id", "cluster")
         .agg(F.sum(diff * diff).alias("dist2"))
     )
-    return dist.groupBy("vec_id").agg(
+    return dist.groupBy(*gk, "vec_id").agg(
         F.min(F.struct("dist2", "cluster")).alias("_best")
     ).select(
+        *gk,
         "vec_id",
         F.col("_best.cluster").alias("cluster"),
         F.col("_best.dist2").alias("dist2"),
@@ -134,3 +144,86 @@ def kmeans_quantized(
             .localCheckpoint(eager=True)
         )
     return kmeans_assign(base, cents), cents
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    dim: int,
+    n_subspaces: int,
+    n_codes: int,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_pow2: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Train PRODUCT-QUANTIZATION codebooks — k-means per subspace
+    (Jégou et al. 2011, §II: split the vector into m subvectors, train
+    an independent quantizer per subspace), completing the IVF-PQ
+    family's train side (operators/similarity.py consumes codebook
+    tables; until now they arrived from outside).
+
+    All ``n_subspaces`` k-means problems train SIMULTANEOUSLY in one
+    distributed job per iteration: the long format carries
+    ``(subspace, vec_id, d, qd)``, the centroid table
+    ``(subspace, cluster, d, m)`` broadcasts whole (n_subspaces *
+    n_codes * sub_dim integers — still model-sized), and the
+    assignment/update aggregations just add ``subspace`` to their keys
+    (:func:`kmeans_assign` with ``group_col``). Same exact-integer
+    discipline as :func:`kmeans_quantized`: truncated-mean centroids,
+    ties to the lowest code, empty codes keep their centroid, init =
+    vectors 0..n_codes-1 per subspace.
+
+    Returns ``(assignments, codebooks)``: ``(subspace, vec_id, cluster,
+    dist2)`` — the PQ CODE of every vector per subspace under the final
+    codebooks — and ``(subspace, cluster, d, m)`` with d the 1-based
+    LOCAL dimension.
+    """
+    if dim < 1 or n_subspaces < 1 or dim % n_subspaces:
+        raise ValueError(
+            f"pq_train_codebooks: n_subspaces ({n_subspaces!r}) must"
+            f" divide dim ({dim!r})"
+        )
+    if n_codes < 1:
+        raise ValueError(
+            f"pq_train_codebooks: n_codes must be >= 1, got {n_codes!r}"
+        )
+    sub_dim = dim // n_subspaces
+    base = (
+        _quantized_long(emb, vec_col, id_col, scale_pow2)
+        .select(
+            F.expr(f"cast((d - 1) div {sub_dim} as int)").alias("subspace"),
+            "vec_id",
+            F.expr(f"cast((d - 1) % {sub_dim} + 1 as int)").alias("d"),
+            "qd",
+        )
+    )
+    cents = (
+        base.filter(F.col("vec_id") < n_codes)
+        .select(
+            "subspace",
+            F.col("vec_id").cast("int").alias("cluster"),
+            "d",
+            F.col("qd").alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        assign = kmeans_assign(base, cents, group_col="subspace")
+        upd = (
+            assign.join(base, ["subspace", "vec_id"])
+            .groupBy("subspace", "cluster", "d")
+            .agg(F.sum("qd").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select(
+                "subspace", "cluster", "d",
+                F.expr("_s div _n").alias("_m_new"),
+            )
+        )
+        cents = (
+            cents.join(upd, ["subspace", "cluster", "d"], "left")
+            .select(
+                "subspace", "cluster", "d",
+                F.coalesce("_m_new", "m").alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return kmeans_assign(base, cents, group_col="subspace"), cents

@@ -158,3 +158,49 @@ def test_registered_kmeans_invariants(spark, sf_dir):
     n_vec = a.count()
     assert n_vec == sum(n for n, _ in summ.values())
     assert a.select("vec_id").distinct().count() == n_vec
+
+
+def test_pq_codebooks_match_per_subspace_python_model(spark):
+    # training all subspaces in one pass must equal running the python
+    # kmeans model independently on each subvector slice
+    vecs = _vectors(seed_n=40, dim=8)
+    df = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<double>"
+    )
+    from real_estate_project1_etl_spark.operators.clustering import (
+        pq_train_codebooks,
+    )
+
+    assign, books = pq_train_codebooks(
+        df, dim=8, n_subspaces=2, n_codes=3, n_iters=2
+    )
+    got_b = {}
+    for r in books.collect():
+        got_b.setdefault((r["subspace"], r["cluster"]), {})[r["d"]] = r["m"]
+    got_a = {
+        (r["subspace"], r["vec_id"]): (r["cluster"], r["dist2"])
+        for r in assign.collect()
+    }
+    for sub in (0, 1):
+        sl = [(vid, v[sub * 4:(sub + 1) * 4]) for vid, v in vecs]
+        want_a, want_c = _py_kmeans(sl, k=3, n_iters=2)
+        for c, m in want_c.items():
+            assert [got_b[(sub, c)][d + 1] for d in range(4)] == m, (sub, c)
+        for vid, want in want_a.items():
+            assert got_a[(sub, vid)] == want, (sub, vid)
+
+
+def test_pq_rejects_bad_split(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id bigint, embedding array<double>"
+    )
+    from real_estate_project1_etl_spark.operators.clustering import (
+        pq_train_codebooks,
+    )
+
+    with _pytest.raises(ValueError):
+        pq_train_codebooks(df, dim=8, n_subspaces=3, n_codes=2)
+    with _pytest.raises(ValueError):
+        pq_train_codebooks(df, dim=8, n_subspaces=2, n_codes=0)
