@@ -153,5 +153,37 @@ def main():
               flush=True)
 
 
+def kmeans_ladder(spark):
+    # -- 4. integer Lloyd k-means (base = sf0.1 embeddings 2k x 64d) --
+    from real_estate_project1_etl_spark.operators.clustering import (
+        kmeans_quantized,
+    )
+
+    print("== k-means 8 cells x 3 iters (base = sf0.1 embeddings 2k) ==",
+          flush=True)
+    for mult in (1, 10, 100):
+        n = 2_000 * mult
+        cols = [
+            (
+                (F.abs(F.xxhash64("id", F.lit(str(i)))) % 2001)
+                .cast("double") / 1000.0 - 1.0
+            ).alias(f"x{i}")
+            for i in range(64)
+        ]
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+        )
+        t0 = time.time()
+        assign, _ = kmeans_quantized(emb, k=8, n_iters=3)
+        n_out = assign.count()
+        t = time.time() - t0
+        print(f"  vectors={n:>9,}: {t:6.2f}s end-to-end "
+              f"(assignments={n_out:,}; per-iter state = 8x64 ints)",
+              flush=True)
+
+
 if __name__ == "__main__":
     main()
+    from real_estate_project1_etl_spark.session import get_spark as _gs
+
+    kmeans_ladder(_gs("r13-probe", cpus=32, shuffle_partitions=32))
