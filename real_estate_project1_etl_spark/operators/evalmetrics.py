@@ -530,7 +530,10 @@ def isotonic_calibration_ppm(
         F.col("_ct").alias("_c1"),
         F.col("_st").alias("_s1"),
     )
-    pairs = j.join(k, F.col("_js") <= F.col("_ks")).select(
+    # non-equi pair join over two copies of the model-sized block
+    # table: broadcast one side — BroadcastNestedLoopJoin (bounded, the
+    # sanctioned form), never a shuffle CartesianProduct
+    pairs = j.join(F.broadcast(k), F.col("_js") <= F.col("_ks")).select(
         "_js",
         "_ks",
         F.expr("(1000000 * (_s1 - _s0)) div (_c1 - _c0)").alias("frac"),
