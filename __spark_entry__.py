@@ -13372,6 +13372,147 @@ def q_trained_classifier_standing_eval(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog with engine-portable registers (round 13)
+# --------------------------------------------------------------------------
+
+_HLL_RHO_SQL = "CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END"
+_HLL_EST_SQL = (
+    "cast(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0"
+    " / cast({s} AS DOUBLE)"
+)
+_HLL_SUM_SQL = "{t}.s_ne + (64 - {t}.nb) * (1::BIGINT << 55)"
+
+
+@_q(
+    "hll_distinct_users",
+    f"""
+    WITH d AS (SELECT event_type,
+                      {_MD5_60_SQL.format(c="user_id")} AS h
+               FROM events),
+    b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM d),
+    r AS (SELECT event_type, bucket, max({_HLL_RHO_SQL}) AS rho
+          FROM b GROUP BY 1, 2),
+    s AS (SELECT event_type, count(*) AS nb,
+                 sum((1::BIGINT << (55 - rho))) AS s_ne
+          FROM r GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY 1)
+    SELECT s.event_type,
+           cast(64 - s.nb AS BIGINT) AS v_zero,
+           cast({_HLL_SUM_SQL.format(t="s")} AS BIGINT) AS reg_sum_2p,
+           {_HLL_EST_SQL.format(s=_HLL_SUM_SQL.format(t="s"))}
+               AS hll_estimate,
+           ex.exact_distinct
+    FROM s JOIN ex USING (event_type)
+    """,
+)
+def q_hll_distinct_users(spark, sf_dir):
+    # HyperLogLog distinct-user estimate per event_type with ENGINE-
+    # PORTABLE registers (explicit (bucket, rho) rows over the md5_60
+    # hash — unlike Spark's builtin approx_count_distinct, whose HLL++
+    # binary registers are JVM-opaque and could only ever be rows-only
+    # on the ledger). The harmonic denominator is kept as an EXACT
+    # bigint (sum of 2^(55-rho), empty registers accounted
+    # arithmetically), so registers, denominator and the one-division
+    # estimate are all value-checked cross-engine. No distinct pass and
+    # no per-group sort: one (group, bucket) partial agg — at most 64
+    # rows per group out of the scan — vs KMV's distinct + bottom-k
+    # window (operators/sketch.py:68) and exact COUNT(DISTINCT)'s full
+    # pair shuffle. Exact count alongside puts the error on the ledger.
+    from real_estate_project1_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    reg = hll_registers(ev, ["event_type"], "user_id", p=6)
+    est = hll_estimate(reg, ["event_type"], p=6)
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(ex, "event_type").select(
+        "event_type", "v_zero", "reg_sum_2p", "hll_estimate",
+        "exact_distinct",
+    )
+
+
+@_q(
+    "hll_weekly_rollup_users",
+    f"""
+    WITH base AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             user_id
+      FROM events),
+    d AS (SELECT week, day,
+                 {_MD5_60_SQL.format(c="user_id")} AS h
+          FROM base),
+    b AS (SELECT week, day, h % 64 AS bucket, h // 64 AS w FROM d),
+    dr AS (SELECT week, day, bucket, max({_HLL_RHO_SQL}) AS rho
+           FROM b GROUP BY 1, 2, 3),
+    mr AS (SELECT week, bucket, max(rho) AS rho FROM dr GROUP BY 1, 2),
+    ms AS (SELECT week, count(*) AS nb,
+                  sum((1::BIGINT << (55 - rho))) AS s_ne
+           FROM mr GROUP BY 1),
+    sr AS (SELECT week, bucket, max({_HLL_RHO_SQL}) AS rho
+           FROM b GROUP BY 1, 2),
+    ss AS (SELECT week, count(*) AS nb,
+                  sum((1::BIGINT << (55 - rho))) AS s_ne
+           FROM sr GROUP BY 1),
+    ex AS (SELECT week, count(DISTINCT user_id) AS exact_distinct
+           FROM base GROUP BY 1)
+    SELECT ms.week,
+           cast(64 - ms.nb AS BIGINT) AS v_zero,
+           cast({_HLL_SUM_SQL.format(t="ms")} AS BIGINT) AS reg_sum_2p,
+           {_HLL_EST_SQL.format(s=_HLL_SUM_SQL.format(t="ms"))}
+               AS hll_estimate,
+           {_HLL_EST_SQL.format(s=_HLL_SUM_SQL.format(t="ss"))}
+               AS scratch_estimate,
+           ex.exact_distinct
+    FROM ms JOIN ss USING (week) JOIN ex USING (week)
+    """,
+)
+def q_hll_weekly_rollup_users(spark, sf_dir):
+    # Mergeable-sketch ROLLUP, HLL edition (the KMV twin is
+    # kmv_weekly_rollup_users): daily register tables — at most 64
+    # (bucket, rho) rows per day, the stored form — merge into weekly
+    # estimates by max(rho) per bucket WITHOUT rescanning the fact
+    # table. The from-scratch weekly sketch is computed alongside and
+    # the oracle value-checks both columns: max-associativity makes the
+    # merged and scratch registers IDENTICAL, which is HLL's defining
+    # mergeability, here pinned as data rather than asserted in prose.
+    from real_estate_project1_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "week"
+        ),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = hll_registers(ev, ["week", "day"], "user_id", p=6)
+    merged = daily.groupBy("week", "bucket").agg(F.max("rho").alias("rho"))
+    est = hll_estimate(merged, ["week"], p=6)
+    scratch = hll_estimate(
+        hll_registers(ev, ["week"], "user_id", p=6), ["week"], p=6
+    ).select("week", F.col("hll_estimate").alias("scratch_estimate"))
+    ex = ev.groupBy("week").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(scratch, "week")
+        .join(ex, "week")
+        .select(
+            "week", "v_zero", "reg_sum_2p", "hll_estimate",
+            "scratch_estimate", "exact_distinct",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 

@@ -47,6 +47,8 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "hist_merge_quantiles",
+    "hll_estimate",
+    "hll_registers",
     "kmv_distinct",
     "kmv_set_overlap",
     "log2_hist_sketch",
@@ -456,3 +458,113 @@ def hist_merge_quantiles(
             F.max(F.when(hit, est)).cast("bigint").alias(f"p{int(q)}_est")
         )
     return cum.groupBy(*rollup_cols).agg(*aggs)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog registers over the md5_60 hash — the stored,
+    mergeable sketch form: one row per NON-EMPTY register,
+    ``(group..., bucket, rho)`` with ``rho = max`` over the group's
+    values hashing into that bucket.
+
+    Unlike Spark's builtin ``approx_count_distinct`` (HLL++ with
+    JVM-opaque binary registers — see the module docstring), this HLL is
+    built from the engine-portable 60-bit md5 hash with registers as
+    plain rows, so any engine reproduces the sketch AND the estimate
+    bit-for-bit (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+    near-optimal cardinality estimation algorithm").
+
+    Construction: ``bucket`` = low ``p`` bits of the hash; the remaining
+    ``w = h div 2^p`` (a ``60-p``-bit value) gives
+    ``rho = (60-p) - bitlen(w) + 1`` — the 1-based position of the first
+    set bit from the top, ``(60-p)+1`` when ``w = 0``. ``bitlen`` is
+    ``length(bin(w))`` (both Spark and DuckDB strip leading zeros).
+
+    Scale shape: NO distinct pass is needed (``max`` is idempotent, so
+    duplicate values are absorbed by the partial aggregate map-side) —
+    one agg exchange on ``(group, bucket)`` whose output is at most
+    ``2^p`` rows per group, vs the full distinct-pair shuffle of
+    ``COUNT(DISTINCT)``. Registers merge across shards/days by ``max``.
+    """
+    m = 1 << p
+    wbits = 60 - p
+    b = df.select(
+        *group_cols, md5_60(value_col).alias("h")
+    ).select(
+        *group_cols,
+        (F.col("h") % m).alias("bucket"),
+        F.expr(f"h div {m}").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin("w")))
+        .cast("int")
+    )
+    return (
+        b.withColumn("rho", rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+#: alpha_m bias-correction constants from Flajolet et al. 2007, Fig. 3
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_estimate(
+    reg: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Collapse per-group HLL registers (from :func:`hll_registers`,
+    possibly merged across shards by ``max(rho)``) into the raw HLL
+    estimate.
+
+    Returns ``(group..., v_zero, reg_sum_2p, hll_estimate)``:
+
+    - ``v_zero`` — number of EMPTY registers (the linear-counting
+      regime indicator; emitted so a consumer can apply the small-range
+      correction, which is kept out of the estimate column because
+      ``ln`` is transcendental and would break cross-engine bit
+      equality — NOTES.md determinism rule 8);
+    - ``reg_sum_2p`` — the harmonic denominator ``sum_j 2^(-M_j)``
+      scaled by ``2^(wbits+1)`` so it is an EXACT bigint
+      (``sum_j 2^(wbits+1-M_j)``, at most ``2^p * 2^(wbits+1) < 2^62``);
+      empty registers contribute ``M_j = 0``;
+    - ``hll_estimate`` — ``alpha_m * m^2 * 2^(wbits+1) / reg_sum_2p``
+      as a double (one correctly-rounded division of exact operands).
+
+    Empty registers are accounted for arithmetically
+    (``(m - n_nonempty) * 2^(wbits+1)``) rather than materialized, so
+    the merge input stays at most ``2^p`` rows per group.
+    """
+    m = 1 << p
+    wbits = 60 - p
+    if m not in _HLL_ALPHA and m < 128:
+        raise ValueError(f"unsupported register count m={m}")
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+    full = 1 << (wbits + 1)
+    term = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(wbits + 1) - F.col("rho")).cast("int"),
+    )
+    agg = reg.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(term).cast("long").alias("_s_nonempty"),
+    )
+    reg_sum = (
+        F.col("_s_nonempty")
+        + (F.lit(m) - F.col("_nb")).cast("long") * F.lit(full).cast("long")
+    )
+    out = agg.select(
+        *group_cols,
+        (F.lit(m) - F.col("_nb")).cast("bigint").alias("v_zero"),
+        reg_sum.cast("bigint").alias("reg_sum_2p"),
+    )
+    est = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(full))
+        / F.col("reg_sum_2p").cast("double")
+    )
+    return out.withColumn("hll_estimate", est)
