@@ -13512,6 +13512,49 @@ def q_hll_weekly_rollup_users(spark, sf_dir):
     )
 
 
+@_q(
+    "k_anonymity_audit",
+    """
+    WITH cnt AS (SELECT c_nationkey, c_mktsegment,
+                        cast(floor(c_acctbal / cast(2000.0 AS DOUBLE))
+                             AS INTEGER) AS sv,
+                        count(*) AS cnt
+                 FROM customer GROUP BY 1, 2, 3),
+    cls AS (SELECT c_nationkey, c_mktsegment,
+                   sum(cnt) AS class_n, count(*) AS l_div,
+                   max(cnt) AS max_cnt
+            FROM cnt GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment,
+           cast(class_n AS BIGINT) AS class_n,
+           cast(l_div AS BIGINT) AS l_div,
+           cast((1000000 * max_cnt) // class_n AS BIGINT)
+               AS max_sensitive_share_ppm,
+           class_n < 5 AS violates_k,
+           l_div < 3 AS violates_l
+    FROM cls
+    """,
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    # privacy release-risk audit: k-anonymity + l-diversity per
+    # quasi-identifier class (Sweeney '02; Machanavajjhala '07) over
+    # customers — QI = (nation, market segment), sensitive = account-
+    # balance band. Every class's size, sensitive diversity and worst
+    # single-value share (floor ppm) are exact integers on the ledger;
+    # the flags are what a publication gate consumes. Two stacked aggs,
+    # the second a prefix re-agg of the first — no distinct, window or
+    # join (operators/audit.py k_anonymity_audit docstring).
+    from real_estate_project1_etl_spark.operators.audit import (
+        k_anonymity_audit,
+    )
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "sv", F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("int")
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "sv", k=5, l=3
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["audit_constraints"]
+__all__ = ["audit_constraints", "k_anonymity_audit"]
 
 
 def _violation_expr(rule: dict):
@@ -116,3 +116,57 @@ def audit_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             )
             parts.append(orphans)
     return reduce(DataFrame.unionByName, parts)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 3,
+) -> DataFrame:
+    """Privacy re-identification audit: k-anonymity and l-diversity per
+    quasi-identifier equivalence class (Sweeney 2002; Machanavajjhala et
+    al. 2007, "l-diversity: privacy beyond k-anonymity").
+
+    The reference ships raw scraped records straight to a warehouse
+    (reference: load_db.py:35-46) with no release-risk check; a corpus
+    pipeline that publishes aggregates or shares slices needs the
+    standard audit: every combination of quasi-identifiers (``qi_cols``)
+    is an equivalence class; a class re-identifies its members when it
+    is small (``class_n < k``) and leaks the sensitive attribute when
+    it is homogeneous (``l_div < l``).
+
+    Returns one row per class: ``qi_cols..., class_n, l_div,
+    max_sensitive_share_ppm`` (the largest single sensitive value's
+    share of the class, floor-ppm — the t-closeness-flavoured signal:
+    1_000_000 means every member shares one sensitive value, so
+    l-diversity is defeated in aggregate even when ``l_div`` is
+    nominally met), plus ``violates_k`` / ``violates_l`` flags. NULL
+    sensitive values form their own diversity bucket (a class whose
+    sensitive attribute is entirely NULL is homogeneous, not diverse).
+
+    Scale shape: two stacked aggregations —
+    ``(qi..., sensitive) -> counts`` then ``(qi...) -> class stats`` —
+    the second a near-free re-agg of the first's (already partial-
+    aggregated) output on a prefix of its grouping key; no distinct
+    pass, no window, no join. Output is class-count-sized.
+    """
+    cnt = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    cls = cnt.groupBy(*qi_cols).agg(
+        F.sum("_cnt").cast("bigint").alias("class_n"),
+        F.count(F.lit(1)).cast("bigint").alias("l_div"),
+        F.max("_cnt").cast("bigint").alias("_max_cnt"),
+    )
+    return cls.select(
+        *qi_cols,
+        "class_n",
+        "l_div",
+        F.expr("(1000000 * _max_cnt) div class_n").alias(
+            "max_sensitive_share_ppm"
+        ),
+        (F.col("class_n") < k).alias("violates_k"),
+        (F.col("l_div") < l).alias("violates_l"),
+    )

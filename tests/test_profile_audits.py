@@ -79,3 +79,51 @@ def test_changepoint_steady_rate_is_flat(spark):
     got = rate_changepoint(df, "bucket").collect()[0]
     assert got["max_dev"] == 0 and got["cusum_ppm"] == 0
     assert got["cp_bucket"] == "b00"  # tie -> earliest
+
+
+# ---------------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_planted_classes(spark):
+    # class A: 6 rows, 3 sensitive values (passes k=5, l=3)
+    # class B: 3 rows, 3 values (violates k only)
+    # class C: 8 rows, 1 value  (violates l only; share = 1.0)
+    from real_estate_project1_etl_spark.operators.audit import (
+        k_anonymity_audit,
+    )
+
+    rows = (
+        [("A", f"s{i % 3}") for i in range(6)]
+        + [("B", f"s{i}") for i in range(3)]
+        + [("C", "s0") for _ in range(8)]
+    )
+    df = spark.createDataFrame(rows, "qi string, sv string")
+    got = {
+        r.qi: r for r in k_anonymity_audit(df, ["qi"], "sv").collect()
+    }
+    a, b, c = got["A"], got["B"], got["C"]
+    assert (a.class_n, a.l_div, a.violates_k, a.violates_l) == (
+        6, 3, False, False
+    )
+    assert a.max_sensitive_share_ppm == 1000000 * 2 // 6
+    assert (b.class_n, b.l_div, b.violates_k, b.violates_l) == (
+        3, 3, True, False
+    )
+    assert (c.class_n, c.l_div, c.violates_k, c.violates_l) == (
+        8, 1, False, True
+    )
+    assert c.max_sensitive_share_ppm == 1000000
+
+
+def test_k_anonymity_null_sensitive_is_a_bucket(spark):
+    # all-NULL sensitive -> homogeneous (l_div == 1), not diverse
+    from real_estate_project1_etl_spark.operators.audit import (
+        k_anonymity_audit,
+    )
+
+    df = spark.createDataFrame(
+        [("A", None), ("A", None), ("A", "x")], "qi string, sv string"
+    )
+    r = k_anonymity_audit(df, ["qi"], "sv").collect()[0]
+    assert (r.class_n, r.l_div) == (3, 2)
+    assert r.max_sensitive_share_ppm == 1000000 * 2 // 3
