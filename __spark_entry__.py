@@ -13555,6 +13555,116 @@ def q_k_anonymity_audit(spark, sf_dir):
     )
 
 
+@_q(
+    "kfold_target_encoding",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             cast({_MD5_60_SQL.format(c="o_orderkey")} % 5 AS INTEGER)
+                 AS fold,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    cf AS (SELECT category, fold, count(*) AS n_cf, sum(y) AS pos_cf
+           FROM base GROUP BY 1, 2),
+    ct AS (SELECT category, sum(n_cf) AS n_c, sum(pos_cf) AS pos_c
+           FROM cf GROUP BY 1),
+    ft AS (SELECT fold, sum(n_cf) AS n_f, sum(pos_cf) AS pos_f
+           FROM cf GROUP BY 1),
+    gt AS (SELECT sum(n_cf) AS n_g, sum(pos_cf) AS pos_g FROM cf)
+    SELECT cf.category, cf.fold,
+           cast(ct.n_c - cf.n_cf AS BIGINT) AS n_excl,
+           cast(ct.pos_c - cf.pos_cf AS BIGINT) AS pos_excl,
+           cast((1000000::HUGEINT
+                   * ((ct.pos_c - cf.pos_cf) * (gt.n_g - ft.n_f)
+                      + 20 * (gt.pos_g - ft.pos_f)))
+                // (((ct.n_c - cf.n_cf) + 20)::HUGEINT
+                    * (gt.n_g - ft.n_f))
+                AS BIGINT) AS enc_ppm
+    FROM cf JOIN ct USING (category) JOIN ft USING (fold) CROSS JOIN gt
+    """,
+)
+def q_kfold_target_encoding(spark, sf_dir):
+    # leakage-free K-fold target encoding (Micci-Barreca '01) of order
+    # priority against the "order fulfilled" label: the (category, fold)
+    # encoding MAP with each fold's own labels excluded and smoothing
+    # toward the global rate — multiplied through by N so every encoding
+    # is floor-ppm of exact integers (decimal(38,0) guards the n^2
+    # products). Folds come from md5_60(o_orderkey) % 5, so membership
+    # and every value are engine-reproducible. One fact shuffle; the
+    # map is (category x fold)-sized and applies downstream as a
+    # broadcast join (operators/stats.py kfold_target_encoding).
+    from real_estate_project1_etl_spark.operators.stats import (
+        kfold_target_encoding,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return kfold_target_encoding(
+        orders, "o_orderpriority", "y", "o_orderkey",
+        n_folds=5, smoothing=20,
+    )
+
+
+@_q(
+    "conformal_coverage_by_lang",
+    """
+    WITH docs AS (SELECT doc_id, lang, n_chars FROM documents
+                  WHERE lang IS NOT NULL),
+    cal AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),
+    tst AS (SELECT * FROM docs WHERE doc_id % 3 = 0),
+    n AS (SELECT lang, count(*) AS n_cal FROM cal GROUP BY 1),
+    kk AS (SELECT lang, n_cal,
+                  cast((9 * (n_cal + 1) + 9) // 10 AS BIGINT) AS k
+           FROM n),
+    r AS (SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                     AS rn
+          FROM cal),
+    qh AS (SELECT r.lang, r.n_chars AS q_hat
+           FROM r JOIN kk USING (lang) WHERE r.rn = kk.k),
+    thr AS (SELECT kk.lang, kk.n_cal, kk.k, qh.q_hat
+            FROM kk LEFT JOIN qh ON kk.lang = qh.lang),
+    cov AS (SELECT t.lang, thr.n_cal, thr.k, thr.q_hat,
+                   count(*) AS n_test,
+                   sum(CASE WHEN thr.q_hat IS NULL
+                                 OR t.n_chars <= thr.q_hat
+                            THEN 1 ELSE 0 END) AS n_covered
+            FROM tst t JOIN thr ON t.lang = thr.lang
+            GROUP BY 1, 2, 3, 4)
+    SELECT lang, cast(n_cal AS BIGINT) AS n_cal, k, q_hat,
+           cast(n_test AS BIGINT) AS n_test,
+           cast(n_covered AS BIGINT) AS n_covered,
+           cast((1000000 * n_covered) // n_test AS BIGINT)
+               AS coverage_ppm
+    FROM cov
+    """,
+)
+def q_conformal_coverage_by_lang(spark, sf_dir):
+    # split conformal prediction per language (Vovk '05; Angelopoulos &
+    # Bates '21 §2): the finite-sample-corrected 90% nonconformity
+    # threshold — the ceil((n+1)(1-alpha))-th smallest calibration
+    # score, k in pure integer arithmetic — calibrated on doc_id%3!=0
+    # and coverage-audited on the held-out third. Threshold is an
+    # actual calibration score and coverage is floor-ppm, so the whole
+    # guarantee surface is value-checked cross-engine. Sort only on the
+    # calibration slice; the test slice takes one broadcast join + one
+    # conditional count (operators/evalmetrics.py
+    # split_conformal_coverage).
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        split_conformal_coverage,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    cal = docs.filter(F.col("doc_id") % 3 != 0)
+    tst = docs.filter(F.col("doc_id") % 3 == 0)
+    return split_conformal_coverage(
+        cal, tst, ["lang"], "n_chars", alpha_num=1, alpha_den=10
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

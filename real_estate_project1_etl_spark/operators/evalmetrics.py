@@ -52,6 +52,7 @@ __all__ = [
     "ks_statistic",
     "pr_points",
     "roc_points",
+    "split_conformal_coverage",
 ]
 
 
@@ -557,4 +558,84 @@ def isotonic_calibration_ppm(
             F.col("cp").cast("bigint").alias("n_pos"),
             F.col("iso_ppm").cast("bigint").alias("iso_ppm"),
         )
+    )
+
+
+def split_conformal_coverage(
+    cal: DataFrame,
+    test: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split conformal prediction per group: calibrate the
+    ``1 - alpha`` nonconformity threshold on ``cal`` and audit its
+    empirical coverage on ``test`` (Vovk et al. 2005; Angelopoulos &
+    Bates 2021, arXiv:2107.07511 §2 — the split/inductive form).
+
+    The threshold is the ``k``-th smallest calibration score with
+    ``k = ceil((n_cal + 1) * (1 - alpha))`` — the finite-sample
+    correction that makes marginal coverage ``>= 1 - alpha`` a theorem
+    rather than an asymptote. When ``k > n_cal`` (tiny groups) the
+    threshold is the trivial ``+inf``, emitted as NULL with full
+    coverage. ``alpha`` is the exact rational ``alpha_num/alpha_den``,
+    so ``k`` is computed in integer arithmetic (ceil of positive
+    operands as ``(a + b - 1) div b`` — NOT the negation trick, which
+    breaks under ``div``'s truncate-toward-zero) and every output is
+    exact: the threshold is a real
+    calibration score, coverage is floor-ppm of integer counts.
+
+    Returns ``(group..., n_cal, k, q_hat, n_test, n_covered,
+    coverage_ppm)``.
+
+    Scale shape: the order statistic runs as a per-group window on the
+    CALIBRATION slice only (rank k of n_cal — at warehouse scale this
+    would swap for the partial-agg selection the exact-percentile
+    family uses); the test slice never sorts — it takes one broadcast
+    join of the group-sized threshold table and one conditional-count
+    agg.
+    """
+    num = alpha_den - alpha_num  # (1 - alpha) = num/den
+    n = cal.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_cal"))
+    k_expr = F.expr(
+        f"cast(({num} * (n_cal + 1) + {alpha_den - 1})"
+        f" div {alpha_den} as bigint)"
+    )
+    kth = n.select(*group_cols, "n_cal", k_expr.alias("k"))
+    w = Window.partitionBy(*group_cols).orderBy(score_col)
+    ranked = cal.select(*group_cols, score_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    qh = (
+        ranked.join(F.broadcast(kth), group_cols)
+        .filter(F.col("_rn") == F.col("k"))
+        .select(*group_cols, F.col(score_col).alias("q_hat"))
+    )
+    thr = kth.join(qh, group_cols, "left")  # k > n_cal -> q_hat NULL
+    cov = (
+        test.select(*group_cols, score_col)
+        .join(F.broadcast(thr), group_cols)
+        .groupBy(*group_cols, "n_cal", "k", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("q_hat").isNull()
+                    | (F.col(score_col) <= F.col("q_hat")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return cov.select(
+        *group_cols,
+        "n_cal",
+        "k",
+        "q_hat",
+        "n_test",
+        "n_covered",
+        F.expr("(1000000 * n_covered) div n_test").alias("coverage_ppm"),
     )

@@ -223,3 +223,96 @@ def winsorize_per_group(
         .cast("bigint")
         .alias("winsorized_sum_cents"),
     )
+
+
+def kfold_target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    smoothing: int = 20,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Leakage-free K-fold target (mean) encoding of a categorical
+    column, as the MODEL-SIZED encoding map ``(category, fold) ->
+    encoding`` (Micci-Barreca 2001, "A preprocessing scheme for
+    high-cardinality categorical attributes").
+
+    A row in fold ``f`` must be encoded WITHOUT its own fold's labels
+    (otherwise the encoding leaks the target into training features —
+    the classic target-encoding bug). The smoothing prior is the
+    OUT-OF-FOLD global rate ``P_f/N_f`` (all folds but ``f``) — a prior
+    built on the full-corpus rate would leak the fold's labels straight
+    back through the smoothing term (pinned by the flip-one-fold test
+    in tests/test_stats.py):
+
+        enc(c, f) = (pos_excl + m * P_f/N_f) / (n_excl + m)
+
+    Multiplying through by ``N_f`` keeps it a ratio of exact integers:
+
+        enc_ppm = floor(scale * (pos_excl*N_f + m*P_f)
+                        / ((n_excl+m) * N_f))
+
+    computed in decimal(38,0) (products reach n^2 — past bigint at
+    warehouse scale). Fold assignment is the engine-portable
+    ``md5_60(id) % n_folds``, so any engine reproduces fold membership,
+    the map and every encoding bit-for-bit.
+
+    Returns ``(category, fold, n_excl, pos_excl, enc_ppm)`` — one row
+    per OBSERVED (category, fold); rows of an unseen fold fall back to
+    the prior (derivable from the marginals) at apply time.
+
+    Scale shape: one count/sum agg on ``(category, fold)`` (map-side
+    partial — duplicate categories collapse before the shuffle), a
+    near-free prefix re-agg to category totals joined back broadcast,
+    and a 1-row global cross join. The fact table shuffles once; the
+    output is (category x fold)-sized, NOT row-sized — applying the
+    encoding downstream is a broadcast join, never a second shuffle.
+    """
+    from real_estate_project1_etl_spark.operators.sketch import md5_60
+
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        (md5_60(id_col) % n_folds).cast("int").alias("fold"),
+        F.col(label_col).cast("bigint").alias("_y"),
+    )
+    cf = base.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("_n_cf"),
+        F.sum("_y").alias("_pos_cf"),
+    )
+    ctot = cf.groupBy("category").agg(
+        F.sum("_n_cf").alias("_n_c"), F.sum("_pos_cf").alias("_pos_c")
+    )
+    ftot = cf.groupBy("fold").agg(
+        F.sum("_n_cf").alias("_n_f"), F.sum("_pos_cf").alias("_pos_f")
+    )
+    gtot = cf.agg(
+        F.sum("_n_cf").alias("_n_g"), F.sum("_pos_cf").alias("_pos_g")
+    )
+    m = int(smoothing)
+    return (
+        cf.join(F.broadcast(ctot), "category")
+        .join(F.broadcast(ftot), "fold")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "category",
+            "fold",
+            (F.col("_n_c") - F.col("_n_cf")).cast("bigint").alias("n_excl"),
+            (F.col("_pos_c") - F.col("_pos_cf"))
+            .cast("bigint")
+            .alias("pos_excl"),
+            F.expr(
+                f"""
+                cast(
+                  (cast({scale} as decimal(38,0))
+                     * ((_pos_c - _pos_cf) * (_n_g - _n_f)
+                        + {m} * (_pos_g - _pos_f)))
+                  div
+                  (cast((_n_c - _n_cf) + {m} as decimal(38,0))
+                     * (_n_g - _n_f))
+                as bigint)
+                """
+            ).alias("enc_ppm"),
+        )
+    )

@@ -481,3 +481,73 @@ def test_isotonic_calibration_matches_classic_pav(spark):
     # monotone in s
     vals = [got[s][2] for s in order]
     assert vals == sorted(vals)
+
+
+# ------------------------------------------------------- split conformal
+
+
+def test_conformal_threshold_planted(spark):
+    # 99 calibration scores 1..99, alpha=0.1: k = ceil(0.9*100) = 90,
+    # q_hat = 90; test scores 1..100 -> 90 covered
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        split_conformal_coverage,
+    )
+
+    cal = spark.createDataFrame(
+        [("g", i) for i in range(1, 100)], "g string, s int"
+    )
+    tst = spark.createDataFrame(
+        [("g", i) for i in range(1, 101)], "g string, s int"
+    )
+    r = split_conformal_coverage(cal, tst, ["g"], "s").collect()[0]
+    assert (r.n_cal, r.k, r.q_hat) == (99, 90, 90)
+    assert (r.n_test, r.n_covered) == (100, 90)
+    assert r.coverage_ppm == 900000
+
+
+def test_conformal_python_model_parity(spark):
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        split_conformal_coverage,
+    )
+
+    cal_rows = [("a", (i * 37) % 101) for i in range(57)] + [
+        ("b", (i * 11) % 53) for i in range(23)
+    ]
+    tst_rows = [("a", (i * 13) % 97) for i in range(31)] + [
+        ("b", (i * 7) % 41) for i in range(17)
+    ]
+    cal = spark.createDataFrame(cal_rows, "g string, s int")
+    tst = spark.createDataFrame(tst_rows, "g string, s int")
+    got = {
+        r.g: (r.n_cal, r.k, r.q_hat, r.n_test, r.n_covered,
+              r.coverage_ppm)
+        for r in split_conformal_coverage(cal, tst, ["g"], "s").collect()
+    }
+    for g in ("a", "b"):
+        scores = sorted(s for gg, s in cal_rows if gg == g)
+        n = len(scores)
+        k = (9 * (n + 1) + 9) // 10
+        qh = scores[k - 1] if k <= n else None
+        ts = [s for gg, s in tst_rows if gg == g]
+        cov = sum(1 for s in ts if qh is None or s <= qh)
+        assert got[g] == (
+            n, k, qh, len(ts), cov, 10**6 * cov // len(ts)
+        )
+
+
+def test_conformal_tiny_group_trivial_threshold(spark):
+    # n_cal = 5 < 9: k = ceil(0.9*6) = 6 > 5 -> +inf threshold (NULL),
+    # full coverage
+    from real_estate_project1_etl_spark.operators.evalmetrics import (
+        split_conformal_coverage,
+    )
+
+    cal = spark.createDataFrame(
+        [("g", i) for i in range(5)], "g string, s int"
+    )
+    tst = spark.createDataFrame(
+        [("g", 10**6)], "g string, s int"
+    )
+    r = split_conformal_coverage(cal, tst, ["g"], "s").collect()[0]
+    assert (r.n_cal, r.k, r.q_hat) == (5, 6, None)
+    assert (r.n_covered, r.coverage_ppm) == (1, 1000000)

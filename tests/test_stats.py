@@ -236,3 +236,98 @@ def test_winsorize_per_group_rejects_out_of_range_pct(spark):
     for bad in (0, 50, 60, -5):
         with _pytest.raises(ValueError):
             winsorize_per_group(df, "k", "v", pct=bad)
+
+
+# ------------------------------------------------------- target encoding
+
+
+def _enc_model(rows, n_folds=5, m=20, scale=10**6):
+    # rows: (category, fold, y) -> {(c, f): (n_excl, pos_excl, enc_ppm)}
+    from collections import defaultdict
+
+    n_cf, pos_cf = defaultdict(int), defaultdict(int)
+    for c, f, y in rows:
+        n_cf[(c, f)] += 1
+        pos_cf[(c, f)] += y
+    n_c, pos_c = defaultdict(int), defaultdict(int)
+    for (c, f), n in n_cf.items():
+        n_c[c] += n
+        pos_c[c] += pos_cf[(c, f)]
+    n_f, pos_f = defaultdict(int), defaultdict(int)
+    for (c, f), n in n_cf.items():
+        n_f[f] += n
+        pos_f[f] += pos_cf[(c, f)]
+    n_g, pos_g = sum(n_c.values()), sum(pos_c.values())
+    out = {}
+    for (c, f), n in n_cf.items():
+        ne = n_c[c] - n
+        pe = pos_c[c] - pos_cf[(c, f)]
+        nf, pf = n_g - n_f[f], pos_g - pos_f[f]
+        out[(c, f)] = (
+            ne, pe, scale * (pe * nf + m * pf) // ((ne + m) * nf)
+        )
+    return out
+
+
+def test_target_encoding_python_model_parity(spark):
+    import hashlib
+
+    from real_estate_project1_etl_spark.operators.stats import (
+        kfold_target_encoding,
+    )
+
+    rows = [
+        (f"id{i}", ["a", "b", "c"][i % 3], (i * 7) % 2)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id string, cat string, y int")
+    got = {
+        (r.category, r.fold): (r.n_excl, r.pos_excl, r.enc_ppm)
+        for r in kfold_target_encoding(
+            df, "cat", "y", "id", n_folds=5, smoothing=20
+        ).collect()
+    }
+    folded = [
+        (c, int(hashlib.md5(i.encode()).hexdigest()[:15], 16) % 5, y)
+        for i, c, y in rows
+    ]
+    assert got == _enc_model(folded)
+
+
+def test_target_encoding_is_leakage_free(spark):
+    # flipping every label INSIDE fold f must not change enc(c, f) for
+    # that fold (its rows are excluded) while other folds' encodings of
+    # the same category move — the definition of out-of-fold encoding.
+    # Fold membership is md5-derived, so flip by recomputing the fold.
+    import hashlib
+
+    from real_estate_project1_etl_spark.operators.stats import (
+        kfold_target_encoding,
+    )
+
+    def fold(i):
+        return int(hashlib.md5(i.encode()).hexdigest()[:15], 16) % 5
+
+    rows = [(f"id{i}", "a", (i * 3) % 2) for i in range(200)]
+    target_fold = 0
+    flipped = [
+        (i, c, 1 - y if fold(i) == target_fold else y)
+        for i, c, y in rows
+    ]
+    base_n_pos = sum(
+        y for i, _, y in rows if fold(i) == target_fold
+    )
+    assert 0 < base_n_pos  # the flip actually changes fold-0 labels
+
+    def enc(data):
+        df = spark.createDataFrame(data, "id string, cat string, y int")
+        return {
+            r.fold: r.enc_ppm
+            for r in kfold_target_encoding(
+                df, "cat", "y", "id", n_folds=5, smoothing=20
+            ).collect()
+        }
+
+    a, b = enc(rows), enc(flipped)
+    assert a[target_fold] == b[target_fold]
+    assert any(a[f] != b[f] for f in a if f != target_fold)
