@@ -13665,6 +13665,128 @@ def q_conformal_coverage_by_lang(spark, sf_dir):
     )
 
 
+@_q(
+    "copurchase_label_propagation",
+    """
+    WITH parts AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                   FROM lineitem),
+    e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM parts x JOIN parts y ON x.ok = y.ok AND x.pk < y.pk),
+    und AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    l0 AS (SELECT DISTINCT a AS id, a AS lab FROM und),
+    m1 AS (SELECT und.b AS id, l0.lab FROM und JOIN l0 ON und.a = l0.id
+           UNION ALL SELECT id, lab FROM l0),
+    c1 AS (SELECT id, lab, count(*) AS cnt FROM m1 GROUP BY 1, 2),
+    l1 AS (SELECT id, lab FROM (
+             SELECT id, lab, row_number() OVER (
+               PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+             FROM c1) WHERE rn = 1),
+    m2 AS (SELECT und.b AS id, l1.lab FROM und JOIN l1 ON und.a = l1.id
+           UNION ALL SELECT id, lab FROM l1),
+    c2 AS (SELECT id, lab, count(*) AS cnt FROM m2 GROUP BY 1, 2),
+    l2 AS (SELECT id, lab FROM (
+             SELECT id, lab, row_number() OVER (
+               PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+             FROM c2) WHERE rn = 1),
+    m3 AS (SELECT und.b AS id, l2.lab FROM und JOIN l2 ON und.a = l2.id
+           UNION ALL SELECT id, lab FROM l2),
+    c3 AS (SELECT id, lab, count(*) AS cnt FROM m3 GROUP BY 1, 2),
+    l3 AS (SELECT id, lab FROM (
+             SELECT id, lab, row_number() OVER (
+               PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+             FROM c3) WHERE rn = 1),
+    sz AS (SELECT lab, count(*) AS community_size FROM l3 GROUP BY lab)
+    SELECT l3.id, l3.lab AS community,
+           cast(sz.community_size AS BIGINT) AS community_size
+    FROM l3 JOIN sz USING (lab)
+    """,
+)
+def q_copurchase_label_propagation(spark, sf_dir):
+    # community detection on the co-purchase graph: 3 rounds of
+    # synchronous label propagation (Raghavan '07) made fully
+    # deterministic — majority vote over neighbors plus one self-vote
+    # (damps the classic sync-LPA oscillation), ties to the smallest
+    # label — so the oracle unrolls the exact trajectory round by
+    # round. Finer-grained than connected components
+    # (near_dup_components) and cheaper than modularity methods: one
+    # shuffle per round on the vertex-sized label table
+    # (operators/graph.py label_propagation_fixed).
+    from real_estate_project1_etl_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation_fixed,
+    )
+
+    return label_propagation_fixed(
+        copurchase_edges(_t(spark, sf_dir, "lineitem")), iters=3
+    )
+
+
+@_q(
+    "scd2_user_state_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(CASE WHEN rn = 1 THEN 1
+                      WHEN event_type IS DISTINCT FROM prev THEN 1
+                      ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY rn) AS version
+      FROM ordered),
+    per_run AS (
+      SELECT user_id, version, min(ts) AS valid_from,
+             max(event_type) AS state, count(*) AS n_events
+      FROM runs GROUP BY 1, 2),
+    v AS (
+      SELECT user_id, version, state, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY version) AS valid_to,
+             n_events
+      FROM per_run)
+    SELECT user_id, cast(version AS BIGINT) AS version, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           cast(n_events AS BIGINT) AS n_events,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def q_scd2_user_state_history(spark, sf_dir):
+    # slowly-changing-dimension TYPE 2 build (Kimball) from the event
+    # stream: each user's consecutive runs of the same activity state
+    # collapse into versioned half-open validity intervals
+    # (valid_from/valid_to tile time; NULL valid_to marks the current
+    # version). Change detection, run numbering and the next-version
+    # lead all share ONE exchange on user_id — no self-join. The
+    # timestamp tiebreak is the unique event_id, so run boundaries are
+    # deterministic under equal timestamps
+    # (operators/snapshots.py scd2_history).
+    from real_estate_project1_etl_spark.operators.snapshots import (
+        scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    return h.select(
+        "user_id",
+        "version",
+        F.col("attr").alias("state"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        "n_events",
+        "is_current",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

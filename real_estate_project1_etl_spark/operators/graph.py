@@ -22,7 +22,7 @@ an aggregate action per round (a count, not a collect of data rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -436,4 +436,59 @@ def kcore(
     out = cur.groupBy("a").agg(F.count(F.lit(1)).alias("core_deg"))
     return out.filter(F.col("core_deg") >= k).select(
         F.col("a").alias("id"), F.col("core_deg")
+    )
+
+
+def label_propagation_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation with a FIXED
+    iteration count (Raghavan et al. 2007, arXiv:0709.2938), fully
+    deterministic: every vertex starts labeled with its own id; each
+    round it adopts the label with the most votes among its neighbors
+    PLUS one self-vote (the damping that prevents the classic two-class
+    oscillation of pure synchronous LPA), ties broken toward the
+    SMALLEST label. No randomness, no float — bit-reproducible across
+    engines and partitionings, so the whole trajectory is oracle-able
+    by unrolling rounds.
+
+    Returns ``(id, community, community_size)`` after ``iters`` rounds
+    (community = the surviving label, a vertex id).
+
+    Scale shape: a round is one shuffle — edge messages are the edge
+    list joined to the vertex-sized label table (never the fact table),
+    vote counts partial-aggregate map-side, and the per-vertex argmax
+    window runs on the already-aggregated (vertex, label) table
+    repartitioned by the same key it just shuffled on. Lineage is cut
+    per round with ``localCheckpoint`` (same discipline as
+    :func:`pagerank_fixed`).
+    """
+    e = edges.select("a", "b")
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = und.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cnt").desc(), F.col("lab").asc()
+    )
+    for _ in range(iters):
+        msgs = (
+            und.join(labels.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), "lab")
+            .unionByName(labels)  # the self-vote
+        )
+        cnt = msgs.groupBy("id", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lab")
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lab").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "lab").select(
+        "id", F.col("lab").alias("community"), "community_size"
     )

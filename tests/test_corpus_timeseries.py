@@ -501,3 +501,150 @@ def test_fuzz_bigram_coverage_matches_python_model(spark):
         for r in bigram_coverage(df, min_count=3).collect()
     }
     assert got == want, {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+
+
+# ------------------------------------------------------ label propagation
+
+
+def _lpa_model(edges, iters=3):
+    # python mirror: sync LPA, neighbor votes + self-vote, min-label ties
+    from collections import defaultdict
+
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    verts = {a for a, _ in und}
+    lab = {v: v for v in verts}
+    for _ in range(iters):
+        votes = defaultdict(lambda: defaultdict(int))
+        for a, b in und:
+            votes[b][lab[a]] += 1
+        for v in verts:
+            votes[v][lab[v]] += 1
+        lab = {
+            v: min(
+                (l for l in votes[v]),
+                key=lambda l: (-votes[v][l], l),
+            )
+            for v in verts
+        }
+    return lab
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from real_estate_project1_etl_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    clique1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = clique1 + clique2 + [(4, 10)]  # one bridge
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        r.id: (r.community, r.community_size)
+        for r in label_propagation_fixed(df, iters=3).collect()
+    }
+    # each clique collapses to its own min-id community
+    assert {got[v][0] for v in (1, 2, 3)} == {1}
+    assert {got[v][0] for v in (11, 12, 13)} == {10}
+    want = _lpa_model(edges)
+    assert {v: c for v, (c, _) in got.items()} == want
+
+
+def test_lpa_python_model_parity_random_graph(spark):
+    import random
+
+    from real_estate_project1_etl_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(40), 2)))
+            for _ in range(120)
+        }
+    )
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        r.id: r.community
+        for r in label_propagation_fixed(df, iters=3).collect()
+    }
+    assert got == _lpa_model(edges)
+
+
+def test_lpa_deterministic_under_repartition(spark):
+    from real_estate_project1_etl_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    edges = [(i, (i * 3 + 1) % 30) for i in range(30) if i != (i * 3 + 1) % 30]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    a = sorted(map(tuple, label_propagation_fixed(df, iters=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation_fixed(df.repartition(13), iters=3).collect(),
+        )
+    )
+    assert a == b
+
+
+# ----------------------------------------------------------------- SCD2
+
+
+def test_scd2_runs_and_tiling(spark):
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.operators.snapshots import (
+        scd2_history,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, "A", t(0), 10),
+        (1, "A", t(1), 11),
+        (1, "B", t(2), 12),
+        (1, "A", t(3), 13),  # A again -> NEW version, not merged
+        (2, "X", t(0), 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, attr string, ts timestamp, eid int"
+    )
+    got = sorted(
+        (r.k, r.version, r.attr, r.valid_from, r.valid_to,
+         r.n_events, r.is_current)
+        for r in scd2_history(df, "k", "attr", "ts", "eid").collect()
+    )
+    assert got == [
+        (1, 1, "A", t(0), t(2), 2, False),
+        (1, 2, "B", t(2), t(3), 1, False),
+        (1, 3, "A", t(3), None, 1, True),
+        (2, 1, "X", t(0), None, 1, True),
+    ]
+    # half-open tiling: each version's valid_to == next's valid_from
+    k1 = [g for g in got if g[0] == 1]
+    for prev, nxt in zip(k1, k1[1:]):
+        assert prev[4] == nxt[3]
+
+
+def test_scd2_equal_ts_uses_tiebreak_and_null_attr_opens_run(spark):
+    from datetime import datetime
+
+    from real_estate_project1_etl_spark.operators.snapshots import (
+        scd2_history,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, None, t0, 1), (1, None, t0, 2), (1, "B", t0, 3)]
+    df = spark.createDataFrame(
+        rows, "k int, attr string, ts timestamp, eid int"
+    )
+    got = sorted(
+        (r.version, r.attr, r.n_events)
+        for r in scd2_history(df, "k", "attr", "ts", "eid").collect()
+    )
+    # first run: the two NULL attrs (row 1 opens it; NULL==NULL merges),
+    # second run: B — ordered by the eid tiebreak at one timestamp
+    assert got == [(1, None, 2), (2, "B", 1)]
