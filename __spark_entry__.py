@@ -13787,6 +13787,157 @@ def q_scd2_user_state_history(spark, sf_dir):
     )
 
 
+@_q(
+    "textrank_keywords",
+    f"""
+    WITH wd AS (SELECT {_DOC_WORDS_SQL} AS w FROM documents),
+    pp AS (SELECT unnest(list_concat(
+             list_transform(range(1, greatest(len(w)-1, 0)+1),
+                            i -> [w[i], w[i+1]]),
+             list_transform(range(1, greatest(len(w)-2, 0)+1),
+                            i -> [w[i], w[i+2]])
+           )) AS q
+           FROM wd),
+    e0 AS (SELECT DISTINCT least(q[1], q[2]) AS a,
+                  greatest(q[1], q[2]) AS b
+           FROM pp WHERE q[1] <> q[2]),
+    und AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+    verts AS (SELECT DISTINCT a AS id FROM und),
+    n AS (SELECT count(*) AS n_verts FROM verts),
+    deg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY a),
+    pr0 AS (SELECT id, 1000000000 // n_verts AS pr
+            FROM verts CROSS JOIN n),
+    c1 AS (SELECT und.b AS id,
+                  cast(sum((85 * p.pr) // (100 * d.deg)) AS bigint) AS s
+           FROM und JOIN pr0 p ON und.a = p.id
+           JOIN deg d ON und.a = d.id GROUP BY und.b),
+    pr1 AS (SELECT v.id,
+                   (15000000000 // (100 * n_verts)) + coalesce(s, 0) AS pr
+            FROM verts v CROSS JOIN n LEFT JOIN c1 ON v.id = c1.id),
+    c2 AS (SELECT und.b AS id,
+                  cast(sum((85 * p.pr) // (100 * d.deg)) AS bigint) AS s
+           FROM und JOIN pr1 p ON und.a = p.id
+           JOIN deg d ON und.a = d.id GROUP BY und.b),
+    pr2 AS (SELECT v.id,
+                   (15000000000 // (100 * n_verts)) + coalesce(s, 0) AS pr
+            FROM verts v CROSS JOIN n LEFT JOIN c2 ON v.id = c2.id),
+    c3 AS (SELECT und.b AS id,
+                  cast(sum((85 * p.pr) // (100 * d.deg)) AS bigint) AS s
+           FROM und JOIN pr2 p ON und.a = p.id
+           JOIN deg d ON und.a = d.id GROUP BY und.b),
+    pr3 AS (SELECT v.id,
+                   (15000000000 // (100 * n_verts)) + coalesce(s, 0) AS pr
+            FROM verts v CROSS JOIN n LEFT JOIN c3 ON v.id = c3.id)
+    SELECT word, pr_scaled, rank FROM (
+      SELECT id AS word, cast(pr AS bigint) AS pr_scaled,
+             row_number() OVER (ORDER BY pr DESC, id) AS rank
+      FROM pr3)
+    WHERE rank <= 50
+    """,
+)
+def q_textrank_keywords(spark, sf_dir):
+    # TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04):
+    # corpus-level keyword ranking = integer PageRank over the word
+    # co-occurrence graph (window 2) — PURE COMPOSITION of two existing
+    # operators (graph.word_cooccurrence_edges builds pairs in-row via
+    # the zip_with idiom; graph.pagerank_fixed runs the same unrolled
+    # scaled-integer trajectory the copurchase oracle pins), proving
+    # the graph family composes over text as well as baskets. Top-50 by
+    # rank with deterministic (pr desc, word) ties.
+    from real_estate_project1_etl_spark.operators.graph import (
+        pagerank_fixed,
+        word_cooccurrence_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pr = pagerank_fixed(
+        word_cooccurrence_edges(docs, "text", window=2), iters=3
+    )
+    top = pr.orderBy(F.col("pr_scaled").desc(), F.col("id")).limit(50)
+    w = Window.orderBy(F.col("pr_scaled").desc(), F.col("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias("word"), "pr_scaled", "rank"
+    )
+
+
+@_q(
+    "customer_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS c_custkey,
+             max(o_orderdate) AS last_o,
+             count(*) AS frequency,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                 AS monetary
+      FROM orders GROUP BY 1),
+    mx AS (SELECT max(last_o) AS mxo FROM cust),
+    base AS (SELECT c_custkey,
+                    date_diff('day', cast(last_o AS date),
+                              cast(mxo AS date)) AS recency_days,
+                    frequency, monetary
+             FROM cust CROSS JOIN mx),
+    q AS (SELECT c_custkey, recency_days, frequency, monetary,
+                 ntile(4) OVER (ORDER BY recency_days DESC, c_custkey)
+                     AS r_q,
+                 ntile(4) OVER (ORDER BY frequency, c_custkey) AS f_q,
+                 ntile(4) OVER (ORDER BY monetary, c_custkey) AS m_q
+          FROM base)
+    SELECT c_custkey, cast(recency_days AS BIGINT) AS recency_days,
+           cast(frequency AS BIGINT) AS frequency, monetary,
+           r_q, f_q, m_q,
+           cast(100 * r_q + 10 * f_q + m_q AS INTEGER) AS rfm_code
+    FROM q
+    """,
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    # RFM segmentation (Hughes '94 — the classic CRM cohort code):
+    # per-customer recency/frequency/monetary with quartile scores and
+    # the 3-digit segment code, quartiles via ntile over fully
+    # deterministic (metric, custkey) orders. Monetary sums go through
+    # decimal(18,2) (the dec2 convention), recency is exact datediff
+    # against the corpus max. Scale note: the three ntiles are global
+    # range-sorts of the CUSTOMER dim (not the fact table) and share
+    # one sorted exchange per ordering; the orders fact shuffles once
+    # on custkey.
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    mx = cust.agg(F.max("last_o").alias("mxo"))
+    base = cust.crossJoin(F.broadcast(mx)).select(
+        "c_custkey",
+        F.datediff(
+            F.col("mxo").cast("date"), F.col("last_o").cast("date")
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
+    wf = Window.orderBy("frequency", "c_custkey")
+    wm = Window.orderBy("monetary", "c_custkey")
+    q = base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_q"),
+        F.ntile(4).over(wf).alias("f_q"),
+        F.ntile(4).over(wm).alias("m_q"),
+    )
+    return q.withColumn(
+        "rfm_code",
+        (100 * F.col("r_q") + 10 * F.col("f_q") + F.col("m_q")).cast(
+            "int"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -484,27 +484,28 @@ def isotonic_calibration_ppm(
     iso_ppm)`` with ``iso_ppm`` the isotonic-regression fit of the
     positive rate, non-decreasing in ``s``.
 
-    Classic PAV is sequential (pool adjacent violators until monotone),
-    which distributes badly. This uses the equivalent MINIMAX closed
-    form (Robertson, Wright & Dykstra 1988, Thm 1.4.4):
+    The fit runs as classic PAV (pool adjacent violators) over the
+    distinct-score blocks in exact integer arithmetic — means compared
+    by cross-multiplication, one ppm floor at the end. The registered
+    DuckDB oracle computes the equivalent MINIMAX closed form
+    (Robertson, Wright & Dykstra 1988, Thm 1.4.4):
 
         iso(i) = max_{j<=i} min_{k>=i} mean(y[j..k])
 
-    over the distinct-score blocks. Exactness: means are compared/
-    reported after ``floor((1e6 * sum) / count)`` — and because floor
-    is monotone non-decreasing, ``min`` and ``max`` COMMUTE with it
-    (``min_k floor(x_k) = floor(min_k x_k)``), so the ppm result equals
-    ``floor(1e6 * exact isotonic fit)`` — engine-mirrorable truncating
-    integer arithmetic end to end, no float summation anywhere.
+    so the cross-engine value check doubles as a PAV == minimax
+    equivalence proof on real data. Exactness of the ppm boundary:
+    floor is monotone non-decreasing, so ``min``/``max`` COMMUTE with
+    it and the truncated result equals ``floor(1e6 * exact fit)`` —
+    no float summation anywhere.
 
-    Scale shape: the corpus collapses to the distinct-score table first
-    (Zipf/domain-bounded — the same table every rank sweep here runs
-    on); the minimax is O(blocks^2) pair rows with one per-j window and
-    one aggregation — at the gate's ~2k distinct scores that is ~4M
-    tiny rows, embarrassingly parallel (partitioned by j), and
-    independent of corpus row count. The prefix-sum window over the
-    distinct-score table is single-partition by construction — bounded,
-    the module's standing convention.
+    Scale shape: the corpus collapses to the distinct-score table
+    first (Zipf/domain-bounded — the same table every rank sweep here
+    runs on); the sequential pooling then runs O(blocks) in ONE Arrow
+    batch through ``applyInPandas`` (a single constant group — PAV
+    needs the total order, and the block table is corpus-size-
+    independent, the module's standing bounded-single-partition
+    convention). This replaced a minimax pair-join form whose
+    O(blocks^2) blowup was the one non-linear term in the eval family.
     """
     base = scored.select(
         F.col(score_col).cast("bigint").alias("s"),
@@ -513,45 +514,41 @@ def isotonic_calibration_ppm(
     g = base.groupBy("s").agg(
         F.count(F.lit(1)).alias("c"), F.sum("y").alias("cp")
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    cum = g.select(
-        "s",
-        "c",
-        "cp",
-        F.sum("c").over(w).alias("_ct"),
-        F.sum("cp").over(w).alias("_st"),
-    )
-    j = cum.select(
-        F.col("s").alias("_js"),
-        (F.col("_ct") - F.col("c")).alias("_c0"),
-        (F.col("_st") - F.col("cp")).alias("_s0"),
-    )
-    k = cum.select(
-        F.col("s").alias("_ks"),
-        F.col("_ct").alias("_c1"),
-        F.col("_st").alias("_s1"),
-    )
-    # non-equi pair join over two copies of the model-sized block
-    # table: broadcast one side — BroadcastNestedLoopJoin (bounded, the
-    # sanctioned form), never a shuffle CartesianProduct
-    pairs = j.join(F.broadcast(k), F.col("_js") <= F.col("_ks")).select(
-        "_js",
-        "_ks",
-        F.expr("(1000000 * (_s1 - _s0)) div (_c1 - _c0)").alias("frac"),
-    )
-    wmin = (
-        Window.partitionBy("_js")
-        .orderBy(F.col("_ks").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    m = pairs.select(
-        "_js", "_ks", F.min("frac").over(wmin).alias("_rmin")
-    )
-    iso = m.groupBy(F.col("_ks").alias("s")).agg(
-        F.max("_rmin").alias("iso_ppm")
+    # classic pool-adjacent-violators on the model-sized block table,
+    # exact integer arithmetic (cross-multiplied mean comparisons, one
+    # floor at the end). O(blocks) — strictly better than the minimax
+    # pair form (O(blocks^2)) this replaced; the DuckDB oracle still
+    # computes the MINIMAX closed form, so every cross-engine check is
+    # also a PAV==minimax equivalence proof (RWD 1988 Thm 1.4.4). All
+    # blocks deliberately land in ONE Arrow batch (single constant
+    # group): the sequential pooling needs the total order, and the
+    # block table is Zipf/domain-bounded — corpus-size-independent.
+    def _pav(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("s")
+        stack: list[list] = []  # [count, pos, [member scores]]
+        for s, c, cp in zip(pdf["s"], pdf["c"], pdf["cp"]):
+            cur = [int(c), int(cp), [int(s)]]
+            # pool while the previous block's mean STRICTLY exceeds
+            # ours (cross-multiplied: exact on ints of any size)
+            while stack and stack[-1][1] * cur[0] > cur[1] * stack[-1][0]:
+                p = stack.pop()
+                cur = [p[0] + cur[0], p[1] + cur[1], p[2] + cur[2]]
+            stack.append(cur)
+        rows = []
+        for c, cp, ss in stack:
+            ppm = (1_000_000 * cp) // c
+            rows.extend((s, ppm) for s in ss)
+        return pd.DataFrame(rows, columns=["s", "iso_ppm"])
+
+    iso = (
+        g.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_pav, "s bigint, iso_ppm bigint")
     )
     return (
-        g.join(iso, "s")
+        g.join(F.broadcast(iso), "s")
         .select(
             "s",
             F.col("c").cast("bigint").alias("n"),

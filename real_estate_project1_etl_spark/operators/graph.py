@@ -492,3 +492,41 @@ def label_propagation_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
     return labels.join(F.broadcast(sizes), "lab").select(
         "id", F.col("lab").alias("community"), "community_size"
     )
+
+
+def word_cooccurrence_edges(
+    df: DataFrame, text_col: str = "text", window: int = 2
+) -> DataFrame:
+    """Undirected word co-occurrence edges for TextRank (Mihalcea &
+    Tarau, EMNLP 2004 §3.1: words vote for words that appear within a
+    small window). ``(a, b)`` with ``a < b``, one row per distinct pair
+    across the corpus; tokenization is the corpus-wide standard
+    (lowercase, collapsed whitespace, space split — the
+    dedup.word_shingles contract).
+
+    Scale shape: all pair generation is IN-ROW — for each distance
+    ``d <= window`` one ``zip_with`` of the token array against its
+    shifted slice (the DSIR single-pass gram idiom) — so the only
+    exchange is the final distinct on the vocabulary-pair table; the
+    corpus text itself never shuffles.
+    """
+    t = F.col(text_col)
+    ws = F.split(
+        F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " "
+    )
+    pair_arrays = []
+    for d in range(1, window + 1):
+        ln = F.greatest(F.size(ws) - d, F.lit(0))
+        pair_arrays.append(
+            F.zip_with(
+                F.slice(ws, 1, ln),
+                F.slice(ws, 1 + d, ln),
+                lambda x, y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            )
+        )
+    pairs = df.select(
+        F.explode(F.concat(*pair_arrays)).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.filter(F.col("a") != F.col("b")).distinct()

@@ -648,3 +648,39 @@ def test_scd2_equal_ts_uses_tiebreak_and_null_attr_opens_run(spark):
     # first run: the two NULL attrs (row 1 opens it; NULL==NULL merges),
     # second run: B — ordered by the eid tiebreak at one timestamp
     assert got == [(1, None, 2), (2, "B", 1)]
+
+
+# ------------------------------------------------------------- TextRank
+
+
+def test_word_cooccurrence_edges_window2(spark):
+    from real_estate_project1_etl_spark.operators.graph import (
+        word_cooccurrence_edges,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c b",), ("x  y",)], "text string"
+    )
+    got = {
+        (r.a, r.b) for r in word_cooccurrence_edges(df, "text").collect()
+    }
+    # d=1: (a,b) (b,c) (b,c) ; d=2: (a,c) (b,b self-dropped) ; doc2: (x,y)
+    assert got == {("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")}
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    from real_estate_project1_etl_spark.operators.graph import (
+        pagerank_fixed,
+        word_cooccurrence_edges,
+    )
+
+    # "hub" co-occurs with every filler word; fillers only with hub
+    docs = [(f"hub w{i}",) for i in range(12)]
+    df = spark.createDataFrame(docs, "text string")
+    pr = {
+        r.id: r.pr_scaled
+        for r in pagerank_fixed(
+            word_cooccurrence_edges(df, "text"), iters=3
+        ).collect()
+    }
+    assert max(pr, key=pr.get) == "hub"

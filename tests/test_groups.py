@@ -221,3 +221,23 @@ def test_group_linear_fit_exact_rejects_bad_scale(spark):
     df = spark.createDataFrame([("g", 1, 1.0)], "g string, x bigint, y double")
     with pytest.raises(ValueError):
         group_linear_fit_exact(df, ["g"], "x", "y", y_scale=0)
+
+
+def test_rfm_ntile_quartiles_deterministic(spark):
+    # 6 values, ntile(4) -> bucket sizes 2,2,1,1 (SQL-standard
+    # remainder-to-front); ties on the metric break by the id column
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 10, 20, 30, 40, 50])],
+        "id int, v int",
+    )
+    w = Window.orderBy("v", "id")
+    got = [
+        (r.id, r.q)
+        for r in df.select("id", F.ntile(4).over(w).alias("q"))
+        .orderBy("id")
+        .collect()
+    ]
+    assert got == [(0, 1), (1, 1), (2, 2), (3, 2), (4, 3), (5, 4)]
