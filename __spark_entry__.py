@@ -13938,6 +13938,101 @@ def q_customer_rfm_segments(spark, sf_dir):
     )
 
 
+@_q("hll_distinct_incremental", _ORACLE["hll_distinct_users"])
+def q_hll_distinct_incremental(spark, sf_dir):
+    # the INCREMENTAL-maintenance twin of hll_distinct_users: events
+    # arrive as three arbitrary slices, each contributing only its
+    # bounded (group, bucket, rho) register delta; merged by max(rho),
+    # the estimate is BIT-IDENTICAL to the from-scratch sketch
+    # (max-associativity), so this query shares hll_distinct_users'
+    # ORACLE VERBATIM and the driver compare proves incremental ==
+    # from-scratch cross-engine. The streaming form (per-micro-batch
+    # delta partitions, restart-crossing stream==batch) is
+    # streaming/hll_monitor.py, pinned by tests/test_streaming_hll.py.
+    from real_estate_project1_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    parts = None
+    for k in range(3):
+        delta = hll_registers(
+            ev.filter(F.col("user_id") % 3 == k),
+            ["event_type"],
+            "user_id",
+            p=6,
+        )
+        parts = delta if parts is None else parts.unionByName(delta)
+    merged = parts.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    est = hll_estimate(merged, ["event_type"], p=6)
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(ex, "event_type").select(
+        "event_type", "v_zero", "reg_sum_2p", "hll_estimate",
+        "exact_distinct",
+    )
+
+
+@_q(
+    "user_churn_life_table",
+    """
+    WITH u AS (SELECT user_id, min(cast(ts AS date)) AS f,
+                      max(cast(ts AS date)) AS l
+               FROM events GROUP BY 1),
+    o AS (SELECT max(l) AS endd FROM u),
+    s AS (SELECT CASE WHEN date_diff('day', l, endd) < 7
+                      THEN date_diff('day', f, endd)
+                      ELSE date_diff('day', f, l) END AS t,
+                 CASE WHEN date_diff('day', l, endd) < 7 THEN 0
+                      ELSE 1 END AS d
+          FROM u CROSS JOIN o),
+    g AS (SELECT t, count(*) AS n_t, sum(d) AS d_events
+          FROM s GROUP BY 1),
+    tt AS (SELECT sum(n_t) AS n_total FROM g),
+    c AS (SELECT t, n_t, d_events,
+                 n_total - sum(n_t) OVER (ORDER BY t) + n_t AS n_risk
+          FROM g CROSS JOIN tt)
+    SELECT t, cast(n_risk AS BIGINT) AS n_risk,
+           cast(d_events AS BIGINT) AS d_events,
+           cast(n_t - d_events AS BIGINT) AS censored,
+           cast((1000000 * d_events) // n_risk AS BIGINT) AS hazard_ppm
+    FROM c
+    """,
+)
+def q_user_churn_life_table(spark, sf_dir):
+    # Kaplan-Meier life table (Kaplan & Meier '58) for user churn:
+    # lifetime = days from first to last activity; users still active
+    # in the final 7 days of the observation window are right-CENSORED
+    # at the window end (the survival-analysis treatment the naive
+    # "churn = inactive" cut gets wrong). Per distinct lifetime: the
+    # at-risk set, observed churns, censorings and the exact floor-ppm
+    # discrete hazard — the sufficient statistic of the survival curve,
+    # every cell integer-exact (operators/timeseries.py km_life_table).
+    from real_estate_project1_etl_spark.operators.timeseries import (
+        km_life_table,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("f"),
+        F.max(F.col("ts").cast("date")).alias("l"),
+    )
+    o = u.agg(F.max("l").alias("endd"))
+    s = u.crossJoin(F.broadcast(o)).select(
+        F.when(
+            F.datediff("endd", "l") < 7, F.datediff("endd", "f")
+        )
+        .otherwise(F.datediff("l", "f"))
+        .alias("t_days"),
+        F.when(F.datediff("endd", "l") < 7, 0).otherwise(1).alias("d"),
+    )
+    return km_life_table(s, "t_days", "d")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

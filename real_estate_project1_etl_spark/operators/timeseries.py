@@ -250,3 +250,59 @@ def rate_changepoint(
             ).alias("cusum_ppm"),
         )
     )
+
+
+def km_life_table(
+    subjects: DataFrame,
+    duration_col: str = "t_days",
+    event_col: str = "d",
+) -> DataFrame:
+    """Kaplan-Meier life table (Kaplan & Meier 1958) from per-subject
+    ``(duration, event)`` rows — ``event`` 1 for an observed event
+    (churn/death), 0 for right-censoring at that duration.
+
+    Returns one row per distinct duration ``t``: ``(t, n_risk,
+    d_events, censored, hazard_ppm)`` with ``n_risk`` = subjects whose
+    duration is >= t (the at-risk set just before t) and
+    ``hazard_ppm = floor(1e6 * d_events / n_risk)`` — the discrete
+    hazard, exact integer arithmetic throughout. The survival CURVE is
+    the running product of ``(1 - hazard)``; it is left to consumers
+    because an exact cross-engine product needs unbounded rationals —
+    the life table is the sufficient statistic and every cell is on
+    the ledger.
+
+    Scale shape: one aggregation of the subject table to distinct
+    durations (bounded by the observation window in days), then a
+    prefix-sum window over that bounded table (single-partition by
+    construction, the standing convention) for the at-risk counts. The
+    subject table itself never sorts.
+    """
+    g = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum(F.col(event_col).cast("bigint")).alias("d_events"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = g.agg(F.sum("n_t").alias("n_total"))
+    cum = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_t",
+        "d_events",
+        (
+            F.col("n_total")
+            - F.sum("n_t").over(w)
+            + F.col("n_t")
+        ).alias("n_risk"),
+    )
+    return cum.select(
+        "t",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_events").cast("bigint").alias("d_events"),
+        (F.col("n_t") - F.col("d_events"))
+        .cast("bigint")
+        .alias("censored"),
+        F.expr("(1000000 * d_events) div n_risk")
+        .cast("bigint")
+        .alias("hazard_ppm"),
+    )

@@ -684,3 +684,48 @@ def test_textrank_hub_word_ranks_first(spark):
         ).collect()
     }
     assert max(pr, key=pr.get) == "hub"
+
+
+# ----------------------------------------------------------- Kaplan-Meier
+
+
+def test_km_life_table_textbook_example(spark):
+    # classic toy: durations (event=1 unless censored)
+    # subjects: 3(d) 5(c) 7(d) 7(d) 9(c) 11(d)
+    from real_estate_project1_etl_spark.operators.timeseries import (
+        km_life_table,
+    )
+
+    rows = [(3, 1), (5, 0), (7, 1), (7, 1), (9, 0), (11, 1)]
+    df = spark.createDataFrame(rows, "t_days int, d int")
+    got = {
+        r.t: (r.n_risk, r.d_events, r.censored, r.hazard_ppm)
+        for r in km_life_table(df, "t_days", "d").collect()
+    }
+    assert got == {
+        3: (6, 1, 0, 1000000 // 6),
+        5: (5, 0, 1, 0),
+        7: (4, 2, 0, 500000),
+        9: (2, 0, 1, 0),
+        11: (1, 1, 0, 1000000),
+    }
+
+
+def test_km_at_risk_counts_invariant(spark):
+    # n_risk at the smallest duration equals the cohort size, and
+    # n_risk(t) - (d+c)(t) == n_risk(next t) — the life-table identity
+    from real_estate_project1_etl_spark.operators.timeseries import (
+        km_life_table,
+    )
+
+    rows = [((i * 7) % 13, (i % 3) > 0) for i in range(60)]
+    df = spark.createDataFrame(
+        [(t, int(d)) for t, d in rows], "t_days int, d int"
+    )
+    lt = sorted(
+        (r.t, r.n_risk, r.d_events, r.censored)
+        for r in km_life_table(df, "t_days", "d").collect()
+    )
+    assert lt[0][1] == 60
+    for (t0, n0, d0, c0), (t1, n1, _, _) in zip(lt, lt[1:]):
+        assert n0 - d0 - c0 == n1
