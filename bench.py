@@ -146,7 +146,7 @@ HEADLINE = [
     "leakage_free_split_audit",
     "embeddings_top_component",
     # round-13: IVF coarse-quantizer TRAINING (integer-exact Lloyd),
-    # isotonic calibration (distributable PAV via the minimax form),
+    # isotonic calibration (O(blocks) PAV; oracle pins the minimax form),
     # bloom semi-join reduction (result-preserving fact pruning), and
     # the incremental eval twin (additive contingency store -> weighted
     # report — the streaming monitor's batch form)
@@ -154,6 +154,16 @@ HEADLINE = [
     "gate_isotonic_calibration",
     "bloom_prefiltered_revenue",
     "classifier_eval_report_incremental",
+    # round-13b: engine-portable HLL distinct (register partial agg),
+    # leakage-free K-fold target encoding, split conformal coverage,
+    # SCD2 type-2 dimension history, KM churn life table, and TextRank
+    # keywords (word-graph + integer PageRank composition)
+    "hll_distinct_users",
+    "kfold_target_encoding",
+    "conformal_coverage_by_lang",
+    "scd2_user_state_history",
+    "user_churn_life_table",
+    "textrank_keywords",
 ]
 
 #: dominant cost per headline query (what the time is spent on, and what
@@ -229,9 +239,15 @@ COST = {
     "trained_classifier_holdout_eval": "3-iter integer GD on 2/3 folds (feature table checkpointed once) + held-out scoring + eval sweep",
     "trained_classifier_standing_eval": "eval against STANDING weights (session-cached train artifact, plan-fingerprint keyed): held-out scoring + rank sweep only — the recurring production cost",
     "embeddings_kmeans_assign": "3 Lloyd iterations: per-iter one pass over the (vec,d,q) long table, k*d centroids broadcast, (vec,cluster) partial agg; centroids re-checkpoint per step",
-    "gate_isotonic_calibration": "gate inference + distinct-score collapse, then blocks^2 pair table with per-j running-min window + argmax agg — corpus-size-independent after the collapse",
+    "gate_isotonic_calibration": "gate inference + distinct-score collapse, then O(blocks) PAV in one Arrow batch — corpus-size-independent after the collapse",
     "bloom_prefiltered_revenue": "8KiB bitmap agg over Jan-1996 order keys + 3 broadcast bit-probe joins prune lineitem IN THE SCAN STAGE before the exact join",
     "classifier_eval_report_incremental": "3 per-slice contingency deltas (s,y,p,cnt) merged additively, then the WEIGHTED rank sweep — the eval monitor's batch twin",
+    "hll_distinct_users": "ONE (group,bucket) partial agg to <=64 registers/group (no distinct pass) + exact count-distinct alongside for the ledger",
+    "kfold_target_encoding": "1 fact shuffle to (category,fold) cells; category/fold/global marginals re-agg + broadcast back; decimal ppm divisions",
+    "conformal_coverage_by_lang": "per-lang rank-k order statistic on the calibration slice (window) + broadcast threshold join and conditional count on the test slice",
+    "scd2_user_state_history": "ONE exchange on user_id shared by change-detect/run-number/lead windows + (key,run) re-agg; no self-join",
+    "user_churn_life_table": "per-user min/max agg + bounded distinct-duration table prefix window (at-risk counts)",
+    "textrank_keywords": "in-row zip_with pair gen -> vocab-pair distinct + 3 integer PageRank rounds (one message shuffle each) + top-50",
     "totalprice_monthly_quantile_rollup": "one orders scan -> <=63-bucket daily sketches; rollup + quantile walk on model-sized tables",
     "leakage_free_split_audit": "minhash banding + CC (checkpointed) + two split hashes + pair-endpoint joins; pair-volume-bound",
     "embeddings_top_component": "d^2-cell scatter partial agg (one corpus pass) + 8 broadcast mat-vec steps on checkpointed 64-row iterates",
