@@ -14033,6 +14033,102 @@ def q_user_churn_life_table(spark, sf_dir):
     return km_life_table(s, "t_days", "d")
 
 
+@_q(
+    "seasonal_hour_profile",
+    """
+    WITH b AS (SELECT event_type,
+                      (date_part('isodow', ts) - 1) * 24
+                        + date_part('hour', ts) AS how,
+                      cast(value AS decimal(18,2)) AS v
+               FROM events),
+    cell AS (SELECT event_type, how, count(*) AS n,
+                    sum(v) AS s
+             FROM b GROUP BY 1, 2),
+    g AS (SELECT event_type, sum(n) AS n_g, sum(s) AS s_g
+          FROM cell GROUP BY 1)
+    SELECT cell.event_type, cast(how AS INTEGER) AS hour_of_week,
+           cast(n AS BIGINT) AS n,
+           cast(s AS double) / n AS avg_value,
+           cast((1000000 * cast(s * 100 AS HUGEINT) * n_g)
+                // (n * cast(s_g * 100 AS HUGEINT)) AS BIGINT)
+               AS seasonality_ppm
+    FROM cell JOIN g USING (event_type)
+    """,
+)
+def q_seasonal_hour_profile(spark, sf_dir):
+    # hour-of-week seasonal profile per event type — the 168-cell
+    # periodic decomposition behind traffic forecasting and anomaly
+    # baselines. Cell mean is the dec2 exact-decimal sum divided once
+    # at the double boundary; the seasonality INDEX (cell mean over the
+    # type's global mean) multiplies through to a ratio of exact
+    # decimal integers, floored to ppm — cross-engine exact. hour_of_week
+    # uses ISO weekday arithmetic ((isodow-1)*24 + hour, UTC), identical
+    # in both engines. One fact agg to <=168 cells per type + a
+    # marginal re-agg joined back broadcast.
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (
+            (F.expr("weekday(ts)")) * 24 + F.hour("ts")
+        ).alias("how"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cell = b.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    g = cell.groupBy("event_type").agg(
+        F.sum("n").alias("n_g"), F.sum("s").alias("s_g")
+    )
+    return cell.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        F.col("how").cast("int").alias("hour_of_week"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+        F.expr(
+            "cast((1000000 * cast(s * 100 as decimal(38,0)) * n_g)"
+            " div (n * cast(s_g * 100 as decimal(38,0))) as bigint)"
+        ).alias("seasonality_ppm"),
+    )
+
+
+@_q(
+    "scd2_change_feed_batch",
+    None,  # oracle derived below from scd2_user_state_history's
+)
+def q_scd2_change_feed_batch(spark, sf_dir):
+    # batch twin of the streaming SCD2 maintenance
+    # (streaming/stateful.py scd2_change_stream): the CLOSED versions
+    # only — what the change stream emits; the open version lives in
+    # state. Oracle = the scd2_user_state_history oracle restricted to
+    # valid_to IS NOT NULL, so the ledger pins "stream emissions ==
+    # batch history minus currents" cross-engine (the stream==batch
+    # equality itself is tests/test_streaming.py::test_scd2_*).
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        scd2_change_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_change_stream(ev).select(
+        "user_id",
+        "version",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        "n_events",
+    )
+
+
+_ORACLE["scd2_change_feed_batch"] = (
+    "SELECT user_id, version, state, valid_from, valid_to, n_events "
+    f"FROM ({_ORACLE['scd2_user_state_history']}) "
+    "WHERE valid_to IS NOT NULL"
+)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -331,3 +331,32 @@ def test_target_encoding_is_leakage_free(spark):
     a, b = enc(rows), enc(flipped)
     assert a[target_fold] == b[target_fold]
     assert any(a[f] != b[f] for f in a if f != target_fold)
+
+
+def test_seasonal_index_planted_two_cells(spark):
+    # one type, two hour-of-week cells with means 10 and 30 -> global
+    # mean 20, indices 0.5 and 1.5 exactly
+    import __spark_entry__ as e
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 0, 0)  # a Monday, UTC -> how=0
+    rows = []
+    for i in range(4):
+        rows.append((1000 + i, base, 1, "t", 10.0, None))
+    for i in range(4):
+        rows.append(
+            (2000 + i, base + timedelta(hours=5), 1, "t", 30.0, None)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r.hour_of_week: (r.n, r.avg_value, r.seasonality_ppm)
+        for r in e.queries()["seasonal_hour_profile"](spark, d).collect()
+    }
+    assert got == {0: (4, 10.0, 500000), 5: (4, 30.0, 1500000)}

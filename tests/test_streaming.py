@@ -977,3 +977,39 @@ def test_streaming_unimax_gate_matches_batch(spark, sf_dir, tmp_path):
 
     got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got == batch_kept
+
+
+def test_scd2_change_stream_matches_batch(spark, events_batch, tmp_path):
+    # streaming SCD2: emitted CLOSED versions == batch history minus the
+    # current (open) rows — values, intervals and run sizes included
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        scd2_change_stream,
+    )
+
+    out = _run_stream(
+        spark, events_batch, scd2_change_stream, tmp_path, "scd2",
+        output_mode="append",
+    )
+    got = sorted(map(tuple, out.collect()))
+    exp = sorted(map(tuple, scd2_change_stream(events_batch).collect()))
+    assert got == exp and got  # non-empty: the fixture has state flips
+
+
+def test_scd2_change_stream_vs_full_history(spark, events_batch):
+    # the batch fallback is exactly scd2_history minus is_current —
+    # and closed+current partitions the history
+    from pyspark.sql import functions as F
+
+    from real_estate_project1_etl_spark.operators.snapshots import (
+        scd2_history,
+    )
+    from real_estate_project1_etl_spark.streaming.stateful import (
+        scd2_change_stream,
+    )
+
+    h = scd2_history(events_batch, "user_id", "event_type", "ts", "event_id")
+    closed = scd2_change_stream(events_batch)
+    assert closed.count() == h.filter(~F.col("is_current")).count()
+    assert h.count() == closed.count() + h.filter(
+        F.col("is_current")
+    ).count()
