@@ -14129,6 +14129,72 @@ _ORACLE["scd2_change_feed_batch"] = (
 )
 
 
+@_q(
+    "source_lang_tvd_drift",
+    """
+    WITH base AS (SELECT source, lang FROM documents
+                  WHERE source IS NOT NULL AND lang IS NOT NULL),
+    cells AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+    srcs AS (SELECT source, sum(c) AS n_s FROM cells GROUP BY 1),
+    langs AS (SELECT lang, sum(c) AS n_l FROM cells GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    grid AS (SELECT s.source, l.lang, s.n_s, l.n_l,
+                    coalesce(c.c, 0) AS c
+             FROM srcs s CROSS JOIN langs l
+             LEFT JOIN cells c
+               ON s.source = c.source AND l.lang = c.lang)
+    SELECT g.source,
+           cast(g2.n_s AS BIGINT) AS n_docs,
+           cast((1000000 * sum(abs(cast(g.c AS HUGEINT) * n
+                                   - cast(g.n_l AS HUGEINT) * g.n_s)))
+                // (2 * cast(g2.n_s AS HUGEINT) * n) AS BIGINT)
+               AS tvd_ppm
+    FROM grid g CROSS JOIN tot JOIN srcs g2 ON g.source = g2.source
+    GROUP BY g.source, g2.n_s, n
+    """,
+)
+def q_source_lang_tvd_drift(spark, sf_dir):
+    # distribution-drift audit by TOTAL VARIATION distance: how far
+    # each source's language mix sits from the corpus-wide mix —
+    # TVD = (1/2) sum_l |p_l - q_l|, a RATIONAL function of counts
+    # (unlike PSI/JS divergence, whose logs would break exactness), so
+    # the result is floor-ppm of exact integers, missing (source, lang)
+    # cells included via the dims-sized grid (their |0 - q_l| mass is
+    # where naive observed-cells-only TVD goes wrong). Complements the
+    # chi2 dependence test (source_lang_chi2) and the KS score drift
+    # (gate_score_ks): one fact agg to cells, then dim-sized joins.
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    srcs = cells.groupBy("source").agg(F.sum("c").alias("n_s"))
+    langs = cells.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(langs))
+        .join(cells, ["source", "lang"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    return grid.groupBy("source", "n_s", "n").agg(
+        F.sum(
+            F.expr(
+                "abs(cast(c as decimal(38,0)) * n"
+                " - cast(n_l as decimal(38,0)) * n_s)"
+            )
+        ).alias("_num")
+    ).select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_docs"),
+        F.expr(
+            "cast((1000000 * _num)"
+            " div (2 * cast(n_s as decimal(38,0)) * n) as bigint)"
+        ).alias("tvd_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -360,3 +360,30 @@ def test_seasonal_index_planted_two_cells(spark):
         for r in e.queries()["seasonal_hour_profile"](spark, d).collect()
     }
     assert got == {0: (4, 10.0, 500000), 5: (4, 30.0, 1500000)}
+
+
+def test_tvd_planted_distributions(spark):
+    # source A mirrors the global mix exactly (TVD ~ 0 vs pooled-with-B
+    # shift); plant a fully disjoint source: TVD = 1
+    import __spark_entry__ as e
+    import tempfile, os
+
+    rows = (
+        [(i, "x", "en", "A", 10) for i in range(8)]
+        + [(100 + i, "x", "de", "A", 10) for i in range(8)]
+        + [(200 + i, "x", "zh", "B", 10) for i in range(16)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r.source: (r.n_docs, r.tvd_ppm)
+        for r in e.queries()["source_lang_tvd_drift"](spark, d).collect()
+    }
+    # global mix: en 1/4, de 1/4, zh 1/2.
+    # A: en 1/2, de 1/2, zh 0 -> TVD = (1/4 + 1/4 + 1/2)/2 = 1/2
+    # B: zh 1 -> TVD = (1/4 + 1/4 + 1/2)/2 = 1/2
+    assert got == {"A": (16, 500000), "B": (16, 500000)}
