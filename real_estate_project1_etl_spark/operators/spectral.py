@@ -349,37 +349,52 @@ def power_iteration_top_component(
             f"power_iteration_top_component: n_iters must be >= 1, got {n_iters!r}"
         )
     spark = scatter.sparkSession
-    cm = scatter.localCheckpoint(eager=True)
-    v = spark.range(1, dim + 1).select(
-        F.col("id").cast("int").alias("i"), F.lit(1).cast("bigint").alias("v")
-    )
+    # The iterate is MODEL-sized: the scatter is <= dim^2 <= 4096 cells
+    # (dim is capped at 64 above) no matter how many rows fed it, and
+    # each step is an O(dim^2) integer mat-vec.  Running the steps as
+    # Spark jobs paid 8 x (broadcast join + 2 aggregations + an eager
+    # localCheckpoint) of pure scheduling overhead (~0.25 s each at any
+    # scale — the work is 4096 multiplies); the distributed corpus pass
+    # is the scatter AGGREGATION, which the collect() below executes
+    # exactly once.  So iterate on the driver in exact (arbitrary-
+    # precision) integer arithmetic — the same class of bounded
+    # driver-side step as the BPE trainer's per-round argmax collect —
+    # reproducing Spark's semantics operation for operation:
+    #   * `div` truncates toward zero (matches the former
+    #     `u div shiftleft(1, sh)` and `(1000000*v) div m`);
+    #   * the shift is length(bin(max|u|)) - _V_BITS, i.e. the bit
+    #     length of max|u| (bin(0) = "0" has length 1);
+    #   * integer sums are order-insensitive, so the fold order below
+    #     cannot diverge from the distributed aggregation.
+    # The 8-step trajectory is therefore bit-identical to the former
+    # distributed loop (pinned by the unrolled DuckDB oracle and
+    # tests/test_spectral.py).
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    cells = {}
+    for r in scatter.select("i", "j", "c").collect():
+        cells[(r["i"], r["j"])] = int(r["c"])
+    v = {i: 1 for i in range(1, dim + 1)}
     for _ in range(n_iters):
-        u = (
-            cm.join(
-                F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))),
-                "j",
+        u = {
+            i: sum(
+                cells.get((i, j), 0) * v[j] for j in range(1, dim + 1)
             )
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
-        )
-        sh = u.agg(
-            F.greatest(
-                F.length(F.bin(F.max(F.abs(F.col("u"))))) - F.lit(_V_BITS),
-                F.lit(0),
-            ).alias("sh")
-        )
-        v = (
-            u.crossJoin(F.broadcast(sh))
-            .select(
-                "i",
-                F.expr("u div (shiftleft(cast(1 as bigint), sh))").alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    m = v.agg(F.max(F.abs(F.col("v"))).alias("m"))
-    return v.crossJoin(F.broadcast(m)).select(
-        "i", F.expr("(1000000 * v) div m").cast("bigint").alias("v_ppm")
-    )
+            for i in range(1, dim + 1)
+        }
+        mx = max(abs(x) for x in u.values())
+        blen = mx.bit_length() if mx > 0 else 1  # length(bin(0)) == 1
+        sh = max(blen - _V_BITS, 0)
+        v = {i: _tdiv(u[i], 1 << sh) for i in range(1, dim + 1)}
+    m = max(abs(x) for x in v.values())
+    rows = [
+        (i, _tdiv(1_000_000 * v[i], m) if m != 0 else None)
+        for i in range(1, dim + 1)
+    ]
+    return spark.createDataFrame(rows, "i int, v_ppm bigint")
 
 
 def remove_component(
