@@ -690,6 +690,7 @@ def _pq_collapse(codebooks: DataFrame):
                 + F.max(F.when(F.col("nl") != 1, 1).otherwise(0))
             ).alias("len_shapes"),
             F.min("len").alias("sublen"),
+            F.max("n").alias("n_codes"),
         )
         .first()
     )
@@ -728,7 +729,9 @@ def _pq_collapse(codebooks: DataFrame):
             lambda e: e["cb"],
         ).alias("_cbs")
     )
-    return row, int(stats["m"]), int(stats["sublen"])
+    # n_codes rides along so callers need no second driver job over the
+    # codebook table (the per-subspace count is validated uniform above)
+    return row, int(stats["m"]), int(stats["sublen"]), int(stats["n_codes"])
 
 
 def _l2sq(a, b):
@@ -760,7 +763,7 @@ def pq_encode(
     Arrow/numpy batch like :func:`brute_force_topk_pandas`, same
     results). The corpus never shuffles.
     """
-    row, m, sub = _pq_collapse(codebooks)
+    row, m, sub, _ = _pq_collapse(codebooks)
     v = F.col(vec_col).cast("array<double>")
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -826,10 +829,7 @@ def pq_topk(
         raise ValueError(
             f"pq_topk: rerank_k ({rerank_k!r}) must be >= k ({k!r})"
         )
-    row, m, sub = _pq_collapse(codebooks)
-    n_codes = codebooks.groupBy("subspace").count().agg(
-        F.max("count")
-    ).first()[0]
+    row, m, sub, n_codes = _pq_collapse(codebooks)
     if codes is not None:
         enc = codes.select(
             F.col(id_col).alias("neighbor_id"), F.col("codes")
@@ -904,27 +904,41 @@ def ivfpq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _collapsed=None,
+    _cents=None,
 ) -> DataFrame:
     """INGEST-TIME IVF-PQ index build: ``(id, list_id, codes)`` — the
     cell assignment plus residual PQ codes :func:`ivfpq_topk` scans.
     Encode once, persist (bucketed by ``list_id`` at scale), and pass
     back via ``encoded=``; the per-call encode inside
     :func:`ivfpq_topk` is the small-scale convenience only (measured:
-    encoding dominates a cold call at 500k vectors)."""
-    row, m, sub = _pq_collapse(codebooks)
-    cents_row = centroids.agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("list_id"), F.col("centroid")))
-            ),
-            lambda e: e["centroid"],
-        ).alias("_cents")
-    )
-    n_lists = centroids.count()
+    encoding dominates a cold call at 500k vectors).
+
+    ``_collapsed`` / ``_cents`` (private): a caller that already ran
+    :func:`_pq_collapse` / built the centroid row can pass
+    ``(row, m, sub, n_codes)`` and the ``cents_row`` aggregate so the
+    validation aggregate doesn't run a second driver job per search
+    call."""
+    row, m, sub, _ = _collapsed or _pq_collapse(codebooks)
+    if _cents is not None:
+        cents_row = _cents
+    else:
+        cents_row = centroids.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("list_id"), F.col("centroid"))
+                    )
+                ),
+                lambda e: e["centroid"],
+            ).alias("_cents")
+        )
     cv = F.col(vec_col).cast("array<double>")
     lid = -F.array_max(
         F.transform(
-            F.sequence(F.lit(0), F.lit(int(n_lists) - 1)),
+            # list count comes from the broadcast centroid row itself —
+            # a separate centroids.count() driver job is pure overhead
+            F.sequence(F.lit(0), F.size(F.col("_cents")) - 1),
             lambda i: F.struct(
                 (-_l2sq(cv, F.element_at(F.col("_cents"), i + 1))).alias(
                     "negd"
@@ -1068,10 +1082,8 @@ def ivfpq_topk(
         raise ValueError(
             f"ivfpq_topk: rerank_k ({rerank_k!r}) must be >= k ({k!r})"
         )
-    row, m, sub = _pq_collapse(codebooks)
-    n_codes = codebooks.groupBy("subspace").count().agg(
-        F.max("count")
-    ).first()[0]
+    collapsed = _pq_collapse(codebooks)
+    row, m, sub, n_codes = collapsed
     cents_row = centroids.agg(
         F.transform(
             F.array_sort(
@@ -1080,7 +1092,6 @@ def ivfpq_topk(
             lambda e: e["centroid"],
         ).alias("_cents")
     )
-    n_lists = centroids.count()
     balanced = encoded is not None and "sub_id" in encoded.columns
     if encoded is not None:
         enc = encoded.select(
@@ -1089,8 +1100,12 @@ def ivfpq_topk(
             *([F.col("sub_id")] if balanced else []),
         )
     else:
+        # share the collapsed codebook + centroid row with the internal
+        # encode — without this the validation aggregate and centroid
+        # count each ran a SECOND driver job per search call
         enc = ivfpq_encode(
-            corpus, centroids, codebooks, id_col, vec_col
+            corpus, centroids, codebooks, id_col, vec_col,
+            _collapsed=collapsed, _cents=cents_row,
         ).select(
             F.col(id_col).alias("neighbor_id"), F.col("list_id"),
             F.col("codes"),
@@ -1107,7 +1122,8 @@ def ivfpq_topk(
         F.col(vec_col),
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(int(n_lists) - 1)),
+                # list count from the broadcast row, not a count() job
+                F.sequence(F.lit(0), F.size(F.col("_cents")) - 1),
                 lambda i: F.struct(
                     i.cast("int").alias("list_id"),
                     _l2sq(qv, F.element_at(F.col("_cents"), i + 1)).alias(
