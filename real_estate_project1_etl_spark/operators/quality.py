@@ -781,14 +781,16 @@ def train_hashed_classifier(
     (untouched buckets carry weight 0).
 
     Scale shape: the corpus is tokenized+hashed ONCE into the
-    Zipf-collapsed ``(doc, feature, n)`` table and localCheckpointed —
-    iterations never rescan text. Each iteration is two equi-keyed
-    aggregations (margins on the doc key, gradients on the feature key)
-    plus a broadcast of the dim-sized weight table; weights re-
-    checkpoint every iteration (dim rows — trivial), capping lineage the
-    pagerank_fixed way. Per-iteration cost scales with the collapsed
-    feature table, not corpus bytes, and nothing is collected to the
-    driver.
+    Zipf-collapsed ``(doc, feature, n, _y)`` table (the label rides the
+    feature rows — one broadcast join absorbed into the build) and
+    localCheckpointed — iterations never rescan text. Each iteration is
+    two equi-keyed aggregations (margins on the doc key — residuals fall
+    straight out of that aggregation, no labels join — and gradients on
+    the feature key) plus a broadcast of the dim-sized weight table;
+    weights re-checkpoint every iteration (dim rows — trivial), capping
+    lineage the pagerank_fixed way. Per-iteration cost scales with the
+    collapsed feature table, not corpus bytes, and nothing is collected
+    to the driver.
     """
     from .corpus import tokenize_positions
     from .dedup import shingle_hash_expr
@@ -823,13 +825,20 @@ def train_hashed_classifier(
         )
     )
     fid = F.pmod(shingle_hash_expr(F.col("w"), hash_fn), F.lit(dim))
+    # the label rides the feature table (one broadcast join absorbed
+    # into the feats checkpoint) so each GD iteration computes residuals
+    # straight out of the margin aggregation — no per-iteration labels
+    # join, no separate labels checkpoint.  Docs with NO feature rows
+    # contributed nothing to any gradient before (the gradient join on
+    # feats is inner), so dropping their residual rows is value-exact.
+    labels = base.select("doc_id", "_y")
     feats = (
         tokenize_positions(base.select("doc_id", text_col), text_col)
         .select("doc_id", fid.alias("feature_id"))
         .groupBy("doc_id", "feature_id")
         .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(labels), "doc_id")
     )
-    labels = base.select("doc_id", "_y").localCheckpoint(eager=True)
     if fit_bias:
         # the intercept as a virtual always-on feature at id = dim: one
         # UNION row per doc, and the training loop needs no special case
@@ -838,6 +847,7 @@ def train_hashed_classifier(
                 "doc_id",
                 F.lit(dim).cast("bigint").alias("feature_id"),
                 F.lit(1).cast("bigint").alias("n"),
+                "_y",
             )
         )
     feats = feats.localCheckpoint(eager=True)
@@ -884,18 +894,25 @@ def train_hashed_classifier(
     for _ in range(n_iters):
         for b in range(n_batches):
             if n_batches == 1:
-                bf, bl = feats, labels
+                bf = feats
             else:
                 member = (
                     F.pmod(_hash60(["doc_id"]), F.lit(n_batches)) == b
                 )
-                bf, bl = feats.filter(member), labels.filter(member)
+                bf = feats.filter(member)
+            # residuals fall straight out of the margin aggregation
+            # (the label is constant per doc — min() reads it exactly);
+            # docs without feature rows never reach the gradient's
+            # inner join, so their absence here is value-exact
             margins = (
                 bf.join(F.broadcast(weights), "feature_id")
                 .groupBy("doc_id")
-                .agg(F.sum(F.col("n") * F.col("weight_milli")).alias("_m"))
+                .agg(
+                    F.sum(F.col("n") * F.col("weight_milli")).alias("_m"),
+                    F.min("_y").alias("_y"),
+                )
             )
-            resid = bl.join(margins, "doc_id", "left").select(
+            resid = margins.select(
                 "doc_id",
                 (
                     F.least(
