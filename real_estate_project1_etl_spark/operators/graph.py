@@ -99,14 +99,21 @@ def connected_components(
             double_now = rounds >= auto_label_rounds
         if double_now and doubling_from is None:
             doubling_from = rounds + 1
+        # the previous round's comp rides the aggregation as `_old`
+        # (labels contributes exactly one row per id — min() reads it
+        # exactly), so the convergence probe needs no join and, below,
+        # no separate job: ONE action per round materializes the round
+        # AND returns the changed count (was: an eager localCheckpoint
+        # job PLUS a join+count probe job — pure per-round overhead).
         msgs = und.join(labels, und.a == labels.id).select(
-            F.col("b").alias("id"), F.col("comp")
+            F.col("b").alias("id"), F.col("comp"),
+            F.lit(None).cast("long").alias("_old"),
         )
         new = (
-            labels.select("id", "comp")
+            labels.select("id", "comp", F.col("comp").alias("_old"))
             .union(msgs)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("_old").alias("_old"))
         )
         if double_now:
             # shortcut: comp <- min(comp, comp(comp)) over the post-hop
@@ -124,19 +131,20 @@ def connected_components(
                     F.least(
                         F.col("comp"), F.coalesce(F.col("_cc"), F.col("comp"))
                     ).alias("comp"),
+                    "_old",
                 )
             )
-        new = new.localCheckpoint(eager=True)
+        # LAZY checkpoint: the probe aggregate below is the round's ONE
+        # job — it materializes the checkpoint blocks as it scans (so
+        # lineage stays truncated per round, the doubling branch's
+        # double self-reference cannot snowball) and returns the probe
+        new = new.localCheckpoint(eager=False)
+        changed = new.agg(
+            F.sum((F.col("comp") != F.col("_old")).cast("int"))
+        ).first()[0]
         rounds += 1
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.select("id", "comp")
+        if not changed:
             converged = True
             break
     if _stats is not None:
