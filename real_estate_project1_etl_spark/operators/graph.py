@@ -229,8 +229,14 @@ def pagerank_fixed(
         f"cast({(damp_den - damp_num) * scale} div ({damp_den} * n_verts) as bigint)"
     )
 
-    pr = pr.localCheckpoint(eager=True)
-    for _ in range(iters):
+    # each round references `pr` exactly ONCE, so the lineage nests
+    # LINEARLY with rounds (no self-reference blowup — contrast the CC
+    # doubling branch) and a handful of rounds can run inside the
+    # consumer's single execution with full AQE stage reuse of the
+    # und/verts/deg subtrees; an eager checkpoint every round paid one
+    # scheduled job per round of pure overhead.  A checkpoint every 4th
+    # round keeps lineage depth bounded for large `iters`.
+    for it in range(iters):
         contrib = (
             und.join(pr.withColumnRenamed("id", "a"), "a")
             .join(deg.withColumnRenamed("id", "a"), "a")
@@ -243,8 +249,9 @@ def pagerank_fixed(
             verts.join(contrib.groupBy("id").agg(F.sum("m").alias("s")), "id", "left")
             .crossJoin(F.broadcast(n_df))
             .select("id", (base + F.coalesce(F.col("s"), F.lit(0))).alias("pr"))
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("id", F.col("pr").alias("pr_scaled"))
 
 
