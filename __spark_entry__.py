@@ -86,6 +86,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small driver-side side table as a LocalRelation (via pandas /
+    Arrow) instead of a python-RDD-backed LogicalRDD.  A LogicalRDD leaf
+    pays a python-worker round trip EVERY time any subtree containing it
+    is evaluated (measured ~0.5 s vs ~0.26 s per tiny aggregate on the
+    IVF-PQ codebook); a LocalRelation evaluates JVM-side.  Falls back to
+    plain createDataFrame when pandas is unavailable."""
+    try:
+        import pandas as pd
+    except Exception:  # pragma: no cover
+        return spark.createDataFrame(rows, schema)
+    cols = [f.split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[c.strip() for c in cols]), schema=schema
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation / flagship (SURVEY §2 "explicit absences" -> Looker-implied)
 # --------------------------------------------------------------------------
@@ -2105,8 +2122,8 @@ def q_pq_adc_topk(spark, sf_dir):
     for s in range(4):
         for c in range(8):
             cbs.append((s, c, first8[c][s * 16:(s + 1) * 16]))
-    cb = spark.createDataFrame(
-        cbs, "subspace int, code int, centroid array<double>"
+    cb = _local_df(
+        spark, cbs, "subspace int, code int, centroid array<double>"
     )
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), cb, k=5)
 
@@ -2284,7 +2301,8 @@ def q_ivfpq_adc_topk(spark, sf_dir):
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 108).collect()
     }
-    cents = spark.createDataFrame(
+    cents = _local_df(
+        spark,
         [(i, vec[i]) for i in range(16)],
         "list_id int, centroid array<double>",
     )
@@ -2302,8 +2320,8 @@ def q_ivfpq_adc_topk(spark, sf_dir):
         rv = [a - b for a, b in zip(x, vec[best])]
         for s in range(4):
             cbs.append((s, src - 100, rv[s * 16:(s + 1) * 16]))
-    cb = spark.createDataFrame(
-        cbs, "subspace int, code int, centroid array<double>"
+    cb = _local_df(
+        spark, cbs, "subspace int, code int, centroid array<double>"
     )
     return ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, cb, k=5, n_probe=4
@@ -2348,7 +2366,8 @@ def q_ivfpq_balanced_adc_topk(spark, sf_dir):
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 108).collect()
     }
-    cents = spark.createDataFrame(
+    cents = _local_df(
+        spark,
         [(i, vec[i]) for i in range(16)],
         "list_id int, centroid array<double>",
     )
@@ -2366,8 +2385,8 @@ def q_ivfpq_balanced_adc_topk(spark, sf_dir):
         rv = [a - b for a, b in zip(x, vec[best])]
         for s in range(4):
             cbs.append((s, src - 100, rv[s * 16:(s + 1) * 16]))
-    cb = spark.createDataFrame(
-        cbs, "subspace int, code int, centroid array<double>"
+    cb = _local_df(
+        spark, cbs, "subspace int, code int, centroid array<double>"
     )
     # cap low enough that real splitting happens at every SF (sf0.001
     # has ~600 vectors over 16 cells -> several cells split)
@@ -8429,7 +8448,7 @@ def q_histogram_quantiles(spark, sf_dir):
     cum = hist.select(
         "bucket", F.sum("cnt").over(wcum).cast("bigint").alias("cum_cnt")
     )
-    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    ps = _local_df(spark, [(0.5,), (0.9,), (0.99,)], "p double")
     target = F.ceil(F.col("p") * F.col("n")).cast("bigint")
     hq = (
         ps.crossJoin(F.broadcast(cum))
