@@ -302,7 +302,7 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     # together with the adj cut below.
     e = edges.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
@@ -325,7 +325,7 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     # the orientation + collect_list aggregation
     adj = oriented.groupBy("src").agg(
         F.collect_list("dst").alias("ns")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # re-derive (src, dst) by exploding adj so out(u) needs no join
     eadj = adj.select(
         "src", F.col("ns").alias("nu"), F.explode("ns").alias("dst")
@@ -375,12 +375,16 @@ def nhop_min_distance(
     frontier = seeds.select(F.col("id")).distinct().withColumn("d", F.lit(0))
     levels = [frontier]
     for k in range(1, hops + 1):
+        # LAZY checkpoints: each frontier is referenced twice (next hop
+        # + the final union) and the chain materializes inside the ONE
+        # final action — same dedup guarantee as the former eager form
+        # without a scheduled job per hop
         frontier = (
             und.join(frontier.withColumnRenamed("id", "a"), "a")
             .select(F.col("b").alias("id"))
             .distinct()
             .withColumn("d", F.lit(k))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         levels.append(frontier)
     all_levels = levels[0]
@@ -432,10 +436,14 @@ def kcore(
     while rounds < max_iter:
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("a")
-        # ONE driver action per round: total nodes and surviving nodes
-        # from the same aggregate (two separate counts doubled the
+        # ONE scheduled job per round: the stats aggregate below is the
+        # round's only action — `cur` was checkpointed LAZILY by the
+        # previous round, so this aggregate materializes the surviving
+        # edge set as it scans (the CC-loop trick), and the separate
+        # eager-checkpoint job per round is gone.  Totals and survivors
+        # come from the same aggregate (two separate counts doubled the
         # per-round latency — the loop is driver-action-bound on small
-        # graphs)
+        # graphs).
         row = deg.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("deg") >= k).cast("int")).alias("nk"),
@@ -448,7 +456,7 @@ def kcore(
             cur.join(keep, "a")
             .join(keep.select(F.col("a").alias("b")), "b")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
     if _stats is not None:
