@@ -644,7 +644,9 @@ def semantic_dedup(
     # normalize+score pipeline per branch (measured 2x the assign cost at
     # sf0.1). localCheckpoint also caps the lineage like the PageRank
     # loop; at cluster scale prefer writing the assignment to a table.
-    assigned = assigned.localCheckpoint(eager=True)
+    # LAZY: the broadcast-strategy count() below is the materializing
+    # action, so the checkpoint costs no extra scheduled job.
+    assigned = assigned.localCheckpoint(eager=False)
 
     a = assigned.select(F.col(id_col).alias("i"), F.col("u").alias("ui"), "cluster_id")
     b = assigned.select(F.col(id_col).alias("j"), F.col("u").alias("uj"), "cluster_id")

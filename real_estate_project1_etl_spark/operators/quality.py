@@ -850,7 +850,13 @@ def train_hashed_classifier(
                 "_y",
             )
         )
-    feats = feats.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the loop: plans stay truncated at the
+    # checkpoint leaves, but nothing schedules a job until the caller's
+    # action (or the initial_weights validation aggregate) — the blocks
+    # materialize inside that one execution and iterations reuse them,
+    # instead of paying one scheduled job per checkpoint (interleaved
+    # A/B: 3-iter training 3.29 -> 2.27 s median, trajectory-identical).
+    feats = feats.localCheckpoint(eager=False)
     n_weights = dim + (1 if fit_bias else 0)
     if initial_weights is not None:
         if not {"feature_id", "weight_milli"} <= set(initial_weights.columns):
@@ -858,10 +864,12 @@ def train_hashed_classifier(
                 "train_hashed_classifier: initial_weights needs columns "
                 f"(feature_id, weight_milli), got {initial_weights.columns}"
             )
+        # lazy: the validation aggregate right below is the
+        # materializing action
         weights = initial_weights.select(
             F.col("feature_id").cast("bigint"),
             F.col("weight_milli").cast("bigint"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # one aggregate validates shape AND key integrity: a table with
         # the right row count but duplicate feature_ids would pass a bare
         # count, then silently duplicate rows through the margin join and
@@ -946,7 +954,7 @@ def train_hashed_classifier(
                     "feature_id",
                     upd.cast("bigint").alias("weight_milli"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     return weights
 
