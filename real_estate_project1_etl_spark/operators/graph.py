@@ -79,13 +79,15 @@ def connected_components(
         )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    und = und.localCheckpoint(eager=True)
+    # LAZY: round 1's probe aggregate scans everything and materializes
+    # both cuts; later rounds read the stored blocks
+    und = und.localCheckpoint(eager=False)
 
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     doubling_from = None
@@ -428,7 +430,9 @@ def kcore(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY: round 1's stats aggregate scans everything — it is the
+        # materializing action
+        .localCheckpoint(eager=False)
     )
     cur = und
     rounds = 0
@@ -501,7 +505,8 @@ def label_propagation_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
     und = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    und = und.localCheckpoint(eager=True)
+    # LAZY: iteration 1's eager label checkpoint materializes it
+    und = und.localCheckpoint(eager=False)
 
     labels = und.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("lab")

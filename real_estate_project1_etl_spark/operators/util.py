@@ -47,11 +47,15 @@ def assign_global_ids(
     # localCheckpoint pins the range boundaries: the counts job and the
     # output job must see the SAME partitioning, and the range sampler is
     # not guaranteed to re-draw identical boundaries across evaluations
+    # LAZY: the per-partition counts job right below scans every
+    # partition, so it is the materializing action — the boundaries are
+    # still drawn exactly once (blocks stored during that job) and the
+    # separate eager-checkpoint job is gone
     arranged = (
         df.repartitionByRange(F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r["_pid"], r["n"])
