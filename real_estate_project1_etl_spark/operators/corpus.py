@@ -262,14 +262,18 @@ def heavy_hitter_ngrams(
     top-k sketch guarantees; raise ``capacity`` to push the exact
     frontier out.
     """
+    from .dedup import _bind, word_ngrams
+
     w = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    # split bound once per row; when size >= n every window is full, so
+    # word_ngrams' gram list equals the historical transform(sequence)
+    # construction exactly (which re-evaluated the split per gram)
+    grams = _bind(
+        w,
+        lambda ww: F.when(F.size(ww) >= n, word_ngrams(ww, n)).otherwise(
+            F.expr("cast(array() as array<string>)")
         ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
+    )
     stream = docs.select(F.explode(grams).alias("g"))
     sk = stream.agg(
         F.expr(f"approx_top_k(g, {max_items}, {capacity})").alias("tk")

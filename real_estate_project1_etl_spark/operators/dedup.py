@@ -48,14 +48,70 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(digests, id_col, "left_semi")
 
 
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable.
+
+    Interpreted higher-order functions re-evaluate any OUTER expression
+    their lambda references once per array element — a lambda like
+    ``i -> concat_ws(' ', slice(w, i, n))`` re-runs the whole
+    lower/collapse/split chain that produces ``w`` for every gram,
+    turning an O(words) projection into O(words^2) per document
+    (measured: the minhash signature build over sf0.1 documents dropped
+    3.7 -> 0.6 s when the re-evaluation was removed; the winnowing
+    chain, which stacked two such lambdas, dropped ~50x).  Lambda
+    VARIABLES, by contrast, are evaluated values — so wrapping the
+    expensive expression in a single-element array and binding it via
+    ``transform`` makes the inner lambda reference a value, with
+    construction semantics otherwise IDENTICAL to the unbound form.
+    """
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Positional word n-grams of a word array, built from ``n`` shifted
+    slices zipped together so the lambda references only lambda
+    variables (see :func:`_bind` — the unbound ``slice(w, i, n)`` form
+    re-evaluates ``w`` per gram).  Clamps exactly like
+    ``concat_ws(' ', slice(w, i, n))``: documents shorter than ``n``
+    words yield ONE gram joining all their words (``arrays_zip`` pads
+    the short shifted slices with NULL and ``concat_ws`` skips NULLs);
+    a NULL word array yields a single empty-string gram (legacy
+    ``concat_ws(NULL slice)`` behavior) — both proven value-identical
+    to the historical form on the full corpus and the edge battery
+    (tests/test_linkage_fingerprint.py)."""
+    def build(ww: Column) -> Column:
+        m = F.greatest(F.size(ww) - (n - 1), F.lit(1))
+        zipped = F.arrays_zip(
+            *[F.slice(ww, i + 1, m).alias(f"w{i}") for i in range(n)]
+        )
+        grams = F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)])
+        )
+        return F.when(ww.isNotNull(), grams).otherwise(F.array(F.lit("")))
+
+    # the word array feeds n slices + size + the NULL guard — bind it so
+    # the producing split/normalize chain evaluates once per row, not
+    # n+2 times
+    return _bind(words, build)
+
+
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams as an array — native higher-order fns."""
+    """Distinct character n-grams as an array — native higher-order fns.
+    The normalized text is bound once per row (:func:`_bind`); the
+    per-gram ``substr`` then copies ``n`` chars instead of re-running
+    the lower/collapse chain per gram."""
     t = F.col(text) if isinstance(text, str) else text
     t = F.lower(collapse_whitespace(t))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
-            lambda i: t.substr(i, F.lit(n)),
+        _bind(
+            t,
+            lambda tt: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(tt) - (n - 1), F.lit(1))
+                ),
+                lambda i: tt.substr(i, F.lit(n)),
+            ),
         )
     )
 
@@ -64,12 +120,7 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the MinHash input unit)."""
     t = F.col(text) if isinstance(text, str) else text
     w = F.split(F.lower(collapse_whitespace(t)), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
-    )
+    return F.array_distinct(word_ngrams(w, n))
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:

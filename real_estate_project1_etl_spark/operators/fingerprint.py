@@ -55,14 +55,21 @@ def kgram_hash_array(text: Column | str, k: int = 3, hash_fn: str = "md5_60") ->
     needs the k-gram sequence, not the k-gram set. Pure narrow expression:
     no shuffle, stays in whole-stage codegen.
     """
+    from .dedup import word_ngrams
+
     text = F.col(text) if isinstance(text, str) else text
-    w = _words(text)
-    n = F.greatest(F.size(w) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    # word_ngrams builds the positional gram stream from k shifted
+    # slices zipped together: the lambda references only lambda
+    # variables, so the normalize/split chain evaluates once per row.
+    # The historical ``transform(sequence(1, n), i -> concat_ws(' ',
+    # slice(w, i, k)))`` form re-evaluated ``w`` per gram — O(words^2)
+    # per document — and stacking :func:`winnow`'s window lambda on top
+    # re-evaluated THIS whole array per window: the two fixes together
+    # took the sf0.001 fingerprint pass from 33 s to sub-second with
+    # bit-identical output (the DuckDB oracle pins the selected set).
+    return F.transform(
+        word_ngrams(_words(text), k), lambda g: shingle_hash_expr(g, hash_fn)
     )
-    return F.transform(grams, lambda g: shingle_hash_expr(g, hash_fn))
 
 
 def winnow(hashes: Column, w: int = 4) -> Column:
@@ -74,12 +81,31 @@ def winnow(hashes: Column, w: int = 4) -> Column:
     degenerate-window rule). ``slice`` clamps at the array end in both
     Spark and DuckDB, so the mirror is exact.
     """
-    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
-    minima = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice(hashes, i, w)),
-    )
-    return F.array_distinct(minima)
+    from .dedup import _bind
+
+    # w shifted slices zipped, minimum per window via least() — the
+    # lambda references only lambda variables, and the hash array
+    # (itself a full k-gram + hash chain) is bound once per row.  The
+    # historical ``transform(sequence, i -> array_min(slice(hashes, i,
+    # w)))`` re-evaluated the ENTIRE hash chain once per window —
+    # stacked on the same defect inside kgram_hash_array this made the
+    # fingerprint pass cubic in document length.  least() skips the
+    # NULLs arrays_zip pads short trailing slices with, so the
+    # degenerate-window rule (docs shorter than one window contribute
+    # min(all hashes)) is preserved exactly; hash values themselves are
+    # never NULL (hashes of non-null gram strings).
+    def build(hs: Column) -> Column:
+        n_win = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+        zipped = F.arrays_zip(
+            *[F.slice(hs, i + 1, n_win).alias(f"h{i}") for i in range(w)]
+        )
+        if w == 1:
+            return F.transform(zipped, lambda s: s["h0"])
+        return F.transform(
+            zipped, lambda s: F.least(*[s[f"h{i}"] for i in range(w)])
+        )
+
+    return F.array_distinct(_bind(hashes, build))
 
 
 def winnowing_fingerprints(
@@ -95,8 +121,14 @@ def winnowing_fingerprints(
     Exploded form feeds the inverted fingerprint index / candidate join;
     everything before the explode is a narrow per-row expression.
     """
+    from .util import ensure_parallelism
+
     fps = winnow(kgram_hash_array(F.col(text_col), k, hash_fn), w)
-    return df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    # per-token hashing is CPU-bound and a single-file scan arrives as
+    # one task — spread it first (the minhash_signature_table pattern)
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )
 
 
 def winnowing_near_duplicates(
@@ -122,7 +154,17 @@ def winnowing_near_duplicates(
     No similarity verify step here — compose with ``ngram_jaccard`` or
     minhash verify when an exact score is needed.
     """
-    fps = winnowing_fingerprints(df, text_col, id_col, k, w, hash_fn)
+    from pyspark import StorageLevel
+
+    # the fingerprint stream feeds the df-count agg AND both pair sides —
+    # without a cut the scan+hash+winnow chain executes once per
+    # consumer (3x).  Spill-safe persist for the one-shot composition,
+    # released once the pair table is materialized; the steady state
+    # materializes the fingerprint table instead (the
+    # save_minhash_signatures note applies verbatim).
+    fps = winnowing_fingerprints(df, text_col, id_col, k, w, hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rare = (
         fps.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -132,10 +174,12 @@ def winnowing_near_duplicates(
     kept = fps.join(rare, "fingerprint")
     a = kept.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
     b = kept.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
-    return (
+    out = (
         a.join(b, "fingerprint")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
-    )
+    ).localCheckpoint(eager=True)
+    fps.unpersist()
+    return out

@@ -247,16 +247,26 @@ def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Gopher-style repetition signal: 1 - distinct/total word n-grams.
     High values flag boilerplate/spam for quality filtering. All
     higher-order array functions — no shuffle, no Python."""
+    from .dedup import _bind, word_ngrams
+
     t = F.col(text) if isinstance(text, str) else text
     w = F.split(F.lower(collapse_whitespace(t)), " ")
-    total = F.greatest(F.size(w) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+
+    # bind the split ONCE (the unbound transform lambda re-evaluated the
+    # normalize/split chain per gram — the word_shingles defect); when
+    # total > 0 every window is full, so word_ngrams' gram list equals
+    # the historical construction exactly
+    def build(ww):
+        total = F.greatest(F.size(ww) - (n - 1), F.lit(0))
+        return F.struct(
+            total.alias("total"),
+            F.size(F.array_distinct(word_ngrams(ww, n))).alias("ndist"),
+        )
+
+    s = _bind(w, build)
     return F.when(
-        total > 0,
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+        s["total"] > 0,
+        F.lit(1.0) - s["ndist"] / s["total"],
     ).otherwise(F.lit(0.0))
 
 
@@ -340,23 +350,36 @@ def token_chunk_documents(
 
     Returns (id, chunk_id, chunk, n_tokens); empty documents yield no rows.
     """
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
-    )
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(tokens_per_chunk)).cast("int")
-    # sequence(0, -1) counts DOWN — slice to n_chunks so empty docs yield
-    # an empty array, not phantom chunks
-    starts = F.slice(
-        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))), 1, n_chunks
-    )
+    from .dedup import _bind
+
     tpc = tokens_per_chunk
-    chunks = F.transform(
-        starts,
-        lambda i: F.struct(
-            F.array_join(F.slice(toks, i * tpc + 1, tpc), " ").alias("chunk"),
-            F.size(F.slice(toks, i * tpc + 1, tpc)).alias("n_tokens"),
-        ),
+
+    # the token array is bound once per row (the unbound lambda
+    # re-evaluated the split+filter chain twice per chunk — the
+    # word_shingles defect); values unchanged
+    def build(toks):
+        n = F.size(toks)
+        n_chunks = F.ceil(n / F.lit(tpc)).cast("int")
+        # sequence(0, -1) counts DOWN — slice to n_chunks so empty docs
+        # yield an empty array, not phantom chunks
+        starts = F.slice(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            1,
+            n_chunks,
+        )
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                F.array_join(F.slice(toks, i * tpc + 1, tpc), " ").alias(
+                    "chunk"
+                ),
+                F.size(F.slice(toks, i * tpc + 1, tpc)).alias("n_tokens"),
+            ),
+        )
+
+    chunks = _bind(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")),
+        build,
     )
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")

@@ -320,3 +320,105 @@ def test_pair_join_threshold_guards(spark):
             prefix_filter_jaccard_pairs(docs, threshold=bad)
     # boundary 1.0 is valid (exact-duplicate containment)
     assert containment_pairs(docs, threshold=1.0).count() == 0
+
+
+def test_gram_builders_match_legacy_unbound_construction(spark):
+    # round-14 optimization: word_shingles / char_ngrams / kgram+winnow
+    # were rebuilt so their HOF lambdas reference only lambda variables
+    # (the legacy ``i -> f(outer_expr, i)`` form re-evaluates the outer
+    # normalize/split chain once per element — O(len^2) interpreted).
+    # This pins the NEW builders to the legacy construction value-exactly
+    # on the edge battery: NULL text, empty, shorter-than-n, whitespace
+    # runs, and a long repetitive doc.
+    from real_estate_project1_etl_spark.functions.text import (
+        collapse_whitespace,
+    )
+    from real_estate_project1_etl_spark.operators.dedup import (
+        char_ngrams,
+        shingle_hash_expr,
+        word_shingles,
+    )
+    from real_estate_project1_etl_spark.operators.fingerprint import (
+        kgram_hash_array,
+        winnow,
+    )
+
+    def legacy_word_shingles(text, n):
+        t = F.col(text) if isinstance(text, str) else text
+        w = F.split(F.lower(collapse_whitespace(t)), " ")
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        )
+
+    def legacy_char_ngrams(text, n):
+        t = F.col(text) if isinstance(text, str) else text
+        t = F.lower(collapse_whitespace(t))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))
+                ),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        )
+
+    def legacy_kgram_hashes(text, k):
+        t = F.col(text) if isinstance(text, str) else text
+        w = F.split(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " ")
+        grams = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+        return F.transform(grams, lambda g: shingle_hash_expr(g, "md5_60"))
+
+    def legacy_winnow(hashes, w):
+        n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.array_min(F.slice(hashes, i, w)),
+            )
+        )
+
+    df = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "one"),
+            (3, "one two"),
+            (4, "one two three"),
+            (5, "a  b\tc\n d  e"),
+            (6, "  leading and trailing  "),
+            (7, ("tok " * 300).strip()),
+            (8, " ".join(f"w{i % 11}" for i in range(97))),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3, 4):
+        rows = df.select(
+            "doc_id",
+            word_shingles("text", n).alias("ws_new"),
+            legacy_word_shingles("text", n).alias("ws_old"),
+            char_ngrams("text", n).alias("cg_new"),
+            legacy_char_ngrams("text", n).alias("cg_old"),
+        ).collect()
+        for r in rows:
+            assert r.ws_new == r.ws_old, (n, r.doc_id, r.ws_new, r.ws_old)
+            assert r.cg_new == r.cg_old, (n, r.doc_id, r.cg_new, r.cg_old)
+    rows = df.select(
+        "doc_id",
+        kgram_hash_array("text", 3).alias("kh_new"),
+        legacy_kgram_hashes("text", 3).alias("kh_old"),
+        winnow(kgram_hash_array("text", 3), 4).alias("wn_new"),
+        legacy_winnow(legacy_kgram_hashes("text", 3), 4).alias("wn_old"),
+    ).collect()
+    for r in rows:
+        assert r.kh_new == r.kh_old, (r.doc_id, r.kh_new, r.kh_old)
+        assert r.wn_new == r.wn_old, (r.doc_id, r.wn_new, r.wn_old)
