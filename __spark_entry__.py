@@ -11363,9 +11363,11 @@ def q_dsir_importance_weights(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # target = the en SLICE of the raw corpus -> the fused single-
+    # tokenize path (one feature pass serves fit AND score; round 14)
     return dsir_importance_weights(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        target_pred=F.col("lang") == "en",
         dim=_DSIR_DIM,
         scale=_DSIR_SCALE,
     )
@@ -11399,7 +11401,7 @@ def q_dsir_selected_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     weights = dsir_importance_weights(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        target_pred=F.col("lang") == "en",
         dim=_DSIR_DIM,
         scale=_DSIR_SCALE,
     ).filter(F.col("n_grams") > 0)
@@ -11485,14 +11487,16 @@ def q_documents_corpus_build_v6(spark, sf_dir):
         .select("doc_id", "lang", "bucket")
         .localCheckpoint(eager=True)
     )
-    kdocs = (
-        docs.select("doc_id", "text", "lang")
-        .join(kept.select("doc_id"), "doc_id")
-        .localCheckpoint(eager=True)
+    # kdocs needs NO text checkpoint anymore (round 14): the fused DSIR
+    # path is its only consumer and checkpoints the (doc, bucket, n)
+    # FEATURE table instead — the survivor text is scanned exactly once
+    # (inside the feature job) and never materialized
+    kdocs = docs.select("doc_id", "text", "lang").join(
+        kept.select("doc_id"), "doc_id"
     )
     weights = dsir_importance_weights(
         kdocs,
-        kdocs.filter(F.col("lang") == "en"),
+        target_pred=F.col("lang") == "en",
         dim=_DSIR_DIM,
         scale=_DSIR_SCALE,
     ).filter(F.col("n_grams") > 0)

@@ -555,16 +555,23 @@ def bigram_lm_scores(
     """
     from .util import ensure_parallelism
 
+    from ..operators.dedup import _bind
+
     ws = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
-    n = F.size(ws)
     # bigram build as arrays_zip of two shifted slices — a PLAIN
     # expression that stays in codegen, measured 4.4x the throughput of
     # the equivalent transform(sequence, i -> struct(...)) HOF (lambda
     # functions evaluate interpreted per element). Zero-length slices
     # make single-word/empty docs emit no bigrams with no special case.
-    ln = F.greatest(n - 1, F.lit(0))
-    big = F.arrays_zip(
-        F.slice(ws, 1, ln).alias("w1"), F.slice(ws, 2, ln).alias("w2")
+    # The word array is BOUND once (round 14): the un-bound form
+    # references ws three times (size + two slices) and the interpreted
+    # evaluator re-runs the lower/collapse/split chain per reference.
+    big = _bind(
+        ws,
+        lambda w: F.arrays_zip(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))).alias("w1"),
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))).alias("w2"),
+        ),
     )
     # the per-token work is CPU-bound and a single-file scan arrives as
     # ONE task; spread it before the three explode consumers (measured
@@ -711,17 +718,26 @@ def trigram_lm_scores(
             "trigram_lm_scores: min_count3/min_count2 must be >= 1, got "
             f"{min_count3!r}/{min_count2!r}"
         )
+    from ..operators.dedup import _bind
+
     ws = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
-    n = F.size(ws)
-    l3 = F.greatest(n - 2, F.lit(0))
-    tri = F.arrays_zip(
-        F.slice(ws, 1, l3).alias("w1"),
-        F.slice(ws, 2, l3).alias("w2"),
-        F.slice(ws, 3, l3).alias("w3"),
+    # word arrays bound once (round 14): the un-bound zips reference ws
+    # 4x / 3x and the interpreted evaluator re-runs the normalize/split
+    # chain per reference — see dedup._bind
+    tri = _bind(
+        ws,
+        lambda w: F.arrays_zip(
+            F.slice(w, 1, F.greatest(F.size(w) - 2, F.lit(0))).alias("w1"),
+            F.slice(w, 2, F.greatest(F.size(w) - 2, F.lit(0))).alias("w2"),
+            F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0))).alias("w3"),
+        ),
     )
-    l2 = F.greatest(n - 1, F.lit(0))
-    big = F.arrays_zip(
-        F.slice(ws, 1, l2).alias("b1"), F.slice(ws, 2, l2).alias("b2")
+    big = _bind(
+        ws,
+        lambda w: F.arrays_zip(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))).alias("b1"),
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))).alias("b2"),
+        ),
     )
     # null-id rows are unscoreable (output is keyed by id) and the
     # shared-prefix filter keeps consumer subtrees canonically identical

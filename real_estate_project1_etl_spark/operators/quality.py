@@ -1260,6 +1260,7 @@ def _hashed_gram_counts(
     text_col: str,
     id_col: str,
     hash_fn: str,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Per-document hashed n-gram (unigram + bigram) bucket counts —
     DSIR's feature map (Xie et al., arXiv:2302.03169 §3.2: word
@@ -1285,20 +1286,29 @@ def _hashed_gram_counts(
     from .dedup import shingle_hash_expr
     from .util import ensure_parallelism
 
+    keep = [id_col, text_col] + ([flag_col] if flag_col else [])
     docs = ensure_parallelism(
-        docs.select(id_col, text_col).filter(F.col(id_col).isNotNull())
+        docs.select(*keep).filter(F.col(id_col).isNotNull())
     )
+    from .dedup import _bind
+
     ws = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
-    ln = F.greatest(F.size(ws) - 1, F.lit(0))
-    allg = F.concat(
+    # word array bound once (round 14): the un-bound form references ws
+    # three times (itself + two slices) and the interpreted evaluator
+    # re-runs the normalize/split chain per reference — see dedup._bind
+    allg = _bind(
         ws,
-        F.zip_with(
-            F.slice(ws, 1, ln),
-            F.slice(ws, 2, ln),
-            lambda a, b: F.concat_ws(" ", a, b),
+        lambda w: F.concat(
+            w,
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
         ),
     )
-    grams = docs.select(F.col(id_col), F.explode(allg).alias("g"))
+    gcols = [F.col(id_col)] + ([F.col(flag_col)] if flag_col else [])
+    grams = docs.select(*gcols, F.explode(allg).alias("g"))
     # bucket id: for md5_60 with a power-of-two dim, the low bits of the
     # 60-bit value only depend on the LOW hex digits — convert just
     # ceil(log16(dim)) chars instead of all 15 and pmod (value-identical
@@ -1316,7 +1326,7 @@ def _hashed_gram_counts(
     else:
         fid = F.pmod(shingle_hash_expr(F.col("g"), hash_fn), F.lit(dim))
     return (
-        grams.select(F.col(id_col), fid.alias("feature_id"))
+        grams.select(*gcols, fid.alias("feature_id"))
         # semantically a no-op (pmod of md5/xxhash of a non-null string is
         # never NULL) but load-bearing for stage reuse: downstream joins
         # push isnotnull(feature_id) into SOME consumers' subtrees and not
@@ -1327,19 +1337,20 @@ def _hashed_gram_counts(
         # every consumer sees ONE identical aggregate subtree
         # (ReuseExchange) — the corpus.bigram_lm_scores lesson.
         .filter(F.col("feature_id").isNotNull())
-        .groupBy(id_col, "feature_id")
+        .groupBy(*([id_col] + ([flag_col] if flag_col else [])), "feature_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
 def dsir_importance_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     dim: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5_60",
     scale: int = 1_000_000,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for Language
     Models via Importance Resampling", arXiv:2302.03169): score every raw
@@ -1381,13 +1392,84 @@ def dsir_importance_weights(
     (the paper uses ~1e5 Wikipedia docs vs 1e9 raw): its whole pipeline
     is a footnote next to the raw scan at 100 TB.
     """
-    ratio = dsir_ratio_model(
-        raw, target, dim=dim, text_col=text_col, id_col=id_col,
-        hash_fn=hash_fn, scale=scale,
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "dsir_importance_weights: pass exactly one of target / "
+            "target_pred"
+        )
+    if target_pred is None:
+        ratio = dsir_ratio_model(
+            raw, target, dim=dim, text_col=text_col, id_col=id_col,
+            hash_fn=hash_fn, scale=scale,
+        )
+        return dsir_score_with_model(
+            raw, ratio, dim=dim, text_col=text_col, id_col=id_col,
+            hash_fn=hash_fn,
+        )
+    # FUSED single-tokenize path (round 14): when the target is a
+    # predicate-defined SLICE of ``raw`` (the common in-corpus-target
+    # shape — e.g. lang == 'en'), one feature pass serves the raw
+    # counts, the target counts AND the scoring join.  The generic path
+    # tokenizes the target slice a second time and leans on fragile
+    # canonical-subtree reuse for the raw side; here the per-doc feature
+    # table (Zipf-collapsed (doc, bucket, n) triples — the thing DSIR
+    # materializes at 100 TB) is checkpointed eagerly, so the corpus is
+    # tokenized exactly once per call, guaranteed.  Values are identical
+    # to the generic path: the target flag rides the feature table
+    # (constant per doc, so the extra grouping key changes no groups)
+    # and c_t is the flagged slice's aggregate — proven by the shared
+    # oracle (dsir queries ALL MATCH at sf0.001/sf0.01/sf0.1) and the
+    # fused-vs-generic equality test.
+    feats = _hashed_gram_counts(
+        raw.withColumn("_is_t", target_pred),
+        dim, text_col, id_col, hash_fn, flag_col="_is_t",
+    ).localCheckpoint(eager=True)
+    c_r = feats.groupBy("feature_id").agg(F.sum("n").alias("c_r"))
+    c_t = (
+        feats.filter(F.col("_is_t"))
+        .groupBy("feature_id")
+        .agg(F.sum("n").alias("c_t"))
     )
-    return dsir_score_with_model(
-        raw, ratio, dim=dim, text_col=text_col, id_col=id_col,
-        hash_fn=hash_fn,
+    n_r = c_r.agg(F.sum(F.when(F.col("c_r") > 0, F.col("c_r"))).alias("_nr"))
+    n_t = c_t.agg(F.sum(F.when(F.col("c_t") > 0, F.col("c_t"))).alias("_nt"))
+    ratio = (
+        c_r.join(c_t, "feature_id", "left")
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "feature_id",
+            F.expr(
+                f"cast((cast(coalesce(c_t, 0) + 1 as decimal(38,0))"
+                f" * (_nr + {int(dim)}) * {int(scale)})"
+                f" div ((c_r + 1) * (coalesce(_nt, 0) + {int(dim)}))"
+                f" as bigint)"
+            ).alias("ratio_ppm"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "feature_id", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(
+                (F.col("n") * F.coalesce(F.col("ratio_ppm"), F.lit(0)))
+                .cast("decimal(38,0)")
+            ).alias("_sum_r"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col)).filter(F.col(id_col).isNotNull())
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("cast(_sum_r div n_grams as bigint)"),
+            ).alias("dsir_weight_ppm"),
+        )
     )
 
 

@@ -1418,3 +1418,46 @@ def test_grouped_quantile_ppm_reserved_and_ties(spark):
         for r in grouped_quantile_ppm(df, "src", "score", "doc_id").collect()
     }
     assert got == {0: 125000, 1: 375000, 2: 625000, 3: 875000}
+
+
+def test_dsir_fused_slice_path_equals_generic(spark):
+    # round-14 optimization: when the target is a predicate-defined slice
+    # of the raw corpus, dsir_importance_weights runs a FUSED single-
+    # tokenize path (one checkpointed feature pass serves raw counts,
+    # target counts and scoring). Must be value-identical to the generic
+    # two-corpus path on the same slice — including NULL-text docs,
+    # empty-slice and all-slice extremes.
+    from real_estate_project1_etl_spark.operators.quality import (
+        dsir_importance_weights,
+    )
+
+    rows = []
+    for i in range(30):
+        lang = "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr")
+        text = " ".join(f"w{(i * j) % 17}" for j in range(1 + i % 9))
+        rows.append((i, lang, text))
+    rows += [(100, "en", None), (101, "de", None), (102, None, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    for pred_lang in ("en", "de", "zz"):  # zz = empty target slice
+        pred = F.col("lang") == pred_lang
+        generic = {
+            (r.doc_id): (r.n_grams, r.dsir_weight_ppm)
+            for r in dsir_importance_weights(
+                df, df.filter(pred), dim=64, scale=1000
+            ).collect()
+        }
+        fused = {
+            (r.doc_id): (r.n_grams, r.dsir_weight_ppm)
+            for r in dsir_importance_weights(
+                df, target_pred=pred, dim=64, scale=1000
+            ).collect()
+        }
+        assert fused == generic, (pred_lang, fused, generic)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_importance_weights(df, df, target_pred=F.col("lang") == "en")
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_importance_weights(df)
