@@ -8933,16 +8933,23 @@ def q_documents_corpus_build_v3(spark, sf_dir):
     s0 = dom.filter(F.col("domain").isNotNull()).join(
         F.broadcast(block), "domain", "left_anti"
     )
+    from real_estate_project1_etl_spark.operators.dedup import _bind
+
+    # token array bound once per row: the unbound lambda re-evaluated the
+    # normalize/split chain per 3-word line (see dedup._bind, round 14)
     ts = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
-    n = F.size(ts)
-    nl = F.floor((n + F.lit(2)) / F.lit(3)).cast("int")
-    lines = F.when(
-        nl >= 1,
-        F.transform(
-            F.sequence(F.lit(0), nl - 1),
-            lambda i: F.array_join(F.slice(ts, i * 3 + 1, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _lines(tt):
+        nl = F.floor((F.size(tt) + F.lit(2)) / F.lit(3)).cast("int")
+        return F.when(
+            nl >= 1,
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda i: F.array_join(F.slice(tt, i * 3 + 1, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    lines = _bind(ts, _lines)
     layout = s0.select("doc_id", F.array_join(lines, "\n").alias("text"))
     cleaned = remove_frequent_lines(layout, min_df=3).join(
         s0.select("doc_id", "source"), "doc_id"
@@ -11010,16 +11017,23 @@ def q_boilerplate_line_removal(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    from real_estate_project1_etl_spark.operators.dedup import _bind
+
+    # token array bound once per row: the unbound lambda re-evaluated the
+    # normalize/split chain per 3-word line (see dedup._bind, round 14)
     ts = F.split(F.lower(collapse_whitespace(F.col("text"))), " ")
-    n = F.size(ts)
-    nl = F.floor((n + F.lit(2)) / F.lit(3)).cast("int")
-    lines = F.when(
-        nl >= 1,
-        F.transform(
-            F.sequence(F.lit(0), nl - 1),
-            lambda i: F.array_join(F.slice(ts, i * 3 + 1, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _lines(tt):
+        nl = F.floor((F.size(tt) + F.lit(2)) / F.lit(3)).cast("int")
+        return F.when(
+            nl >= 1,
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda i: F.array_join(F.slice(tt, i * 3 + 1, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    lines = _bind(ts, _lines)
     layout = docs.select(
         "doc_id", F.array_join(lines, "\n").alias("text")
     )

@@ -32,12 +32,23 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _bind_scalar(value: Column, fn) -> Column:
+    """Evaluate ``value`` once per row and hand it to ``fn`` as a bound
+    lambda variable (see operators/dedup._bind): an outer expression
+    referenced inside a higher-order-function lambda is re-evaluated per
+    array element by the interpreted evaluator."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def normalize(a: Column | str) -> Column:
     """Unit-normalize once upstream so similarity joins reduce to dot
-    products (normalize-then-dot beats cosine-per-pair at scale)."""
+    products (normalize-then-dot beats cosine-per-pair at scale).
+
+    The norm is BOUND once per row (round 14): an unbound reference
+    inside the transform lambda re-ran the O(dim) norm fold per element
+    — O(dim^2) per vector."""
     a = F.col(a) if isinstance(a, str) else a
-    n = l2_norm(a)
-    return F.transform(a, lambda x: x / n)
+    return _bind_scalar(l2_norm(a), lambda n: F.transform(a, lambda x: x / n))
 
 
 def quantize_int8(a: Column | str) -> Column:
@@ -52,13 +63,19 @@ def quantize_int8(a: Column | str) -> Column:
     amax = F.aggregate(
         a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
-    scale = amax / F.lit(127.0)
-    q = F.transform(
-        a,
-        lambda x: F.when(scale > 0, F.round(x / scale).cast("tinyint"))
-        .otherwise(F.lit(0).cast("tinyint")),
+    # scale bound once per row (round 14): unbound, the per-cell lambda
+    # re-ran the O(dim) max fold per element
+    return _bind_scalar(
+        amax / F.lit(127.0),
+        lambda scale: F.struct(
+            scale.alias("scale"),
+            F.transform(
+                a,
+                lambda x: F.when(scale > 0, F.round(x / scale).cast("tinyint"))
+                .otherwise(F.lit(0).cast("tinyint")),
+            ).alias("q"),
+        ),
     )
-    return F.struct(scale.alias("scale"), q.alias("q"))
 
 
 def dequantize_int8(qs: Column | str) -> Column:

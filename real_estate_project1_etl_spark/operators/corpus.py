@@ -316,13 +316,19 @@ def bigram_coverage(
     37.6 s -> see SCALE.md.  Returns (doc_id, n_bigrams, n_covered,
     coverage).
     """
+    from .dedup import _bind
+
     w = F.split(F.lower(collapse_whitespace(F.col(text_col))), " ")
-    n = F.size(w)
-    hs = F.transform(w, lambda x: F.xxhash64(x))
-    keys = F.zip_with(
-        F.slice(hs, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(hs, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.xxhash64(a, b),
+    # token-hash array bound once per row (round 14): the unbound form
+    # referenced it twice (two shifted slices), re-running the per-token
+    # xxhash pass per reference in the interpreted evaluator
+    keys = _bind(
+        F.transform(w, lambda x: F.xxhash64(x)),
+        lambda hs: F.zip_with(
+            F.slice(hs, 1, F.greatest(F.size(hs) - 1, F.lit(0))),
+            F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0))),
+            lambda a, b: F.xxhash64(a, b),
+        ),
     )
     e = docs.select("doc_id", F.explode(keys).alias("k"))
     common = (
@@ -334,7 +340,7 @@ def bigram_coverage(
     return (
         docs.select(
             "doc_id",
-            F.greatest(n - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.greatest(F.size(w) - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
         )
         .join(cov, "doc_id", "left")
         .select(

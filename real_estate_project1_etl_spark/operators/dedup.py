@@ -513,21 +513,27 @@ def simhash64(text: Column | str, ngram: int = 2, bits: int = 64) -> Column:
     projection (whole-stage codegen), no Python per row.
     """
     sh = word_shingles(text, ngram)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
     def _vote_fn(b: int):
         return lambda a, h: a + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), _vote_fn(b))
-        out = out.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
+    # the token-hash array is BOUND once per row (round 14): the 64
+    # per-bit folds each referenced the shingle+hash chain as their
+    # child, re-evaluating it 64x per row in the interpreted evaluator
+    def _votes(hashes):
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            vote = F.aggregate(hashes, F.lit(0), _vote_fn(b))
+            out = out.bitwiseOR(
+                F.when(
+                    vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
             )
-        )
-    return out
+        return out
+
+    return _bind(F.transform(sh, lambda s: F.xxhash64(s)), _votes)
 
 
 def simhash_signatures(

@@ -554,23 +554,33 @@ def word_cooccurrence_edges(
     exchange is the final distinct on the vocabulary-pair table; the
     corpus text itself never shuffles.
     """
+    from .dedup import _bind
+
     t = F.col(text_col)
     ws = F.split(
         F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " "
     )
-    pair_arrays = []
-    for d in range(1, window + 1):
-        ln = F.greatest(F.size(ws) - d, F.lit(0))
-        pair_arrays.append(
-            F.zip_with(
-                F.slice(ws, 1, ln),
-                F.slice(ws, 1 + d, ln),
-                lambda x, y: F.struct(
-                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
-                ),
+
+    # word array bound once per row (round 14): the unbound form
+    # referenced ws 3x per window offset (size + two slices) and the
+    # interpreted evaluator re-ran the normalize/split chain per
+    # reference — see dedup._bind
+    def _pairs(w):
+        pair_arrays = []
+        for d in range(1, window + 1):
+            ln = F.greatest(F.size(w) - d, F.lit(0))
+            pair_arrays.append(
+                F.zip_with(
+                    F.slice(w, 1, ln),
+                    F.slice(w, 1 + d, ln),
+                    lambda x, y: F.struct(
+                        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                    ),
+                )
             )
-        )
-    pairs = df.select(
-        F.explode(F.concat(*pair_arrays)).alias("p")
-    ).select("p.a", "p.b")
+        return F.concat(*pair_arrays)
+
+    pairs = df.select(F.explode(_bind(ws, _pairs)).alias("p")).select(
+        "p.a", "p.b"
+    )
     return pairs.filter(F.col("a") != F.col("b")).distinct()

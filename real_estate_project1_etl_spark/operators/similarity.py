@@ -763,21 +763,28 @@ def pq_encode(
     Arrow/numpy batch like :func:`brute_force_topk_pandas`, same
     results). The corpus never shuffles.
     """
+    from .dedup import _bind
+
     row, m, sub, _ = _pq_collapse(codebooks)
-    v = F.col(vec_col).cast("array<double>")
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: -F.array_max(
-            F.transform(
-                F.element_at(F.col("_cbs"), s + 1),
-                lambda cc: F.struct(
-                    (-_l2sq(F.slice(v, s * sub + 1, sub), cc["centroid"])).alias(
-                        "negd"
+    # the double-cast vector is BOUND once per row (round 14): unbound,
+    # the per-centroid lambda re-ran the O(dim) float->double cast once
+    # per (subspace, code) pair in the interpreted evaluator
+    codes = _bind(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: -F.array_max(
+                F.transform(
+                    F.element_at(F.col("_cbs"), s + 1),
+                    lambda cc: F.struct(
+                        (
+                            -_l2sq(F.slice(v, s * sub + 1, sub), cc["centroid"])
+                        ).alias("negd"),
+                        (-cc["code"]).alias("negc"),
                     ),
-                    (-cc["code"]).alias("negc"),
-                ),
-            )
-        )["negc"],
+                )
+            )["negc"],
+        ),
     )
     return (
         ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
@@ -838,17 +845,23 @@ def pq_topk(
         enc = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
             id_col, "neighbor_id"
         )
-    qv = F.col(vec_col).cast("array<double>")
-    lut = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.transform(
-                F.element_at(F.col("_cbs"), s + 1),
-                lambda cc: _l2sq(
-                    F.slice(qv, s * sub + 1, sub), cc["centroid"]
+    from .dedup import _bind
+
+    # query vector bound once (round 14): unbound, the per-centroid
+    # lambda re-ran the O(dim) cast per LUT cell
+    lut = _bind(
+        F.col(vec_col).cast("array<double>"),
+        lambda qv: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.element_at(F.col("_cbs"), s + 1),
+                    lambda cc: _l2sq(
+                        F.slice(qv, s * sub + 1, sub), cc["centroid"]
+                    ),
                 ),
-            ),
-        )
+            )
+        ),
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
@@ -934,19 +947,24 @@ def ivfpq_encode(
             ).alias("_cents")
         )
     cv = F.col(vec_col).cast("array<double>")
-    lid = -F.array_max(
-        F.transform(
-            # list count comes from the broadcast centroid row itself —
-            # a separate centroids.count() driver job is pure overhead
-            F.sequence(F.lit(0), F.size(F.col("_cents")) - 1),
-            lambda i: F.struct(
-                (-_l2sq(cv, F.element_at(F.col("_cents"), i + 1))).alias(
-                    "negd"
+    from .dedup import _bind
+
+    lid = _bind(
+        cv,
+        lambda v: -F.array_max(
+            F.transform(
+                # list count comes from the broadcast centroid row itself —
+                # a separate centroids.count() driver job is pure overhead
+                F.sequence(F.lit(0), F.size(F.col("_cents")) - 1),
+                lambda i: F.struct(
+                    (-_l2sq(v, F.element_at(F.col("_cents"), i + 1))).alias(
+                        "negd"
+                    ),
+                    (-i).alias("negi"),
                 ),
-                (-i).alias("negi"),
-            ),
-        )
-    )["negi"]
+            )
+        )["negi"],
+    )
     assigned = (
         ensure_parallelism(
             corpus.select(F.col(id_col), F.col(vec_col))
@@ -962,22 +980,28 @@ def ivfpq_encode(
             ),
         )
     )
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: -F.array_max(
-            F.transform(
-                F.element_at(F.col("_cbs"), s + 1),
-                lambda cc: F.struct(
-                    (
-                        -_l2sq(
-                            F.slice(F.col("_res"), s * sub + 1, sub),
-                            cc["centroid"],
-                        )
-                    ).alias("negd"),
-                    (-cc["code"]).alias("negc"),
-                ),
-            )
-        )["negc"],
+    # bind the residual: CollapseProject can inline the _res zip_with
+    # into this expression, where an unbound reference would re-run it
+    # once per (subspace, code) pair — _bind makes that collapse harmless
+    codes = _bind(
+        F.col("_res"),
+        lambda res: F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: -F.array_max(
+                F.transform(
+                    F.element_at(F.col("_cbs"), s + 1),
+                    lambda cc: F.struct(
+                        (
+                            -_l2sq(
+                                F.slice(res, s * sub + 1, sub),
+                                cc["centroid"],
+                            )
+                        ).alias("negd"),
+                        (-cc["code"]).alias("negc"),
+                    ),
+                )
+            )["negc"],
+        ),
     )
     return assigned.join(F.broadcast(row)).select(
         F.col(id_col), F.col("list_id"), codes.alias("codes")
@@ -1111,6 +1135,8 @@ def ivfpq_topk(
             F.col("codes"),
         )
 
+    from .dedup import _bind
+
     qv = F.col(vec_col).cast("array<double>")
     q0 = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
@@ -1121,13 +1147,16 @@ def ivfpq_topk(
         "query_id",
         F.col(vec_col),
         F.explode(
-            F.transform(
-                # list count from the broadcast row, not a count() job
-                F.sequence(F.lit(0), F.size(F.col("_cents")) - 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("list_id"),
-                    _l2sq(qv, F.element_at(F.col("_cents"), i + 1)).alias(
-                        "cd"
+            _bind(
+                qv,
+                lambda v: F.transform(
+                    # list count from the broadcast row, not a count() job
+                    F.sequence(F.lit(0), F.size(F.col("_cents")) - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("list_id"),
+                        _l2sq(v, F.element_at(F.col("_cents"), i + 1)).alias(
+                            "cd"
+                        ),
                     ),
                 ),
             )
@@ -1146,27 +1175,26 @@ def ivfpq_topk(
             F.col(vec_col).alias("_qorig"),
             "list_id",
             # per probed cell: residual query + its m x n_codes LUT
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.transform(
-                        F.element_at(F.col("_cbs"), s + 1),
-                        lambda cc: _l2sq(
-                            F.slice(
-                                F.zip_with(
-                                    qv,
-                                    F.element_at(
-                                        F.col("_cents"), F.col("list_id") + 1
-                                    ),
-                                    lambda a, b: a - b,
-                                ),
-                                s * sub + 1,
-                                sub,
+            # residual BOUND once per (query, probed cell): unbound, the
+            # per-code lambda re-ran the O(dim) zip_with per LUT cell
+            _bind(
+                F.zip_with(
+                    qv,
+                    F.element_at(F.col("_cents"), F.col("list_id") + 1),
+                    lambda a, b: a - b,
+                ),
+                lambda res: F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda s: F.transform(
+                            F.element_at(F.col("_cbs"), s + 1),
+                            lambda cc: _l2sq(
+                                F.slice(res, s * sub + 1, sub),
+                                cc["centroid"],
                             ),
-                            cc["centroid"],
                         ),
-                    ),
-                )
+                    )
+                ),
             ).alias("_lut"),
         )
     )

@@ -440,12 +440,22 @@ def hashing_trick_features(tokens: Column, dim: int = 16) -> Column:
     end-to-end.  All JVM higher-order functions; one pass over tokens
     (hash hoisted out of the per-bucket counts).
     """
-    from .dedup import shingle_hash_expr
+    from .dedup import _bind, shingle_hash_expr
 
-    hashed = F.transform(tokens, lambda t: F.pmod(shingle_hash_expr(t, "md5_60"), F.lit(dim)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.size(F.filter(hashed, lambda x: x == j)).cast("double"),
+    # the hashed-token array is BOUND once per row (round 14): an
+    # unbound reference inside the per-bucket lambda re-hashed every
+    # token once per bucket (dim x) in the interpreted evaluator
+    return _bind(
+        F.transform(
+            tokens,
+            lambda t: F.pmod(shingle_hash_expr(t, "md5_60"), F.lit(dim)),
+        ),
+        lambda hashed: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.size(F.filter(hashed, lambda x: x == j)).cast(
+                "double"
+            ),
+        ),
     )
 
 
