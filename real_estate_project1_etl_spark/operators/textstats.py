@@ -37,9 +37,17 @@ def _rc(col: Column, pattern: str) -> Column:
 
 
 def whitespace_token_count(text: Column | str) -> Column:
+    from .dedup import _bind
+
     t = F.col(text) if isinstance(text, str) else text
-    t = collapse_whitespace(t)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+    # normalized text bound once (round 14): the two references (length
+    # guard + split) each re-ran the collapse regex per row
+    return _bind(
+        collapse_whitespace(t),
+        lambda tt: F.when(F.length(tt) == 0, F.lit(0)).otherwise(
+            F.size(F.split(tt, " "))
+        ),
+    )
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
